@@ -1,0 +1,44 @@
+"""Engine configuration.
+
+Replaces the reference's three config planes with one dataclass:
+- SSM parameters /data-pipeline/{max-retries,batch-size,quality-threshold}
+  (reference py:701-720, README md:199-202)
+- Secrets Manager pipeline secrets (py:687-698) — out of engine scope, kept
+  as an opaque dict hook
+- the config S3 bucket read by the validation stage (py:113-117, py:252)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # SSM /data-pipeline/max-retries = "3" (py:703-707); also SQS
+    # max_receive_count=3 before DLQ (py:133-137).
+    max_retries: int = 3
+    # SSM /data-pipeline/batch-size = "100" (py:708-713); Kinesis event
+    # source batch_size=100 (py:652).
+    batch_size: int = 100
+    # SSM /data-pipeline/quality-threshold = "0.85" (py:714-719). The state
+    # machine's hard gate is score > 0.8 (py:413); the configured operating
+    # threshold is 0.85 (md:202).
+    quality_threshold: float = 0.85
+    hard_quality_gate: float = 0.8
+    # Firehose buffering hints: 60 s / 5 MB (py:199-202).
+    stream_trigger_seconds: int = 60
+    # Sink compression: the reference ships GZIP parquet (py:203). Snappy is
+    # the better default on Spark; gzip retained for byte-level parity runs.
+    sink_compression: str = "gzip"
+    # Hive-style partition scheme from the Firehose prefix expression
+    # (py:197): year=!{timestamp:yyyy}/month=.../day=.../hour=...
+    partition_columns: tuple[str, ...] = ("year", "month", "day", "hour")
+    # Bound output file size at scale (100 TB discipline): Firehose's 5 MB
+    # buffer becomes a max-records-per-file cap on the Spark side.
+    max_records_per_file: int = 5_000_000
+    # Opaque secrets hook (py:687-698) — never logged.
+    secrets: dict = field(default_factory=dict, repr=False)
+
+
+DEFAULT_CONFIG = EngineConfig()

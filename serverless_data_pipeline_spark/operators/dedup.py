@@ -1,0 +1,211 @@
+"""Deduplication operators (charter extension X1/X2).
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup
+— the dedup toolbox of a large-scale training-data pipeline.
+
+Scale design (the part that matters at 100 TB):
+- NOTHING here compares all pairs. Every near-dup variant is
+  candidate-generation (hash/band/bucket -> equi-join on bucket key)
+  followed by exact verification on the candidate set only.
+- All hashing is Spark's built-in xxhash64 (JVM, codegen) — deterministic
+  across runs and executors, no Python in the hot path.
+- Candidate joins are plain hash joins on (band, signature) keys; AQE
+  handles the skew when a degenerate bucket appears (e.g. empty docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from serverless_data_pipeline_spark.functions.text import tokens, word_shingles
+from serverless_data_pipeline_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from serverless_data_pipeline_spark.operators.relational import dedupe_latest
+
+__all__ = [
+    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+    "simhash", "simhash_pairs", "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, keys: list[str],
+                order_by: list | None = None) -> DataFrame:
+    """X1 — exact dedup. With `order_by`, keep-first deterministic variant
+    (row_number()==1); otherwise plain dropDuplicates (hash shuffle on the
+    keys, partial dedup map-side)."""
+    if order_by:
+        return dedupe_latest(df, keys, order_by)
+    return df.dropDuplicates(keys)
+
+
+# ---------------------------------------------------------------- MinHash
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
+    """Per-document MinHash signature: shingle -> num_hashes seeded
+    xxhash64 values -> column-wise min. One explode + one groupBy(id):
+    linear in total shingle count, never pairwise."""
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__sh"))
+    mins = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)]
+    return shingled.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """X2 — MinHash+LSH near-dup pairs. Band the signature (bands ×
+    rows_per_band), bucket-join on (band_id, band_signature), then verify
+    candidates with the estimated Jaccard (matching minhash fraction).
+
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b. Cost: shingling
+    scan + one self-join restricted to identical band buckets — the
+    textbook sub-quadratic dedup used on web-scale corpora."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sig_arr = sig.select(
+        F.col(id_col).alias("__id"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"))
+
+    banded = sig_arr.select(
+        "__id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.element_at("sig", b * rows_per_band + i + 1)
+                             for i in range(rows_per_band)]).alias("bsig"))
+            for b in range(bands)])).alias("bk"))
+
+    a = banded.select(F.col("__id").alias("id_a"), F.col("sig").alias("sig_a"),
+                      F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    b = banded.select(F.col("__id").alias("id_b"), F.col("sig").alias("sig_b"),
+                      F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    cand = (a.join(b, ["band", "bsig"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    est = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1)).cast("double") / F.lit(float(num_hashes))
+    return (cand.withColumn("jaccard_est", est)
+                .filter(F.col("jaccard_est") >= jaccard_threshold)
+                .select("id_a", "id_b", "jaccard_est"))
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = 64) -> DataFrame:
+    """Per-document SimHash: each token hashes to `bits` bits; bit b of
+    the fingerprint is the sign of Σ(±1) over tokens. Explode + groupBy —
+    linear, no pairwise work."""
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(text_col)).alias("__t"))
+    h = F.xxhash64("__t")
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b_{b}")
+        for b in range(bits)]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"b_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
+                  max_hamming: int = 3, chunks: int = 4) -> DataFrame:
+    """X2 (SimHash flavour) — near-dup pairs within a Hamming radius.
+    Candidate generation: split the 64-bit fingerprint into `chunks`
+    16-bit pieces; by pigeonhole, any pair within Hamming distance
+    < chunks must agree on at least one piece — join on (piece_idx,
+    piece). Verify with bit_count(xor) <= max_hamming."""
+    fps = simhash(df, id_col, text_col)
+    piece = lambda c, i: F.shiftrightunsigned(F.col(c), i * 16).bitwiseAND(F.lit(0xFFFF))
+    pieces = fps.select(
+        F.col(id_col).alias("__id"), "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("pi"), piece("simhash", i).alias("pv"))
+            for i in range(chunks)])).alias("p"))
+    a = pieces.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"),
+                      F.col("p.pi").alias("pi"), F.col("p.pv").alias("pv"))
+    b = pieces.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"),
+                      F.col("p.pi").alias("pi"), F.col("p.pv").alias("pv"))
+    return (a.join(b, ["pi", "pv"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("hamming",
+                         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming"))
+
+
+# ------------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """X2 (exact Jaccard flavour) — pairs whose distinct word-n-gram sets
+    have Jaccard >= threshold. Inverted-index join: explode distinct
+    shingles, self-join on shingle, count common, |A∪B| = |A|+|B|-common.
+    Candidate pairs are only those sharing >= 1 shingle — for n >= 2 on
+    natural text this is FAR below quadratic. For n=1 (token sets) use
+    only on bounded vocabularies."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__sh"))
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("__id").alias("id_a"), "__sh")
+    b = sh.select(F.col("__id").alias("id_b"), "__sh")
+    common = (a.join(b, "__sh")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (common.join(sz_a, "id_a").join(sz_b, "id_b")
+            .withColumn("jaccard",
+                        F.col("common").cast("double")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("jaccard", 6).alias("jaccard")))
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                            threshold: float = 0.95,
+                            n_planes: int = 12,
+                            seed: int = 42) -> DataFrame:
+    """X2 (embedding flavour) — near-duplicate vectors by cosine >=
+    threshold. Candidate generation is sign-LSH: `n_planes` seeded random
+    hyperplanes -> a sign-bit bucket id; only same-bucket pairs are
+    verified with exact cosine. High thresholds => near-identical vectors
+    => same bucket with high probability; sub-quadratic by bucketing.
+    Projections are driver-generated constants (seeded, deterministic)."""
+    import random
+
+    rng = random.Random(seed)
+    dim = len(df.select(vec_col).first()[0])
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+    def bucket_expr(col):
+        bits = None
+        for i, p in enumerate(planes):
+            proj = dot_product(F.col(col), F.array(*[F.lit(x) for x in p]))
+            bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits.bitwiseOR(bit)
+        return bits
+
+    bucketed = df.select(F.col(id_col).alias("__id"),
+                         F.col(vec_col).alias("__v"),
+                         bucket_expr(vec_col).alias("__bkt"))
+    a = bucketed.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__bkt")
+    b = bucketed.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "__bkt")
+    return (a.join(b, "__bkt")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", cosine_similarity("v_a", "v_b"))
+             .filter(F.col("cos") >= threshold)
+             .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))

@@ -1,0 +1,149 @@
+"""Relational operators Spark lacks as single calls (SURVEY §2.3-2.6).
+
+Plain joins/aggs/windows/sorts are used directly via the DataFrame API in
+the query registry — Catalyst already plans those optimally. This module
+holds the compositions that need care: as-of join (J7), interval/range join
+(J6), top-k per group, keep-latest dedup (X1), and batch sessionization.
+
+Every helper is shuffle-conscious: the as-of join is a union + single
+window pass (ONE shuffle on the key, no per-row lookup); top-k per group is
+window + filter (partial ranking pushed map-side by Spark's WindowExec);
+nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k. Spark plans TakeOrderedAndProject: each task keeps a
+    k-row heap, driver merges — O(k) memory regardless of input size."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(df: DataFrame, keys: Sequence[str],
+                    order_by: Sequence[Column], k: int,
+                    rank_col: str = "rnk") -> DataFrame:
+    """Per-group top-k via row_number ≤ k. Single shuffle on `keys`.
+    Callers should include a unique tie-breaker in `order_by` for
+    deterministic output."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .filter(F.col(rank_col) <= k))
+
+
+def dedupe_latest(df: DataFrame, keys: Sequence[str],
+                  order_by: Sequence[Column]) -> DataFrame:
+    """X1 exact dedup, keep-first-by-order (e.g. latest timestamp): the
+    standard row_number()==1 formulation. One shuffle on `keys`."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str, right_ts: str,
+              right_value_cols: Sequence[str],
+              strict: bool = False) -> DataFrame:
+    """J7 as-of (latest-before) join: for each left row, attach the right
+    row with the greatest ``right_ts`` <= ``left_ts`` (or < when strict),
+    matching DuckDB's ``ASOF JOIN`` semantics (left rows with no match are
+    kept with NULLs).
+
+    Spark has no native as-of operator. Instead of a per-group
+    ``pd.merge_asof`` (Python boundary, skew-fragile), we union the two
+    inputs tagged by side and run ONE window pass partitioned by the key:
+    ``last(right_value, ignorenulls=True)`` over rows up to the current
+    timestamp carries the most recent right-side values forward. Cost: one
+    shuffle of (|L|+|R|) rows — scales linearly, no driver involvement,
+    and AQE handles key skew.
+
+    Tie-breaking: right rows sort before left rows at equal timestamps
+    (non-strict), so an exact-timestamp match is visible to the left row,
+    as in DuckDB. If `right` has duplicate (key, ts) rows the last one in
+    (ts, side) order wins — dedupe first for full determinism.
+    """
+    on = list(on)
+    # side=0 rows (right) sort before side=1 (left) at equal ts => a right
+    # row AT the left row's timestamp is "before" it (inclusive semantics).
+    # strict=True flips the order so equal-ts right rows are not visible.
+    lhs = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_value_cols],
+    )
+    rhs = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(2 if strict else 0).alias("__side"),
+        F.lit(None).cast(lhs.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    w = (Window.partitionBy(*on).orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
+          for c in right_value_cols],
+    )
+    out = carried.filter(F.col("__l").isNotNull()).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__v_{c}").alias(c) for c in right_value_cols],
+    )
+    return out
+
+
+def range_join(left: DataFrame, right: DataFrame,
+               predicate: Column, broadcast_right: bool = True) -> DataFrame:
+    """J6 interval/range join. With a small interval dimension (calendars,
+    buckets, SLA bands) broadcast the right side: Spark plans
+    BroadcastNestedLoopJoin — a per-row scan of the broadcast table, no
+    shuffle of the big side, which is the correct 100 TB plan. For two
+    large sides, pre-bucket both on a coarsened range key and equi-join on
+    the bucket before applying the residual predicate."""
+    rhs = F.broadcast(right) if broadcast_right else right
+    return left.join(rhs, predicate)
+
+
+def bucketed_range_join(left: DataFrame, right: DataFrame,
+                        left_point: str, right_lo: str, right_hi: str,
+                        bucket_width: Column,
+                        extra_keys: Sequence[str] = ()) -> DataFrame:
+    """Large×large range join: explode each right interval into the coarse
+    buckets it overlaps, equi-join on bucket (+ optional keys), then apply
+    the exact range predicate. Turns a nested-loop into a hash join whose
+    fan-out is interval_width/bucket_width."""
+    lb = left.withColumn("__bucket",
+                         F.floor(F.col(left_point).cast("double") / bucket_width))
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(right_lo).cast("double") / bucket_width),
+            F.floor(F.col(right_hi).cast("double") / bucket_width))))
+    joined = lb.join(rb, ["__bucket", *extra_keys])
+    return joined.filter(
+        (F.col(left_point) >= F.col(right_lo))
+        & (F.col(left_point) <= F.col(right_hi))).drop("__bucket")
+
+
+def sessionize(df: DataFrame, key: str, ts: str,
+               gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): new session when the gap
+    from the previous event of the same key exceeds the threshold;
+    session_id = cumulative count of session starts. One shuffle on key.
+    The streaming equivalent is ``F.session_window`` (streaming/windows)."""
+    w = Window.partitionBy(key).orderBy(ts)
+    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return (df.withColumn("__new", is_new)
+              .withColumn("session_seq",
+                          F.sum("__new").over(
+                              w.rowsBetween(Window.unboundedPreceding, 0)))
+              .drop("__new"))

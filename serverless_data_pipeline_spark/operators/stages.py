@@ -1,0 +1,151 @@
+"""ETL stage contracts T1-T6 (SURVEY §2.2) as DataFrame -> DataFrame fns.
+
+The reference declares six Lambda stages (bodies absent from the snapshot;
+contracts recovered from env vars, event wiring, and Step Functions payload
+shapes — `Serverless Data Pipeline.py:226-309, 342-418`). Each stage here is
+a pure transformation, so the same function runs in batch (spark.read) and
+streaming (spark.readStream) — the reference's batch/stream duality (md:36)
+for free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from serverless_data_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+
+
+def ingest(df: DataFrame, source: str = "s3", data_type: str = "json",
+           priority: str = "normal", batch_id: str | None = None) -> DataFrame:
+    """T1 — ingest/normalize (ingestion fn, py:226-240; API body md:172-180).
+
+    Stamps the routing metadata the reference carries in its API payload and
+    env wiring: source, data_type, priority, batch_id, ingest timestamp.
+    Narrow-only (no shuffle)."""
+    out = (df
+           .withColumn("source", F.lit(source))
+           .withColumn("data_type", F.lit(data_type))
+           .withColumn("priority", F.lit(priority))
+           .withColumn("ingest_ts", F.current_timestamp()))
+    out = out.withColumn(
+        "batch_id",
+        F.lit(batch_id) if batch_id is not None
+        else F.date_format(F.col("ingest_ts"), "yyyyMMddHH"))
+    return out
+
+
+@dataclass
+class ValidationResult:
+    valid: DataFrame
+    invalid: DataFrame
+
+    def is_valid(self) -> bool:
+        """The scalar `$.validation_result.is_valid` consumed by the
+        reference's ValidationChoice (py:404-408): a batch is valid when it
+        has no invalid rows. Driver-side decision, not a column."""
+        return self.invalid.isEmpty()
+
+
+def validate(df: DataFrame, required: dict[str, T.DataType],
+             checks: list[Column] | None = None) -> ValidationResult:
+    """T2 — schema validation (validation fn, py:243-255; md:300,316).
+
+    `required` maps column name -> expected Spark type (the engine-side
+    replacement for the config-bucket schemas, py:113-117). Missing columns
+    fail the whole batch (structural); present rows are split row-wise on
+    null-checks + optional quality predicates. Invalid rows route to the
+    error sink (SNS error topic py:153-156 / errors/ prefix py:198)."""
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        # Structural failure: the entire batch is invalid.
+        return ValidationResult(valid=df.limit(0), invalid=df)
+    mismatched = [c for c, t in required.items() if df.schema[c].dataType != t]
+    if mismatched:
+        return ValidationResult(valid=df.limit(0), invalid=df)
+    pred = F.lit(True)
+    for c in required:
+        pred = pred & F.col(c).isNotNull()
+    for extra in checks or []:
+        pred = pred & extra
+    flagged = df.withColumn("__ok", pred)
+    return ValidationResult(
+        valid=flagged.filter("__ok").drop("__ok"),
+        invalid=flagged.filter(~F.col("__ok") | F.col("__ok").isNull()).drop("__ok"),
+    )
+
+
+def transform(df: DataFrame, ts_col: str = "ts",
+              dims: dict[str, tuple[DataFrame, list[str]]] | None = None) -> DataFrame:
+    """T3 — clean / enrich / convert (transformation fn, py:258-270;
+    md:301,317 "Data cleaning, enrichment, and format conversion").
+
+    clean: trim + lower string columns, null-safe.
+    enrich: broadcast-join small dimension tables (star-schema enrichment).
+    convert: derive the year/month/day/hour partition columns of the
+    Firehose prefix expression (py:197) so the sink can partitionBy them.
+    """
+    out = df
+    for f in out.schema.fields:
+        if isinstance(f.dataType, T.StringType):
+            out = out.withColumn(f.name, F.lower(F.trim(F.col(f.name))))
+    for _name, (dim, on) in (dims or {}).items():
+        out = out.join(F.broadcast(dim), on, "left")
+    if ts_col in out.columns:
+        ts = F.col(ts_col)
+        out = (out
+               .withColumn("year", F.year(ts))
+               .withColumn("month", F.month(ts))
+               .withColumn("day", F.dayofmonth(ts))
+               .withColumn("hour", F.hour(ts)))
+    return out
+
+
+def chunked_transform(df: DataFrame, fn, n_chunks: int = 3) -> DataFrame:
+    """T4 — the reference fans the transform over 3 fixed parallel branches
+    with a chunk_id payload (sfn.Parallel, py:373-390). On Spark, partition
+    parallelism subsumes this; we keep the operator for contract parity by
+    tagging a chunk_id and letting `fn` run per-partition-parallel anyway.
+    `repartition(n_chunks)` only when a caller truly wants the fixed fan-out
+    — at scale leave it to AQE."""
+    chunked = df.withColumn(
+        "chunk_id", F.pmod(F.spark_partition_id(), F.lit(n_chunks)))
+    return fn(chunked)
+
+
+def quality_score(df: DataFrame, scored_columns: list[str] | None = None,
+                  rules: list[Column] | None = None) -> float:
+    """T5 — quality scoring (quality fn, py:273-284): ONE scalar per batch,
+    compared against the threshold by the router (py:411-418). Score =
+    mean over columns of per-column completeness (non-null fraction),
+    optionally averaged with rule pass-rates. Single map-side-combined
+    aggregate → one tiny row to the driver; the scalar routing decision is
+    driver-side by design (SURVEY §7.3)."""
+    cols = scored_columns or df.columns
+    aggs = [F.avg(F.when(F.col(c).isNotNull(), 1.0).otherwise(0.0)).alias(f"c_{i}")
+            for i, c in enumerate(cols)]
+    aggs += [F.avg(F.when(r, 1.0).otherwise(0.0)).alias(f"r_{i}")
+             for i, r in enumerate(rules or [])]
+    row = df.agg(*aggs).first()
+    vals = [v for v in row if v is not None]
+    return float(sum(vals) / len(vals)) if vals else 0.0
+
+
+def quality_gate(score: float, config: EngineConfig = DEFAULT_CONFIG) -> bool:
+    """QualityChoice (py:411-418): score must clear the configured
+    threshold (0.85, py:714-719) — the state machine's own hard floor is
+    0.8 (py:413)."""
+    return score > config.quality_threshold
+
+
+def realtime_transform(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """T6 — per-record stream transform (realtime fn, py:287-298): derive
+    analytics fields and forward to the analytics stream. Works unchanged
+    on a streaming DataFrame (narrow ops only)."""
+    out = df.withColumn("processed_ts", F.current_timestamp())
+    if ts_col in df.columns:
+        out = out.withColumn("event_hour", F.date_trunc("hour", F.col(ts_col)))
+    return out

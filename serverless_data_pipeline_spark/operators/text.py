@@ -1,0 +1,102 @@
+"""Text-analysis operators (charter extension X5).
+
+Language-ID, quality scoring, token statistics, and document
+fingerprinting over a `documents(doc_id, text, lang, source, n_chars)`
+table. Each operator is a single narrow pass of built-in functions
+(+ one groupBy where an aggregate is the point) — linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.functions.text import (
+    bpe_ish_tokens, fingerprint, punct_ratio, quality_score_expr,
+    stopword_ratio, token_count, tokens,
+)
+
+# Marker function words per language (public, standard vocabulary lists).
+# Deliberately tiny + inlineable into oracle SQL.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "que", "los", "es"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "les", "des", "est", "une"),
+}
+
+
+def marker_score(text_col: Column | str, lang: str) -> Column:
+    """Count of marker-word hits for one language."""
+    toks = tokens(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col))
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-heuristic language ID: argmax marker-hit count,
+    CJK codepoints short-circuit to 'zh', no hits -> 'und'. Ties break by
+    language code order (deterministic). Adds `predicted_lang`."""
+    scores = {lang: marker_score(text_col, lang) for lang in sorted(LANG_MARKERS)}
+    best = None
+    best_score = None
+    for lang in sorted(LANG_MARKERS):
+        s = scores[lang]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    pred = (F.when(F.col(text_col).rlike(r"[一-鿿]"), F.lit("zh"))
+             .when(best_score > 0, best)
+             .otherwise(F.lit("und")))
+    return df.withColumn("predicted_lang", pred)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals + composite score (the X5 analogue of
+    the reference's quality stage py:273-284, but per-row)."""
+    return df.select(
+        "*",
+        F.length(text_col).alias("q_chars"),
+        token_count(text_col).alias("q_tokens"),
+        F.round(punct_ratio(text_col), 6).alias("q_punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("q_stopword_ratio"),
+        F.round(quality_score_expr(text_col), 6).alias("q_score"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                group_col: str = "lang") -> DataFrame:
+    """Corpus token statistics per group: docs, whitespace-token counts,
+    BPE-ish subword counts, avg tokens/doc, distinct vocabulary size."""
+    per_doc = df.select(
+        F.col(group_col),
+        token_count(text_col).alias("n_tok"),
+        F.size(bpe_ish_tokens(text_col)).cast("long").alias("n_bpe"),
+        tokens(text_col).alias("toks"),
+    )
+    return (per_doc
+            .select(group_col, "n_tok", "n_bpe", F.explode("toks").alias("tok"))
+            .groupBy(group_col)
+            .agg(
+                F.count_distinct("tok").alias("vocab"),
+            )
+            .join(
+                per_doc.groupBy(group_col).agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("n_tok").alias("total_tokens"),
+                    F.sum("n_bpe").alias("total_bpe_tokens"),
+                    F.round(F.avg("n_tok"), 4).alias("avg_tokens")),
+                group_col)
+            .select(group_col, "n_docs", "total_tokens", "total_bpe_tokens",
+                    "avg_tokens", "vocab"))
+
+
+def fingerprint_documents(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Document fingerprints (md5 of normalized text) + duplicate-group
+    size per fingerprint — the exact-dup detection primitive."""
+    fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    counts = fp.groupBy("fp").agg(F.count("*").alias("dup_count"))
+    return fp.join(counts, "fp").select(id_col, "fp", "dup_count")

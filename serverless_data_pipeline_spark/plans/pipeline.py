@@ -1,0 +1,86 @@
+"""EP1 — the batch pipeline driver (SURVEY §3 EP1).
+
+Re-expresses the reference's Step Functions state machine
+(DataPipelineStateMachine, py:424-436) as one driver function. The managed
+control flow collapses to plain Python:
+
+    ValidateData (py:342-350)    -> stages.validate
+    ValidationChoice (py:404-408)-> if result.is_valid()
+    TransformData (py:352-360)   -> stages.transform
+    QualityCheck (py:362-370)    -> stages.quality_score
+    QualityChoice (py:411-418)   -> if score > threshold
+    ErrorHandler (py:393-401)    -> quarantine write + FAILED state row
+    Succeed/Fail (py:414-417)    -> PipelineResult.status
+
+Every arrow in the reference crosses a Lambda/process boundary; here the
+only real boundaries are shuffles (none in the stage chain — it is
+narrow-only) and the final partitioned sink commit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
+
+from serverless_data_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+from serverless_data_pipeline_spark.operators import stages
+from serverless_data_pipeline_spark.plans.state import StateTable, new_pipeline_id
+from serverless_data_pipeline_spark.sources import writers
+
+
+@dataclass
+class PipelineResult:
+    pipeline_id: str
+    status: str                  # SUCCEEDED | FAILED
+    quality_score: float | None = None
+    failure_reason: str | None = None
+    counts: dict = field(default_factory=dict)
+
+
+def run_pipeline(df: DataFrame, *, processed_path: str, archive_path: str,
+                 error_path: str, state: StateTable,
+                 required: dict[str, T.DataType],
+                 checks: list[Column] | None = None,
+                 ts_col: str = "ts",
+                 dims: dict | None = None,
+                 source: str = "s3",
+                 config: EngineConfig = DEFAULT_CONFIG) -> PipelineResult:
+    pid = new_pipeline_id()
+    state.append(pid, "ingest", "RUNNING", {"source": source})
+
+    ingested = stages.ingest(df, source=source)
+
+    # ValidateData -> ValidationChoice (py:404-408)
+    vres = stages.validate(ingested, required, checks)
+    n_invalid = vres.invalid.count()
+    state.append(pid, "validate", "RUNNING", {"invalid_rows": n_invalid})
+    if n_invalid:
+        writers.write_quarantine(vres.invalid, error_path, "validation_failed")
+    if vres.valid.isEmpty():
+        # whole batch invalid -> ErrorHandler path (py:393-401)
+        state.append(pid, "validate", "FAILED", {"invalid_rows": n_invalid})
+        return PipelineResult(pid, "FAILED", failure_reason="validation_failed",
+                              counts={"invalid": n_invalid})
+
+    # TransformData (py:352-360): clean/enrich/convert + archive branch
+    transformed = stages.transform(vres.valid, ts_col=ts_col, dims=dims)
+    writers.write_archive(vres.valid, archive_path)
+
+    # QualityCheck -> QualityChoice (py:411-418): per-batch scalar
+    score = stages.quality_score(transformed,
+                                 scored_columns=list(required))
+    state.append(pid, "quality", "RUNNING", {"score": score})
+    if not stages.quality_gate(score, config):
+        state.append(pid, "quality", "FAILED", {"score": score})
+        return PipelineResult(pid, "FAILED", quality_score=score,
+                              failure_reason="Data quality score below threshold")
+
+    # Processed-tier partitioned sink (Firehose contract py:194-212)
+    writers.write_partitioned_parquet(transformed, processed_path,
+                                      ts_col=ts_col, config=config)
+    n_out = transformed.count()
+    state.append(pid, "sink", "SUCCEEDED", {"rows": n_out, "score": score})
+    return PipelineResult(pid, "SUCCEEDED", quality_score=score,
+                          counts={"processed": n_out, "invalid": n_invalid})

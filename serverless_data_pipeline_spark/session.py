@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Single place where engine-level physical configuration lives. The reference
+encodes its physical choices as infrastructure (Lambda memory tiers
+py:226-309, Firehose buffering py:199-202, fixed 3-way parallel branches
+py:373-390); on Spark all of those collapse into session conf — AQE replaces
+the hardcoded chunk fan-out, executor/task parallelism replaces reserved
+concurrency, and trigger intervals replace buffer hints.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Sized for the local[32] test harness; on a real cluster master/memory come
+# from spark-submit and only the sql.* settings below matter.
+_LOCAL_CORES = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "serverless_data_pipeline_spark",
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    Defaults tuned for scale-readiness:
+    - AQE on (runtime partition coalescing + skew-join splitting) — strictly
+      better than the reference's fixed 3-branch Parallel (py:373-390).
+    - shuffle partitions ~= cores locally; on a cluster AQE coalesces from
+      whatever the operator-level `repartition` asks for.
+    - UTC session timezone so timestamp semantics match the DuckDB oracle.
+    - Arrow on for the pandas-UDF slow path.
+    """
+    builder = (
+        SparkSession.builder.master(f"local[{_LOCAL_CORES}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or _LOCAL_CORES))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,70 @@
+"""Sinks (S3, S4, S6 batch half, S8 retention).
+
+The processed-tier contract comes from the reference's Firehose delivery
+stream (py:194-212): parquet conversion (ParquetSerDe py:204-211), GZIP
+(py:203), Hive partitions year=/month=/day=/hour= (py:197), failures to an
+errors/ prefix (py:198). The archive tier is the transformation stage's
+second output (py:105-110, py:268).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+
+
+def with_partition_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Derive the Firehose prefix expression's partition columns (py:197):
+    year=!{timestamp:yyyy}/month=!{MM}/day=!{dd}/hour=!{HH}."""
+    ts = F.col(ts_col)
+    return (df.withColumn("year", F.year(ts))
+              .withColumn("month", F.month(ts))
+              .withColumn("day", F.dayofmonth(ts))
+              .withColumn("hour", F.hour(ts)))
+
+
+def write_partitioned_parquet(df: DataFrame, path: str, ts_col: str = "ts",
+                              mode: str = "append",
+                              config: EngineConfig = DEFAULT_CONFIG) -> None:
+    """S3 — processed-tier sink. Partition layout enables partition
+    pruning on every downstream time-filtered scan; maxRecordsPerFile
+    bounds file size at scale (the Spark-side analogue of the 5 MB Firehose
+    buffer, py:201)."""
+    out = df if set(config.partition_columns) <= set(df.columns) \
+        else with_partition_columns(df, ts_col)
+    (out.write.mode(mode)
+        .option("compression", config.sink_compression)
+        .option("maxRecordsPerFile", config.max_records_per_file)
+        .partitionBy(*config.partition_columns)
+        .parquet(path))
+
+
+def write_archive(df: DataFrame, path: str, mode: str = "append") -> None:
+    """S4 — archive-tier sink (py:105-110; env ARCHIVE_BUCKET py:268).
+    Raw retention copy: snappy (cheap to write, rarely read)."""
+    df.write.mode(mode).option("compression", "snappy").parquet(path)
+
+
+def write_quarantine(df: DataFrame, path: str, reason: str,
+                     mode: str = "append") -> None:
+    """errors/-prefix quarantine (py:198) + DLQ semantics (py:122-137):
+    invalid/poison rows are preserved with a reason and timestamp, never
+    dropped silently."""
+    (df.withColumn("_error_reason", F.lit(reason))
+       .withColumn("_quarantined_at", F.current_timestamp())
+       .write.mode(mode).json(path))
+
+
+def apply_retention(spark, path: str, max_age_days: int,
+                    ts_col: str = "ts") -> int:
+    """S8 — lifecycle policy (30 d → IA, 90 d → Glacier, py:77-92) reduced
+    to engine scope: report (and let an external mover act on) partitions
+    older than the cutoff. Pure partition-column metadata scan — prunes to
+    directory listings, reads no data files."""
+    df = spark.read.parquet(path)
+    cutoff = F.date_sub(F.current_date(), max_age_days)
+    old = (df.select("year", "month", "day").distinct()
+             .filter(F.make_date("year", "month", "day") < cutoff))
+    return old.count()

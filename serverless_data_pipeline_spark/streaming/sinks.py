@@ -1,0 +1,81 @@
+"""Streaming sinks (ST2 write half, ST6, ST7).
+
+The Firehose delivery contract (py:187-213) becomes one writeStream: 60 s
+trigger (buffer hint py:199-202), hour partitions (py:197), errors split to
+a quarantine path (error_output_prefix py:198). SQS redrive (max 3 receives
+-> DLQ, py:133-137) becomes bounded retry inside foreachBatch with failures
+appended to a dead_letter table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from serverless_data_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
+from serverless_data_pipeline_spark.sources.writers import (
+    with_partition_columns, write_quarantine,
+)
+
+
+def start_partitioned_stream(df: DataFrame, path: str, checkpoint: str,
+                             ts_col: str = "ts",
+                             config: EngineConfig = DEFAULT_CONFIG,
+                             trigger: dict | None = None) -> StreamingQuery:
+    """ST2 — partitioned parquet streaming sink, 60 s micro-batches
+    (py:199-202). Checkpointed => exactly-once file sink."""
+    out = with_partition_columns(df, ts_col)
+    return (out.writeStream
+            .format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .option("compression", config.sink_compression)
+            .partitionBy(*config.partition_columns)
+            .trigger(**(trigger or
+                        {"processingTime": f"{config.stream_trigger_seconds} seconds"}))
+            .outputMode("append")
+            .start())
+
+
+def start_quarantining_stream(df: DataFrame, good_path: str, error_path: str,
+                              checkpoint: str, validity: "F.Column",
+                              ts_col: str = "ts",
+                              config: EngineConfig = DEFAULT_CONFIG,
+                              max_retries: int | None = None,
+                              trigger: dict | None = None) -> StreamingQuery:
+    """ST7 — foreachBatch split: rows passing `validity` go to the
+    partitioned processed sink; failing rows go to the errors/ quarantine
+    (py:198). The batch write itself is retried up to max_retries
+    (MAX_RETRIES=3, py:703-707); a batch that keeps failing is appended to
+    the dead-letter path instead of crashing the query (DLQ, py:122-137).
+    """
+    retries = max_retries if max_retries is not None else config.max_retries
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        flagged = batch.withColumn("__ok", validity).cache()
+        try:
+            bad = flagged.filter(~F.col("__ok") | F.col("__ok").isNull()).drop("__ok")
+            if not bad.isEmpty():
+                write_quarantine(bad, error_path, "stream_validation_failed")
+            good = with_partition_columns(
+                flagged.filter("__ok").drop("__ok"), ts_col)
+            last_err: Exception | None = None
+            for _attempt in range(retries):
+                try:
+                    (good.write.mode("append")
+                         .option("compression", config.sink_compression)
+                         .partitionBy(*config.partition_columns)
+                         .parquet(good_path))
+                    return
+                except Exception as exc:  # noqa: BLE001 — retry then DLQ
+                    last_err = exc
+            write_quarantine(batch, error_path + "_dlq",
+                             f"sink_failed_after_{retries}_retries: {last_err}")
+        finally:
+            flagged.unpersist()
+
+    return (df.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start())

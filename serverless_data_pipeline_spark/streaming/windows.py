@@ -1,0 +1,60 @@
+"""Windowed aggregation (ST2-ST5).
+
+Each function works on BOTH batch and streaming DataFrames — `F.window` /
+`F.session_window` are plan-level constructs — so the oracle can check the
+batch run while tests drive the identical plan through readStream.
+
+Watermarks (ST4) bound state at scale: without one, a 100 TB/day stream
+accumulates window state forever. The reference's retention settings (7 d
+main / 1 d analytics stream, py:165,173) are the lateness bounds we mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_agg(df: DataFrame, ts_col: str = "ts", keys: tuple[str, ...] = ("event_type",),
+                 width: str = "1 hour", watermark: str | None = "1 day") -> DataFrame:
+    """ST3 tumbling — the Firehose hourly-partition write (py:197) viewed
+    as a windowed agg. Output flattens window to its start timestamp."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, width).alias("w"), *keys)
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("sum_value"))
+              .select(F.col("w.start").alias("window_start"), *keys,
+                      "n_events", "sum_value"))
+
+
+def sliding_agg(df: DataFrame, ts_col: str = "ts", keys: tuple[str, ...] = ("event_type",),
+                width: str = "1 hour", slide: str = "30 minutes",
+                watermark: str | None = "1 day") -> DataFrame:
+    """ST3 sliding — each row lands in width/slide windows."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (df.groupBy(F.window(ts_col, width, slide).alias("w"), *keys)
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("sum_value"))
+              .select(F.col("w.start").alias("window_start"), *keys,
+                      "n_events", "sum_value"))
+
+
+def session_agg(df: DataFrame, ts_col: str = "ts", key: str = "user_id",
+                gap: str = "30 minutes",
+                watermark: str | None = "1 day") -> DataFrame:
+    """ST5 session windows — native `session_window` (merging state store
+    sessions in streaming; gaps-and-islands equivalent in batch is
+    operators.relational.sessionize)."""
+    df = _maybe_watermark(df, ts_col, watermark)
+    return (df.groupBy(F.session_window(ts_col, gap).alias("w"), key)
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("sum_value"))
+              .select(F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"), key,
+                      "n_events", "sum_value"))
