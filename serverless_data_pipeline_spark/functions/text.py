@@ -20,8 +20,10 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization (the fixtures are space-separated text)."""
-    return F.split(F.trim(_c(col)), r"\s+")
+    """Whitespace tokenization (the fixtures are space-separated text).
+    Empty strings are filtered so tokens('') == [] (split alone yields
+    [''], which inflated token_count to 1 for empty text)."""
+    return F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda t: t != "")
 
 
 def token_count(col: Column | str) -> Column:

@@ -105,14 +105,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     tok = df.select(F.col(id_col),
                     F.explode(tokens(text_col)).alias("__t"))
     h = F.xxhash64("__t")
+    # Bit masks via shiftleft on a long column: 1<<63 as a Python literal
+    # overflows a JVM long (NumberFormatException), but shiftleft wraps to
+    # Long.MIN_VALUE — the correct sign-bit pattern.
+    one = F.lit(1).cast("long")
     bit_sums = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)).alias(f"b_{b}")
+        F.sum(F.when(h.bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1))
+         .alias(f"b_{b}")
         for b in range(bits)]
     agg = tok.groupBy(id_col).agg(*bit_sums)
-    fp = None
+    fp = F.lit(0).cast("long")
     for b in range(bits):
-        term = F.when(F.col(f"b_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else fp.bitwiseOR(term)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"b_{b}") > 0, F.shiftleft(one, b))
+             .otherwise(F.lit(0).cast("long")))
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
@@ -146,16 +152,29 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 # ------------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
     """X2 (exact Jaccard flavour) — pairs whose distinct word-n-gram sets
     have Jaccard >= threshold. Inverted-index join: explode distinct
     shingles, self-join on shingle, count common, |A∪B| = |A|+|B|-common.
     Candidate pairs are only those sharing >= 1 shingle — for n >= 2 on
-    natural text this is FAR below quadratic. For n=1 (token sets) use
-    only on bounded vocabularies."""
+    natural text this is FAR below quadratic.
+
+    `max_doc_freq` is the scale guard: a single boilerplate shingle shared
+    by 1M docs creates a 10^12-pair hot bucket in the self-join. With a
+    document-frequency cap, shingles appearing in more than `max_doc_freq`
+    docs are dropped from the index AND from the set sizes (standard
+    high-df shingle pruning), bounding any bucket to max_doc_freq^2 pairs.
+    None = exact Jaccard (small/oracle runs)."""
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__sh"))
+    if max_doc_freq is not None:
+        doc_freq = (sh.groupBy("__sh")
+                      .agg(F.count("*").alias("__df"))
+                      .filter(F.col("__df") <= max_doc_freq)
+                      .select("__sh"))
+        sh = sh.join(doc_freq, "__sh")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("__id").alias("id_a"), "__sh")
     b = sh.select(F.col("__id").alias("id_b"), "__sh")
@@ -178,17 +197,22 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                             threshold: float = 0.95,
                             n_planes: int = 12,
-                            seed: int = 42) -> DataFrame:
+                            seed: int = 42,
+                            dim: int | None = None) -> DataFrame:
     """X2 (embedding flavour) — near-duplicate vectors by cosine >=
     threshold. Candidate generation is sign-LSH: `n_planes` seeded random
     hyperplanes -> a sign-bit bucket id; only same-bucket pairs are
     verified with exact cosine. High thresholds => near-identical vectors
     => same bucket with high probability; sub-quadratic by bucketing.
-    Projections are driver-generated constants (seeded, deterministic)."""
+    Projections are driver-generated constants (seeded, deterministic).
+
+    Pass `dim` explicitly on anything big — the fallback inference runs a
+    `.first()` driver action (an extra Spark job per call)."""
     import random
 
     rng = random.Random(seed)
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
     def bucket_expr(col):

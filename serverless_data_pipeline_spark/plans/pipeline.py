@@ -43,44 +43,63 @@ def run_pipeline(df: DataFrame, *, processed_path: str, archive_path: str,
                  error_path: str, state: StateTable,
                  required: dict[str, T.DataType],
                  checks: list[Column] | None = None,
+                 quality_rules: list[Column] | None = None,
                  ts_col: str = "ts",
                  dims: dict | None = None,
                  source: str = "s3",
                  config: EngineConfig = DEFAULT_CONFIG) -> PipelineResult:
+    """`checks` are hard validity predicates (row fails -> quarantine);
+    `quality_rules` are soft quality predicates scored by QualityCheck.
+    The quality score covers ALL columns of the transformed batch plus the
+    soft rules — NOT just the columns validate() already null-enforced
+    (scoring those alone is always 1.0: a dead gate)."""
     pid = new_pipeline_id()
     state.append(pid, "ingest", "RUNNING", {"source": source})
 
     ingested = stages.ingest(df, source=source)
 
-    # ValidateData -> ValidationChoice (py:404-408)
+    # ValidateData -> ValidationChoice (py:404-408). Both split frames are
+    # consumed more than once (count + write) — cache so the input is
+    # scanned once, not re-executed per action (at 100 TB each re-execution
+    # re-reads the source).
     vres = stages.validate(ingested, required, checks)
-    n_invalid = vres.invalid.count()
-    state.append(pid, "validate", "RUNNING", {"invalid_rows": n_invalid})
-    if n_invalid:
-        writers.write_quarantine(vres.invalid, error_path, "validation_failed")
-    if vres.valid.isEmpty():
-        # whole batch invalid -> ErrorHandler path (py:393-401)
-        state.append(pid, "validate", "FAILED", {"invalid_rows": n_invalid})
-        return PipelineResult(pid, "FAILED", failure_reason="validation_failed",
-                              counts={"invalid": n_invalid})
+    valid = vres.valid.cache()
+    invalid = vres.invalid.cache()
+    try:
+        n_invalid = invalid.count()
+        state.append(pid, "validate", "RUNNING", {"invalid_rows": n_invalid})
+        if n_invalid:
+            writers.write_quarantine(invalid, error_path, "validation_failed")
+        if valid.isEmpty():
+            # whole batch invalid -> ErrorHandler path (py:393-401)
+            state.append(pid, "validate", "FAILED", {"invalid_rows": n_invalid})
+            return PipelineResult(pid, "FAILED",
+                                  failure_reason="validation_failed",
+                                  counts={"invalid": n_invalid})
 
-    # TransformData (py:352-360): clean/enrich/convert + archive branch
-    transformed = stages.transform(vres.valid, ts_col=ts_col, dims=dims)
-    writers.write_archive(vres.valid, archive_path)
+        # TransformData (py:352-360): clean/enrich/convert + archive branch
+        transformed = stages.transform(valid, ts_col=ts_col, dims=dims).cache()
+        writers.write_archive(valid, archive_path)
 
-    # QualityCheck -> QualityChoice (py:411-418): per-batch scalar
-    score = stages.quality_score(transformed,
-                                 scored_columns=list(required))
-    state.append(pid, "quality", "RUNNING", {"score": score})
-    if not stages.quality_gate(score, config):
-        state.append(pid, "quality", "FAILED", {"score": score})
-        return PipelineResult(pid, "FAILED", quality_score=score,
-                              failure_reason="Data quality score below threshold")
+        # QualityCheck -> QualityChoice (py:411-418): per-batch scalar over
+        # the full transformed batch + soft rules.
+        score = stages.quality_score(transformed, rules=quality_rules)
+        state.append(pid, "quality", "RUNNING", {"score": score})
+        if not stages.quality_gate(score, config):
+            state.append(pid, "quality", "FAILED", {"score": score})
+            transformed.unpersist()
+            return PipelineResult(
+                pid, "FAILED", quality_score=score,
+                failure_reason="Data quality score below threshold")
 
-    # Processed-tier partitioned sink (Firehose contract py:194-212)
-    writers.write_partitioned_parquet(transformed, processed_path,
-                                      ts_col=ts_col, config=config)
-    n_out = transformed.count()
-    state.append(pid, "sink", "SUCCEEDED", {"rows": n_out, "score": score})
-    return PipelineResult(pid, "SUCCEEDED", quality_score=score,
-                          counts={"processed": n_out, "invalid": n_invalid})
+        # Processed-tier partitioned sink (Firehose contract py:194-212)
+        writers.write_partitioned_parquet(transformed, processed_path,
+                                          ts_col=ts_col, config=config)
+        n_out = transformed.count()
+        transformed.unpersist()
+        state.append(pid, "sink", "SUCCEEDED", {"rows": n_out, "score": score})
+        return PipelineResult(pid, "SUCCEEDED", quality_score=score,
+                              counts={"processed": n_out, "invalid": n_invalid})
+    finally:
+        valid.unpersist()
+        invalid.unpersist()

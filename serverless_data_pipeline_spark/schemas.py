@@ -105,8 +105,30 @@ INGEST_RECORD_SCHEMA = T.StructType([
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Registered-schema parquet scan (S2). No inference, prunable."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Registered-schema parquet scan (S2). No inference, prunable.
+
+    `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which PySpark
+    cannot map to TimestampType directly; with
+    `spark.sql.legacy.parquet.nanosAsLong=true` it reads as a nanos long,
+    converted here to microsecond TimestampType (`ts div 1000` — integer
+    division, no double round-trip, matching DuckDB's ns→us truncation).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    schema = SCHEMAS.get(name)
+    if name == "events":
+        # Conf is runtime-settable; set defensively for driver-owned
+        # sessions that did not go through get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        read_schema = T.StructType([
+            T.StructField("ts", T.LongType()) if f.name == "ts" else f
+            for f in schema.fields])
+        raw = spark.read.schema(read_schema).parquet(path)
+        from pyspark.sql import functions as F
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

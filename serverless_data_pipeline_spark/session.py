@@ -33,7 +33,7 @@ def get_spark(app_name: str = "serverless_data_pipeline_spark",
     - Arrow on for the pandas-UDF slow path.
     """
     builder = (
-        SparkSession.builder.master(f"local[{_LOCAL_CORES}]")
+        SparkSession.builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or _LOCAL_CORES))
@@ -42,10 +42,22 @@ def get_spark(app_name: str = "serverless_data_pipeline_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # events.parquet stores TIMESTAMP(NANOS); read as long, converted
+        # to TimestampType in schemas.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Respect a master/memory already configured by spark-submit — builder
+    # conf would override submit-time settings, pinning the engine to local
+    # mode on a real cluster. Only default them when nothing is set.
+    from pyspark import SparkConf
+    submitted = SparkConf()
+    if not submitted.contains("spark.master"):
+        builder = builder.master(f"local[{_LOCAL_CORES}]")
+    if not submitted.contains("spark.driver.memory"):
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
