@@ -1,38 +1,947 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Registry of every implemented operator from SURVEY.md §2, each as a
+(spark, sf_dir) -> DataFrame callable paired (where ANSI-SQL-expressible)
+with DuckDB oracle SQL over the same parquet views.
+
+Float-determinism discipline (SURVEY §7.3): every SUM over doubles goes
+through a DECIMAL(20,4) cast on BOTH sides (exact, order-insensitive);
+per-row double arithmetic is IEEE-identical across engines; ROUND only
+ever wraps already-deterministic values. Every computed column is aliased
+identically in Spark and SQL so the driver's sorted-column value hash
+lines up.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from serverless_data_pipeline_spark.schemas import SCHEMAS, load_table
+from serverless_data_pipeline_spark.operators import stages
+from serverless_data_pipeline_spark.operators.relational import (
+    asof_join, dedupe_latest, range_join, top_k, top_k_per_group,
+)
+from serverless_data_pipeline_spark.operators.dedup import (
+    embedding_neardup_pairs, minhash_lsh_pairs, ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from serverless_data_pipeline_spark.operators.similarity import (
+    ann_topk, brute_force_topk_join, ivf_topk,
+)
+from serverless_data_pipeline_spark.operators.text import (
+    fingerprint_documents, language_id, quality_features, token_stats,
+)
+from serverless_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload, extract_features, frame_sample,
+    media_metadata_stats, multimodal_join,
+)
+from serverless_data_pipeline_spark.streaming.windows import (
+    session_agg, sliding_agg, tumbling_agg,
+)
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    """Driver-owned sessions may lack engine conf; set the runtime-settable
+    bits every query depends on (UTC == DuckDB wall clock; nanos events)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(_prep(spark), sf_dir, name)
+
+
+def _dsum(col, alias: str):
+    """Order-insensitive exact sum of a double column (decimal transit)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(20,4)")).cast("double").alias(alias)
+
+
+_DSUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(20,4))) AS DOUBLE)"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue-by-returnflag aggregation over lineitem (G1 path:
+    scan → filter → groupBy → agg → orderBy) at sf0.001."""
+    return _q_g1_groupby_agg(spark, "/root/testdata/sf0.001")
+
+
+# =============================================================== scans (S)
+
+def _q_s2_parquet_scan(spark, sf):
+    """S2 — registered-schema parquet scan (Athena target md:161-163)."""
+    return _t(spark, sf, "region")
+
+
+def _q_s1_json_roundtrip(spark, sf):
+    """S1 — JSON ingest semantics: serialize rows to JSON strings, parse
+    back with an explicit schema (permissive path), aggregate. Exercises
+    to_json/from_json against a plain relational oracle."""
+    js = _t(spark, sf, "documents").select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("js"))
+    parsed = js.select(F.from_json(
+        "js", "doc_id long, lang string, n_chars long").alias("r")).select("r.*")
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"))
+
+
+# ========================================================= ETL stages (T)
+
+def _q_t1_ingest(spark, sf):
+    """T1 — ingest/normalize metadata stamping (py:226-240, md:172-180)."""
+    out = stages.ingest(_t(spark, sf, "events"), source="s3",
+                        data_type="json", priority="normal", batch_id="b1")
+    return out.select("event_id", "source", "data_type", "priority", "batch_id")
+
+
+def _q_t2_validate(spark, sf):
+    """T2 — schema validation split; invalid rows (py:243-255, py:404-408)."""
+    res = stages.validate(
+        _t(spark, sf, "events"),
+        {"event_id": T.LongType(), "ts": T.TimestampType(),
+         "value": T.DoubleType()},
+        checks=[F.col("value") >= 0.05])
+    return res.invalid.select("event_id", "value")
+
+
+def _q_t3_transform_clean(spark, sf):
+    """T3 clean — trim/lower string normalization (py:258-270, md:317)."""
+    out = stages.transform(_t(spark, sf, "documents"))
+    return out.select("doc_id", F.col("text").alias("clean_text"),
+                      F.col("source").alias("clean_source"))
+
+
+def _q_t3_transform_convert(spark, sf):
+    """T3 convert — year/month/day/hour partition derivation (py:197)."""
+    out = stages.transform(_t(spark, sf, "events"), ts_col="ts")
+    return out.select("event_id", "year", "month", "day", "hour")
+
+
+def _q_t5_quality_score(spark, sf):
+    """T5 — per-batch scalar quality score (py:273-284, py:411-418)."""
+    score = stages.quality_score(_t(spark, sf, "documents"),
+                                 rules=[F.col("n_chars") >= 200])
+    return spark.createDataFrame([(round(score, 6),)], "score double")
+
+
+def _q_t6_realtime_transform(spark, sf):
+    """T6 — per-record stream transform fields (py:287-298)."""
+    out = stages.realtime_transform(_t(spark, sf, "events"))
+    return out.select("event_id", "event_hour")
+
+
+def _q_t7_filter(spark, sf):
+    """T7 — SQL WHERE (Athena surface py:619-629)."""
+    return (_t(spark, sf, "lineitem")
+            .filter((F.col("l_quantity") >= 48) & (F.col("l_returnflag") == "R"))
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+def _q_t8_projection(spark, sf):
+    """T8 — projection/computed columns."""
+    return _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("flag_status"))
+
+
+# ============================================================== joins (J)
+
+def _q_j1_inner_join(spark, sf):
+    """J1 — inner equi-join orders ⋈ customer."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "inner")
+             .groupBy("c_mktsegment")
+             .agg(F.count("*").alias("n_orders"),
+                  _dsum("o_totalprice", "revenue")))
+
+
+def _q_j2_left_join(spark, sf):
+    """J2 — left outer join keeping order-less customers."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .groupBy("c_custkey")
+             .agg(F.count("o_orderkey").alias("n_orders"),
+                  _dsum("o_totalprice", "total_spent")))
+
+
+def _q_j3_semi_join(spark, sf):
+    """J3 — left semi: customers having >= 1 order."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_mktsegment"))
+
+
+def _q_j3_anti_join(spark, sf):
+    """J3 — left anti: customers with no orders."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_mktsegment"))
+
+
+def _q_j4_broadcast_join(spark, sf):
+    """J4 — broadcast dim join (star-schema enrichment md:317)."""
+    li, p = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("p_brand")
+              .agg(F.count("*").alias("n_items"),
+                   _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         "gross_revenue")))
+
+
+def _q_j5_cross_join(spark, sf):
+    """J5 — cross join (BroadcastNestedLoopJoin)."""
+    r1 = _t(spark, sf, "region").select(F.col("r_name").alias("r1_name"))
+    r2 = _t(spark, sf, "region").select(F.col("r_name").alias("r2_name"))
+    return r1.crossJoin(r2)
+
+
+def _q_j6_range_join(spark, sf):
+    """J6 — range/interval join of events into broadcast value bands."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1000.0)],
+        "band string, lo double, hi double")
+    ev = _t(spark, sf, "events")
+    joined = range_join(ev, bands,
+                        (F.col("value") >= F.col("lo"))
+                        & (F.col("value") < F.col("hi")))
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"), _dsum("value", "sum_value"))
+
+
+def _q_j7_asof_join(spark, sf):
+    """J7 — as-of join: latest purchase value at-or-before each click,
+    per user (DuckDB ASOF JOIN semantics)."""
+    ev = _t(spark, sf, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", F.col("value").alias("purchase_value")))
+    out = asof_join(clicks, purchases, on=["user_id"],
+                    left_ts="ts", right_ts="ts",
+                    right_value_cols=["purchase_value"])
+    return out.select("event_id", "purchase_value")
+
+
+# =============================================================== aggs (G)
+
+def _q_g1_groupby_agg(spark, sf):
+    """G1 — the flagship pricing-summary aggregation (TPC-H Q1 shape)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(F.col("l_quantity") < 50)
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(_dsum("l_quantity", "sum_qty"),
+                   _dsum("l_extendedprice", "sum_base_price"),
+                   _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         "sum_disc_price"),
+                   F.count("*").alias("n_rows"),
+                   F.round(F.sum(F.col("l_quantity").cast("decimal(20,4)"))
+                            .cast("double") / F.count("*"), 6).alias("avg_qty")))
+
+
+def _q_g2_count_distinct(spark, sf):
+    """G2 — distinct / count-distinct."""
+    return (_t(spark, sf, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n_custs"),
+                 F.count("*").alias("n_orders")))
+
+
+def _q_g2_distinct(spark, sf):
+    """G2 — DISTINCT rows."""
+    return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def _q_g3_rollup(spark, sf):
+    """G3 — ROLLUP over the region→nation hierarchy."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    joined = (c.join(n, c.c_nationkey == n.n_nationkey)
+               .join(r, n.n_regionkey == r.r_regionkey))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n_cust"),
+                 _dsum("c_acctbal", "total_acctbal")))
+
+
+def _q_g5_filtered_agg(spark, sf):
+    """G5 — filtered/conditional aggregation."""
+    o = _t(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+                  _dsum(F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")),
+                        "high_value_total"),
+                  F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+                   .alias("n_open")))
+
+
+def _q_g6_percentiles(spark, sf):
+    """G6 — exact percentiles (continuous interpolation)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+                 F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75")))
+
+
+# ============================================================ windows (W)
+
+def _q_w_ranking(spark, sf):
+    """W — ranking functions over a deterministic per-customer order."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"))
+
+
+def _q_w_analytic(spark, sf):
+    """W — lag/lead over event time per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _t(spark, sf, "events").select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"))
+
+
+def _q_w_running_sum(spark, sf):
+    """W — running aggregate (cumulative revenue per customer)."""
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(20,4)")).over(w)
+         .cast("double").alias("running_total"))
+
+
+# ===================================================== sorts/sets (SRT/SET)
+
+def _q_srt_topk(spark, sf):
+    """SRT — global top-k (TakeOrderedAndProject)."""
+    return top_k(_t(spark, sf, "orders"),
+                 [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+                 10).select("o_orderkey", "o_totalprice")
+
+
+def _q_tkg_topk_per_group(spark, sf):
+    """TKG — top-k per group via row_number."""
+    out = top_k_per_group(
+        _t(spark, sf, "orders"), ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3)
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+
+
+def _q_set_union(spark, sf):
+    """SET — UNION (distinct)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def _q_set_intersect(spark, sf):
+    """SET — INTERSECT."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def _q_set_except(spark, sf):
+    """SET — EXCEPT (set semantics: subtract == EXCEPT DISTINCT)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (_t(spark, sf, "supplier").filter(F.col("s_nationkey") < 12)
+         .select(F.col("s_nationkey").alias("nationkey")))
+    return c.subtract(s)
+
+
+def _q_x1_dedup_latest(spark, sf):
+    """X1 — keep-latest exact dedup (latest event per user)."""
+    out = dedupe_latest(_t(spark, sf, "events"), ["user_id"],
+                        [F.col("ts").desc(), F.col("event_id").desc()])
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+# ============================================================ scalars (F)
+
+def _q_f_datetime(spark, sf):
+    """F-dt — date/time scalar family (partition derivation py:197)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+
+
+def _q_f_string(spark, sf):
+    """F-str — string scalar family."""
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.upper("p_name").alias("upper_name"),
+        F.substring("p_name", 1, 8).alias("prefix8"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.col("p_name").startswith("a").alias("starts_a"))
+
+
+def _q_f_json(spark, sf):
+    """F-json — JSON scalars over the untyped events.props payload
+    (reference payloads are untyped JSON throughout, py:345-349)."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        F.from_json("props", "k long").getField("k").alias("k_struct"))
+
+
+def _q_f_math(spark, sf):
+    """F-math — numeric scalar family. `gross` stays unrounded: rounding a
+    fresh double product at low scale hits engine-specific midpoint
+    handling (Spark rounds the shortest decimal repr, DuckDB the scaled
+    binary value); `round` is instead exercised on an exactly-representable
+    midpoint (qty*1.5) where both engines agree."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (1 + F.col("l_tax"))).alias("gross"),
+        F.round(F.col("l_quantity") * 1.5, 1).alias("qty_x15"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("abs_diff"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).alias("mod7"))
+
+
+def _q_f_conditional(spark, sf):
+    """F-cond — CASE/coalesce/nullif (choice states py:404-418)."""
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+         .when(F.col("o_totalprice") > 100000, "mid")
+         .otherwise("small").alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")),
+                   F.lit("open")).alias("status_x"))
+
+
+def _q_f_array(spark, sf):
+    """F-arr — array/higher-order family over embeddings."""
+    from serverless_data_pipeline_spark.functions.vectors import l2_norm
+    e = _t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.round(l2_norm("embedding"), 6).alias("norm"))
+
+
+# ======================================================== streaming (ST)
+
+def _q_st3_tumbling(spark, sf):
+    """ST3 — tumbling window agg (batch-mode plan; streaming in tests)."""
+    return tumbling_agg(_t(spark, sf, "events"), width="1 hour")
+
+
+def _q_st3_sliding(spark, sf):
+    """ST3 — sliding window agg (1 h window / 30 min slide)."""
+    return sliding_agg(_t(spark, sf, "events"),
+                       width="1 hour", slide="30 minutes")
+
+
+def _q_st5_session(spark, sf):
+    """ST5 — session windows (30 min gap) per user."""
+    return session_agg(_t(spark, sf, "events"), gap="30 minutes")
+
+
+# =========================================================== X-ops (X)
+
+def _q_x3_topk_similarity(spark, sf):
+    """X3 — exact cosine top-10 neighbors for 5 query vectors."""
+    e = _t(spark, sf, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 5)
+    out = brute_force_topk_join(queries_df, e, "vec_id", "embedding",
+                                "vec_id", "embedding", k=10)
+    return out.select("query_id", "neighbor_id", "cosine")
+
+
+def _q_x5_language_id(spark, sf):
+    """X5 — marker-word language identification."""
+    return language_id(_t(spark, sf, "documents")).select(
+        "doc_id", "predicted_lang")
+
+
+def _q_x5_quality_features(spark, sf):
+    """X5 — per-document quality signals."""
+    return quality_features(_t(spark, sf, "documents")).select(
+        "doc_id", "q_chars", "q_tokens", "q_punct_ratio",
+        "q_stopword_ratio", "q_score")
+
+
+def _q_x5_token_stats(spark, sf):
+    """X5 — corpus token statistics per language."""
+    return token_stats(_t(spark, sf, "documents"))
+
+
+def _q_x5_fingerprint(spark, sf):
+    """X5 — md5 document fingerprints + duplicate-group sizes."""
+    return fingerprint_documents(_t(spark, sf, "documents"))
+
+
+def _q_x6_media_metadata(spark, sf):
+    """X6 — multimodal metadata-only aggregate (payload never read)."""
+    media = attach_binary_payload(_t(spark, sf, "documents"),
+                                  "doc_id", "text", "source")
+    return media_metadata_stats(media)
+
+
+def _q_x6_multimodal_join(spark, sf):
+    """X6 — documents ⋈ embeddings on the shared id space."""
+    out = multimodal_join(_t(spark, sf, "documents"),
+                          _t(spark, sf, "embeddings"))
+    return out.select("doc_id", "lang", "label", "n_chars")
+
+
+# ------------------------- rows-only (non-SQL-expressible candidates) ----
+
+def _q_x2_minhash_lsh(spark, sf):
+    """X2 — MinHash+LSH near-dup pairs (seeded; rows-only check)."""
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                             jaccard_threshold=0.4)
+
+
+def _q_x2_simhash(spark, sf):
+    """X2 — SimHash near-dup pairs (rows-only check)."""
+    return simhash_pairs(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _q_x2_ngram_jaccard(spark, sf):
+    """X2 — exact n-gram Jaccard pairs via inverted index."""
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                               n=3, threshold=0.4)
+
+
+def _q_x2_embedding_neardup(spark, sf):
+    """X2 — sign-LSH embedding near-dup pairs (rows-only check). The
+    fixture vectors are random (no true near-dups), so a loose threshold
+    + few planes keeps the candidate path populated."""
+    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), "vec_id",
+                                   "embedding", threshold=0.3, n_planes=6,
+                                   dim=64)
+
+
+def _q_x4_ann_topk(spark, sf):
+    """X4 — sign-LSH approximate top-k (recall asserted in tests)."""
+    q = [0.1] * 64
+    return ann_topk(_t(spark, sf, "embeddings"), "vec_id", "embedding", q,
+                    k=10, n_tables=2, n_planes=8)
+
+
+def _q_x4_ivf_topk(spark, sf):
+    """X4 — IVF-style probed top-k (rows-only check)."""
+    q = [0.1] * 64
+    return ivf_topk(_t(spark, sf, "embeddings"), "vec_id", "embedding", q, k=10)
+
+
+def _q_x6_extract_features(spark, sf):
+    """X6 — Arrow-batched decode/featurize stub (mapInPandas)."""
+    media = attach_binary_payload(_t(spark, sf, "documents"),
+                                  "doc_id", "text", "source")
+    return extract_features(media)
+
+
+def _q_x6_frame_sample(spark, sf):
+    """X6 — frame-sampling row explosion shape (rows-only check)."""
+    media = attach_binary_payload(_t(spark, sf, "documents"),
+                                  "doc_id", "text", "source")
+    return frame_sample(media, every_n_bytes=64).select(
+        "media_id", "frame_idx", "byte_offset")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    g = globals()
+    return {name[len("_q_"):]: g[name]
+            for name in sorted(g) if name.startswith("_q_")}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ======================================================== oracle SQL ====
+
+_TOKENS_SQL = ("list_filter(regexp_split_to_array(trim({c}), '\\s+'), "
+               "x -> x <> '')")
+_STOPWORDS_SQL = "['the','a','an','of','to','in','and','is','it','for']"
+_BPE_SQL = "regexp_extract_all({c}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dsum_v = _DSUM_SQL.format(c="value")
+    return {
+        "s2_parquet_scan": "SELECT * FROM region",
+        "s1_json_roundtrip": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang""",
+        "t1_ingest": """
+            SELECT event_id, 's3' AS source, 'json' AS data_type,
+                   'normal' AS priority, 'b1' AS batch_id FROM events""",
+        "t2_validate": """
+            SELECT event_id, value FROM events WHERE NOT (value >= 0.05)""",
+        "t3_transform_clean": """
+            SELECT doc_id, lower(trim(text)) AS clean_text,
+                   lower(trim(source)) AS clean_source FROM documents""",
+        "t3_transform_convert": """
+            SELECT event_id,
+                   CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS year,
+                   CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER) AS month,
+                   CAST(day(CAST(ts AS TIMESTAMP)) AS INTEGER) AS day,
+                   CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour
+            FROM events""",
+        "t5_quality_score": """
+            SELECT ROUND((5.0 + AVG(CASE WHEN n_chars >= 200 THEN 1.0
+                                         ELSE 0.0 END)) / 6.0, 6) AS score
+            FROM documents""",
+        "t6_realtime_transform": """
+            SELECT event_id,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_hour
+            FROM events""",
+        "t7_filter": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity >= 48 AND l_returnflag = 'R'""",
+        "t8_projection": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS net_price,
+                   l_returnflag || '/' || l_linestatus AS flag_status
+            FROM lineitem""",
+        "j1_inner_join": f"""
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   {_DSUM_SQL.format(c='o_totalprice')} AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "j2_left_join": f"""
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+                   {_DSUM_SQL.format(c='o_totalprice')} AS total_spent
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey""",
+        "j3_semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "j3_anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS
+                (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "j4_broadcast_join": f"""
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
+                   {_DSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
+                       AS gross_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand""",
+        "j5_cross_join": """
+            SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+            FROM region r1 CROSS JOIN region r2""",
+        "j6_range_join": f"""
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {dsum_v} AS sum_value
+            FROM events e
+            JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+                         ('high', 200.0, 1000.0)) AS b(band, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY band""",
+        "j7_asof_join": """
+            SELECT l.event_id, r.purchase_value
+            FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                         value AS purchase_value
+                  FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "g1_groupby_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_DSUM_SQL.format(c='l_quantity')} AS sum_qty,
+                   {_DSUM_SQL.format(c='l_extendedprice')} AS sum_base_price,
+                   {_DSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
+                       AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)))
+                              AS DOUBLE) / COUNT(*), 6) AS avg_qty
+            FROM lineitem WHERE l_quantity < 50
+            GROUP BY l_returnflag, l_linestatus""",
+        "g2_count_distinct": """
+            SELECT o_orderstatus,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY o_orderstatus""",
+        "g2_distinct": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+        "g3_rollup": f"""
+            SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                   {_DSUM_SQL.format(c='c_acctbal')} AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)""",
+        "g5_filtered_agg": f"""
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                       AS n_finished,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                        FILTER (WHERE o_totalprice > 200000) AS DOUBLE)
+                       AS high_value_total,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_open
+            FROM orders GROUP BY o_orderpriority""",
+        "g6_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+            FROM lineitem GROUP BY l_returnflag""",
+        "w_ranking": """
+            SELECT o_orderkey,
+                   CAST(row_number() OVER w AS INTEGER) AS rn,
+                   CAST(rank() OVER w AS INTEGER) AS rk,
+                   CAST(dense_rank() OVER w AS INTEGER) AS drk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey)""",
+        "w_analytic": """
+            SELECT event_id, lag(value) OVER w AS prev_value,
+                   lead(value) OVER w AS next_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)""",
+        "w_running_sum": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER
+                        (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       AS running_total
+            FROM orders""",
+        "srt_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "tkg_topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(rnk AS INTEGER) AS rnk
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_totalprice DESC,
+                                                     o_orderkey) AS rnk
+                  FROM orders)
+            WHERE rnk <= 3""",
+        "set_union": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION SELECT s_nationkey FROM supplier""",
+        "set_intersect": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey FROM supplier""",
+        "set_except": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey FROM supplier
+                   WHERE s_nationkey < 12""",
+        "x1_dedup_latest": """
+            SELECT user_id, event_id, event_type, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1""",
+        "f_datetime": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INTEGER) AS y,
+                   CAST(month(o_orderdate) AS INTEGER) AS m,
+                   CAST(day(o_orderdate) AS INTEGER) AS d,
+                   date_trunc('month', o_orderdate) AS month_start,
+                   strftime(o_orderdate, '%Y-%m') AS ym
+            FROM orders""",
+        "f_string": """
+            SELECT p_partkey,
+                   p_brand || '#' || p_type AS brand_type,
+                   upper(p_name) AS upper_name,
+                   substring(p_name, 1, 8) AS prefix8,
+                   CAST(length(p_name) AS INTEGER) AS name_len,
+                   replace(p_name, ' ', '_') AS snake_name,
+                   (p_name LIKE 'a%') AS starts_a
+            FROM part""",
+        "f_json": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+            FROM events""",
+        "f_math": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 + l_tax) AS gross,
+                   ROUND(l_quantity * 1.5, 1) AS qty_x15,
+                   abs(l_discount - l_tax) AS abs_diff,
+                   CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                   l_orderkey % 7 AS mod7
+            FROM lineitem""",
+        "f_conditional": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 300000 THEN 'big'
+                        WHEN o_totalprice > 100000 THEN 'mid'
+                        ELSE 'small' END AS bucket,
+                   COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_x
+            FROM orders""",
+        "f_array": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INTEGER) AS n_dims,
+                   CAST(embedding[1] AS DOUBLE) AS first_val,
+                   CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+                   ROUND(sqrt(list_aggregate(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6)
+                       AS norm
+            FROM embeddings""",
+        "st3_tumbling": f"""
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND({dsum_v}, 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "st3_sliding": f"""
+            WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                       FROM events),
+            x AS (SELECT TIMESTAMP '1970-01-01 00:00:00'
+                         + (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+                            - k.k * 1800) * INTERVAL 1 SECOND AS window_start,
+                         event_type, value
+                  FROM e CROSS JOIN (VALUES (0), (1)) k(k))
+            SELECT window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND({dsum_v}, 2) AS sum_value
+            FROM x GROUP BY 1, 2""",
+        "st5_session": f"""
+            WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                       FROM events),
+            o AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                                   OR ts - lag(ts) OVER w
+                                      >= INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END AS is_new
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS seq
+                  FROM o)
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND({dsum_v}, 2) AS sum_value
+            FROM s GROUP BY user_id, seq""",
+        "x3_topk_similarity": """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                              list_dot_product(CAST(c.embedding AS DOUBLE[]), qv)
+                              / (sqrt(list_dot_product(
+                                     CAST(c.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])))
+                                 * sqrt(list_dot_product(qv, qv))) AS cos
+                       FROM embeddings c CROSS JOIN q)
+            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) <= 10""",
+        "x5_language_id": f"""
+            WITH t AS (SELECT doc_id, text,
+                              {_TOKENS_SQL.format(c='lower(text)')} AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, text,
+                         len(list_filter(toks, x -> list_contains(
+                             ['der','die','und','das','ist'], x))) AS s_de,
+                         len(list_filter(toks, x -> list_contains(
+                             ['the','and','of','to','is'], x))) AS s_en,
+                         len(list_filter(toks, x -> list_contains(
+                             ['el','la','que','los','es'], x))) AS s_es,
+                         len(list_filter(toks, x -> list_contains(
+                             ['le','les','des','est','une'], x))) AS s_fr
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                        WHEN greatest(s_de, s_en, s_es, s_fr) > 0 THEN
+                            CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+                                     THEN 'de'
+                                 WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+                                     THEN 'en'
+                                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+                                     THEN 'es'
+                                 ELSE 'fr' END
+                        ELSE 'und' END AS predicted_lang
+            FROM s""",
+        "x5_quality_features": f"""
+            WITH q AS (
+                SELECT doc_id, text,
+                       length(regexp_replace(text, '\\s', '', 'g'))
+                           AS nonspace,
+                       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                           AS punct,
+                       {_TOKENS_SQL.format(c='text')} AS toks,
+                       {_TOKENS_SQL.format(c='lower(text)')} AS ltoks
+                FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS q_chars,
+                   CAST(len(toks) AS BIGINT) AS q_tokens,
+                   ROUND(CASE WHEN nonspace > 0
+                              THEN CAST(punct AS DOUBLE) / nonspace
+                              ELSE 0.0 END, 6) AS q_punct_ratio,
+                   ROUND(CASE WHEN len(ltoks) > 0
+                              THEN CAST(len(list_filter(ltoks,
+                                   x -> list_contains({_STOPWORDS_SQL}, x)))
+                                   AS DOUBLE) / len(ltoks)
+                              ELSE 0.0 END, 6) AS q_stopword_ratio,
+                   ROUND(((CASE WHEN length(text) BETWEEN 20 AND 100000
+                                THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN nonspace > 0 AND
+                                  CAST(punct AS DOUBLE) / nonspace <= 0.3
+                                  THEN 1.0
+                                  WHEN nonspace = 0 THEN 1.0
+                                  ELSE 0.0 END)
+                          + (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END))
+                         / 3.0, 6) AS q_score
+            FROM q""",
+        "x5_token_stats": f"""
+            WITH per_doc AS (
+                SELECT lang,
+                       CAST(len({_TOKENS_SQL.format(c='text')}) AS BIGINT)
+                           AS n_tok,
+                       CAST(len({_BPE_SQL.format(c='text')}) AS BIGINT)
+                           AS n_bpe,
+                       {_TOKENS_SQL.format(c='text')} AS toks
+                FROM documents),
+            a1 AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                          CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+                          ROUND(AVG(n_tok), 4) AS avg_tokens
+                   FROM per_doc GROUP BY lang),
+            a2 AS (SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab
+                   FROM (SELECT lang, unnest(toks) AS tok FROM per_doc)
+                   GROUP BY lang)
+            SELECT a1.lang, n_docs, total_tokens, total_bpe_tokens,
+                   avg_tokens, vocab
+            FROM a1 JOIN a2 USING (lang)""",
+        "x5_fingerprint": """
+            WITH fp AS (SELECT doc_id,
+                               md5(lower(regexp_replace(trim(text),
+                                                        '\\s+', ' ', 'g')))
+                                   AS fp
+                        FROM documents)
+            SELECT f.doc_id, f.fp, c.dup_count
+            FROM fp f JOIN (SELECT fp, CAST(COUNT(*) AS BIGINT) AS dup_count
+                            FROM fp GROUP BY fp) c USING (fp)""",
+        "x6_media_metadata": """
+            SELECT 'application/octet-stream' AS mime, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT)
+                       AS total_bytes,
+                   ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes
+            FROM documents GROUP BY source""",
+        "x6_multimodal_join": """
+            SELECT doc_id, lang, label, n_chars
+            FROM documents JOIN embeddings ON doc_id = vec_id""",
+    }

@@ -28,7 +28,8 @@ def tumbling_agg(df: DataFrame, ts_col: str = "ts", keys: tuple[str, ...] = ("ev
     df = _maybe_watermark(df, ts_col, watermark)
     return (df.groupBy(F.window(ts_col, width).alias("w"), *keys)
               .agg(F.count("*").alias("n_events"),
-                   F.round(F.sum("value"), 2).alias("sum_value"))
+                   F.round(F.sum(F.col("value").cast("decimal(20,4)"))
+                            .cast("double"), 2).alias("sum_value"))
               .select(F.col("w.start").alias("window_start"), *keys,
                       "n_events", "sum_value"))
 
@@ -40,7 +41,8 @@ def sliding_agg(df: DataFrame, ts_col: str = "ts", keys: tuple[str, ...] = ("eve
     df = _maybe_watermark(df, ts_col, watermark)
     return (df.groupBy(F.window(ts_col, width, slide).alias("w"), *keys)
               .agg(F.count("*").alias("n_events"),
-                   F.round(F.sum("value"), 2).alias("sum_value"))
+                   F.round(F.sum(F.col("value").cast("decimal(20,4)"))
+                            .cast("double"), 2).alias("sum_value"))
               .select(F.col("w.start").alias("window_start"), *keys,
                       "n_events", "sum_value"))
 
@@ -54,7 +56,8 @@ def session_agg(df: DataFrame, ts_col: str = "ts", key: str = "user_id",
     df = _maybe_watermark(df, ts_col, watermark)
     return (df.groupBy(F.session_window(ts_col, gap).alias("w"), key)
               .agg(F.count("*").alias("n_events"),
-                   F.round(F.sum("value"), 2).alias("sum_value"))
+                   F.round(F.sum(F.col("value").cast("decimal(20,4)"))
+                            .cast("double"), 2).alias("sum_value"))
               .select(F.col("w.start").alias("session_start"),
                       F.col("w.end").alias("session_end"), key,
                       "n_events", "sum_value"))
