@@ -229,6 +229,23 @@ def _q_j7_asof_join(spark, sf):
     return out.select("event_id", "purchase_value")
 
 
+def _q_q3_shipping_priority(spark, sf):
+    """Flagship 3-table join (TPC-H Q3 shape): customer ⋈ orders ⋈
+    lineitem, segment filter pushed to the customer scan, top-10 orders by
+    revenue. The join order lets Catalyst broadcast the filtered customer
+    side; AQE picks the physical strategy at scale."""
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+              .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         "revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+              .limit(10))
+
+
 # =============================================================== aggs (G)
 
 def _q_g1_groupby_agg(spark, sf):
@@ -665,6 +682,16 @@ def oracle_sql() -> dict[str, str]:
                          value AS purchase_value
                   FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   {_DSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "g1_groupby_agg": f"""
             SELECT l_returnflag, l_linestatus,
                    {_DSUM_SQL.format(c='l_quantity')} AS sum_qty,

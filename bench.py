@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no collect cost,
+no driver materialization — executor-side work only, the number that
+matters at scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: flagship agg, 3-table join, as-of join, windowed agg,
+# minhash dedup, brute-force similarity, text quality pass.
+HEADLINE = (
+    "g1_groupby_agg",
+    "q3_shipping_priority",
+    "j7_asof_join",
+    "st3_tumbling",
+    "w_running_sum",
+    "x1_dedup_latest",
+    "x2_minhash_lsh",
+    "x3_topk_similarity",
+    "x5_quality_features",
+)
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from serverless_data_pipeline_spark.session import get_spark
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    qs = entry_mod.queries()
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # plan, not first-call class loading.
+    qs["g1_groupby_agg"](spark, SF_DIR).write.mode("overwrite") \
+        .format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
