@@ -1,0 +1,81 @@
+"""X1/X2 dedup operators: planted near-dups, skew cap, exact values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.operators.dedup import (
+    embedding_neardup_pairs, exact_dedup, minhash_lsh_pairs,
+    ngram_jaccard_pairs, simhash_pairs,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun "
+        "sets slowly behind the tall green hills of the valley")
+NEAR = BASE.replace("lazy", "sleepy")  # one-token edit -> high Jaccard
+OTHER = ("completely different content about database engines and "
+         "distributed query processing with shuffle partitions")
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER),
+         (4, "tiny"), (5, "spark sql engine")],
+        "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")],
+                               "k long, v string")
+    assert exact_dedup(df, ["k"]).count() == 2
+
+
+def test_minhash_finds_planted_pair(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), "doc_id", "text",
+                              jaccard_threshold=0.3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_default_bits_finds_pair(spark):
+    # Regression: bits=64 used to overflow a JVM long (1 << 63 literal).
+    pairs = simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id long, text string")
+    # 2-gram sets: {ab,bc,cd} vs {ab,bc,ce}: common 2, union 4 -> 0.5
+    out = ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.4)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0].id_a, rows[0].id_b) == (1, 2)
+    assert abs(rows[0].jaccard - 0.5) < 1e-9
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
+    # Every doc shares a boilerplate shingle; with the cap it is pruned
+    # from index AND sizes, so the unrelated pair disappears.
+    rows = [(i, f"common boiler plate unique{i} token{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1)
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1,
+                                 max_doc_freq=2)
+    assert uncapped.count() > 0          # hot shingle pairs everyone
+    assert capped.count() == 0           # pruned -> no candidates at all
+
+
+def test_embedding_neardup_planted(spark):
+    base = [1.0, 0.5, -0.2, 0.8]
+    near = [1.01, 0.49, -0.21, 0.79]
+    far = [-1.0, 0.5, 0.2, -0.8]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id long, embedding array<float>")
+    pairs = embedding_neardup_pairs(df, "vec_id", "embedding",
+                                    threshold=0.99, n_planes=4, dim=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}

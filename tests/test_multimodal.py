@@ -1,0 +1,72 @@
+"""X6 multimodal columns: schema plumbing, deterministic stub featurizer,
+payload column pruning on the metadata path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload, extract_features, frame_sample,
+    media_metadata_stats, multimodal_join,
+)
+
+
+def _media(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab", "s1"), (2, "abcd", "s1"), (3, "xyz", "s2")],
+        "doc_id long, text string, source string")
+    return attach_binary_payload(docs, "doc_id", "text", "source")
+
+
+def test_payload_is_binary_with_metadata(spark):
+    media = _media(spark)
+    assert dict(media.dtypes)["payload"] == "binary"
+    row = media.filter("media_id = 2").first()
+    assert bytes(row.payload) == b"abcd"
+    assert row.meta.n_bytes == 4 and row.meta.source == "s1"
+
+
+def test_extract_features_deterministic_stub(spark):
+    out = extract_features(_media(spark))
+    row = out.filter("media_id = 1").first()
+    # "ab" = bytes 97,98 -> buckets 1,2 -> [0, .5, .5, 0...]
+    assert row.n_bytes == 2
+    assert row.features == [0.0, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_extract_features_real_decode_raises(spark):
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        extract_features(_media(spark), decode_stub=False).collect()
+
+
+def test_frame_sample_explosion(spark):
+    docs = spark.createDataFrame([(1, "x" * 200, "s")],
+                                 "doc_id long, text string, source string")
+    media = attach_binary_payload(docs, "doc_id", "text", "source")
+    frames = frame_sample(media, every_n_bytes=64).collect()
+    assert len(frames) == 3            # 200 // 64
+    assert [f.byte_offset for f in frames] == [0, 64, 128]
+
+
+def test_metadata_stats_prune_payload(spark, tmp_path):
+    """Metadata aggregate over a materialized media table must NOT read
+    payload bytes — column pruning visible in the parquet ReadSchema."""
+    path = str(tmp_path / "media")
+    _media(spark).write.parquet(path)
+    stats = media_metadata_stats(spark.read.parquet(path))
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema")[-1]
+    got = {(r.source): (r.n_items, r.total_bytes) for r in stats.collect()}
+    assert got == {"s1": (2, 6), "s2": (1, 3)}
+
+
+def test_multimodal_join_aligns_ids(spark):
+    docs = spark.createDataFrame([(1, "t", "en", "s", 1)],
+                                 "doc_id long, text string, lang string, "
+                                 "source string, n_chars long")
+    emb = spark.createDataFrame([(1, [0.1, 0.2], 0)],
+                                "vec_id long, embedding array<float>, label int")
+    out = multimodal_join(docs, emb)
+    assert out.count() == 1
+    assert set(out.columns) >= {"doc_id", "text", "embedding", "label"}

@@ -1,0 +1,92 @@
+"""As-of join, dedup, top-k, range join, sessionize (SURVEY §2.3-2.6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.operators.relational import (
+    asof_join, bucketed_range_join, dedupe_latest, range_join, sessionize,
+    top_k, top_k_per_group,
+)
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_join_inclusive_and_null(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(1)), (2, "k", _ts(5)), (3, "k", _ts(10))],
+        "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", _ts(2), 20.0), ("k", _ts(5), 50.0)],
+        "k string, ts timestamp, px double")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    right_value_cols=["px"])
+    got = {r.id: r.px for r in out.collect()}
+    # t=1: no right row at/before -> NULL; t=5: exact match visible
+    assert got == {1: None, 2: 50.0, 3: 50.0}
+
+
+def test_asof_join_strict(spark):
+    left = spark.createDataFrame([(1, "k", _ts(5))],
+                                 "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", _ts(2), 20.0), ("k", _ts(5), 50.0)],
+        "k string, ts timestamp, px double")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    right_value_cols=["px"], strict=True)
+    assert out.first().px == 20.0  # equal-ts right row not visible
+
+
+def test_dedupe_latest(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(1), "old"), (1, _ts(9), "new"), (2, _ts(3), "only")],
+        "k long, ts timestamp, v string")
+    out = dedupe_latest(df, ["k"], [F.col("ts").desc()])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_top_k_and_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9), ("b", 8)], "g string, v int")
+    assert [r.v for r in top_k(df, [F.col("v").desc()], 2).collect()] == [9, 8]
+    out = top_k_per_group(df, ["g"], [F.col("v").desc()], 1)
+    got = {r.g: r.v for r in out.collect()}
+    assert got == {"a": 3, "b": 9}
+
+
+def test_range_join_broadcast(spark):
+    pts = spark.createDataFrame([(1, 5.0), (2, 15.0)], "id long, x double")
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 10.0), ("hi", 10.0, 20.0)],
+        "band string, lo double, hi double")
+    out = range_join(pts, bands,
+                     (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi")))
+    got = {r.id: r.band for r in out.collect()}
+    assert got == {1: "lo", 2: "hi"}
+
+
+def test_bucketed_range_join_matches_exact(spark):
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, x double")
+    iv = spark.createDataFrame(
+        [(100, 2.0, 5.0), (200, 4.0, 12.0)], "iv long, lo double, hi double")
+    out = bucketed_range_join(pts, iv, "x", "lo", "hi", F.lit(4.0))
+    exact = pts.join(iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+    assert (sorted((r.id, r.iv) for r in out.collect())
+            == sorted((r.id, r.iv) for r in exact.collect()))
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [("u", _ts(0)), ("u", _ts(10)),
+            ("u", dt.datetime(2024, 1, 1, 2, 0, 0)),  # > 30 min gap
+            ("v", _ts(5))]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = sessionize(df, "k", "ts", gap_minutes=30)
+    u_sessions = {r.session_seq for r in out.filter("k = 'u'").collect()}
+    assert u_sessions == {1, 2}
+    assert out.filter("k = 'v'").first().session_seq == 1

@@ -1,0 +1,74 @@
+"""X3/X4 similarity search: exact correctness + ANN recall vs exact."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from serverless_data_pipeline_spark.operators.similarity import (
+    ann_topk, brute_force_topk, brute_force_topk_join, ivf_topk,
+)
+
+
+def _clustered(n_per=20, dim=16, seed=7):
+    """3 tight clusters around orthogonal-ish centers."""
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(n_per):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    return rows, centers
+
+
+def test_brute_force_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, "vec_id", "embedding", [1.0, 0.0], k=2)
+    assert [r.vec_id for r in out.collect()] == [1, 3]
+    assert out.first().cosine == 1.0
+
+
+def test_brute_force_join_self_identity(spark):
+    rows, _ = _clustered(n_per=5)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    out = brute_force_topk_join(q, df, "vec_id", "embedding",
+                                "vec_id", "embedding", k=1)
+    for r in out.collect():
+        assert r.query_id == r.neighbor_id  # self is the 1-NN at cosine 1.0
+
+
+def test_ann_recall_against_exact(spark):
+    rows, centers = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = centers[0]
+    exact = {r.vec_id for r in
+             brute_force_topk(df, "vec_id", "embedding", query, k=10).collect()}
+    approx = {r.vec_id for r in
+              ann_topk(df, "vec_id", "embedding", query, k=10,
+                       n_tables=4, n_planes=8, seed=42).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"ANN recall {recall} < 0.8"
+
+
+def test_ivf_finds_cluster_members(spark):
+    rows, centers = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_topk(df, "vec_id", "embedding", centers[1], k=5,
+                   n_cells=8, n_probe=4, seed=1)
+    got = [r.vec_id for r in out.collect()]
+    # cluster 1 occupies vec_ids 20..39
+    assert len(got) == 5 and all(20 <= v < 40 for v in got)
+
+
+def test_cosine_matches_math(spark):
+    a, b = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]
+    df = spark.createDataFrame([(1, a)], "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, "vec_id", "embedding", b, k=1)
+    dot = sum(x * y for x, y in zip(a, b))
+    expect = dot / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+    assert abs(out.first().cosine - round(expect, 6)) < 1e-6

@@ -1,0 +1,87 @@
+"""T1/T2/T3/T5 stage contracts on tiny literal frames (SURVEY §5.2.3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from serverless_data_pipeline_spark.operators import stages
+
+TS = dt.datetime(2024, 3, 5, 14, 30, 0)
+
+
+def test_ingest_stamps_metadata(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    out = stages.ingest(df, source="api", data_type="json",
+                        priority="high", batch_id="b42")
+    row = out.first()
+    assert (row.source, row.data_type, row.priority, row.batch_id) == \
+        ("api", "json", "high", "b42")
+    assert row.ingest_ts is not None
+
+
+def test_validate_splits_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "c")], "id long, name string")
+    res = stages.validate(df, {"id": T.LongType(), "name": T.StringType()})
+    assert sorted(r.id for r in res.valid.collect()) == [1]
+    assert res.invalid.count() == 2
+    assert not res.is_valid()
+
+
+def test_validate_missing_column_fails_batch(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    res = stages.validate(df, {"id": T.LongType(), "absent": T.StringType()})
+    assert res.valid.count() == 0
+    assert res.invalid.count() == 1
+
+
+def test_validate_type_mismatch_fails_batch(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    res = stages.validate(df, {"id": T.LongType()})
+    assert res.valid.count() == 0
+
+
+def test_validate_custom_checks(spark):
+    df = spark.createDataFrame([(1, 0.5), (2, -1.0)], "id long, v double")
+    res = stages.validate(df, {"id": T.LongType()},
+                          checks=[F.col("v") >= 0])
+    assert [r.id for r in res.valid.collect()] == [1]
+
+
+def test_transform_cleans_and_derives_partitions(spark):
+    df = spark.createDataFrame([("  MiXeD  ", TS)], "name string, ts timestamp")
+    out = stages.transform(df)
+    row = out.first()
+    assert row.name == "mixed"
+    assert (row.year, row.month, row.day, row.hour) == (2024, 3, 5, 14)
+
+
+def test_transform_broadcast_enrich(spark):
+    facts = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    dim = spark.createDataFrame([(1, "one")], "k long, label string")
+    out = stages.transform(facts, dims={"d": (dim, ["k"])})
+    got = {r.k: r.label for r in out.collect()}
+    assert got == {1: "one", 2: None}
+
+
+def test_quality_score_exact_value(spark):
+    # 4 rows: col a has 1 null (0.75), col b complete (1.0) -> mean 0.875
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (None, "x")], "a long, b string")
+    assert abs(stages.quality_score(df) - 0.875) < 1e-9
+
+
+def test_quality_score_rules(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "a long")
+    # completeness 1.0, rule passes 2/4 -> (1.0 + 0.5)/2 = 0.75
+    score = stages.quality_score(df, rules=[F.col("a") <= 2])
+    assert abs(score - 0.75) < 1e-9
+
+
+def test_quality_gate_thresholds():
+    assert stages.quality_gate(0.9)
+    assert not stages.quality_gate(0.85)  # strict > 0.85
+    assert not stages.quality_gate(0.2)

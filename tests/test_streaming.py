@@ -1,0 +1,87 @@
+"""ST* streaming operators: file-source drip -> windowed aggs equal the
+batch plan; quarantine split; stateful per-key totals (SURVEY §5.2.5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from serverless_data_pipeline_spark.sources.readers import read_stream_files
+from serverless_data_pipeline_spark.streaming.sinks import (
+    start_quarantining_stream,
+)
+from serverless_data_pipeline_spark.streaming.stateful import (
+    running_user_totals,
+)
+from serverless_data_pipeline_spark.streaming.windows import tumbling_agg
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_drips(spark, path):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=17 * i), i % 3,
+             "click" if i % 2 else "view", float(i))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    # several files -> several micro-batches with maxFilesPerTrigger
+    df.repartition(4).write.mode("overwrite").parquet(path)
+    return spark.read.schema(SCHEMA).parquet(path)
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    batch_df = _write_drips(spark, src)
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=1)
+    agg = tumbling_agg(stream, width="1 hour", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("tumbled")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM tumbled").collect()
+    expect = tumbling_agg(batch_df, width="1 hour").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_streaming_quarantine_split(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_drips(spark, src)
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=2)
+    q = start_quarantining_stream(
+        stream, good_path=str(tmp_path / "good"),
+        error_path=str(tmp_path / "err"),
+        checkpoint=str(tmp_path / "ckpt"),
+        validity=F.col("value") >= 5.0)
+    q.awaitTermination(120)
+    good = spark.read.parquet(str(tmp_path / "good"))
+    bad = spark.read.json(str(tmp_path / "err"))
+    assert good.count() == 35 and bad.count() == 5
+    assert {"year", "month", "day", "hour"} <= set(good.columns)
+    assert bad.filter("_error_reason = 'stream_validation_failed'").count() == 5
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    src = str(tmp_path / "src")
+    batch_df = _write_drips(spark, src)
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=2)
+    totals = running_user_totals(stream.select("user_id", "value"))
+    q = (totals.writeStream.format("memory").queryName("totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # final state per user (last update wins) == batch aggregate
+    final = (spark.sql("SELECT * FROM totals")
+             .groupBy("user_id").agg(F.max("n_events").alias("n"),
+                                     F.max("sum_value").alias("s")))
+    expect = {(r.user_id, r.n, r.s) for r in
+              batch_df.groupBy("user_id")
+              .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+              .collect()}
+    got = {(r.user_id, r.n, r.s) for r in final.collect()}
+    assert got == expect
