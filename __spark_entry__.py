@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -171,6 +172,17 @@ def _q_j2_left_join(spark, sf):
                   _dsum("o_totalprice", "total_spent")))
 
 
+def _q_j2_full_outer_join(spark, sf):
+    """J2 — full outer join with rows unique to each side."""
+    c = (_t(spark, sf, "customer").filter(F.col("c_nationkey") >= 5)
+         .groupBy("c_nationkey").agg(F.count("*").alias("n_cust")))
+    s = (_t(spark, sf, "supplier").filter(F.col("s_nationkey") < 12)
+         .groupBy("s_nationkey").agg(F.count("*").alias("n_supp")))
+    return (c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+             .select(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+                     "n_cust", "n_supp"))
+
+
 def _q_j3_semi_join(spark, sf):
     """J3 — left semi: customers having >= 1 order."""
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
@@ -317,7 +329,8 @@ def _q_w_ranking(spark, sf):
         "o_orderkey",
         F.row_number().over(w).alias("rn"),
         F.rank().over(w).alias("rk"),
-        F.dense_rank().over(w).alias("drk"))
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"))
 
 
 def _q_w_analytic(spark, sf):
@@ -529,7 +542,43 @@ def _q_x6_multimodal_join(spark, sf):
     return out.select("doc_id", "lang", "label", "n_chars")
 
 
+def _q_udf_pandas_vectorized(spark, sf):
+    """UDF — Arrow-batched pandas UDF surface (the Lambda-body analogue,
+    SURVEY §2.9). Arithmetic-only so the oracle matches bit-exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def half_plus_one(v: pd.Series) -> pd.Series:
+        return v * 0.5 + 1.0
+
+    return _t(spark, sf, "events").select(
+        "event_id", half_plus_one("value").alias("scaled"))
+
+
 # ------------------------- rows-only (non-SQL-expressible candidates) ----
+
+def _q_g2_approx_distinct(spark, sf):
+    """G2 — HLL approx_count_distinct (algorithm-specific, rows-only)."""
+    return (_t(spark, sf, "orders").groupBy("o_orderstatus")
+            .agg(F.approx_count_distinct("o_custkey").alias("approx_custs")))
+
+
+def _q_g6_percentile_approx(spark, sf):
+    """G6 — approx percentile sketch (algorithm-specific, rows-only)."""
+    return (_t(spark, sf, "lineitem").groupBy("l_returnflag")
+            .agg(F.percentile_approx("l_quantity", 0.5).alias("approx_median")))
+
+
+def _q_x4_ann_indexed(spark, sf):
+    """X4 — index-build + probe split: materialized LSH bucket columns,
+    probe is an equi-filter (the partition-prunable 100 TB path)."""
+    from serverless_data_pipeline_spark.operators.similarity import (
+        add_sign_lsh_buckets, ann_topk_indexed,
+    )
+    indexed = add_sign_lsh_buckets(_t(spark, sf, "embeddings"), "embedding",
+                                   dim=64, n_tables=2, n_planes=8)
+    return ann_topk_indexed(indexed, "vec_id", "embedding", [0.1] * 64,
+                            k=10, n_tables=2, n_planes=8)
 
 def _q_x2_minhash_lsh(spark, sf):
     """X2 — MinHash+LSH near-dup pairs (seeded; rows-only check)."""
@@ -649,6 +698,16 @@ def oracle_sql() -> dict[str, str]:
                    {_DSUM_SQL.format(c='o_totalprice')} AS total_spent
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey""",
+        "j2_full_outer_join": """
+            SELECT COALESCE(cn, sn) AS nationkey, n_cust, n_supp
+            FROM (SELECT c_nationkey AS cn,
+                         CAST(COUNT(*) AS BIGINT) AS n_cust
+                  FROM customer WHERE c_nationkey >= 5 GROUP BY 1) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey AS sn,
+                         CAST(COUNT(*) AS BIGINT) AS n_supp
+                  FROM supplier WHERE s_nationkey < 12 GROUP BY 1) s
+              ON cn = sn""",
         "j3_semi_join": """
             SELECT c_custkey, c_mktsegment FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
@@ -737,7 +796,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(row_number() OVER w AS INTEGER) AS rn,
                    CAST(rank() OVER w AS INTEGER) AS rk,
-                   CAST(dense_rank() OVER w AS INTEGER) AS drk
+                   CAST(dense_rank() OVER w AS INTEGER) AS drk,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_totalprice DESC, o_orderkey)""",
@@ -777,6 +837,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey AS nationkey FROM customer
             EXCEPT SELECT s_nationkey FROM supplier
                    WHERE s_nationkey < 12""",
+        "udf_pandas_vectorized": """
+            SELECT event_id, value * 0.5 + 1.0 AS scaled FROM events""",
         "x1_dedup_latest": """
             SELECT user_id, event_id, event_type, value FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id

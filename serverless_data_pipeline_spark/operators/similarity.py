@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.functions.vectors import cosine_similarity
 
-__all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk", "ivf_topk"]
+__all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
+           "ann_topk_indexed", "ivf_topk", "add_sign_lsh_buckets"]
 
 
 def _lit_vec(vec: list[float]):
@@ -77,6 +78,23 @@ def _bucket(vec_col, planes):
     return bits
 
 
+def add_sign_lsh_buckets(df: DataFrame, vec_col: str, dim: int,
+                         n_tables: int = 4, n_planes: int = 8,
+                         seed: int = 42,
+                         prefix: str = "lsh") -> DataFrame:
+    """Index build for the 100 TB ANN path: materialize one sign-LSH
+    bucket column per table (``lsh_0..lsh_{n-1}``). Write the result
+    partitioned/bucketed by these columns once; every subsequent query is
+    then a partition-prunable equi-filter instead of recomputing
+    projections per scan (ann_topk's inline mode). One narrow pass, no
+    shuffle."""
+    tables = _plane_sets(dim, n_tables, n_planes, seed)
+    out = df
+    for t, planes in enumerate(tables):
+        out = out.withColumn(f"{prefix}_{t}", _bucket(F.col(vec_col), planes))
+    return out
+
+
 def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
              query_vec: list[float], k: int = 10,
              n_tables: int = 4, n_planes: int = 8,
@@ -95,6 +113,33 @@ def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
             dot = sum(a * b for a, b in zip(query_vec, p))
             qb = (qb or 0) | ((1 << i) if dot >= 0 else 0)
         c = _bucket(F.col(vec_col), planes) == F.lit(qb)
+        cond = c if cond is None else (cond | c)
+    scored = (corpus.filter(cond)
+              .select(F.col(id_col),
+                      F.round(cosine_similarity(F.col(vec_col),
+                                                _lit_vec(query_vec)), 6)
+                       .alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ann_topk_indexed(corpus: DataFrame, id_col: str, vec_col: str,
+                     query_vec: list[float], k: int = 10,
+                     n_tables: int = 4, n_planes: int = 8,
+                     seed: int = 42, prefix: str = "lsh") -> DataFrame:
+    """X4 probe over a bucket-indexed corpus (see add_sign_lsh_buckets):
+    the query's bucket per table is computed driver-side and the probe is
+    a plain equi-filter on materialized columns — partition-prunable when
+    the index table is written partitioned by bucket, and no per-scan
+    projection arithmetic at all."""
+    dim = len(query_vec)
+    tables = _plane_sets(dim, n_tables, n_planes, seed)
+    cond = None
+    for t, planes in enumerate(tables):
+        qb = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+                qb |= 1 << i
+        c = F.col(f"{prefix}_{t}") == F.lit(qb)
         cond = c if cond is None else (cond | c)
     scored = (corpus.filter(cond)
               .select(F.col(id_col),

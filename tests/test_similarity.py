@@ -6,7 +6,8 @@ import math
 import random
 
 from serverless_data_pipeline_spark.operators.similarity import (
-    ann_topk, brute_force_topk, brute_force_topk_join, ivf_topk,
+    add_sign_lsh_buckets, ann_topk, ann_topk_indexed, brute_force_topk,
+    brute_force_topk_join, ivf_topk,
 )
 
 
@@ -52,6 +53,22 @@ def test_ann_recall_against_exact(spark):
                        n_tables=4, n_planes=8, seed=42).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"ANN recall {recall} < 0.8"
+
+
+def test_ann_indexed_matches_inline(spark):
+    """Probing materialized bucket columns must return exactly what the
+    inline (per-scan projection) ANN returns for the same seed/params."""
+    rows, centers = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = centers[2]
+    inline = ann_topk(df, "vec_id", "embedding", query, k=10,
+                      n_tables=3, n_planes=6, seed=9).collect()
+    indexed_df = add_sign_lsh_buckets(df, "embedding", dim=16,
+                                      n_tables=3, n_planes=6, seed=9)
+    indexed = ann_topk_indexed(indexed_df, "vec_id", "embedding", query,
+                               k=10, n_tables=3, n_planes=6, seed=9).collect()
+    assert [(r.vec_id, r.cosine) for r in inline] == \
+        [(r.vec_id, r.cosine) for r in indexed]
 
 
 def test_ivf_finds_cluster_members(spark):
