@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from serverless_data_pipeline_spark.functions.text import tokens, word_shingles
+from serverless_data_pipeline_spark.functions.text import (
+    shingles_from_tokens, tokens,
+)
 from serverless_data_pipeline_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
 from serverless_data_pipeline_spark.operators.relational import dedupe_latest
 
@@ -26,6 +28,29 @@ __all__ = [
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
 ]
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Small-input parallelism guard for CPU-heavy narrow stages: a tiny
+    parquet file scans as 1-2 partitions, serializing the interpreted
+    higher-order shingling onto one core. Repartition up to the session
+    default ONLY when the scan is under-partitioned — at 100 TB the input
+    already has thousands of splits and this is a no-op (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) pairs: tokenize ONCE into a column, shingle from the
+    materialized array, explode distinct."""
+    base = _spread(df.select(F.col(id_col),
+                             tokens(text_col).alias("__toks")))
+    return base.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_tokens("__toks", n)))
+         .alias("__sh"))
 
 
 def exact_dedup(df: DataFrame, keys: list[str],
@@ -45,9 +70,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     """Per-document MinHash signature: shingle -> num_hashes seeded
     xxhash64 values -> column-wise min. One explode + one groupBy(id):
     linear in total shingle count, never pairwise."""
-    shingled = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("__sh"))
+    shingled = _shingled(df, id_col, text_col, shingle_n)
     mins = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh_{i}")
             for i in range(num_hashes)]
     return shingled.groupBy(id_col).agg(*mins)
@@ -79,13 +102,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                              for i in range(rows_per_band)]).alias("bsig"))
             for b in range(bands)])).alias("bk"))
 
-    a = banded.select(F.col("__id").alias("id_a"), F.col("sig").alias("sig_a"),
-                      F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
-    b = banded.select(F.col("__id").alias("id_b"), F.col("sig").alias("sig_b"),
-                      F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
-    cand = (a.join(b, ["band", "bsig"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+    # Both join sides are the IDENTICAL subplan (aliases applied after the
+    # join, not before): Spark plans the second side as a ReusedExchange,
+    # so the shingle->signature pipeline executes once, not twice.
+    bk = banded.select("__id", "sig",
+                       F.col("bk.band").alias("band"),
+                       F.col("bk.bsig").alias("bsig"))
+    cand = (bk.alias("a").join(bk.alias("b"), ["band", "bsig"])
+              .select(F.col("a.__id").alias("id_a"),
+                      F.col("a.sig").alias("sig_a"),
+                      F.col("b.__id").alias("id_b"),
+                      F.col("b.sig").alias("sig_b"))
+              .filter(F.col("id_a") < F.col("id_b"))
+              .dropDuplicates(["id_a", "id_b"]))
 
     est = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
@@ -102,9 +131,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     """Per-document SimHash: each token hashes to `bits` bits; bit b of
     the fingerprint is the sign of Σ(±1) over tokens. Explode + groupBy —
     linear, no pairwise work."""
-    tok = df.select(F.col(id_col),
-                    F.explode(tokens(text_col)).alias("__t"))
-    h = F.xxhash64("__t")
+    # Hash each token ONCE into a column — referencing xxhash64 inside all
+    # `bits` aggregate expressions would re-hash per bit.
+    tok = (_spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")))
+           .select(F.col(id_col), F.explode("__toks").alias("__t"))
+           .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
+    h = F.col("__h")
     # Bit masks via shiftleft on a long column: 1<<63 as a Python literal
     # overflows a JVM long (NumberFormatException), but shiftleft wraps to
     # Long.MIN_VALUE — the correct sign-bit pattern.
@@ -136,17 +168,21 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("pi"), piece("simhash", i).alias("pv"))
             for i in range(chunks)])).alias("p"))
-    a = pieces.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sh_a"),
-                      F.col("p.pi").alias("pi"), F.col("p.pv").alias("pv"))
-    b = pieces.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sh_b"),
-                      F.col("p.pi").alias("pi"), F.col("p.pv").alias("pv"))
-    return (a.join(b, ["pi", "pv"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"])
-             .withColumn("hamming",
-                         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-             .filter(F.col("hamming") <= max_hamming)
-             .select("id_a", "id_b", "hamming"))
+    # Identical subplans on both sides -> ReusedExchange (one fingerprint
+    # computation), same as minhash_lsh_pairs.
+    pk = pieces.select("__id", "simhash",
+                       F.col("p.pi").alias("pi"), F.col("p.pv").alias("pv"))
+    return (pk.alias("a").join(pk.alias("b"), ["pi", "pv"])
+              .select(F.col("a.__id").alias("id_a"),
+                      F.col("a.simhash").alias("sh_a"),
+                      F.col("b.__id").alias("id_b"),
+                      F.col("b.simhash").alias("sh_b"))
+              .filter(F.col("id_a") < F.col("id_b"))
+              .dropDuplicates(["id_a", "id_b"])
+              .withColumn("hamming",
+                          F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+              .filter(F.col("hamming") <= max_hamming)
+              .select("id_a", "id_b", "hamming"))
 
 
 # ------------------------------------------------------------- n-gram Jaccard
@@ -166,9 +202,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     docs are dropped from the index AND from the set sizes (standard
     high-df shingle pruning), bounding any bucket to max_doc_freq^2 pairs.
     None = exact Jaccard (small/oracle runs)."""
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("__sh"))
+    sh = (_shingled(df, id_col, text_col, n)
+          .select(F.col(id_col).alias("__id"), "__sh"))
     if max_doc_freq is not None:
         doc_freq = (sh.groupBy("__sh")
                       .agg(F.count("*").alias("__df"))
@@ -176,11 +211,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                       .select("__sh"))
         sh = sh.join(doc_freq, "__sh")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("__id").alias("id_a"), "__sh")
-    b = sh.select(F.col("__id").alias("id_b"), "__sh")
-    common = (a.join(b, "__sh")
-               .filter(F.col("id_a") < F.col("id_b"))
-               .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
+    common = (sh.alias("a").join(sh.alias("b"), "__sh")
+                .select(F.col("a.__id").alias("id_a"),
+                        F.col("b.__id").alias("id_b"))
+                .filter(F.col("id_a") < F.col("id_b"))
+                .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
     sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (common.join(sz_a, "id_a").join(sz_b, "id_b")
@@ -226,10 +261,10 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     bucketed = df.select(F.col(id_col).alias("__id"),
                          F.col(vec_col).alias("__v"),
                          bucket_expr(vec_col).alias("__bkt"))
-    a = bucketed.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"), "__bkt")
-    b = bucketed.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"), "__bkt")
-    return (a.join(b, "__bkt")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos", cosine_similarity("v_a", "v_b"))
-             .filter(F.col("cos") >= threshold)
-             .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))
+    return (bucketed.alias("a").join(bucketed.alias("b"), "__bkt")
+            .select(F.col("a.__id").alias("id_a"), F.col("a.__v").alias("v_a"),
+                    F.col("b.__id").alias("id_b"), F.col("b.__v").alias("v_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine_similarity("v_a", "v_b"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))
