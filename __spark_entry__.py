@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from serverless_data_pipeline_spark.schemas import SCHEMAS, load_table
+from serverless_data_pipeline_spark.schemas import (
+    SCHEMAS, load_table, register_views,
+)
 from serverless_data_pipeline_spark.operators import stages
 from serverless_data_pipeline_spark.operators.relational import (
     asof_join, dedupe_latest, range_join, top_k, top_k_per_group,
@@ -227,6 +229,27 @@ def _q_j6_range_join(spark, sf):
         F.count("*").alias("n_events"), _dsum("value", "sum_value"))
 
 
+def _q_j6_bucketed_range_join(spark, sf):
+    """J6 large×large — the scale path: explode intervals into coarse
+    buckets, equi-join on bucket, re-apply the exact predicate. Same
+    result as the nested-loop plan, but a shuffled hash join."""
+    from serverless_data_pipeline_spark.operators.relational import (
+        bucketed_range_join,
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1000.0)],
+        "band string, lo double, hi double")
+    ev = _t(spark, sf, "events")
+    joined = bucketed_range_join(ev, bands, "value", "lo", "hi",
+                                 F.lit(25.0))
+    # bucketed_range_join is hi-inclusive; bands are disjoint at their
+    # bounds except exact boundary values, excluded below for parity with
+    # the half-open oracle.
+    joined = joined.filter(F.col("value") < F.col("hi"))
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"), _dsum("value", "sum_value"))
+
+
 def _q_j7_asof_join(spark, sf):
     """J7 — as-of join: latest purchase value at-or-before each click,
     per user (DuckDB ASOF JOIN semantics)."""
@@ -340,6 +363,16 @@ def _q_w_analytic(spark, sf):
         "event_id",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"))
+
+
+def _q_w_first_last(spark, sf):
+    """W — first/last analytic over an explicit full-partition frame."""
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"))
 
 
 def _q_w_running_sum(spark, sf):
@@ -542,6 +575,19 @@ def _q_x6_multimodal_join(spark, sf):
     return out.select("doc_id", "lang", "label", "n_chars")
 
 
+def _q_sql_catalog_surface(spark, sf):
+    """The Athena/Glue analogue (py:581-629, md:161-163): register all
+    fixture tables as views, query through spark.sql ANSI SQL."""
+    register_views(spark, sf)
+    return spark.sql("""
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+                   AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")
+
+
 def _q_udf_pandas_vectorized(spark, sf):
     """UDF — Arrow-batched pandas UDF surface (the Lambda-body analogue,
     SURVEY §2.9). Arithmetic-only so the oracle matches bit-exactly."""
@@ -732,6 +778,14 @@ def oracle_sql() -> dict[str, str]:
                          ('high', 200.0, 1000.0)) AS b(band, lo, hi)
               ON e.value >= b.lo AND e.value < b.hi
             GROUP BY band""",
+        "j6_bucketed_range_join": f"""
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   {dsum_v} AS sum_value
+            FROM events e
+            JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+                         ('high', 200.0, 1000.0)) AS b(band, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY band""",
         "j7_asof_join": """
             SELECT l.event_id, r.purchase_value
             FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -807,6 +861,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY CAST(ts AS TIMESTAMP), event_id)""",
+        "w_first_last": """
+            SELECT o_orderkey,
+                   first_value(o_totalprice) OVER w AS first_price,
+                   last_value(o_totalprice) OVER w AS last_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING)""",
         "w_running_sum": """
             SELECT o_orderkey,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) OVER
@@ -837,6 +900,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey AS nationkey FROM customer
             EXCEPT SELECT s_nationkey FROM supplier
                    WHERE s_nationkey < 12""",
+        "sql_catalog_surface": """
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+                       AS total_balance
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
         "udf_pandas_vectorized": """
             SELECT event_id, value * 0.5 + 1.0 AS scaled FROM events""",
         "x1_dedup_latest": """

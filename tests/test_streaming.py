@@ -15,7 +15,9 @@ from serverless_data_pipeline_spark.streaming.sinks import (
 from serverless_data_pipeline_spark.streaming.stateful import (
     running_user_totals,
 )
-from serverless_data_pipeline_spark.streaming.windows import tumbling_agg
+from serverless_data_pipeline_spark.streaming.windows import (
+    session_agg, tumbling_agg,
+)
 
 SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
@@ -48,6 +50,40 @@ def test_streaming_tumbling_equals_batch(spark, tmp_path):
     got = spark.sql("SELECT * FROM tumbled").collect()
     expect = tumbling_agg(batch_df, width="1 hour").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_streaming_session_equals_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    batch_df = _write_drips(spark, src)
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=2)
+    agg = session_agg(stream, gap="30 minutes", watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("sessions")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sessions").collect()
+    expect = session_agg(batch_df, gap="30 minutes").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_streaming_watermark_withholds_open_windows(spark, tmp_path):
+    """ST4: in append mode only windows CLOSED by the final watermark
+    (end <= max_ts - delay) are emitted; later windows are withheld."""
+    src = str(tmp_path / "src")
+    batch_df = _write_drips(spark, src)   # spans ~11 hours of event time
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=1)
+    agg = tumbling_agg(stream, width="1 hour", keys=(), watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("appended")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    emitted = {r.window_start for r in spark.sql("SELECT * FROM appended").collect()}
+    all_windows = {r.window_start
+                   for r in tumbling_agg(batch_df, width="1 hour", keys=()).collect()}
+    import datetime as _dt
+    max_ts = batch_df.agg(F.max("ts")).first()[0]
+    closed = {w for w in all_windows
+              if w + _dt.timedelta(hours=1) <= max_ts - _dt.timedelta(hours=2)}
+    assert emitted == closed
+    assert emitted and emitted != all_windows   # some windows withheld
 
 
 def test_streaming_quarantine_split(spark, tmp_path):
