@@ -103,6 +103,30 @@ def test_streaming_quarantine_split(spark, tmp_path):
     assert bad.filter("_error_reason = 'stream_validation_failed'").count() == 5
 
 
+def test_ep3_streaming_pipeline(spark, tmp_path):
+    """EP3 composed: readStream -> watermark -> T6 -> quarantined
+    partitioned sink, as one query."""
+    from serverless_data_pipeline_spark.plans.streaming_pipeline import (
+        run_streaming_pipeline,
+    )
+    src = str(tmp_path / "src")
+    _write_drips(spark, src)
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=2)
+    q = run_streaming_pipeline(
+        stream, processed_path=str(tmp_path / "good"),
+        error_path=str(tmp_path / "err"),
+        checkpoint=str(tmp_path / "ckpt"),
+        validity=F.col("value") >= 2.0,
+        trigger={"availableNow": True})
+    q.awaitTermination(120)
+    good = spark.read.parquet(str(tmp_path / "good"))
+    assert good.count() == 38                      # 2 rows quarantined
+    assert "processed_ts" in good.columns          # T6 applied in-stream
+    assert "event_hour" in good.columns
+    assert {"year", "month", "day", "hour"} <= set(good.columns)
+    assert spark.read.json(str(tmp_path / "err")).count() == 2
+
+
 def test_stateful_running_totals(spark, tmp_path):
     src = str(tmp_path / "src")
     batch_df = _write_drips(spark, src)
