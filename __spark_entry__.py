@@ -216,6 +216,17 @@ def _q_j5_cross_join(spark, sf):
     return r1.crossJoin(r2)
 
 
+def _q_j5_theta_join(spark, sf):
+    """J5 — non-equi theta join: same-region nation pairs, ordered."""
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_name").alias("n1_name"), F.col("n_regionkey").alias("r1"))
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_name").alias("n2_name"), F.col("n_regionkey").alias("r2"))
+    return (n1.join(n2, (F.col("r1") == F.col("r2"))
+                    & (F.col("n1_name") < F.col("n2_name")))
+              .select("n1_name", "n2_name"))
+
+
 def _q_j6_range_join(spark, sf):
     """J6 — range/interval join of events into broadcast value bands."""
     bands = spark.createDataFrame(
@@ -770,6 +781,11 @@ def oracle_sql() -> dict[str, str]:
         "j5_cross_join": """
             SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
             FROM region r1 CROSS JOIN region r2""",
+        "j5_theta_join": """
+            SELECT n1.n_name AS n1_name, n2.n_name AS n2_name
+            FROM nation n1 JOIN nation n2
+              ON n1.n_regionkey = n2.n_regionkey
+             AND n1.n_name < n2.n_name""",
         "j6_range_join": f"""
             SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
                    {dsum_v} AS sum_value

@@ -30,16 +30,9 @@ __all__ = [
 ]
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Small-input parallelism guard for CPU-heavy narrow stages: a tiny
-    parquet file scans as 1-2 partitions, serializing the interpreted
-    higher-order shingling onto one core. Repartition up to the session
-    default ONLY when the scan is under-partitioned — at 100 TB the input
-    already has thousands of splits and this is a no-op (no shuffle)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+from serverless_data_pipeline_spark.operators.util import (
+    spread_small_input as _spread,
+)
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

@@ -97,7 +97,8 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "n_bytes": sizes, "features": feats})
 
-    return media.mapInPandas(_batches, out_schema)
+    from serverless_data_pipeline_spark.operators.util import spread_small_input
+    return spread_small_input(media).mapInPandas(_batches, out_schema)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.functions.vectors import cosine_similarity
+from serverless_data_pipeline_spark.operators.util import spread_small_input
 
 __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "ann_topk_indexed", "ivf_topk", "add_sign_lsh_buckets"]
@@ -51,8 +52,9 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
     per-query top-k via window. One corpus pass regardless of |queries|."""
     q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
                                    F.col(q_vec).alias("__qv")))
-    scored = (corpus.select(F.col(c_id).alias("neighbor_id"),
-                            F.col(c_vec).alias("__cv"))
+    scored = (spread_small_input(corpus)
+              .select(F.col(c_id).alias("neighbor_id"),
+                      F.col(c_vec).alias("__cv"))
               .crossJoin(q)
               .select("query_id", "neighbor_id",
                       F.round(cosine_similarity("__cv", "__qv"), 6).alias("cosine")))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from serverless_data_pipeline_spark.operators.util import spread_small_input
 from serverless_data_pipeline_spark.functions.text import (
     bpe_ish_tokens, fingerprint, punct_ratio, quality_score_expr,
     stopword_ratio, token_count, tokens,
@@ -36,6 +37,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword-heuristic language ID: argmax marker-hit count,
     CJK codepoints short-circuit to 'zh', no hits -> 'und'. Ties break by
     language code order (deterministic). Adds `predicted_lang`."""
+    df = spread_small_input(df)
     scores = {lang: marker_score(text_col, lang) for lang in sorted(LANG_MARKERS)}
     best = None
     best_score = None
@@ -56,6 +58,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality signals + composite score (the X5 analogue of
     the reference's quality stage py:273-284, but per-row)."""
+    df = spread_small_input(df)
     return df.select(
         "*",
         F.length(text_col).alias("q_chars"),
@@ -70,6 +73,7 @@ def token_stats(df: DataFrame, text_col: str = "text",
                 group_col: str = "lang") -> DataFrame:
     """Corpus token statistics per group: docs, whitespace-token counts,
     BPE-ish subword counts, avg tokens/doc, distinct vocabulary size."""
+    df = spread_small_input(df)
     per_doc = df.select(
         F.col(group_col),
         token_count(text_col).alias("n_tok"),
@@ -97,6 +101,7 @@ def fingerprint_documents(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Document fingerprints (md5 of normalized text) + duplicate-group
     size per fingerprint — the exact-dup detection primitive."""
+    df = spread_small_input(df)
     fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
     counts = fp.groupBy("fp").agg(F.count("*").alias("dup_count"))
     return fp.join(counts, "fp").select(id_col, "fp", "dup_count")
