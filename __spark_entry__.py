@@ -453,7 +453,8 @@ def _q_f_datetime(spark, sf):
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.date_format("o_orderdate", "yyyy-MM").alias("ym"))
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"))
 
 
 def _q_f_string(spark, sf):
@@ -473,10 +474,14 @@ def _q_f_json(spark, sf):
     """F-json — JSON scalars over the untyped events.props payload
     (reference payloads are untyped JSON throughout, py:345-349)."""
     ev = _t(spark, sf, "events")
+    # json_tuple is a generator — must be projected standalone, cast after.
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_path"),
-        F.from_json("props", "k long").getField("k").alias("k_struct"))
+        F.from_json("props", "k long").getField("k").alias("k_struct"),
+        F.json_tuple("props", "k").alias("k_raw"),
+    ).select("event_id", "k_path", "k_struct",
+             F.col("k_raw").cast("long").alias("k_tuple"))
 
 
 def _q_f_math(spark, sf):
@@ -518,6 +523,15 @@ def _q_f_array(spark, sf):
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.array_max("embedding").cast("double").alias("max_val"),
         F.round(l2_norm("embedding"), 6).alias("norm"))
+
+
+def _q_f_explode(spark, sf):
+    """F-arr — posexplode: one row per (vector, position, value)."""
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", (F.col("pos") + 1).alias("pos"),
+             F.col("val").cast("double").alias("val"))
 
 
 # ======================================================== streaming (ST)
@@ -934,7 +948,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(month(o_orderdate) AS INTEGER) AS m,
                    CAST(day(o_orderdate) AS INTEGER) AS d,
                    date_trunc('month', o_orderdate) AS month_start,
-                   strftime(o_orderdate, '%Y-%m') AS ym
+                   strftime(o_orderdate, '%Y-%m') AS ym,
+                   CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
             FROM orders""",
         "f_string": """
             SELECT p_partkey,
@@ -948,7 +963,8 @@ def oracle_sql() -> dict[str, str]:
         "f_json": """
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tuple
             FROM events""",
         "f_math": """
             SELECT l_orderkey, l_linenumber,
@@ -975,6 +991,12 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6)
                        AS norm
             FROM embeddings""",
+        "f_explode": """
+            SELECT vec_id,
+                   CAST(unnest(range(1, len(embedding) + 1)) AS INTEGER)
+                       AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings WHERE vec_id < 50""",
         "st3_tumbling": f"""
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
                    event_type, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -10,6 +10,7 @@ analogue of a managed stream; swap `.format("kafka")` on a real cluster).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Kept when malformed JSON is parsed permissively; rows where it is non-null
@@ -30,6 +31,19 @@ def read_json_raw(spark: SparkSession, path: str,
             [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())])
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a permissively-read frame into (good, corrupt) on
+    ``_corrupt_record`` — the engine-side errors/ prefix split (py:198).
+    Spark disallows predicates that reference only the corrupt column on
+    an uncached raw scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    COLUMN), so the parsed frame is cached here; callers unpersist via
+    ``good.unpersist()`` lineage when done with both splits."""
+    cached = df.cache()
+    good = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = cached.filter(F.col(CORRUPT_COL).isNotNull())
+    return good, bad
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
