@@ -690,6 +690,20 @@ def _q_x4_ivf_topk(spark, sf):
     return ivf_topk(_t(spark, sf, "embeddings"), "vec_id", "embedding", q, k=10)
 
 
+def _q_x7_corpus_pipeline(spark, sf):
+    """Composed LLM corpus pipeline: exact dedup → minhash near-dup →
+    language filter → quality gate (rows-only; stages individually
+    oracle-checked via x5_*/x1/x2 entries)."""
+    from serverless_data_pipeline_spark.plans.corpus_pipeline import (
+        prepare_training_corpus,
+    )
+    res = prepare_training_corpus(_t(spark, sf, "documents"),
+                                  languages=("en",), min_quality=0.4,
+                                  jaccard_threshold=0.5,
+                                  collect_counts=False)
+    return res.clean.select("doc_id", "lang", "n_chars")
+
+
 def _q_x6_extract_features(spark, sf):
     """X6 — Arrow-batched decode/featurize stub (mapInPandas)."""
     media = attach_binary_payload(_t(spark, sf, "documents"),

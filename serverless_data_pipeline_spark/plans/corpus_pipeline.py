@@ -1,0 +1,84 @@
+"""LLM training-data corpus pipeline (charter X-ops composed end-to-end).
+
+The reference's EP1 is generic ETL; this is the same shape specialized to
+what a 100 TB pretraining-corpus pipeline actually runs:
+
+    exact dedup (fingerprint)            X5/X1
+    → near-dup removal (MinHash LSH)     X2
+    → language filter                    X5
+    → quality filter                     X5
+    → corpus stats                       X5
+
+Every stage is a DataFrame→DataFrame transform; dedup stages are
+candidate-generation joins (never all-pairs); stats are one aggregation
+pass. The near-dup removal keeps the LOWEST doc id of each connected
+pair-component's edge (greedy edge-drop: for every surviving pair (a, b)
+with a < b, b is dropped) — the standard one-pass policy that avoids an
+iterative connected-components job; at 100 TB you would run it per
+LSH-band partition exactly as here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.functions.text import quality_score_expr
+from serverless_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+from serverless_data_pipeline_spark.operators.text import (
+    fingerprint_documents, language_id, token_stats,
+)
+
+
+@dataclass
+class CorpusResult:
+    clean: DataFrame
+    stats: DataFrame
+    counts: dict = field(default_factory=dict)
+
+
+def prepare_training_corpus(docs: DataFrame, *,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            languages: tuple[str, ...] = ("en",),
+                            min_quality: float = 0.5,
+                            jaccard_threshold: float = 0.6,
+                            collect_counts: bool = True) -> CorpusResult:
+    """docs(doc_id, text, ...) -> deduped, language- and quality-filtered
+    corpus + per-language token statistics."""
+    n0 = docs.count() if collect_counts else -1
+
+    # exact dedup: keep the lowest id of each fingerprint group
+    fp = fingerprint_documents(docs, id_col, text_col)
+    keep_exact = fp.groupBy("fp").agg(F.min(id_col).alias(id_col)) \
+                   .select(id_col)
+    exact = docs.join(keep_exact, id_col)
+
+    # near-dup removal: drop the higher id of every surviving LSH pair
+    pairs = minhash_lsh_pairs(exact, id_col, text_col,
+                              jaccard_threshold=jaccard_threshold)
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    neardeduped = exact.join(drop, id_col, "left_anti")
+
+    # language + quality gates (single narrow pass each)
+    lang_ok = (language_id(neardeduped, text_col)
+               .filter(F.col("predicted_lang").isin(*languages)))
+    clean = (lang_ok
+             .withColumn("__q", quality_score_expr(text_col))
+             .filter(F.col("__q") >= min_quality)
+             .drop("__q", "predicted_lang"))
+
+    stats = token_stats(clean.withColumn("__lang_group", F.lit("corpus")),
+                        text_col, group_col="__lang_group") \
+        .withColumnRenamed("__lang_group", "corpus")
+
+    counts = {}
+    if collect_counts:
+        n_exact = exact.count()
+        n_near = neardeduped.count()
+        n_clean = clean.count()
+        counts = {"input": n0, "after_exact_dedup": n_exact,
+                  "after_near_dedup": n_near, "clean": n_clean}
+    return CorpusResult(clean=clean, stats=stats, counts=counts)

@@ -57,6 +57,21 @@ def write_quarantine(df: DataFrame, path: str, reason: str,
        .write.mode(mode).json(path))
 
 
+def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
+                         n_buckets: int = 32, sort_cols: list[str] | None = None,
+                         mode: str = "overwrite") -> None:
+    """Bucketed managed table for co-located joins: two tables bucketed on
+    the same keys with the same bucket count join WITHOUT a shuffle —
+    Spark elides both exchanges. At 100 TB this is the difference between
+    re-shuffling every fact-fact join and reading pre-hashed files; pay
+    the shuffle once at write time, never again."""
+    w = df.write.mode(mode).format("parquet") \
+        .bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def apply_retention(spark, path: str, max_age_days: int,
                     ts_col: str = "ts") -> int:
     """S8 — lifecycle policy (30 d → IA, 90 d → Glacier, py:77-92) reduced

@@ -1,0 +1,36 @@
+"""End-to-end LLM corpus pipeline: planted exact dups, near-dups,
+foreign-language and low-quality docs must each be removed by their stage."""
+
+from __future__ import annotations
+
+from serverless_data_pipeline_spark.plans.corpus_pipeline import (
+    prepare_training_corpus,
+)
+
+GOOD = ("the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the tall green hills of the valley and the river")
+NEAR = GOOD.replace("lazy", "sleepy")
+GOOD2 = ("a completely different and very clean document about query "
+         "engines and the art of distributed data processing in the cloud")
+
+
+def test_corpus_pipeline_stages(spark):
+    docs = spark.createDataFrame(
+        [(1, GOOD),
+         (2, GOOD),            # exact dup of 1 -> dropped
+         (3, NEAR),            # near dup of 1 -> dropped
+         (4, GOOD2),           # survives
+         (5, "el que la los es la que el los es"),   # spanish -> dropped
+         (6, "x!!! ???")],     # low quality -> dropped
+        "doc_id long, text string")
+    res = prepare_training_corpus(docs, languages=("en",), min_quality=0.5,
+                                  jaccard_threshold=0.5)
+    assert res.counts["input"] == 6
+    assert res.counts["after_exact_dedup"] == 5     # doc 2 gone
+    assert res.counts["after_near_dedup"] == 4      # doc 3 gone
+    assert res.counts["clean"] == 2                 # docs 5,6 gone
+    assert sorted(r.doc_id for r in res.clean.collect()) == [1, 4]
+    stats = res.stats.collect()
+    assert len(stats) == 1
+    assert stats[0].n_docs == 2
+    assert stats[0].total_tokens > 0

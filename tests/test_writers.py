@@ -58,6 +58,28 @@ def test_chunked_transform_tags_and_applies(spark):
     assert all(r.twice == r.id * 2 for r in rows)
 
 
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO exchanges — the co-located-join contract."""
+    from serverless_data_pipeline_spark.sources.writers import (
+        write_bucketed_table,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        facts = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+        dims = spark.range(0, 100).withColumn("label", F.concat(F.lit("d"), "id"))
+        write_bucketed_table(facts, "b_facts", ["id"], n_buckets=8)
+        write_bucketed_table(dims, "b_dims", ["id"], n_buckets=8)
+        joined = spark.table("b_facts").join(spark.table("b_dims"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 100
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_facts")
+        spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
 def test_partitioned_stream_sink(spark, tmp_path):
     src = str(tmp_path / "src")
     _frame(spark).write.parquet(src)
