@@ -1,0 +1,93 @@
+"""Property-based differential tests (hypothesis): Spark operator
+compositions vs independent pandas references on random inputs. Few,
+small examples — each example runs real Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.operators.relational import (
+    asof_join, dedupe_latest, top_k_per_group,
+)
+
+SETTINGS = dict(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_row = st.tuples(st.integers(0, 2),          # key
+                 st.integers(0, 50),         # ts seconds
+                 st.integers(-100, 100))     # value
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@given(left=st.lists(_row, min_size=1, max_size=12),
+       right=st.lists(_row, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # de-dup (key, ts) on the right: our tie policy and pandas' agree only
+    # for unique right timestamps per key
+    rseen, runique = set(), []
+    for k, t, v in right:
+        if (k, t) not in rseen:
+            rseen.add((k, t))
+            runique.append((k, t, v))
+    ldf = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, (k, t, _) in enumerate(left)],
+        "lid long, k int, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(k, _ts(t), float(v)) for k, t, v in runique],
+        "k int, ts timestamp, px double")
+    got = {r.lid: r.px for r in
+           asof_join(ldf, rdf, on=["k"], left_ts="ts", right_ts="ts",
+                     right_value_cols=["px"]).collect()}
+
+    lpd = pd.DataFrame([(i, k, _ts(t)) for i, (k, t, _) in enumerate(left)],
+                       columns=["lid", "k", "ts"]).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame([(k, _ts(t), float(v)) for k, t, v in runique],
+                       columns=["k", "ts", "px"]).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward",
+                           allow_exact_matches=True)
+    expect = {int(r.lid): (None if pd.isna(r.px) else float(r.px))
+              for r in merged.itertuples()}
+    assert got == expect
+
+
+@given(rows=st.lists(_row, min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_dedupe_latest_is_max_ts_per_key(spark, rows):
+    df = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, (k, t, _) in enumerate(rows)],
+        "rid long, k int, ts timestamp")
+    out = dedupe_latest(df, ["k"], [F.col("ts").desc(), F.col("rid").desc()])
+    got = {(r.k): (r.ts, r.rid) for r in out.collect()}
+    expect = {}
+    for i, (k, t, _) in enumerate(rows):
+        cur = expect.get(k)
+        if cur is None or (_ts(t), i) > cur:
+            expect[k] = (_ts(t), i)
+    assert got == expect
+    assert out.count() == len(expect)          # one row per key
+
+
+@given(rows=st.lists(_row, min_size=1, max_size=15),
+       k=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_top_k_per_group_matches_pandas(spark, rows, k):
+    df = spark.createDataFrame(
+        [(i, g, float(v)) for i, (g, _, v) in enumerate(rows)],
+        "rid long, g int, v double")
+    out = top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("rid")], k)
+    got = sorted((r.g, r.rid) for r in out.collect())
+    pdf = pd.DataFrame([(i, g, float(v)) for i, (g, _, v) in enumerate(rows)],
+                       columns=["rid", "g", "v"])
+    pdf = pdf.sort_values(["v", "rid"], ascending=[False, True], kind="stable")
+    expect = sorted((int(r.g), int(r.rid)) for r in
+                    pdf.groupby("g").head(k).itertuples())
+    assert got == expect
