@@ -49,9 +49,15 @@ from serverless_data_pipeline_spark.streaming.windows import (
 
 def _prep(spark: SparkSession) -> SparkSession:
     """Driver-owned sessions may lack engine conf; set the runtime-settable
-    bits every query depends on (UTC == DuckDB wall clock; nanos events)."""
+    bits every query depends on: UTC (== DuckDB wall clock), nanos events,
+    AQE + right-sized shuffle partitions (a bare session defaults to 200 —
+    needless task overhead at oracle scale)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     return spark
 
 
@@ -1058,6 +1064,31 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) <= 10""",
+        "x2_ngram_jaccard": f"""
+            WITH t AS (SELECT doc_id,
+                              {_TOKENS_SQL.format(c='text')} AS toks
+                       FROM documents),
+            sh0 AS (SELECT doc_id, unnest(list_distinct(
+                        CASE WHEN len(toks) < 3
+                             THEN [array_to_string(toks, ' ')]
+                             ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                        END)) AS sh
+                    FROM t),
+            sh2 AS (SELECT doc_id, sh FROM sh0 WHERE sh <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2
+                      GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              COUNT(*) AS c
+                       FROM sh2 a JOIN sh2 b USING (sh)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6)
+                       AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.4""",
         "x5_language_id": f"""
             WITH t AS (SELECT doc_id, text,
                               {_TOKENS_SQL.format(c='lower(text)')} AS toks
