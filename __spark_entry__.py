@@ -339,6 +339,14 @@ def _q_g3_rollup(spark, sf):
                  _dsum("c_acctbal", "total_acctbal")))
 
 
+def _q_g3_cube(spark, sf):
+    """G3 — CUBE: all grouping combinations of status × priority."""
+    return (_t(spark, sf, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 _dsum("o_totalprice", "total")))
+
+
 def _q_g5_filtered_agg(spark, sf):
     """G5 — filtered/conditional aggregation."""
     o = _t(spark, sf, "orders")
@@ -880,6 +888,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)""",
+        "g3_cube": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   {_DSUM_SQL.format(c='o_totalprice')} AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "g5_filtered_agg": f"""
             SELECT o_orderpriority,
                    CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)

@@ -103,6 +103,26 @@ def test_streaming_quarantine_split(spark, tmp_path):
     assert bad.filter("_error_reason = 'stream_validation_failed'").count() == 5
 
 
+def test_stream_sink_failure_routes_to_dlq(spark, tmp_path):
+    """S7: a batch whose sink write keeps failing lands in the DLQ path
+    after max_retries instead of crashing the query (py:122-137)."""
+    src = str(tmp_path / "src")
+    _write_drips(spark, src)
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=50)
+    good_path = tmp_path / "good"
+    good_path.write_text("not a directory")       # parquet write must fail
+    q = start_quarantining_stream(
+        stream, good_path=str(good_path),
+        error_path=str(tmp_path / "err"),
+        checkpoint=str(tmp_path / "ckpt"),
+        validity=F.lit(True), max_retries=2)
+    q.awaitTermination(120)
+    dlq = spark.read.json(str(tmp_path / "err") + "_dlq")
+    assert dlq.count() == 40                      # whole batch preserved
+    assert dlq.filter(
+        "_error_reason LIKE 'sink_failed_after_2_retries%'").count() == 40
+
+
 def test_ep3_streaming_pipeline(spark, tmp_path):
     """EP3 composed: readStream -> watermark -> T6 -> quarantined
     partitioned sink, as one query."""
