@@ -347,6 +347,19 @@ def _q_g3_cube(spark, sf):
                  _dsum("o_totalprice", "total")))
 
 
+def _q_g3_grouping_sets(spark, sf):
+    """G3 — explicit GROUPING SETS: a set list neither rollup nor cube
+    would produce ((status, priority), (priority), ()) — one shuffle, the
+    Expand operator replicates rows per set (no per-set rescans)."""
+    o = _t(spark, sf, "orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM {o}
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                   (o_orderpriority), ())""", o=o)
+
+
 def _q_g5_filtered_agg(spark, sf):
     """G5 — filtered/conditional aggregation."""
     o = _t(spark, sf, "orders")
@@ -893,6 +906,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
                    {_DSUM_SQL.format(c='o_totalprice')} AS total
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "g3_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderpriority), ())""",
         "g5_filtered_agg": f"""
             SELECT o_orderpriority,
                    CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)

@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, functions as F
 from serverless_data_pipeline_spark.functions.text import (
     shingles_from_tokens, tokens,
 )
-from serverless_data_pipeline_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from serverless_data_pipeline_spark.functions.vectors import (
+    cosine_similarity, dot_product,
+)
 from serverless_data_pipeline_spark.operators.relational import dedupe_latest
 
 __all__ = [

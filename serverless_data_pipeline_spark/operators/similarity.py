@@ -26,7 +26,8 @@ from serverless_data_pipeline_spark.functions.vectors import cosine_similarity
 from serverless_data_pipeline_spark.operators.util import spread_small_input
 
 __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
-           "ann_topk_indexed", "ivf_topk", "add_sign_lsh_buckets"]
+           "ann_topk_indexed", "ivf_topk", "train_ivf_centroids",
+           "add_sign_lsh_buckets"]
 
 
 def _lit_vec(vec: list[float]):
@@ -151,18 +152,45 @@ def ann_topk_indexed(corpus: DataFrame, id_col: str, vec_col: str,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def train_ivf_centroids(corpus: DataFrame, vec_col: str,
+                        n_cells: int = 16, seed: int = 42,
+                        max_iter: int = 10,
+                        sample_fraction: float | None = None) -> list[list[float]]:
+    """Train a real IVF codebook with MLlib k-means (the offline
+    index-build step ivf_topk's docstring promises). At 100 TB train on a
+    sample (`sample_fraction`) — k-means quality saturates long before
+    full-data scans pay off. Returns plain Python centroids so the probe
+    stays in codegen'd SQL (no MLlib at query time)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = corpus.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(df)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
 def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,
              query_vec: list[float], k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
-             seed: int = 42) -> DataFrame:
-    """X4 (IVF flavour) — seeded random centroids stand in for a k-means
-    codebook (a real deployment would train one offline); each corpus row
-    is assigned argmax-cosine centroid, queries probe the n_probe nearest
-    cells. Assignment is one narrow pass; the probe is a partition-prunable
-    filter when the assignment is materialized as a partition column."""
+             seed: int = 42,
+             centroids: list[list[float]] | None = None) -> DataFrame:
+    """X4 (IVF flavour) — pass `centroids` from train_ivf_centroids for a
+    real trained codebook; without it, seeded random centroids stand in
+    (demo mode). Each corpus row is assigned argmax-cosine centroid,
+    queries probe the n_probe nearest cells. Assignment is one narrow
+    pass; the probe is a partition-prunable filter when the assignment is
+    materialized as a partition column."""
     dim = len(query_vec)
-    rng = random.Random(seed)
-    cents = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_cells)]
+    if centroids is not None:
+        cents = centroids
+        n_cells = len(cents)
+    else:
+        rng = random.Random(seed)
+        cents = [[rng.gauss(0.0, 1.0) for _ in range(dim)]
+                 for _ in range(n_cells)]
 
     sims_col = F.array(*[cosine_similarity(F.col(vec_col), _lit_vec(c))
                          for c in cents])

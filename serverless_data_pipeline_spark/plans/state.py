@@ -47,6 +47,22 @@ class StateTable:
         df = self.spark.read.schema(STATE_SCHEMA).parquet(self.path)
         return df.filter(F.col("pipeline_id") == pipeline_id) if pipeline_id else df
 
+    def compact(self) -> int:
+        """Rewrite the append-only audit trail as one file per shuffle
+        partition. Each append() commits a 1-row parquet file — correct as
+        an audit trail, but a long-lived pipeline accumulates small files
+        (listing cost grows linearly). Run periodically; returns the row
+        count preserved."""
+        snapshot = self.history().cache()
+        n = snapshot.count()
+        tmp = self.path + "__compact"
+        snapshot.coalesce(1).write.mode("overwrite").parquet(tmp)
+        snapshot.unpersist()
+        import shutil
+        shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+        return n
+
     def current(self) -> DataFrame:
         """Latest status per pipeline (keep-latest window, X1 pattern)."""
         w = Window.partitionBy("pipeline_id").orderBy(F.col("timestamp").desc())

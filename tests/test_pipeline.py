@@ -104,6 +104,19 @@ def test_e2e_partial_invalid_quarantines_rows(spark, paths):
     assert res.counts == {"processed": 1, "invalid": 1}
 
 
+def test_state_table_compaction(spark, paths):
+    import glob
+    state = StateTable(spark, paths["state"])
+    for i in range(5):
+        state.append(f"p{i}", "stage", "RUNNING", {})
+    files_before = len(glob.glob(paths["state"] + "/*.parquet"))
+    n = state.compact()
+    files_after = len(glob.glob(paths["state"] + "/*.parquet"))
+    assert n == 5
+    assert files_after < files_before
+    assert state.history().count() == 5          # nothing lost
+
+
 def test_control_plane_listing(spark, paths):
     state = StateTable(spark, paths["state"])
     res = run_pipeline(_batch(spark), processed_path=paths["processed"],

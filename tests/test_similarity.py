@@ -81,6 +81,24 @@ def test_ivf_finds_cluster_members(spark):
     assert len(got) == 5 and all(20 <= v < 40 for v in got)
 
 
+def test_ivf_trained_centroids_beat_random(spark):
+    """A trained codebook must recover the planted clusters: probing ONE
+    cell with the trained centroids returns only that cluster's members."""
+    from serverless_data_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+    rows, centers = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = train_ivf_centroids(df, "embedding", n_cells=3, seed=5)
+    assert len(cents) == 3
+    out = ivf_topk(df, "vec_id", "embedding", centers[0], k=10,
+                   n_probe=1, centroids=cents)
+    got = [r.vec_id for r in out.collect()]
+    # cluster 0 occupies vec_ids 0..19; a trained 3-cell codebook probed
+    # at 1 cell must stay inside it
+    assert len(got) == 10 and all(v < 20 for v in got)
+
+
 def test_cosine_matches_math(spark):
     a, b = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]
     df = spark.createDataFrame([(1, a)], "vec_id long, embedding array<float>")

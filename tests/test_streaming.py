@@ -70,7 +70,10 @@ def test_streaming_watermark_withholds_open_windows(spark, tmp_path):
     (end <= max_ts - delay) are emitted; later windows are withheld."""
     src = str(tmp_path / "src")
     batch_df = _write_drips(spark, src)   # spans ~11 hours of event time
-    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=1)
+    # one batch for all files: with per-file batches the processing ORDER
+    # decides which rows are already late (watermark races) — valid
+    # semantics, but nondeterministic for a test
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=50)
     agg = tumbling_agg(stream, width="1 hour", keys=(), watermark="2 hours")
     q = (agg.writeStream.format("memory").queryName("appended")
          .outputMode("append").trigger(availableNow=True).start())
