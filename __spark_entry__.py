@@ -28,9 +28,12 @@ from serverless_data_pipeline_spark.operators import stages
 from serverless_data_pipeline_spark.operators.relational import (
     asof_join, dedupe_latest, range_join, top_k, top_k_per_group,
 )
+from serverless_data_pipeline_spark.functions.text import (
+    fingerprint, quality_score_expr,
+)
 from serverless_data_pipeline_spark.operators.dedup import (
-    embedding_neardup_pairs, minhash_lsh_pairs, ngram_jaccard_pairs,
-    simhash_pairs,
+    dedupe_by_components, embedding_neardup_pairs, minhash_lsh_pairs,
+    neardup_components, ngram_jaccard_pairs, simhash_pairs,
 )
 from serverless_data_pipeline_spark.operators.similarity import (
     ann_topk, brute_force_topk_join, ivf_topk,
@@ -298,6 +301,32 @@ def _q_q3_shipping_priority(spark, sf):
               .limit(10))
 
 
+def _q_q5_local_supplier(spark, sf):
+    """Flagship 6-table join (TPC-H Q5 shape): revenue per nation from
+    lineitems where the customer and supplier share the nation, region-
+    and date-filtered. The dimension chain region→nation broadcasts; the
+    fact-side joins shuffle on their keys; AQE reorders/locally optimizes
+    at scale. Exercises the full star-schema join path in one query."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = (_t(spark, sf, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1998-01-01")))
+    li = _t(spark, sf, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(s, (li.l_suppkey == s.s_suppkey)
+                    & (c.c_nationkey == s.s_nationkey))
+              .join(n, s.s_nationkey == n.n_nationkey)
+              .join(r, n.n_regionkey == r.r_regionkey)
+              .groupBy("n_name")
+              .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         "revenue"))
+              .orderBy(F.col("revenue").desc()))
+
+
 # =============================================================== aggs (G)
 
 def _q_g1_groupby_agg(spark, sf):
@@ -462,6 +491,23 @@ def _q_set_except(spark, sf):
     return c.subtract(s)
 
 
+def _q_set_intersect_all(spark, sf):
+    """SET — INTERSECT ALL (bag semantics: duplicates survive up to the
+    min multiplicity on each side)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+def _q_set_except_all(spark, sf):
+    """SET — EXCEPT ALL (bag subtraction: multiplicity a minus
+    multiplicity b, floored at zero)."""
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (_t(spark, sf, "supplier").filter(F.col("s_nationkey") < 12)
+         .select(F.col("s_nationkey").alias("nationkey")))
+    return c.exceptAll(s)
+
+
 def _q_x1_dedup_latest(spark, sf):
     """X1 — keep-latest exact dedup (latest event per user)."""
     out = dedupe_latest(_t(spark, sf, "events"), ["user_id"],
@@ -550,6 +596,23 @@ def _q_f_array(spark, sf):
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.array_max("embedding").cast("double").alias("max_val"),
         F.round(l2_norm("embedding"), 6).alias("norm"))
+
+
+def _q_f_map(spark, sf):
+    """F-map — map construction/access family: build a map column from
+    document attributes, read it back via element_at / map_keys /
+    map_values. The oracle pins the semantically-expected scalar outputs
+    (DuckDB's MAP accessor returns lists, so the SQL states the expected
+    values directly)."""
+    d = _t(spark, sf, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"),
+                     F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.element_at(m, F.lit("lang")).alias("m_lang"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.element_at(F.map_values(m), 2).alias("second_val"))
 
 
 def _q_f_explode(spark, sf):
@@ -695,6 +758,18 @@ def _q_x2_ngram_jaccard(spark, sf):
                                n=3, threshold=0.4)
 
 
+def _q_x2_dedup_clusters(spark, sf):
+    """X2 — near-dup components: connected components (iterative min-label
+    propagation) over the exact n-gram Jaccard pair graph. component_id =
+    min doc_id transitively reachable — the canonical-doc semantics a
+    corpus dedup keeps. Oracle: DuckDB recursive-CTE transitive closure
+    over the identical pair SQL."""
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                                n=3, threshold=0.4)
+    return (neardup_components(pairs)
+            .select(F.col("id").alias("doc_id"), "component_id"))
+
+
 def _q_x2_embedding_neardup(spark, sf):
     """X2 — sign-LSH embedding near-dup pairs (rows-only check). The
     fixture vectors are random (no true near-dups), so a loose threshold
@@ -729,6 +804,28 @@ def _q_x7_corpus_pipeline(spark, sf):
                                   jaccard_threshold=0.5,
                                   collect_counts=False)
     return res.clean.select("doc_id", "lang", "n_chars")
+
+
+def _q_x7_corpus_exact(spark, sf):
+    """X7 — fully oracle-checked training-corpus pipeline: exact dedup
+    (md5 fingerprint, keep min doc id) → near-dup removal (exact n-gram
+    Jaccard pair graph → connected components, keep component min) →
+    English-language gate → quality gate. The MinHash variant
+    (x7_corpus_pipeline) is rows-only because LSH sketches aren't
+    SQL-expressible; every stage HERE is, so the whole composition is
+    value-checked against one DuckDB statement."""
+    from serverless_data_pipeline_spark.operators.text import language_id
+    docs = _t(spark, sf, "documents")
+    keep = (docs.select("doc_id", fingerprint("text").alias("__fp"))
+            .groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    exact = docs.join(keep, "doc_id")
+    pairs = ngram_jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.4)
+    nd = dedupe_by_components(exact, pairs, "doc_id")
+    en = language_id(nd).filter(F.col("predicted_lang") == "en")
+    return (en.withColumn("q_score", F.round(quality_score_expr("text"), 6))
+            .filter(F.col("q_score") >= 0.5)
+            .select("doc_id", "q_score"))
 
 
 def _q_x6_extract_features(spark, sf):
@@ -876,6 +973,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY l_orderkey, o_orderdate, o_orderpriority
             ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "q5_local_supplier": f"""
+            SELECT n_name,
+                   {_DSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC""",
         "g1_groupby_agg": f"""
             SELECT l_returnflag, l_linestatus,
                    {_DSUM_SQL.format(c='l_quantity')} AS sum_qty,
@@ -982,6 +1095,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_nationkey AS nationkey FROM customer
             EXCEPT SELECT s_nationkey FROM supplier
                    WHERE s_nationkey < 12""",
+        "set_intersect_all": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT ALL SELECT s_nationkey FROM supplier""",
+        "set_except_all": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL SELECT s_nationkey FROM supplier
+                       WHERE s_nationkey < 12""",
         "sql_catalog_surface": """
             SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
                    CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
@@ -1043,6 +1163,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6)
                        AS norm
             FROM embeddings""",
+        "f_map": """
+            SELECT doc_id, lang AS m_lang, CAST(2 AS INTEGER) AS n_entries,
+                   'lang,source' AS keys_csv, source AS second_val
+            FROM documents""",
         "f_explode": """
             SELECT vec_id,
                    CAST(unnest(range(1, len(embedding) + 1)) AS INTEGER)
@@ -1121,6 +1245,117 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.4""",
+        "x2_dedup_clusters": f"""
+            WITH RECURSIVE t AS (SELECT doc_id,
+                              {_TOKENS_SQL.format(c='text')} AS toks
+                       FROM documents),
+            sh0 AS (SELECT doc_id, unnest(list_distinct(
+                        CASE WHEN len(toks) < 3
+                             THEN [array_to_string(toks, ' ')]
+                             ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                        END)) AS sh
+                    FROM t),
+            sh2 AS (SELECT doc_id, sh FROM sh0 WHERE sh <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2
+                      GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              COUNT(*) AS c
+                       FROM sh2 a JOIN sh2 b USING (sh)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM common
+                      JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.4),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION
+                      SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+            FROM reach GROUP BY src""",
+        "x7_corpus_exact": f"""
+            WITH RECURSIVE
+            fp AS (SELECT doc_id,
+                          md5(lower(regexp_replace(trim(text),
+                                                   '\\s+', ' ', 'g'))) AS fp
+                   FROM documents),
+            keep0 AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+            d AS (SELECT doc_id, text FROM documents
+                  WHERE doc_id IN (SELECT doc_id FROM keep0)),
+            t AS (SELECT doc_id, {_TOKENS_SQL.format(c='text')} AS toks
+                  FROM d),
+            sh0 AS (SELECT doc_id, unnest(list_distinct(
+                        CASE WHEN len(toks) < 3
+                             THEN [array_to_string(toks, ' ')]
+                             ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                        END)) AS sh
+                    FROM t),
+            sh2 AS (SELECT doc_id, sh FROM sh0 WHERE sh <> ''),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2
+                      GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              COUNT(*) AS c
+                       FROM sh2 a JOIN sh2 b USING (sh)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM common
+                      JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.4),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION
+                      SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            losers AS (SELECT src AS doc_id FROM reach GROUP BY src
+                       HAVING LEAST(src, MIN(dst)) <> src),
+            nd AS (SELECT doc_id, text FROM d
+                   WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+            lt AS (SELECT doc_id, text,
+                          {_TOKENS_SQL.format(c='lower(text)')} AS ltoks
+                   FROM nd),
+            ls AS (SELECT doc_id, text,
+                          len(list_filter(ltoks, x -> list_contains(
+                              ['der','die','und','das','ist'], x))) AS s_de,
+                          len(list_filter(ltoks, x -> list_contains(
+                              ['the','and','of','to','is'], x))) AS s_en,
+                          len(list_filter(ltoks, x -> list_contains(
+                              ['el','la','que','los','es'], x))) AS s_es,
+                          len(list_filter(ltoks, x -> list_contains(
+                              ['le','les','des','est','une'], x))) AS s_fr
+                   FROM lt),
+            en AS (SELECT doc_id, text FROM ls
+                   WHERE NOT regexp_matches(text, '[一-鿿]')
+                     AND greatest(s_de, s_en, s_es, s_fr) > 0
+                     AND s_en = greatest(s_de, s_en, s_es, s_fr)
+                     AND s_de < greatest(s_de, s_en, s_es, s_fr)),
+            q AS (SELECT doc_id,
+                         length(regexp_replace(text, '\\s', '', 'g'))
+                             AS nonspace,
+                         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '',
+                                               'g')) AS punct,
+                         {_TOKENS_SQL.format(c='text')} AS toks,
+                         length(text) AS n_chars
+                  FROM en),
+            scored AS (SELECT doc_id,
+                   ROUND(((CASE WHEN n_chars BETWEEN 20 AND 100000
+                                THEN 1.0 ELSE 0.0 END)
+                          + (CASE WHEN nonspace > 0 AND
+                                  CAST(punct AS DOUBLE) / nonspace <= 0.3
+                                  THEN 1.0
+                                  WHEN nonspace = 0 THEN 1.0
+                                  ELSE 0.0 END)
+                          + (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END))
+                         / 3.0, 6) AS q_score
+                       FROM q)
+            SELECT doc_id, q_score FROM scored WHERE q_score >= 0.5""",
         "x5_language_id": f"""
             WITH t AS (SELECT doc_id, text,
                               {_TOKENS_SQL.format(c='lower(text)')} AS toks

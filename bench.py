@@ -6,7 +6,11 @@ Prints ONE JSON line:
 
 Each query is fully materialized through the noop sink (no collect cost,
 no driver materialization — executor-side work only, the number that
-matters at scale).
+matters at scale). Timing covers plan construction + execution, run
+twice: the first (cold) run pays Catalyst analysis + whole-stage codegen
+compilation, the second (warm) run measures steady-state execution — the
+number that matters for a long-lived engine, reported per-query; the
+cold total is reported alongside as `cold_total_sec`.
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: flagship agg, 3-table join, as-of join, windowed agg,
-# minhash dedup, brute-force similarity, text quality pass.
+# minhash dedup, dedup clustering, brute-force similarity, text quality.
 HEADLINE = (
     "g1_groupby_agg",
     "q3_shipping_priority",
@@ -30,6 +34,7 @@ HEADLINE = (
     "w_running_sum",
     "x1_dedup_latest",
     "x2_minhash_lsh",
+    "x2_dedup_clusters",
     "x3_topk_similarity",
     "x5_quality_features",
 )
@@ -43,16 +48,21 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = entry_mod.queries()
 
-    # Warm the JVM/codegen path once so per-query numbers measure the
-    # plan, not first-call class loading.
+    # Warm the JVM once so the first query's cold number measures its own
+    # plan compilation, not first-call class loading.
     qs["g1_groupby_agg"](spark, SF_DIR).write.mode("overwrite") \
         .format("noop").save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
+    def run(name: str) -> float:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    cold: dict[str, float] = {}
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        cold[name] = run(name)
+        times[name] = run(name)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -60,6 +70,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "cold_total_sec": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -28,7 +28,8 @@ from serverless_data_pipeline_spark.operators.relational import dedupe_latest
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
-    "embedding_neardup_pairs",
+    "embedding_neardup_pairs", "neardup_components",
+    "dedupe_by_components",
 ]
 
 
@@ -263,3 +264,57 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
             .withColumn("cos", cosine_similarity("v_a", "v_b"))
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))
+
+
+# ------------------------------------------------- dedup-cluster grouping
+
+def neardup_components(pairs: DataFrame, *,
+                       id_a: str = "id_a", id_b: str = "id_b",
+                       max_iter: int = 15) -> DataFrame:
+    """Connected components over a near-dup pair list: (id, component_id)
+    where component_id = MIN doc id reachable through any chain of pairs.
+    This is the exact cluster semantics (greedy edge-drop in
+    plans/corpus_pipeline.py is the cheap one-pass approximation).
+
+    Distributed min-label propagation (the standard MapReduce CC
+    iteration): every node repeatedly takes the min label among itself and
+    its neighbours; converges in <= graph-diameter rounds. Near-dup graphs
+    have tiny components (pairs/triples), so 3-4 rounds typical. Each
+    round is one shuffle; `localCheckpoint` truncates lineage so the plan
+    does not grow with iterations (required for any iterative job), and
+    the convergence test is a `limit(1).count()` probe (stops scanning at
+    the first changed label, one cheap action per round)."""
+    sym = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+           .union(pairs.select(F.col(id_b).alias("src"),
+                               F.col(id_a).alias("dst"))))
+    edges = sym.distinct().localCheckpoint(eager=False)
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("id"), F.col("src").alias("comp")))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["dst"] == labels["id"])
+               .groupBy("src").agg(F.min("comp").alias("__nbr")))
+        new = (labels.join(nbr, labels["id"] == nbr["src"], "left")
+               .select(labels["id"],
+                       F.least(F.col("comp"),
+                               F.coalesce(F.col("__nbr"), F.col("comp")))
+                        .alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("comp").alias("component_id"))
+
+
+def dedupe_by_components(docs: DataFrame, pairs: DataFrame, id_col: str,
+                         **cc_kwargs) -> DataFrame:
+    """Keep one canonical doc (the MIN id) per near-dup component; docs in
+    no pair pass through untouched. The pair list is always a tiny
+    fraction of the corpus (it only names near-dups), so the component
+    map broadcasts in the anti-join at any corpus scale."""
+    comp = neardup_components(pairs, **cc_kwargs)
+    losers = (comp.filter(F.col("id") != F.col("component_id"))
+              .select(F.col("id").alias(id_col)))
+    return docs.join(losers, id_col, "left_anti")

@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.functions.text import quality_score_expr
-from serverless_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+from serverless_data_pipeline_spark.operators.dedup import (
+    dedupe_by_components, minhash_lsh_pairs,
+)
 from serverless_data_pipeline_spark.operators.text import (
     fingerprint_documents, language_id, token_stats,
 )
@@ -45,9 +47,14 @@ def prepare_training_corpus(docs: DataFrame, *,
                             languages: tuple[str, ...] = ("en",),
                             min_quality: float = 0.5,
                             jaccard_threshold: float = 0.6,
+                            exact_clusters: bool = False,
                             collect_counts: bool = True) -> CorpusResult:
     """docs(doc_id, text, ...) -> deduped, language- and quality-filtered
-    corpus + per-language token statistics."""
+    corpus + per-language token statistics.
+
+    `exact_clusters=True` replaces the greedy edge-drop near-dup policy
+    with true connected components (keep the min doc id per transitive
+    cluster) — a few extra shuffle rounds, exact cluster semantics."""
     n0 = docs.count() if collect_counts else -1
 
     # exact dedup: keep the lowest id of each fingerprint group
@@ -59,8 +66,11 @@ def prepare_training_corpus(docs: DataFrame, *,
     # near-dup removal: drop the higher id of every surviving LSH pair
     pairs = minhash_lsh_pairs(exact, id_col, text_col,
                               jaccard_threshold=jaccard_threshold)
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    neardeduped = exact.join(drop, id_col, "left_anti")
+    if exact_clusters:
+        neardeduped = dedupe_by_components(exact, pairs, id_col)
+    else:
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        neardeduped = exact.join(drop, id_col, "left_anti")
 
     # language + quality gates (single narrow pass each)
     lang_ok = (language_id(neardeduped, text_col)

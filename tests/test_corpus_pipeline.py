@@ -34,3 +34,14 @@ def test_corpus_pipeline_stages(spark):
     assert len(stats) == 1
     assert stats[0].n_docs == 2
     assert stats[0].total_tokens > 0
+
+
+def test_corpus_pipeline_exact_clusters(spark):
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD), (3, NEAR), (4, GOOD2)],
+        "doc_id long, text string")
+    res = prepare_training_corpus(docs, languages=("en",), min_quality=0.5,
+                                  jaccard_threshold=0.5,
+                                  exact_clusters=True)
+    # same outcome as greedy on this graph, via true components
+    assert sorted(r.doc_id for r in res.clean.collect()) == [1, 4]

@@ -79,3 +79,35 @@ def test_embedding_neardup_planted(spark):
                                     threshold=0.99, n_planes=4, dim=4)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_neardup_components_transitive_chain(spark):
+    from serverless_data_pipeline_spark.operators.dedup import (
+        dedupe_by_components, neardup_components,
+    )
+    # two components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {5,9} direct
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 9)], "id_a long, id_b long")
+    comp = {r.id: r.component_id for r in neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 9: 5}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 5, 7, 9, 42)],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in
+                  dedupe_by_components(docs, pairs, "doc_id").collect())
+    # one canonical doc per component + untouched singleton 42
+    assert kept == [1, 5, 42]
+
+
+def test_neardup_components_converges_early(spark):
+    from serverless_data_pipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+    # a 6-node path graph needs several propagation rounds; max_iter high
+    # enough must still stop at convergence and give one component
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long")
+    out = neardup_components(pairs, max_iter=15).collect()
+    assert {r.component_id for r in out} == {1}
+    assert len(out) == 6
