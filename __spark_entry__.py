@@ -77,6 +77,22 @@ def _dsum(col, alias: str):
 _DSUM_SQL = "CAST(SUM(CAST({c} AS DECIMAL(20,4))) AS DOUBLE)"
 
 
+def _msum(col, alias: str):
+    """Order-insensitive exact sum for FIXED-POINT money/quantity columns
+    (<= 4 decimal digits per value): sum round(x*10^4) as long, divide
+    once. Exact integer arithmetic like decimal transit, but the
+    accumulator is a codegen'd long — ~2-4x faster than Spark's
+    wide-decimal sum (measured at sf0.1). Use _dsum for full-precision
+    doubles, where the 4-digit quantization of round() vs cast-to-decimal
+    could disagree at representation edges."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(F.round(c * 10000).cast("long")) / F.lit(10000.0)).alias(alias)
+
+
+_MSUM_SQL = ("(CAST(SUM(CAST(round(({c}) * 10000) AS BIGINT)) AS DOUBLE)"
+             " / 10000.0)")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: revenue-by-returnflag aggregation over lineitem (G1 path:
     scan → filter → groupBy → agg → orderBy) at sf0.001."""
@@ -178,6 +194,16 @@ def _q_j2_left_join(spark, sf):
     """J2 — left outer join keeping order-less customers."""
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
     return (c.join(o, c.c_custkey == o.o_custkey, "left")
+             .groupBy("c_custkey")
+             .agg(F.count("o_orderkey").alias("n_orders"),
+                  _dsum("o_totalprice", "total_spent")))
+
+
+def _q_j2_right_join(spark, sf):
+    """J2 — right outer join (mirror of the left case: keep all
+    customers from the right side)."""
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (o.join(c, o.o_custkey == c.c_custkey, "right")
              .groupBy("c_custkey")
              .agg(F.count("o_orderkey").alias("n_orders"),
                   _dsum("o_totalprice", "total_spent")))
@@ -295,7 +321,7 @@ def _q_q3_shipping_priority(spark, sf):
     return (li.join(o, li.l_orderkey == o.o_orderkey)
               .join(c, o.o_custkey == c.c_custkey)
               .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-              .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+              .agg(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                          "revenue"))
               .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
               .limit(10))
@@ -322,7 +348,7 @@ def _q_q5_local_supplier(spark, sf):
               .join(n, s.s_nationkey == n.n_nationkey)
               .join(r, n.n_regionkey == r.r_regionkey)
               .groupBy("n_name")
-              .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+              .agg(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                          "revenue"))
               .orderBy(F.col("revenue").desc()))
 
@@ -334,13 +360,14 @@ def _q_g1_groupby_agg(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (li.filter(F.col("l_quantity") < 50)
               .groupBy("l_returnflag", "l_linestatus")
-              .agg(_dsum("l_quantity", "sum_qty"),
-                   _dsum("l_extendedprice", "sum_base_price"),
-                   _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+              .agg(_msum("l_quantity", "sum_qty"),
+                   _msum("l_extendedprice", "sum_base_price"),
+                   _msum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
                          "sum_disc_price"),
                    F.count("*").alias("n_rows"),
-                   F.round(F.sum(F.col("l_quantity").cast("decimal(20,4)"))
-                            .cast("double") / F.count("*"), 6).alias("avg_qty")))
+                   F.round((F.sum(F.round(F.col("l_quantity") * 10000)
+                                   .cast("long")) / F.lit(10000.0))
+                           / F.count("*"), 6).alias("avg_qty")))
 
 
 def _q_g2_count_distinct(spark, sf):
@@ -421,6 +448,18 @@ def _q_w_ranking(spark, sf):
         F.rank().over(w).alias("rk"),
         F.dense_rank().over(w).alias("drk"),
         F.ntile(4).over(w).alias("quartile"))
+
+
+def _q_w_distribution(spark, sf):
+    """W — distribution window functions (percent_rank / cume_dist)."""
+    w = (Window.partitionBy("l_returnflag")
+         .orderBy(F.col("l_quantity"), F.col("l_orderkey"),
+                  F.col("l_linenumber")))
+    return (_t(spark, sf, "lineitem")
+            .filter(F.col("l_orderkey") < 200)
+            .select("l_orderkey", "l_linenumber",
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume")))
 
 
 def _q_w_analytic(spark, sf):
@@ -907,6 +946,11 @@ def oracle_sql() -> dict[str, str]:
                    {_DSUM_SQL.format(c='o_totalprice')} AS total_spent
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey""",
+        "j2_right_join": f"""
+            SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+                   {_DSUM_SQL.format(c='o_totalprice')} AS total_spent
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey""",
         "j2_full_outer_join": """
             SELECT COALESCE(cn, sn) AS nationkey, n_cust, n_supp
             FROM (SELECT c_nationkey AS cn,
@@ -965,7 +1009,7 @@ def oracle_sql() -> dict[str, str]:
               ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   {_DSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
+                   {_MSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
                        AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -975,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "q5_local_supplier": f"""
             SELECT n_name,
-                   {_DSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
+                   {_MSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
                        AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -991,13 +1035,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC""",
         "g1_groupby_agg": f"""
             SELECT l_returnflag, l_linestatus,
-                   {_DSUM_SQL.format(c='l_quantity')} AS sum_qty,
-                   {_DSUM_SQL.format(c='l_extendedprice')} AS sum_base_price,
-                   {_DSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
+                   {_MSUM_SQL.format(c='l_quantity')} AS sum_qty,
+                   {_MSUM_SQL.format(c='l_extendedprice')} AS sum_base_price,
+                   {_MSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
                        AS sum_disc_price,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
-                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(20,4)))
-                              AS DOUBLE) / COUNT(*), 6) AS avg_qty
+                   ROUND({_MSUM_SQL.format(c='l_quantity')} / COUNT(*), 6)
+                       AS avg_qty
             FROM lineitem WHERE l_quantity < 50
             GROUP BY l_returnflag, l_linestatus""",
         "g2_count_distinct": """
@@ -1050,6 +1094,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey
                          ORDER BY o_totalprice DESC, o_orderkey)""",
+        "w_distribution": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                   ROUND(cume_dist() OVER w, 6) AS cume
+            FROM lineitem WHERE l_orderkey < 200
+            WINDOW w AS (PARTITION BY l_returnflag
+                         ORDER BY l_quantity, l_orderkey, l_linenumber)""",
         "w_analytic": """
             SELECT event_id, lag(value) OVER w AS prev_value,
                    lead(value) OVER w AS next_value

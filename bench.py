@@ -29,6 +29,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = (
     "g1_groupby_agg",
     "q3_shipping_priority",
+    "q5_local_supplier",
     "j7_asof_join",
     "st3_tumbling",
     "w_running_sum",

@@ -6,7 +6,8 @@ operator modules and the query registry.
 """
 
 from serverless_data_pipeline_spark.functions.vectors import (
-    cosine_similarity, dot_product, l2_norm,
+    cosine_similarity, cosine_similarity_fixed, dot_product,
+    dot_product_fixed, l2_norm, l2_norm_fixed,
 )
 from serverless_data_pipeline_spark.functions.text import (
     char_shingles, fingerprint, punct_ratio, quality_score_expr,
@@ -14,7 +15,8 @@ from serverless_data_pipeline_spark.functions.text import (
 )
 
 __all__ = [
-    "cosine_similarity", "dot_product", "l2_norm",
+    "cosine_similarity", "cosine_similarity_fixed", "dot_product",
+    "dot_product_fixed", "l2_norm", "l2_norm_fixed",
     "tokens", "token_count", "char_shingles", "word_shingles",
     "fingerprint", "punct_ratio", "stopword_ratio", "quality_score_expr",
 ]

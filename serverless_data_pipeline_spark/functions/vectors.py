@@ -40,3 +40,36 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """dot(a,b) / (|a||b|); NULL when either norm is zero."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0.0, dot_product(a, b) / denom)
+
+
+# ------------------------------------------------ known-dim fast variants
+
+def dot_product_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Unrolled Σ a[i]*b[i] for a KNOWN dimension: a chain of element_at
+    multiply-adds, left-to-right — bit-identical to the aggregate() fold
+    (same addition order) but whole-stage-codegen-able, unlike
+    higher-order functions which Spark evaluates interpreted. Prefer this
+    in scoring hot paths where the embedding dim is known (it always is:
+    the query vector's length)."""
+    aa, bb = _as_double(a), _as_double(b)
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(aa, i) * F.element_at(bb, i)
+    return acc
+
+
+def l2_norm_fixed(a: Column | str, dim: int) -> Column:
+    aa = _as_double(a)
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        v = F.element_at(aa, i)
+        acc = acc + v * v
+    return F.sqrt(acc)
+
+
+def cosine_similarity_fixed(a: Column | str, b: Column | str,
+                            dim: int) -> Column:
+    """dot(a,b)/(|a||b|) with every fold unrolled (see dot_product_fixed);
+    NULL when either norm is zero. Bit-identical to cosine_similarity."""
+    denom = l2_norm_fixed(a, dim) * l2_norm_fixed(b, dim)
+    return F.when(denom != 0.0, dot_product_fixed(a, b, dim) / denom)

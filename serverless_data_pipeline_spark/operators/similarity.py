@@ -22,7 +22,9 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from serverless_data_pipeline_spark.functions.vectors import cosine_similarity
+from serverless_data_pipeline_spark.functions.vectors import (
+    cosine_similarity, cosine_similarity_fixed, dot_product_fixed,
+)
 from serverless_data_pipeline_spark.operators.util import spread_small_input
 
 __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
@@ -40,14 +42,15 @@ def brute_force_topk(corpus: DataFrame, id_col: str, vec_col: str,
     for determinism)."""
     scored = corpus.select(
         F.col(id_col),
-        F.round(cosine_similarity(F.col(vec_col), _lit_vec(query_vec)), 6)
+        F.round(cosine_similarity_fixed(F.col(vec_col), _lit_vec(query_vec),
+                                        len(query_vec)), 6)
          .alias("cosine"))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
 def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
                           q_id: str, q_vec: str, c_id: str, c_vec: str,
-                          k: int = 10) -> DataFrame:
+                          k: int = 10, dim: int | None = None) -> DataFrame:
     """X3 batch form — exact top-k neighbors for EVERY query row.
     Broadcast the (small) query set against the corpus scan, score, then
     per-query top-k via window. One corpus pass regardless of |queries|."""
@@ -58,7 +61,10 @@ def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
                       F.col(c_vec).alias("__cv"))
               .crossJoin(q)
               .select("query_id", "neighbor_id",
-                      F.round(cosine_similarity("__cv", "__qv"), 6).alias("cosine")))
+                      F.round(cosine_similarity_fixed("__cv", "__qv", dim)
+                              if dim else
+                              cosine_similarity("__cv", "__qv"), 6)
+                       .alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -72,10 +78,9 @@ def _plane_sets(dim: int, n_tables: int, n_planes: int, seed: int):
 
 
 def _bucket(vec_col, planes):
-    from serverless_data_pipeline_spark.functions.vectors import dot_product
     bits = None
     for i, p in enumerate(planes):
-        bit = F.when(dot_product(vec_col, _lit_vec(p)) >= 0,
+        bit = F.when(dot_product_fixed(vec_col, _lit_vec(p), len(p)) >= 0,
                      F.lit(1 << i)).otherwise(F.lit(0))
         bits = bit if bits is None else bits.bitwiseOR(bit)
     return bits
@@ -119,8 +124,9 @@ def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
         cond = c if cond is None else (cond | c)
     scored = (corpus.filter(cond)
               .select(F.col(id_col),
-                      F.round(cosine_similarity(F.col(vec_col),
-                                                _lit_vec(query_vec)), 6)
+                      F.round(cosine_similarity_fixed(
+                          F.col(vec_col), _lit_vec(query_vec),
+                          len(query_vec)), 6)
                        .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -146,8 +152,9 @@ def ann_topk_indexed(corpus: DataFrame, id_col: str, vec_col: str,
         cond = c if cond is None else (cond | c)
     scored = (corpus.filter(cond)
               .select(F.col(id_col),
-                      F.round(cosine_similarity(F.col(vec_col),
-                                                _lit_vec(query_vec)), 6)
+                      F.round(cosine_similarity_fixed(
+                          F.col(vec_col), _lit_vec(query_vec),
+                          len(query_vec)), 6)
                        .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -192,7 +199,8 @@ def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,
         cents = [[rng.gauss(0.0, 1.0) for _ in range(dim)]
                  for _ in range(n_cells)]
 
-    sims_col = F.array(*[cosine_similarity(F.col(vec_col), _lit_vec(c))
+    sims_col = F.array(*[cosine_similarity_fixed(F.col(vec_col),
+                                                 _lit_vec(c), dim)
                          for c in cents])
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col),
@@ -208,7 +216,8 @@ def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,
 
     scored = (assigned.filter(F.col("__cell").isin(probe))
               .select(F.col(id_col),
-                      F.round(cosine_similarity(F.col(vec_col),
-                                                _lit_vec(query_vec)), 6)
+                      F.round(cosine_similarity_fixed(
+                          F.col(vec_col), _lit_vec(query_vec),
+                          len(query_vec)), 6)
                        .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
