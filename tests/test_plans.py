@@ -58,3 +58,38 @@ def test_no_cartesian_in_dedup(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_star_join_all_broadcast(spark):
+    """Six-table star join: every dimension side broadcasts (no sort-merge
+    at this scale) and the region filter is pushed to its scan."""
+    plan = _plan(spark, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    """GROUPING SETS plans one Expand + one aggregation pipeline — not one
+    rescan per grouping set."""
+    plan = _plan(spark, "g3_grouping_sets")
+    assert plan.count("Expand") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_msum_avoids_decimal_accumulator(spark):
+    """The flagship money sums accumulate as BIGINT (codegen'd long
+    arithmetic), not wide decimal."""
+    plan = _plan(spark, "g1_groupby_agg")
+    assert "decimal(20,4)" not in plan
+    assert "partial_sum" in plan
+
+
+def test_dedup_clusters_iterations_run_on_checkpoint(spark):
+    """Connected components must iterate over the materialized pair list,
+    not re-carry the shingle self-join lineage into every round."""
+    plan = _plan(spark, "x2_dedup_clusters")
+    # final plan reads the checkpointed labels: no trace of the
+    # candidate-generation scan remains
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+    assert "FileScan" not in plan
