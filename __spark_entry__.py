@@ -353,6 +353,27 @@ def _q_q5_local_supplier(spark, sf):
               .orderBy(F.col("revenue").desc()))
 
 
+def _q_q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: revenue lost to returned items per customer over
+    a quarter. Fact side filters (returnflag, date window) push to the
+    scans; nation broadcasts; top-20 plans as TakeOrderedAndProject (O(k)
+    per task, no global sort)."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    o = (_t(spark, sf, "orders")
+         .filter((F.col("o_orderdate") >= "1996-01-01")
+                 & (F.col("o_orderdate") < "1996-07-01")))
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(n, c.c_nationkey == n.n_nationkey)
+              .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+              .agg(_msum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                         "revenue"))
+              .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+              .limit(20))
+
+
 # =============================================================== aggs (G)
 
 def _q_g1_groupby_agg(spark, sf):
@@ -434,6 +455,21 @@ def _q_g6_percentiles(spark, sf):
             .agg(F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
                  F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
                  F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75")))
+
+
+def _q_g7_pivot(spark, sf):
+    """G-extension — pivot (the Athena CASE-pivot idiom as a native op).
+    The value list is explicit: `pivot()` without values runs an extra
+    distinct-scan job to discover them, which is never acceptable at
+    scale. One shuffle, same plan as a conditional agg."""
+    return (_t(spark, sf, "orders")
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(_dsum("o_totalprice", "total"))
+            .select(F.col("o_orderpriority"),
+                    F.col("O").alias("total_open"),
+                    F.col("F").alias("total_finished"),
+                    F.col("P").alias("total_pending")))
 
 
 # ============================================================ windows (W)
@@ -1033,6 +1069,19 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n_name
             ORDER BY revenue DESC""",
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   {_MSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
         "g1_groupby_agg": f"""
             SELECT l_returnflag, l_linestatus,
                    {_MSUM_SQL.format(c='l_quantity')} AS sum_qty,
@@ -1085,6 +1134,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
                    ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
             FROM lineitem GROUP BY l_returnflag""",
+        "g7_pivot": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                        FILTER (WHERE o_orderstatus = 'O') AS DOUBLE)
+                       AS total_open,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                        FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                       AS total_finished,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4)))
+                        FILTER (WHERE o_orderstatus = 'P') AS DOUBLE)
+                       AS total_pending
+            FROM orders GROUP BY o_orderpriority""",
         "w_ranking": """
             SELECT o_orderkey,
                    CAST(row_number() OVER w AS INTEGER) AS rn,

@@ -199,14 +199,29 @@ def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,
         cents = [[rng.gauss(0.0, 1.0) for _ in range(dim)]
                  for _ in range(n_cells)]
 
-    sims_col = F.array(*[cosine_similarity_fixed(F.col(vec_col),
-                                                 _lit_vec(c), dim)
-                         for c in cents])
-    assigned = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        (F.array_position(sims_col, F.array_max(sims_col)) - 1).alias("__cell"))
-
     import math
+
+    # Cell assignment = argmax_c cos(v, c). Two expression-size reductions
+    # that keep the argmax identical: (1) |c| is a Python constant —
+    # precompute 1/|c| and multiply, instead of a 64-term norm subtree per
+    # cell per row; (2) |v| is the same for every cell, so it cancels out
+    # of the argmax and is dropped entirely. (3) argmax via array_max over
+    # (score, idx) structs evaluates the score array ONCE —
+    # array_position(arr, array_max(arr)) duplicates the whole array
+    # expression. Before these, Catalyst spent ~10 min analyzing the
+    # ~6,000-node tree at 16 cells x dim 64; after, the plan compiles in
+    # seconds with the same assignment.
+    inv_norm = [1.0 / (math.sqrt(sum(x * x for x in c)) or 1.0)
+                for c in cents]
+    cell_scores = [
+        (dot_product_fixed(F.col(vec_col), _lit_vec(c), dim)
+         * F.lit(inv_norm[ci])).alias("s")
+        for ci, c in enumerate(cents)]
+    best = F.array_max(F.array(*[
+        F.struct(s, F.lit(ci).alias("c"))
+        for ci, s in enumerate(cell_scores)]))
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), best["c"].alias("__cell"))
     qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     qsims = []
     for ci, c in enumerate(cents):
