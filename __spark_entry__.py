@@ -903,6 +903,32 @@ def _q_x7_corpus_exact(spark, sf):
             .select("doc_id", "q_score"))
 
 
+def _q_x8_train_split(spark, sf):
+    """X8 — deterministic train/eval split (portable modulo mode; the
+    xxhash64 production mode is pytest-pinned for uniformity)."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        train_test_split,
+    )
+    return train_test_split(_t(spark, sf, "documents"), "doc_id",
+                            hashed=False).select(
+        "doc_id", "split_id", "split")
+
+
+def _q_x8_vocab_topn(spark, sf):
+    """X8 — corpus vocabulary build: top-200 tokens by frequency."""
+    from serverless_data_pipeline_spark.operators.corpus import vocabulary
+    return vocabulary(_t(spark, sf, "documents"), "text", top_n=200)
+
+
+def _q_x8_seq_packing(spark, sf):
+    """X8 — sharded token-budget sequence packing (concat-then-chunk)."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_sequences,
+    )
+    return pack_sequences(_t(spark, sf, "documents"), "doc_id", "text",
+                          budget=512, n_shards=8)
+
+
 def _q_x6_extract_features(spark, sf):
     """X6 — Arrow-batched decode/featurize stub (mapInPandas)."""
     media = attach_binary_payload(_t(spark, sf, "documents"),
@@ -1468,6 +1494,29 @@ def oracle_sql() -> dict[str, str]:
                          / 3.0, 6) AS q_score
                        FROM q)
             SELECT doc_id, q_score FROM scored WHERE q_score >= 0.5""",
+        "x8_train_split": """
+            SELECT doc_id,
+                   CAST(doc_id % 10 AS INTEGER) AS split_id,
+                   CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'eval' END
+                       AS split
+            FROM documents""",
+        "x8_vocab_topn": f"""
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest({_TOKENS_SQL.format(c='text')}) AS token
+                  FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token LIMIT 200""",
+        "x8_seq_packing": f"""
+            SELECT doc_id, n_tokens, shard,
+                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id
+            FROM (SELECT doc_id, n_tokens, shard,
+                         SUM(n_tokens) OVER (PARTITION BY shard
+                                             ORDER BY doc_id) AS cum
+                  FROM (SELECT doc_id,
+                               CAST(len({_TOKENS_SQL.format(c='text')})
+                                    AS BIGINT) AS n_tokens,
+                               CAST(doc_id % 8 AS INTEGER) AS shard
+                        FROM documents))""",
         "x5_language_id": f"""
             WITH t AS (SELECT doc_id, text,
                               {_TOKENS_SQL.format(c='lower(text)')} AS toks

@@ -6,4 +6,5 @@
 - ``similarity``: brute-force + LSH ANN similarity search (X3, X4)
 - ``text``: language-ID, quality scoring, token stats, fingerprints (X5)
 - ``multimodal``: binary-column plumbing + typed metadata (X6)
+- ``corpus``: train/eval splits, vocabulary, sequence packing (X8)
 """

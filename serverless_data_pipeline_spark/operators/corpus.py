@@ -1,0 +1,79 @@
+"""Training-corpus utilities (charter extension X8).
+
+The batch plumbing every LLM pretraining data pipeline needs between
+"clean corpus" and "training shards": deterministic train/eval splits,
+vocabulary builds, and token-budget sequence packing. All three are
+single-shuffle DataFrame plans — no Python in the row path, so they run
+unchanged against a 100 TB `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.functions.text import token_count, tokens
+
+__all__ = ["train_test_split", "vocabulary", "pack_sequences"]
+
+
+def train_test_split(df: DataFrame, id_col: str,
+                     n_splits: int = 10, train_cutoff: int = 8,
+                     hashed: bool = True, seed: int = 42) -> DataFrame:
+    """Deterministic, reproducible split assignment: every row gets a
+    stable ``split_id`` in [0, n_splits) and a ``split`` label ("train"
+    below the cutoff, "eval" at or above).
+
+    ``hashed=True`` (production default) buckets on ``xxhash64(id, seed)``
+    — an avalanche hash, so sequential or block-allocated ids spread
+    uniformly and re-running on a grown corpus never reassigns an existing
+    id. ``hashed=False`` buckets on the raw id modulo ``n_splits``
+    (engine-portable arithmetic; the DuckDB oracle uses this mode).
+    Narrow projection only: no shuffle, no sampling nondeterminism —
+    unlike ``randomSplit``, which reshuffles membership when partitioning
+    changes."""
+    basis = (F.xxhash64(F.col(id_col), F.lit(seed)) if hashed
+             else F.col(id_col))
+    split_id = F.pmod(basis, F.lit(n_splits)).cast("int")
+    return (df.withColumn("split_id", split_id)
+              .withColumn("split",
+                          F.when(F.col("split_id") < train_cutoff, "train")
+                           .otherwise("eval")))
+
+
+def vocabulary(df: DataFrame, text_col: str,
+               top_n: int = 1000, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: (token, n) for the ``top_n`` most frequent
+    tokens, ties broken lexicographically. Explode → groupBy(token) is one
+    shuffle with map-side partial counts; the top-n plans as
+    TakeOrderedAndProject (O(top_n) per task, no global sort)."""
+    tok = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = (tok.groupBy("token").agg(F.count("*").alias("n"))
+                 .filter(F.col("n") >= min_count))
+    return counts.orderBy(F.col("n").desc(), "token").limit(top_n)
+
+
+def pack_sequences(df: DataFrame, id_col: str, text_col: str,
+                   budget: int = 2048, n_shards: int = 8) -> DataFrame:
+    """Token-budget sequence packing: concatenate documents (in id order)
+    into a contiguous token stream per shard and chunk the stream every
+    ``budget`` tokens — ``bin_id`` is the chunk containing the document's
+    START offset, the way pretraining concatenates-then-chunks. Returns
+    (id, n_tokens, shard, bin_id).
+
+    Sharding is the scale lever: a single global cumulative sum would
+    serialize on one window partition, so documents are first bucketed
+    into ``n_shards`` deterministic shards (id mod n_shards) and the
+    running sum is per-shard — n_shards independent window partitions,
+    sized so one shard's stream fits an executor. One shuffle (the window
+    partitionBy)."""
+    shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    return (df.select(F.col(id_col),
+                      token_count(text_col).alias("n_tokens"),
+                      shard.alias("shard"))
+              .withColumn("__cum", F.sum("n_tokens").over(w))
+              .select(F.col(id_col), "n_tokens", "shard",
+                      F.floor((F.col("__cum") - F.col("n_tokens"))
+                              / F.lit(float(budget))).cast("long")
+                       .alias("bin_id")))

@@ -1,0 +1,77 @@
+"""X8 training-corpus utilities: split determinism/uniformity,
+vocabulary ranking, sequence-packing invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.operators.corpus import (
+    pack_sequences, train_test_split, vocabulary,
+)
+
+
+def test_train_split_deterministic_and_exhaustive(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = train_test_split(df, "doc_id").collect()
+    b = train_test_split(df, "doc_id").collect()
+    assert sorted((r.doc_id, r.split_id) for r in a) == \
+        sorted((r.doc_id, r.split_id) for r in b)
+    assert all(0 <= r.split_id < 10 for r in a)
+    assert all(r.split == ("train" if r.split_id < 8 else "eval") for r in a)
+
+
+def test_train_split_hashed_is_roughly_uniform(spark):
+    # Sequential ids: modulo mode is perfectly uniform by construction;
+    # the hashed (production) mode must stay close to 80/20 through the
+    # avalanche hash, not collapse onto a few buckets.
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    frac = (train_test_split(df, "doc_id", hashed=True)
+            .filter(F.col("split") == "train").count()) / 2000.0
+    assert 0.74 <= frac <= 0.86, frac
+
+
+def test_train_split_hashed_stable_under_growth(spark):
+    # Growing the corpus must never reassign an existing id (the property
+    # randomSplit lacks).
+    small = train_test_split(
+        spark.range(0, 100).withColumnRenamed("id", "doc_id"), "doc_id")
+    big = train_test_split(
+        spark.range(0, 500).withColumnRenamed("id", "doc_id"), "doc_id")
+    s = {r.doc_id: r.split_id for r in small.collect()}
+    b = {r.doc_id: r.split_id for r in big.collect()}
+    assert all(b[k] == v for k, v in s.items())
+
+
+def test_vocabulary_ranking_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a b  c"), (3, "")],
+        "doc_id long, text string")
+    got = [(r.token, r.n) for r in vocabulary(df, "text", top_n=2).collect()]
+    assert got == [("b", 3), ("a", 2)]  # c==2 loses the tie to a
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    # One shard; budget 5; docs of 3/3/4 tokens at offsets 0,3,6 ->
+    # bins 0,0,1 (the doc straddling a boundary belongs to its start bin).
+    df = spark.createDataFrame(
+        [(0, "a b c"), (8, "d e f"), (16, "g h i j")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.shard, r.bin_id)
+           for r in pack_sequences(df, "doc_id", "text",
+                                   budget=5, n_shards=8).collect()}
+    assert got == {0: (3, 0, 0), 8: (3, 0, 0), 16: (4, 0, 1)}
+
+
+def test_pack_sequences_shards_partition_ids(spark):
+    df = (spark.range(0, 64).withColumnRenamed("id", "doc_id")
+          .withColumn("text", F.lit("w x y z")))
+    rows = pack_sequences(df, "doc_id", "text",
+                          budget=8, n_shards=4).collect()
+    assert {r.shard for r in rows} == {0, 1, 2, 3}
+    assert all(r.shard == r.doc_id % 4 for r in rows)
+    # 16 docs x 4 tokens per shard, 8-token budget -> 2 docs per bin.
+    per_bin = {}
+    for r in rows:
+        per_bin.setdefault((r.shard, r.bin_id), 0)
+        per_bin[(r.shard, r.bin_id)] += 1
+    assert all(v == 2 for v in per_bin.values())
