@@ -527,6 +527,29 @@ def _q_w_running_sum(spark, sf):
          .cast("double").alias("running_total"))
 
 
+def _q_w_range_frame(spark, sf):
+    """W — RANGE frame: count of equal-or-lower-quantity lineitems per
+    returnflag (value-based frame, not row-based — peers enter together)."""
+    w = (Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity"))
+         .rangeBetween(Window.unboundedPreceding, 0))
+    return (_t(spark, sf, "lineitem")
+            .filter(F.col("l_orderkey") < 100)
+            .select("l_orderkey", "l_linenumber", "l_quantity",
+                    F.count("*").over(w).cast("long").alias("n_at_or_below")))
+
+
+def _q_g8_array_agg(spark, sf):
+    """G-extension — ordered array aggregation (Athena array_agg): the
+    nation list per region as a sorted array. collect_list + sort_array
+    is deterministic regardless of shuffle arrival order."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (n.join(r, n.n_regionkey == r.r_regionkey)
+             .groupBy("r_name")
+             .agg(F.sort_array(F.collect_list("n_name")).alias("nations"),
+                  F.count("*").cast("long").alias("n_nations")))
+
+
 # ===================================================== sorts/sets (SRT/SET)
 
 def _q_srt_topk(spark, sf):
@@ -1211,6 +1234,19 @@ def oracle_sql() -> dict[str, str]:
                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                        AS running_total
             FROM orders""",
+        "w_range_frame": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   CAST(COUNT(*) OVER
+                        (PARTITION BY l_returnflag ORDER BY l_quantity
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_at_or_below
+            FROM lineitem WHERE l_orderkey < 100""",
+        "g8_array_agg": """
+            SELECT r_name,
+                   list_sort(list(n_name)) AS nations,
+                   CAST(COUNT(*) AS BIGINT) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
         "srt_topk": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",

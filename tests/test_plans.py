@@ -93,3 +93,35 @@ def test_dedup_clusters_iterations_run_on_checkpoint(spark):
     # candidate-generation scan remains
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
     assert "FileScan" not in plan
+
+
+def test_q10_dimension_broadcasts_and_pushdown(spark):
+    """Q10: fact-side filters (returnflag, date window) push to the scans;
+    the dimension joins broadcast; top-20 is a TakeOrderedAndProject."""
+    plan = _plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_vocabulary_partial_count_then_topn(spark):
+    """Vocabulary build: map-side partial counts before the shuffle and an
+    O(top_n) heap instead of a global sort."""
+    plan = _plan(spark, "x8_vocab_topn")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_seq_packing_single_shuffle(spark):
+    """Sequence packing = one hash exchange (the per-shard window); the
+    token counting stays a narrow projection before it."""
+    plan = _plan(spark, "x8_seq_packing")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pivot_single_aggregation_pass(spark):
+    """Pivot with an explicit value list: one scan + partial/final agg —
+    no extra distinct-scan job to discover pivot values."""
+    plan = _plan(spark, "g7_pivot")
+    assert plan.count("FileScan") == 1
+    assert "partial_sum" in plan.lower() or "partial" in plan
