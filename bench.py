@@ -30,6 +30,7 @@ HEADLINE = (
     "g1_groupby_agg",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q10_returned_items",
     "j7_asof_join",
     "st3_tumbling",
     "w_running_sum",

@@ -72,6 +72,25 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
     w.saveAsTable(table)
 
 
+def overwrite_partitions(df: DataFrame, path: str, ts_col: str = "ts",
+                         config: EngineConfig = DEFAULT_CONFIG) -> None:
+    """Idempotent partition reprocessing: rewrite ONLY the partitions
+    present in `df`, leaving every other partition untouched (dynamic
+    partition-overwrite). This is how a 100 TB lake replays one bad
+    hour/day — `mode("overwrite")` without it would truncate the whole
+    table, and `append` would duplicate the replayed rows. The reference's
+    retry path (md:200, SQS redrive py:133-137) re-delivers batches;
+    this writer makes the re-delivery idempotent at the storage layer."""
+    out = df if set(config.partition_columns) <= set(df.columns) \
+        else with_partition_columns(df, ts_col)
+    (out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", config.sink_compression)
+        .option("maxRecordsPerFile", config.max_records_per_file)
+        .partitionBy(*config.partition_columns)
+        .parquet(path))
+
+
 def apply_retention(spark, path: str, max_age_days: int,
                     ts_col: str = "ts") -> int:
     """S8 — lifecycle policy (30 d → IA, 90 d → Glacier, py:77-92) reduced

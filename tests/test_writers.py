@@ -11,7 +11,8 @@ from serverless_data_pipeline_spark.config import EngineConfig
 from serverless_data_pipeline_spark.operators.stages import chunked_transform
 from serverless_data_pipeline_spark.sources.readers import read_stream_files
 from serverless_data_pipeline_spark.sources.writers import (
-    apply_retention, with_partition_columns, write_partitioned_parquet,
+    apply_retention, overwrite_partitions, with_partition_columns,
+    write_partitioned_parquet,
 )
 from serverless_data_pipeline_spark.streaming.sinks import (
     start_partitioned_stream,
@@ -39,6 +40,22 @@ def test_partitioned_sink_layout_and_compression(spark, tmp_path):
     # partition pruning: a year filter must prune to one partition dir
     pruned = back.filter("year = 2023")
     assert pruned.count() == 1
+
+
+def test_overwrite_partitions_is_idempotent_replay(spark, tmp_path):
+    path = str(tmp_path / "out")
+    write_partitioned_parquet(_frame(spark), path)
+    # Replay ONLY the 2026 hour with corrected values, twice (re-delivery).
+    fixed = spark.createDataFrame([(2, TS_NEW, 99.0), (3, TS_NEW, 98.0)],
+                                  "id long, ts timestamp, v double")
+    overwrite_partitions(fixed, path)
+    overwrite_partitions(fixed, path)  # idempotent: no duplicates
+    back = spark.read.parquet(path)
+    # untouched 2023 partition survives; replayed hour fully replaced
+    assert back.filter("year = 2023").count() == 1
+    got = {r.id: r.v for r in back.filter("year = 2026").collect()}
+    assert got == {2: 99.0, 3: 98.0}
+    assert back.count() == 3
 
 
 def test_retention_reports_old_partitions(spark, tmp_path):
