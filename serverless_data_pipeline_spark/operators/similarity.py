@@ -111,7 +111,13 @@ def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
     the query in >= 1 of `n_tables` sign-LSH tables. The bucket filter is
     a codegen'd predicate on the scan (no shuffle, no index build); at
     scale you would persist the bucket ids as a column and partition on
-    them."""
+    them.
+
+    Regime caveat (measured): sign-LSH collision probability per table is
+    (1 - theta/pi)^n_planes, so recall is high only when true neighbors
+    are high-cosine (near-dup regime, ~0.9+). For a query whose nearest
+    neighbors sit at cos ~0.35, recall collapses to ~0 — use
+    brute_force_topk (one scan, O(k)/task) or ivf_topk there."""
     dim = len(query_vec)
     tables = _plane_sets(dim, n_tables, n_planes, seed)
     cond = None
