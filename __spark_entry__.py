@@ -540,13 +540,16 @@ def _q_w_range_frame(spark, sf):
 
 def _q_g8_array_agg(spark, sf):
     """G-extension — ordered array aggregation (Athena array_agg): the
-    nation list per region as a sorted array. collect_list + sort_array
-    is deterministic regardless of shuffle arrival order."""
+    nation list per region, sorted then joined to a scalar so the value
+    compare is engine-agnostic (Spark lists vs DuckDB numpy arrays hash
+    differently in some comparators). collect_list + sort_array is
+    deterministic regardless of shuffle arrival order."""
     n = _t(spark, sf, "nation")
     r = _t(spark, sf, "region")
     return (n.join(r, n.n_regionkey == r.r_regionkey)
              .groupBy("r_name")
-             .agg(F.sort_array(F.collect_list("n_name")).alias("nations"),
+             .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+                   .alias("nations"),
                   F.count("*").cast("long").alias("n_nations")))
 
 
@@ -1243,7 +1246,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_orderkey < 100""",
         "g8_array_agg": """
             SELECT r_name,
-                   list_sort(list(n_name)) AS nations,
+                   array_to_string(list_sort(list(n_name)), ',') AS nations,
                    CAST(COUNT(*) AS BIGINT) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name""",
