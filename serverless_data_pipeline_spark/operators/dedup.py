@@ -20,9 +20,6 @@ from pyspark.sql import DataFrame, functions as F
 from serverless_data_pipeline_spark.functions.text import (
     shingles_from_tokens, tokens,
 )
-from serverless_data_pipeline_spark.functions.vectors import (
-    cosine_similarity_fixed, dot_product_fixed,
-)
 from serverless_data_pipeline_spark.operators.relational import dedupe_latest
 
 __all__ = [
@@ -242,34 +239,34 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     hyperplanes -> a sign-bit bucket id; only same-bucket pairs are
     verified with exact cosine. High thresholds => near-identical vectors
     => same bucket with high probability; sub-quadratic by bucketing.
-    Projections are driver-generated constants (seeded, deterministic).
+    Projections are driver-generated constants (seeded, deterministic);
+    bucketing and verification run numpy kernels (one matmul / einsum per
+    Arrow batch — the unrolled-SQL form cost 59 s at sf0.01 in round 2).
 
     Pass `dim` explicitly on anything big — the fallback inference runs a
     `.first()` driver action (an extra Spark job per call)."""
     import random
+
+    from serverless_data_pipeline_spark.functions.vectors_np import (
+        pair_cosine_udf, sign_buckets_udf,
+    )
 
     rng = random.Random(seed)
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
-    def bucket_expr(col):
-        bits = None
-        for i, p in enumerate(planes):
-            proj = dot_product_fixed(F.col(col),
-                                     F.array(*[F.lit(x) for x in p]), dim)
-            bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits.bitwiseOR(bit)
-        return bits
-
-    bucketed = df.select(F.col(id_col).alias("__id"),
-                         F.col(vec_col).alias("__v"),
-                         bucket_expr(vec_col).alias("__bkt"))
+    bucketed = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        F.element_at(sign_buckets_udf([planes], dim)(F.col(vec_col)), 1)
+         .alias("__bkt"))
+    cos = F.nanvl(pair_cosine_udf(dim)(F.col("v_a"), F.col("v_b")),
+                  F.lit(None).cast("double"))
     return (bucketed.alias("a").join(bucketed.alias("b"), "__bkt")
             .select(F.col("a.__id").alias("id_a"), F.col("a.__v").alias("v_a"),
                     F.col("b.__id").alias("id_b"), F.col("b.__v").alias("v_b"))
             .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cos", cosine_similarity_fixed("v_a", "v_b", dim))
+            .withColumn("cos", cos)
             .filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))
 
@@ -289,9 +286,19 @@ def neardup_components(pairs: DataFrame, *,
     its neighbours; converges in <= graph-diameter rounds. Near-dup graphs
     have tiny components (pairs/triples), so 3-4 rounds typical. Each
     round is one shuffle; `localCheckpoint` truncates lineage so the plan
-    does not grow with iterations (required for any iterative job), and
-    the convergence test is a `limit(1).count()` probe (stops scanning at
-    the first changed label, one cheap action per round)."""
+    does not grow with iterations (required for any iterative job).
+
+    Convergence is tested with a `limit(1).count()` probe (stops scanning
+    at the first changed label) — but each probe is a full Spark job with
+    fixed scheduling overhead, so the first probe fires only at round 3
+    (near-dup components almost always have diameter <= 3) and every
+    other round after; the final round always probes so the convergence
+    warning below is accurate. Measured at sf0.1 this halves the CC
+    job count vs probing every round.
+
+    Warns (does not raise) if labels did not converge within `max_iter`
+    — callers like dedupe_by_components would otherwise silently keep
+    extra near-duplicates from an unfinished propagation."""
     # Materialize the pair list FIRST: it is tiny (it only names
     # near-dups), but its lineage is the whole candidate-generation plan
     # (shingle explode + self-join). Checkpointing here makes every
@@ -309,7 +316,8 @@ def neardup_components(pairs: DataFrame, *,
               .select(F.col("src").alias("id"),
                       F.least(F.col("src"), F.col("__m")).alias("comp"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
+    changed: int | None = None
+    for it in range(max_iter):
         nbr = (edges.join(labels, edges["dst"] == labels["id"])
                .groupBy("src").agg(F.min("comp").alias("__nbr")))
         new = (labels.join(nbr, labels["id"] == nbr["src"], "left")
@@ -318,12 +326,21 @@ def neardup_components(pairs: DataFrame, *,
                                F.coalesce(F.col("__nbr"), F.col("comp")))
                         .alias("comp"))
                .localCheckpoint(eager=True))
-        changed = (new.alias("n").join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .limit(1).count())
+        if (it >= 2 and it % 2 == 0) or it == max_iter - 1:
+            changed = (new.alias("n").join(labels.alias("o"), "id")
+                       .filter(F.col("n.comp") != F.col("o.comp"))
+                       .limit(1).count())
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"neardup_components: labels still changing after {max_iter} "
+            "iterations — a component's diameter exceeds max_iter and the "
+            "returned component_ids are NOT fully propagated; raise "
+            "max_iter.", RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id"), F.col("comp").alias("component_id"))
 
 

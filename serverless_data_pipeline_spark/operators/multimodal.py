@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -88,12 +89,14 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             for buf in pdf["payload"]:
                 b = bytes(buf)
                 sizes.append(len(b))
-                # deterministic fake featurizer: byte-bucket histogram
-                hist = [0.0] * FEATURE_DIM
-                for byte in b:
-                    hist[byte % FEATURE_DIM] += 1.0
+                # deterministic fake featurizer: byte-bucket histogram.
+                # numpy bincount, not a per-byte Python loop (~100x) —
+                # same values: np.round is banker's like Python round().
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM,
+                                   minlength=FEATURE_DIM).astype(np.float64)
                 total = float(len(b)) or 1.0
-                feats.append([round(h / total, 6) for h in hist])
+                feats.append(np.round(hist / total, 6).tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "n_bytes": sizes, "features": feats})
 

@@ -2,8 +2,17 @@
 
 Brute-force exact top-k as the correctness baseline, sign-LSH bucketed ANN
 as the scale path, and a grouped (IVF-style) variant that prunes by
-centroid assignment. All vector math is codegen'd SQL (functions/vectors);
-no MLlib Vector conversion, no Python in the scoring loop.
+centroid assignment.
+
+Two scoring backends, chosen by role:
+- X3 brute force stays on the codegen'd SQL fold (functions/vectors) —
+  bit-identical to the DuckDB oracle, which is what an *exact* baseline
+  must be.
+- Candidate generation + verification (LSH buckets, IVF assignment, the
+  cosine verify behind a 6dp round) run numpy kernels
+  (functions/vectors_np): one BLAS matvec per Arrow batch instead of a
+  dim-64 unrolled expression chain per plane/cell, which in round 2 cost
+  44-67 s *per query at sf0.01* in Catalyst analysis + interpreted eval.
 
 Scale notes:
 - brute_force_topk is scan + TakeOrderedAndProject: O(k) memory per task,
@@ -11,19 +20,23 @@ Scale notes:
 - ann_topk only scores vectors sharing an LSH bucket with the query across
   any of `n_tables` tables: recall tunable via tables × planes.
 - ivf_topk models the classic inverted-file index: assign each corpus
-  vector to its nearest of `n_cells` seeded centroids at build time
-  (one narrow pass), then probe only `n_probe` cells per query.
+  vector to its nearest of `n_cells` centroids at build time (one narrow
+  pass), then probe only `n_probe` cells per query.
 """
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.functions.vectors import (
-    cosine_similarity, cosine_similarity_fixed, dot_product_fixed,
+    cosine_similarity, cosine_similarity_fixed,
+)
+from serverless_data_pipeline_spark.functions.vectors_np import (
+    argmax_cell_udf, query_cosine_udf, sign_bits, sign_buckets_udf,
 )
 from serverless_data_pipeline_spark.operators.util import spread_small_input
 
@@ -36,10 +49,17 @@ def _lit_vec(vec: list[float]):
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _np_cosine(vec_col: str, query_vec: list[float]):
+    """Numpy cosine vs a constant query, NaN (zero-norm rows) mapped to
+    NULL so descending sorts behave (Spark ranks NaN above all doubles)."""
+    score = query_cosine_udf(query_vec)(F.col(vec_col))
+    return F.nanvl(score, F.lit(None).cast("double"))
+
+
 def brute_force_topk(corpus: DataFrame, id_col: str, vec_col: str,
                      query_vec: list[float], k: int = 10) -> DataFrame:
     """X3 — exact cosine top-k for one query vector (ties broken by id
-    for determinism)."""
+    for determinism). SQL-fold scoring: bit-identical to the oracle."""
     scored = corpus.select(
         F.col(id_col),
         F.round(cosine_similarity_fixed(F.col(vec_col), _lit_vec(query_vec),
@@ -77,15 +97,6 @@ def _plane_sets(dim: int, n_tables: int, n_planes: int, seed: int):
              for _ in range(n_planes)] for _ in range(n_tables)]
 
 
-def _bucket(vec_col, planes):
-    bits = None
-    for i, p in enumerate(planes):
-        bit = F.when(dot_product_fixed(vec_col, _lit_vec(p), len(p)) >= 0,
-                     F.lit(1 << i)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits.bitwiseOR(bit)
-    return bits
-
-
 def add_sign_lsh_buckets(df: DataFrame, vec_col: str, dim: int,
                          n_tables: int = 4, n_planes: int = 8,
                          seed: int = 42,
@@ -94,13 +105,14 @@ def add_sign_lsh_buckets(df: DataFrame, vec_col: str, dim: int,
     bucket column per table (``lsh_0..lsh_{n-1}``). Write the result
     partitioned/bucketed by these columns once; every subsequent query is
     then a partition-prunable equi-filter instead of recomputing
-    projections per scan (ann_topk's inline mode). One narrow pass, no
-    shuffle."""
+    projections per scan. One narrow pass, no shuffle; ALL tables' bucket
+    ids come from a single stacked matmul per Arrow batch."""
     tables = _plane_sets(dim, n_tables, n_planes, seed)
-    out = df
-    for t, planes in enumerate(tables):
-        out = out.withColumn(f"{prefix}_{t}", _bucket(F.col(vec_col), planes))
-    return out
+    bkts = sign_buckets_udf(tables, dim)(F.col(vec_col)).alias("__bkts")
+    out = df.withColumn("__bkts", bkts)
+    for t in range(n_tables):
+        out = out.withColumn(f"{prefix}_{t}", F.element_at("__bkts", t + 1))
+    return out.drop("__bkts")
 
 
 def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
@@ -108,10 +120,9 @@ def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
              n_tables: int = 4, n_planes: int = 8,
              seed: int = 42) -> DataFrame:
     """X4 — approximate top-k: score only corpus vectors that collide with
-    the query in >= 1 of `n_tables` sign-LSH tables. The bucket filter is
-    a codegen'd predicate on the scan (no shuffle, no index build); at
-    scale you would persist the bucket ids as a column and partition on
-    them.
+    the query in >= 1 of `n_tables` sign-LSH tables. Inline mode computes
+    bucket ids per scan (one stacked matmul per Arrow batch); at scale
+    persist them once via add_sign_lsh_buckets and use ann_topk_indexed.
 
     Regime caveat (measured): sign-LSH collision probability per table is
     (1 - theta/pi)^n_planes, so recall is high only when true neighbors
@@ -120,19 +131,16 @@ def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
     brute_force_topk (one scan, O(k)/task) or ivf_topk there."""
     dim = len(query_vec)
     tables = _plane_sets(dim, n_tables, n_planes, seed)
+    qbuckets = [sign_bits(query_vec, planes) for planes in tables]
+    with_b = corpus.withColumn(
+        "__bkts", sign_buckets_udf(tables, dim)(F.col(vec_col)))
     cond = None
-    for planes in tables:
-        qb = None
-        for i, p in enumerate(planes):
-            dot = sum(a * b for a, b in zip(query_vec, p))
-            qb = (qb or 0) | ((1 << i) if dot >= 0 else 0)
-        c = _bucket(F.col(vec_col), planes) == F.lit(qb)
+    for t, qb in enumerate(qbuckets):
+        c = F.element_at("__bkts", t + 1) == F.lit(qb)
         cond = c if cond is None else (cond | c)
-    scored = (corpus.filter(cond)
+    scored = (with_b.filter(cond)
               .select(F.col(id_col),
-                      F.round(cosine_similarity_fixed(
-                          F.col(vec_col), _lit_vec(query_vec),
-                          len(query_vec)), 6)
+                      F.round(_np_cosine(vec_col, query_vec), 6)
                        .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -150,17 +158,11 @@ def ann_topk_indexed(corpus: DataFrame, id_col: str, vec_col: str,
     tables = _plane_sets(dim, n_tables, n_planes, seed)
     cond = None
     for t, planes in enumerate(tables):
-        qb = 0
-        for i, p in enumerate(planes):
-            if sum(a * b for a, b in zip(query_vec, p)) >= 0:
-                qb |= 1 << i
-        c = F.col(f"{prefix}_{t}") == F.lit(qb)
+        c = F.col(f"{prefix}_{t}") == F.lit(sign_bits(query_vec, planes))
         cond = c if cond is None else (cond | c)
     scored = (corpus.filter(cond)
               .select(F.col(id_col),
-                      F.round(cosine_similarity_fixed(
-                          F.col(vec_col), _lit_vec(query_vec),
-                          len(query_vec)), 6)
+                      F.round(_np_cosine(vec_col, query_vec), 6)
                        .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -173,7 +175,7 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str,
     index-build step ivf_topk's docstring promises). At 100 TB train on a
     sample (`sample_fraction`) — k-means quality saturates long before
     full-data scans pay off. Returns plain Python centroids so the probe
-    stays in codegen'd SQL (no MLlib at query time)."""
+    stays executor-side (no MLlib at query time)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -192,9 +194,11 @@ def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,
              centroids: list[list[float]] | None = None) -> DataFrame:
     """X4 (IVF flavour) — pass `centroids` from train_ivf_centroids for a
     real trained codebook; without it, seeded random centroids stand in
-    (demo mode). Each corpus row is assigned argmax-cosine centroid,
-    queries probe the n_probe nearest cells. Assignment is one narrow
-    pass; the probe is a partition-prunable filter when the assignment is
+    (demo mode). Each corpus row is assigned its argmax-cosine centroid
+    (numpy kernel, one matmul per Arrow batch; ties break to the LOWEST
+    cell index, all-zero vectors deterministically to cell 0); queries
+    probe the n_probe nearest cells. Assignment is one narrow pass; the
+    probe is a partition-prunable filter when the assignment is
     materialized as a partition column."""
     dim = len(query_vec)
     if centroids is not None:
@@ -205,40 +209,19 @@ def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,
         cents = [[rng.gauss(0.0, 1.0) for _ in range(dim)]
                  for _ in range(n_cells)]
 
-    import math
-
-    # Cell assignment = argmax_c cos(v, c). Two expression-size reductions
-    # that keep the argmax identical: (1) |c| is a Python constant —
-    # precompute 1/|c| and multiply, instead of a 64-term norm subtree per
-    # cell per row; (2) |v| is the same for every cell, so it cancels out
-    # of the argmax and is dropped entirely. (3) argmax via array_max over
-    # (score, idx) structs evaluates the score array ONCE —
-    # array_position(arr, array_max(arr)) duplicates the whole array
-    # expression. Before these, Catalyst spent ~10 min analyzing the
-    # ~6,000-node tree at 16 cells x dim 64; after, the plan compiles in
-    # seconds with the same assignment.
-    inv_norm = [1.0 / (math.sqrt(sum(x * x for x in c)) or 1.0)
-                for c in cents]
-    cell_scores = [
-        (dot_product_fixed(F.col(vec_col), _lit_vec(c), dim)
-         * F.lit(inv_norm[ci])).alias("s")
-        for ci, c in enumerate(cents)]
-    best = F.array_max(F.array(*[
-        F.struct(s, F.lit(ci).alias("c"))
-        for ci, s in enumerate(cell_scores)]))
     assigned = corpus.select(
-        F.col(id_col), F.col(vec_col), best["c"].alias("__cell"))
+        F.col(id_col), F.col(vec_col),
+        argmax_cell_udf(cents, dim)(F.col(vec_col)).alias("__cell"))
     qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     qsims = []
     for ci, c in enumerate(cents):
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        qsims.append((sum(a * b for a, b in zip(query_vec, c)) / (qnorm * cn), ci))
-    probe = [ci for _, ci in sorted(qsims, reverse=True)[:n_probe]]
+        qsims.append((sum(a * b for a, b in zip(query_vec, c)) / (qnorm * cn),
+                      -ci))
+    probe = [-nci for _, nci in sorted(qsims, reverse=True)[:n_probe]]
 
     scored = (assigned.filter(F.col("__cell").isin(probe))
               .select(F.col(id_col),
-                      F.round(cosine_similarity_fixed(
-                          F.col(vec_col), _lit_vec(query_vec),
-                          len(query_vec)), 6)
+                      F.round(_np_cosine(vec_col, query_vec), 6)
                        .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)

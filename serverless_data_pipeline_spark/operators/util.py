@@ -13,10 +13,17 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     Repartition up to the session default parallelism ONLY when the scan
     is under-partitioned — at 100 TB inputs have thousands of row groups
     and this is a no-op (no shuffle added). Streaming frames pass through
-    untouched (micro-batch sizing owns their parallelism)."""
+    untouched (micro-batch sizing owns their parallelism).
+
+    The probe is ``inputFiles()`` (driver-side file listing off the
+    analyzed plan) — NOT ``df.rdd.getNumPartitions()``, which converts
+    the plan to an RDD on every call and bypasses AQE sizing. In-memory
+    frames (no files) pass through: createDataFrame already spreads rows
+    across defaultParallelism partitions."""
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    n_files = len(df.inputFiles())
+    if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df

@@ -52,15 +52,26 @@ class StateTable:
         partition. Each append() commits a 1-row parquet file — correct as
         an audit trail, but a long-lived pipeline accumulates small files
         (listing cost grows linearly). Run periodically; returns the row
-        count preserved."""
+        count preserved.
+
+        The delete+rename swap goes through the Hadoop FileSystem API so
+        it behaves the same on any path scheme the other writers accept
+        (local, HDFS, object stores). SINGLE-WRITER constraint: an
+        append() racing the swap window can be lost — compaction assumes
+        the same exclusive-writer discipline as the pipeline scheduler
+        that owns this state table."""
         snapshot = self.history().cache()
         n = snapshot.count()
         tmp = self.path + "__compact"
         snapshot.coalesce(1).write.mode("overwrite").parquet(tmp)
         snapshot.unpersist()
-        import shutil
-        shutil.rmtree(self.path)
-        shutil.move(tmp, self.path)
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = jpath.getFileSystem(
+            self.spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+        fs.rename(jtmp, jpath)
         return n
 
     def current(self) -> DataFrame:

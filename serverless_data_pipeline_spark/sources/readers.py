@@ -38,8 +38,10 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``_corrupt_record`` — the engine-side errors/ prefix split (py:198).
     Spark disallows predicates that reference only the corrupt column on
     an uncached raw scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
-    COLUMN), so the parsed frame is cached here; callers unpersist via
-    ``good.unpersist()`` lineage when done with both splits."""
+    COLUMN), so the parsed frame is cached here. The cache lives on the
+    INPUT ``df`` (unpersist on the derived splits is a no-op on the
+    parent); release it with ``df.unpersist()`` when done with both
+    splits."""
     cached = df.cache()
     good = cached.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = cached.filter(F.col(CORRUPT_COL).isNotNull())
