@@ -25,20 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: flagship agg, 3-table join, as-of join, windowed agg,
-# minhash dedup, dedup clustering, brute-force similarity, text quality.
+# window-function suite, LSH dedup flavours, dedup clustering, ANN +
+# brute-force similarity, text analysis, end-to-end corpus pipeline.
 HEADLINE = (
     "g1_groupby_agg",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q10_returned_items",
     "j7_asof_join",
-    "st3_tumbling",
-    "w_running_sum",
+    "st3_window_agg",
+    "w_window_suite",
     "x1_dedup_latest",
-    "x2_minhash_lsh",
+    "x2_lsh_pairs",
     "x2_dedup_clusters",
     "x3_topk_similarity",
-    "x5_quality_features",
+    "x4_ann_topk",
+    "x5_text_signals",
+    "x7_corpus_exact",
 )
 
 

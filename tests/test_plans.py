@@ -17,16 +17,16 @@ def _plan(spark, name):
 
 
 def test_filter_pushdown_reaches_scan(spark):
-    plan = _plan(spark, "t7_filter")
+    plan = _plan(spark, "t7_filter_project")
     scan = plan[plan.index("FileScan"):]
     assert "PushedFilters" in scan
     assert "l_quantity" in scan.split("PushedFilters")[1][:200]
 
 
 def test_projection_prunes_scan_columns(spark):
-    plan = _plan(spark, "t7_filter")
+    plan = _plan(spark, "t7_filter_project")
     read_schema = plan.split("ReadSchema")[-1]
-    assert "l_extendedprice" not in read_schema  # unused column not read
+    assert "l_tax" not in read_schema  # unused column not read
 
 
 def test_agg_is_partial_then_final(spark):
@@ -54,7 +54,7 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_no_cartesian_in_dedup(spark):
-    for name in ("x2_minhash_lsh", "x2_ngram_jaccard", "x2_simhash"):
+    for name in ("x2_lsh_pairs", "x2_ngram_jaccard"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
@@ -72,7 +72,7 @@ def test_q5_star_join_all_broadcast(spark):
 def test_grouping_sets_single_expand_pass(spark):
     """GROUPING SETS plans one Expand + one aggregation pipeline — not one
     rescan per grouping set."""
-    plan = _plan(spark, "g3_grouping_sets")
+    plan = _plan(spark, "g3_grouping_multi")
     assert plan.count("Expand") == 1
     assert plan.count("FileScan") == 1
 
@@ -107,7 +107,7 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 def test_vocabulary_partial_count_then_topn(spark):
     """Vocabulary build: map-side partial counts before the shuffle and an
     O(top_n) heap instead of a global sort."""
-    plan = _plan(spark, "x8_vocab_topn")
+    plan = _plan(spark, "x8_split_vocab")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
 
@@ -120,8 +120,9 @@ def test_seq_packing_single_shuffle(spark):
 
 
 def test_pivot_single_aggregation_pass(spark):
-    """Pivot with an explicit value list: one scan + partial/final agg —
-    no extra distinct-scan job to discover pivot values."""
-    plan = _plan(spark, "g7_pivot")
-    assert plan.count("FileScan") == 1
+    """Pivot with an explicit value list: no extra distinct-scan job to
+    discover pivot values — the merged filtered+pivot query reads orders
+    exactly twice (one scan per aggregation arm), never a third time."""
+    plan = _plan(spark, "g5_filtered_pivot")
+    assert plan.count("FileScan") <= 2
     assert "partial_sum" in plan.lower() or "partial" in plan
