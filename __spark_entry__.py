@@ -898,6 +898,19 @@ def _q_x8_seq_packing(spark, sf):
                           budget=512, n_shards=8)
 
 
+def _q_x9_corpus_mix(spark, sf):
+    """X9 — weighted corpus mixing: rebalance the documents table to a
+    target language mixture (keep all rare-language docs, downsample the
+    dominant languages) with a deterministic md5-ranked per-group quota.
+    Engine-portable by construction, so the whole sampling decision is
+    value-checked against DuckDB."""
+    from serverless_data_pipeline_spark.operators.corpus import corpus_mix
+    mixed = corpus_mix(_t(spark, sf, "documents"), "lang", "doc_id",
+                       {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0,
+                        "zh": 0.5})
+    return mixed.select("doc_id", "lang", "sample_rank")
+
+
 def _q_x6_binary_udfs(spark, sf):
     """X6 — both binary-payload UDF paths in one rows-only query: the
     Arrow-batched decode/featurize stub (mapInPandas) joined with the
@@ -1459,6 +1472,20 @@ def oracle_sql() -> dict[str, str]:
                                     AS BIGINT) AS n_tokens,
                                CAST(doc_id % 8 AS INTEGER) AS shard
                         FROM documents))""",
+        "x9_corpus_mix": """
+            WITH wts(lang, frac) AS (VALUES ('en', 0.25), ('de', 1.0),
+                                            ('es', 1.0), ('fr', 1.0),
+                                            ('zh', 0.5)),
+            r AS (SELECT doc_id, lang,
+                         CAST(ROW_NUMBER() OVER (
+                             PARTITION BY lang
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                           AS INTEGER) AS sample_rank,
+                         COUNT(*) OVER (PARTITION BY lang) AS n
+                  FROM documents)
+            SELECT doc_id, lang, sample_rank
+            FROM r JOIN wts USING (lang)
+            WHERE sample_rank <= CEIL(frac * n)""",
         "x5_text_signals": f"""
             WITH t AS (SELECT doc_id, text,
                               {_TOKENS_SQL.format(c='lower(text)')} AS toks

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.functions.text import token_count, tokens
 
-__all__ = ["train_test_split", "vocabulary", "pack_sequences"]
+__all__ = ["train_test_split", "vocabulary", "pack_sequences", "corpus_mix"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -39,6 +39,37 @@ def train_test_split(df: DataFrame, id_col: str,
               .withColumn("split",
                           F.when(F.col("split_id") < train_cutoff, "train")
                            .otherwise("eval")))
+
+
+def corpus_mix(df: DataFrame, group_col: str, id_col: str,
+               weights: dict[str, float]) -> DataFrame:
+    """Weighted corpus mixing: downsample each group (language, source,
+    domain...) to a target fraction, the way pretraining mixtures rebalance
+    a crawl (e.g. cap boilerplate-heavy sources, upweight rare languages by
+    keeping 100 % of them). Keeps ``ceil(frac * n_group)`` rows per group;
+    groups absent from ``weights`` are dropped (an explicit mixture is a
+    whitelist).
+
+    Deterministic and engine-portable: rows are ranked inside each group by
+    ``md5(id)`` — a stable avalanche ordering, so the kept subset is a
+    uniform pseudo-random sample that never changes across runs, partition
+    layouts, or engines (unlike ``sample()``/``rand()``, whose membership
+    depends on partitioning). Plan: one shuffle (the per-group window) plus
+    a broadcast of the tiny weights table; no Python in the row path, so
+    the same plan runs on a 100 TB corpus."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(list(weights.items()),
+                                f"{group_col} string, __frac double")
+    order = F.md5(F.col(id_col).cast("string"))
+    w_rank = Window.partitionBy(group_col).orderBy(order, id_col)
+    w_grp = Window.partitionBy(group_col)
+    ranked = (df.join(F.broadcast(wdf), group_col)
+                .withColumn("sample_rank", F.row_number().over(w_rank))
+                .withColumn("__quota",
+                            F.ceil(F.col("__frac")
+                                   * F.count("*").over(w_grp))))
+    return (ranked.filter(F.col("sample_rank") <= F.col("__quota"))
+                  .drop("__frac", "__quota"))
 
 
 def vocabulary(df: DataFrame, text_col: str,

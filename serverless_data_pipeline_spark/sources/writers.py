@@ -72,6 +72,61 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
     w.saveAsTable(table)
 
 
+def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
+                    n_files: int = 32, mode: str = "overwrite",
+                    config: EngineConfig = DEFAULT_CONFIG) -> None:
+    """Range-clustered layout: each output file covers a (near-)disjoint
+    range of the cluster key, so parquet min/max footer stats prune whole
+    files for range predicates — data skipping without an index, the lake
+    analogue of clustering/Z-order on a single key. Partition layout
+    (year=/day=) prunes on TIME; this prunes on VALUE columns inside each
+    partition. One range shuffle at write time (sampling pass picks the
+    range bounds), then files stay sorted forever.
+
+    ``repartitionByRange`` assigns disjoint key ranges per output
+    partition; ``sortWithinPartitions`` additionally sorts rows inside the
+    file so row-group (not just file) stats are tight."""
+    cols = [F.col(c) for c in cluster_cols]
+    (df.repartitionByRange(n_files, *cols)
+       .sortWithinPartitions(*cols)
+       .write.mode(mode)
+       .option("compression", config.sink_compression)
+       .option("maxRecordsPerFile", config.max_records_per_file)
+       .parquet(path))
+
+
+def merge_upsert(spark, target_path: str, updates: DataFrame,
+                 keys: list[str]) -> int:
+    """MERGE/upsert on a plain-parquet target: rows in ``updates`` replace
+    target rows with the same key; new keys are inserted (update-else-
+    insert, the DynamoDB put_item contract of the reference's state table,
+    py:325-339, generalized to data). Plan: one left-anti join (target
+    rows NOT being updated) + union — no row-at-a-time logic, and with
+    ``updates`` small it is a broadcast anti-join against a single target
+    scan.
+
+    Parquet can't be overwritten while a lazy plan still reads it, so the
+    merged result is materialized to a sibling temp dir and swapped in via
+    the Hadoop FileSystem API (path-scheme-agnostic; same SINGLE-WRITER
+    discipline as StateTable.compact). At real lake scale prefer a
+    table format (Delta/Iceberg) whose MERGE rewrites only matching files;
+    this is the format-free equivalent with whole-table rewrite cost.
+    Returns the merged row count."""
+    target = spark.read.parquet(target_path)
+    merged = (target.join(F.broadcast(updates.select(*keys)), keys,
+                          "left_anti")
+                    .unionByName(updates))
+    tmp = target_path.rstrip("/") + "__merge"
+    merged.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(target_path)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+    fs.rename(jtmp, jpath)
+    return spark.read.parquet(target_path).count()
+
+
 def overwrite_partitions(df: DataFrame, path: str, ts_col: str = "ts",
                          config: EngineConfig = DEFAULT_CONFIG) -> None:
     """Idempotent partition reprocessing: rewrite ONLY the partitions

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.operators.corpus import (
-    pack_sequences, train_test_split, vocabulary,
+    corpus_mix, pack_sequences, train_test_split, vocabulary,
 )
 
 
@@ -40,6 +40,36 @@ def test_train_split_hashed_stable_under_growth(spark):
     s = {r.doc_id: r.split_id for r in small.collect()}
     b = {r.doc_id: r.split_id for r in big.collect()}
     assert all(b[k] == v for k, v in s.items())
+
+
+def test_corpus_mix_quota_and_whitelist(spark):
+    df = (spark.range(0, 300).withColumnRenamed("id", "doc_id")
+          .withColumn("grp", F.when(F.col("doc_id") < 200, "big")
+                              .when(F.col("doc_id") < 280, "small")
+                              .otherwise("excluded")))
+    out = corpus_mix(df, "grp", "doc_id", {"big": 0.25, "small": 1.0})
+    per = {r.grp: r.n for r in
+           out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert per == {"big": 50, "small": 80}  # ceil(0.25*200), all of small
+    # ranks are a dense 1..quota per group
+    ranks = sorted(r.sample_rank for r in
+                   out.filter(F.col("grp") == "big").collect())
+    assert ranks == list(range(1, 51))
+
+
+def test_corpus_mix_deterministic_and_stable_subset(spark):
+    # Same input -> identical kept set; halving the quota keeps a strict
+    # prefix of the md5 ranking (monotone mixtures never resample).
+    df = (spark.range(0, 400).withColumnRenamed("id", "doc_id")
+          .withColumn("grp", F.lit("g")))
+    half = {r.doc_id for r in
+            corpus_mix(df, "grp", "doc_id", {"g": 0.5}).collect()}
+    again = {r.doc_id for r in
+             corpus_mix(df, "grp", "doc_id", {"g": 0.5}).collect()}
+    quarter = {r.doc_id for r in
+               corpus_mix(df, "grp", "doc_id", {"g": 0.25}).collect()}
+    assert half == again and len(half) == 200
+    assert quarter < half and len(quarter) == 100
 
 
 def test_vocabulary_ranking_and_ties(spark):

@@ -11,8 +11,8 @@ from serverless_data_pipeline_spark.config import EngineConfig
 from serverless_data_pipeline_spark.operators.stages import chunked_transform
 from serverless_data_pipeline_spark.sources.readers import read_stream_files
 from serverless_data_pipeline_spark.sources.writers import (
-    apply_retention, overwrite_partitions, with_partition_columns,
-    write_partitioned_parquet,
+    apply_retention, merge_upsert, overwrite_partitions,
+    with_partition_columns, write_clustered, write_partitioned_parquet,
 )
 from serverless_data_pipeline_spark.streaming.sinks import (
     start_partitioned_stream,
@@ -95,6 +95,63 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_facts")
         spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+def test_clustered_write_files_cover_disjoint_ranges(spark, tmp_path):
+    """write_clustered's data-skipping contract: per-file [min, max] of the
+    cluster key must be pairwise disjoint, so a range predicate prunes
+    whole files from the parquet footer stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10000).withColumn(
+        "v", F.pmod(F.col("id") * 37, F.lit(10000)).cast("double"))
+    write_clustered(df, path, ["v"], n_files=8)
+    spans = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)
+            assert col.path_in_schema == "v"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) >= 4  # range partitioner actually fanned out
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo  # no overlap between consecutive files
+    total = spark.read.parquet(path).count()
+    assert total == 10000
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, name string, v double").write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 20.0), (4, "d", 4.0)], "id long, name string, v double")
+    n = merge_upsert(spark, path, updates, ["id"])
+    assert n == 4
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 20.0),
+                   3: ("c", 3.0), 4: ("d", 4.0)}
+
+
+def test_merge_upsert_idempotent_replay(spark, tmp_path):
+    """Replaying the same update batch (the reference's SQS redrive,
+    py:133-137) must not duplicate rows."""
+    path = str(tmp_path / "target")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(path)
+    updates = spark.createDataFrame([(1, 9.0), (2, 2.0)], "id long, v double")
+    merge_upsert(spark, path, updates, ["id"])
+    n = merge_upsert(spark, path, updates, ["id"])
+    assert n == 2
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 9.0, 2: 2.0}
 
 
 def test_partitioned_stream_sink(spark, tmp_path):
