@@ -812,7 +812,7 @@ def _q_x2_lsh_pairs(spark, sf):
 def _q_x2_ngram_jaccard(spark, sf):
     """X2 — exact n-gram Jaccard pairs via inverted index."""
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
-                               n=3, threshold=0.4)
+                               n=3, threshold=0.4, materialize_index=True)
 
 
 def _q_x2_dedup_clusters(spark, sf):
@@ -825,7 +825,8 @@ def _q_x2_dedup_clusters(spark, sf):
     is value-checked. component_id = min doc_id transitively reachable —
     the canonical-doc semantics a corpus dedup keeps."""
     pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
-                                n=3, threshold=0.4, max_doc_freq=100)
+                                n=3, threshold=0.4, max_doc_freq=100,
+                                materialize_index=True)
     return (neardup_components(pairs)
             .select(F.col("id").alias("doc_id"), "component_id"))
 

@@ -68,6 +68,21 @@ def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
     assert capped.count() == 0           # pruned -> no candidates at all
 
 
+def test_ngram_jaccard_materialized_index_same_result(spark):
+    # The checkpointed inverted-index mode is a pure physical choice:
+    # identical pairs/values either way.
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f"), (3, "p q r s t"),
+         (4, "p q r s u")], "doc_id long, text string")
+    plain = {(r.id_a, r.id_b, r.jaccard) for r in
+             ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                                 threshold=0.3).collect()}
+    mat = {(r.id_a, r.id_b, r.jaccard) for r in
+           ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.3,
+                               materialize_index=True).collect()}
+    assert plain == mat and len(plain) == 2
+
+
 def test_embedding_neardup_planted(spark):
     base = [1.0, 0.5, -0.2, 0.8]
     near = [1.01, 0.49, -0.21, 0.79]

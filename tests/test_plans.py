@@ -119,6 +119,15 @@ def test_seq_packing_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_corpus_mix_broadcast_weights_single_window_shuffle(spark):
+    """corpus_mix: the weights table must arrive via broadcast (never a
+    shuffled join for a 5-row dim) and both window functions share ONE
+    hash exchange on the group column."""
+    plan = _plan(spark, "x9_corpus_mix")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_pivot_single_aggregation_pass(spark):
     """Pivot with an explicit value list: no extra distinct-scan job to
     discover pivot values — the merged filtered+pivot query reads orders
