@@ -54,25 +54,16 @@ class StateTable:
         (listing cost grows linearly). Run periodically; returns the row
         count preserved.
 
-        The delete+rename swap goes through the Hadoop FileSystem API so
-        it behaves the same on any path scheme the other writers accept
-        (local, HDFS, object stores). SINGLE-WRITER constraint: an
-        append() racing the swap window can be lost — compaction assumes
-        the same exclusive-writer discipline as the pipeline scheduler
-        that owns this state table."""
-        snapshot = self.history().cache()
-        n = snapshot.count()
-        tmp = self.path + "__compact"
-        snapshot.coalesce(1).write.mode("overwrite").parquet(tmp)
-        snapshot.unpersist()
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = jpath.getFileSystem(
-            self.spark._jsc.hadoopConfiguration())
-        fs.delete(jpath, True)
-        fs.rename(jtmp, jpath)
-        return n
+        The swap goes through sources.writers.swap_into_place (Hadoop
+        FileSystem API — path-scheme-agnostic). SINGLE-WRITER constraint:
+        an append() racing the swap window can be lost — compaction
+        assumes the same exclusive-writer discipline as the pipeline
+        scheduler that owns this state table."""
+        from serverless_data_pipeline_spark.sources.writers import (
+            compact_table,
+        )
+
+        return compact_table(self.spark, self.path, target_partitions=1)
 
     def current(self) -> DataFrame:
         """Latest status per pipeline (keep-latest window, X1 pattern)."""

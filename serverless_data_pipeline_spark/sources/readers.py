@@ -33,6 +33,28 @@ def read_json_raw(spark: SparkSession, path: str,
     return reader.json(path)
 
 
+def read_csv_raw(spark: SparkSession, path: str,
+                 schema: T.StructType | None = None,
+                 header: bool = True, sep: str = ",") -> DataFrame:
+    """S1 (CSV flavour) — the Athena/Glue surface catalogs CSV alongside
+    JSON (crawler, py:602-616; the API accepts a `data_type` field,
+    md:174, not a fixed format). Same PERMISSIVE + _corrupt_record
+    contract as read_json_raw, so the quarantine split (split_corrupt)
+    works identically. With an explicit schema the read is single-pass;
+    without one Spark runs an extra inference pass over the files — never
+    acceptable at scale, so production call sites pass the registry
+    schema."""
+    reader = (spark.read.option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", CORRUPT_COL)
+              .option("header", str(header).lower())
+              .option("sep", sep))
+    if schema is not None:
+        schema = T.StructType(
+            [*schema.fields, T.StructField(CORRUPT_COL, T.StringType())])
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a permissively-read frame into (good, corrupt) on
     ``_corrupt_record`` — the engine-side errors/ prefix split (py:198).

@@ -95,6 +95,38 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
        .parquet(path))
 
 
+def swap_into_place(spark, tmp_path: str, target_path: str) -> None:
+    """Replace ``target_path`` with ``tmp_path`` via the Hadoop FileSystem
+    API — path-scheme-agnostic (local, HDFS, object stores), unlike
+    shutil. NOT atomic on object stores (rename = copy+delete there);
+    callers own the SINGLE-WRITER discipline: no concurrent writer may
+    touch the target during the swap window."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(target_path)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+    fs.rename(jtmp, jpath)
+
+
+def compact_table(spark, path: str, target_partitions: int = 32) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_partitions`` files. Streaming sinks and per-batch appends
+    accumulate tiny files whose listing + open cost eventually dominates
+    scan time (the classic lake small-files problem; the reference's
+    Firehose buffers exist for exactly this reason, py:199-202). Run
+    periodically from the same scheduler slot as apply_retention.
+    Returns the row count preserved. Coalesce, not repartition: a
+    file-count reduction needs no shuffle."""
+    snapshot = spark.read.parquet(path).cache()
+    n = snapshot.count()
+    tmp = path.rstrip("/") + "__compact"
+    snapshot.coalesce(target_partitions).write.mode("overwrite").parquet(tmp)
+    snapshot.unpersist()
+    swap_into_place(spark, tmp, path)
+    return n
+
+
 def merge_upsert(spark, target_path: str, updates: DataFrame,
                  keys: list[str]) -> int:
     """MERGE/upsert on a plain-parquet target: rows in ``updates`` replace
@@ -118,12 +150,7 @@ def merge_upsert(spark, target_path: str, updates: DataFrame,
                     .unionByName(updates))
     tmp = target_path.rstrip("/") + "__merge"
     merged.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(target_path)
-    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(jpath, True)
-    fs.rename(jtmp, jpath)
+    swap_into_place(spark, tmp, target_path)
     return spark.read.parquet(target_path).count()
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import types as T
 
 from serverless_data_pipeline_spark.sources.readers import (
-    CORRUPT_COL, read_json_raw, split_corrupt,
+    CORRUPT_COL, read_csv_raw, read_json_raw, split_corrupt,
 )
 
 SCHEMA = T.StructType([
@@ -27,6 +27,19 @@ def test_corrupt_lines_quarantined_not_fatal(spark, tmp_path):
     assert CORRUPT_COL not in good.columns
     assert bad.count() == 1
     assert bad.first()[CORRUPT_COL] == "not json at all"
+
+
+def test_csv_corrupt_lines_quarantined(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id,name\n"
+                 "1,ok\n"
+                 "not-a-long,broken\n"
+                 "2,fine\n")
+    df = read_csv_raw(spark, str(p), SCHEMA)
+    good, bad = split_corrupt(df)
+    assert sorted(r.id for r in good.collect()) == [1, 2]
+    assert bad.count() == 1
+    assert "not-a-long" in bad.first()[CORRUPT_COL]
 
 
 def test_schema_on_read_no_inference(spark, tmp_path):

@@ -11,7 +11,7 @@ from serverless_data_pipeline_spark.config import EngineConfig
 from serverless_data_pipeline_spark.operators.stages import chunked_transform
 from serverless_data_pipeline_spark.sources.readers import read_stream_files
 from serverless_data_pipeline_spark.sources.writers import (
-    apply_retention, merge_upsert, overwrite_partitions,
+    apply_retention, compact_table, merge_upsert, overwrite_partitions,
     with_partition_columns, write_clustered, write_partitioned_parquet,
 )
 from serverless_data_pipeline_spark.streaming.sinks import (
@@ -152,6 +152,18 @@ def test_merge_upsert_idempotent_replay(spark, tmp_path):
     assert n == 2
     got = {r.id: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: 9.0, 2: 2.0}
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "many")
+    spark.range(0, 1000).repartition(25).write.parquet(path)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 25
+    n = compact_table(spark, path, target_partitions=2)
+    assert n == 1000
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) <= 2
+    assert spark.read.parquet(path).count() == 1000
 
 
 def test_partitioned_stream_sink(spark, tmp_path):
