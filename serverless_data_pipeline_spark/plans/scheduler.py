@@ -1,0 +1,61 @@
+"""S9 — scheduled batch trigger (py:658-666).
+
+The reference kicks the pipeline on an hourly EventBridge rate rule
+(`Schedule.rate(Duration.hours(1))`, py:660) targeting the Step Functions
+state machine. On Spark the equivalent is a driver-side loop that launches
+a batch (or drains an `availableNow` streaming trigger) every interval —
+scheduling is deliberately NOT an engine concern, so this stays a thin,
+dependency-free utility: a production deployment replaces it with cron /
+Airflow and calls the same `run_once` callable.
+
+Clock and sleep are injectable so the schedule logic is unit-testable
+without wall-clock waits, and `run_pending`-style drift handling is
+explicit: ticks are computed from the schedule origin (fixed-rate, like
+EventBridge), not from "last finish + interval" (fixed-delay), so a slow
+run does not push every later run later.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+
+@dataclass
+class ScheduledTrigger:
+    """Fixed-rate scheduler for batch pipeline runs.
+
+    `run_once` is the work unit (e.g. `lambda: run_pipeline(spark, ...)`
+    or draining a `Trigger.availableNow` streaming query). `interval_s`
+    matches the reference's rate rule granularity. `clock`/`sleep` default
+    to wall time; tests inject fakes."""
+
+    run_once: Callable[[], object]
+    interval_s: float = 3600.0
+    clock: Callable[[], float] = time.monotonic
+    sleep: Callable[[float], None] = time.sleep
+    runs: list[float] = field(default_factory=list)
+
+    def next_tick(self, origin: float, now: float) -> float:
+        """First fixed-rate tick strictly after `now`: origin + k*interval.
+        A run that overruns one whole interval SKIPS the missed tick
+        (EventBridge semantics — no backlog of stacked catch-up runs)."""
+        elapsed = max(0.0, now - origin)
+        k = int(elapsed // self.interval_s) + 1
+        return origin + k * self.interval_s
+
+    def run(self, max_runs: int) -> list[float]:
+        """Run `max_runs` scheduled executions, first one immediately (the
+        reference's rule fires on creation schedule; immediate first run
+        makes behavior deterministic for tests and backfills). Returns the
+        start offset of each run relative to the schedule origin."""
+        origin = self.clock()
+        for _ in range(max_runs):
+            start = self.clock()
+            self.runs.append(start - origin)
+            self.run_once()
+            nxt = self.next_tick(origin, self.clock())
+            if len(self.runs) < max_runs:
+                self.sleep(max(0.0, nxt - self.clock()))
+        return self.runs
