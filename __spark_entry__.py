@@ -832,10 +832,26 @@ def _q_x2_dedup_clusters(spark, sf):
 
 
 def _q_x4_ann_topk(spark, sf):
-    """X4 — sign-LSH approximate top-k (recall asserted in tests)."""
+    """X4 — both ANN query shapes in one tagged union (rows-only; recall
+    vs exact asserted in tests/test_similarity.py): the single-vector
+    sign-LSH probe (query_id = -1) and the two-table batch ANN join
+    (bucket-collision equi-join, 5 query vectors), the scale path when
+    the query set is too large to broadcast."""
+    from serverless_data_pipeline_spark.operators.similarity import (
+        ann_topk_join,
+    )
+    e = _t(spark, sf, "embeddings")
     q = [0.1] * 64
-    return ann_topk(_t(spark, sf, "embeddings"), "vec_id", "embedding", q,
-                    k=10, n_tables=2, n_planes=8)
+    single = (ann_topk(e, "vec_id", "embedding", q, k=10,
+                       n_tables=2, n_planes=8)
+              .select(F.lit(-1).cast("long").alias("query_id"),
+                      F.col("vec_id").alias("neighbor_id"), "cosine"))
+    queries_df = e.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id as q_id", "embedding as qvec")
+    batch = ann_topk_join(queries_df, e, "q_id", "qvec",
+                          "vec_id", "embedding", dim=64, k=10,
+                          n_tables=2, n_planes=8)
+    return single.unionAll(batch)
 
 
 def _q_x4_ivf_topk(spark, sf):

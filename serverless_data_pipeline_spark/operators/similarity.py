@@ -36,13 +36,14 @@ from serverless_data_pipeline_spark.functions.vectors import (
     cosine_similarity, cosine_similarity_fixed,
 )
 from serverless_data_pipeline_spark.functions.vectors_np import (
-    argmax_cell_udf, query_cosine_udf, sign_bits, sign_buckets_udf,
+    argmax_cell_udf, pair_cosine_udf, query_cosine_udf, sign_bits,
+    sign_buckets_udf,
 )
 from serverless_data_pipeline_spark.operators.util import spread_small_input
 
 __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
-           "ann_topk_indexed", "ivf_topk", "train_ivf_centroids",
-           "add_sign_lsh_buckets"]
+           "ann_topk_join", "ann_topk_indexed", "ivf_topk",
+           "train_ivf_centroids", "add_sign_lsh_buckets"]
 
 
 def _lit_vec(vec: list[float]):
@@ -143,6 +144,49 @@ def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
                       F.round(_np_cosine(vec_col, query_vec), 6)
                        .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def ann_topk_join(queries: DataFrame, corpus: DataFrame,
+                  q_id: str, q_vec: str, c_id: str, c_vec: str,
+                  dim: int, k: int = 10,
+                  n_tables: int = 4, n_planes: int = 8,
+                  seed: int = 42) -> DataFrame:
+    """X4 batch form — approximate top-k for EVERY query row. The scale
+    path when the query set is itself too large to broadcast-cross-join
+    (brute_force_topk_join): bucket BOTH sides with the same sign-LSH
+    plane tables, explode each side to (table, bucket) keys, and
+    equi-join — a shuffled hash join whose only pairs are same-bucket
+    collisions, never |Q| x |C|. Candidates dedupe (a pair can collide in
+    several tables) before one pairwise numpy-cosine verification, then
+    per-query top-k via window. Shuffles: the bucket join + the top-k
+    window; both keyed, both AQE-skew-splittable. Same recall regime as
+    ann_topk (high-cosine neighbors; tables x planes tunes it)."""
+    def _exploded(df, id_in, vec_in, id_out, vec_out):
+        b = add_sign_lsh_buckets(df, vec_in, dim, n_tables, n_planes, seed)
+        pairs = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     F.col(f"lsh_{t}").alias("bkt"))
+            for t in range(n_tables)])
+        return (b.select(F.col(id_in).alias(id_out),
+                         F.col(vec_in).alias(vec_out),
+                         F.explode(pairs).alias("__tb"))
+                 .select(id_out, vec_out,
+                         F.col("__tb.tbl").alias("__tbl"),
+                         F.col("__tb.bkt").alias("__bkt")))
+
+    qx = _exploded(queries, q_id, q_vec, "query_id", "__qv")
+    cx = _exploded(corpus, c_id, c_vec, "neighbor_id", "__cv")
+    cand = (qx.join(cx, ["__tbl", "__bkt"])
+              .dropDuplicates(["query_id", "neighbor_id"]))
+    score = pair_cosine_udf(dim)(F.col("__qv"), F.col("__cv"))
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(F.nanvl(score, F.lit(None).cast("double")), 6)
+         .alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id"))
+    return (scored.withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= k).drop("__rnk"))
 
 
 def ann_topk_indexed(corpus: DataFrame, id_col: str, vec_col: str,

@@ -6,8 +6,8 @@ import math
 import random
 
 from serverless_data_pipeline_spark.operators.similarity import (
-    add_sign_lsh_buckets, ann_topk, ann_topk_indexed, brute_force_topk,
-    brute_force_topk_join, ivf_topk,
+    add_sign_lsh_buckets, ann_topk, ann_topk_indexed, ann_topk_join,
+    brute_force_topk, brute_force_topk_join, ivf_topk,
 )
 
 
@@ -53,6 +53,38 @@ def test_ann_recall_against_exact(spark):
                        n_tables=4, n_planes=8, seed=42).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"ANN recall {recall} < 0.8"
+
+
+def test_ann_join_recall_against_exact_join(spark):
+    """Two-table ANN join: per-query recall vs the exact broadcast join
+    over the same clustered corpus. A query collides with its own
+    cluster's members in >= 1 table with high probability at 4x8."""
+    rows, centers = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(
+        [(qi, c) for qi, c in enumerate(centers)],
+        "q_id long, qvec array<float>")
+    exact = brute_force_topk_join(queries, df, "q_id", "qvec",
+                                  "vec_id", "embedding", k=10).collect()
+    approx = ann_topk_join(queries, df, "q_id", "qvec",
+                           "vec_id", "embedding", dim=16, k=10,
+                           n_tables=4, n_planes=8, seed=42).collect()
+    for qi in range(3):
+        e = {r.neighbor_id for r in exact if r.query_id == qi}
+        a = {r.neighbor_id for r in approx if r.query_id == qi}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.8, f"query {qi}: recall {recall} < 0.8"
+
+
+def test_ann_join_no_duplicate_candidates(spark):
+    """A pair colliding in several LSH tables must appear once."""
+    rows, _ = _clustered()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.limit(2).selectExpr("vec_id as q_id", "embedding as qvec")
+    out = ann_topk_join(queries, df, "q_id", "qvec", "vec_id", "embedding",
+                        dim=16, k=60, n_tables=4, n_planes=4, seed=1)
+    pairs = [(r.query_id, r.neighbor_id) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
 
 
 def test_ann_indexed_matches_inline(spark):
