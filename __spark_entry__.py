@@ -752,16 +752,37 @@ def _q_x6_media_suite(spark, sf):
 
 
 def _q_udf_pandas_vectorized(spark, sf):
-    """UDF — Arrow-batched pandas UDF surface (the Lambda-body analogue,
-    SURVEY §2.9). Arithmetic-only so the oracle matches bit-exactly."""
+    """UDF — BOTH Python-boundary shapes of SURVEY §2.9 in one tagged
+    union, each against a relational oracle: a scalar Arrow-batched
+    pandas UDF (arithmetic-only, bit-exact) and the grouped-map
+    applyInPandas UDAF shape (per-language embedding centroid; the val
+    column is the centroid's L2 norm, 6dp — numpy group mean vs DuckDB
+    per-position AVG agree far beyond that rounding)."""
     from pyspark.sql.functions import pandas_udf
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        group_centroids,
+    )
 
     @pandas_udf("double")
     def half_plus_one(v: pd.Series) -> pd.Series:
         return v * 0.5 + 1.0
 
-    return _t(spark, sf, "events").select(
-        "event_id", half_plus_one("value").alias("scaled"))
+    scalar = _t(spark, sf, "events").select(
+        F.lit("scalar").alias("kind"),
+        F.col("event_id").cast("string").alias("key"),
+        half_plus_one("value").alias("val"))
+    tagged = (_t(spark, sf, "embeddings")
+              .join(_t(spark, sf, "documents"),
+                    F.col("vec_id") == F.col("doc_id"))
+              .select("lang", "embedding"))
+    cents = group_centroids(tagged, "lang", "embedding", dim=64)
+    grouped = cents.select(
+        F.lit("centroid").alias("kind"),
+        F.col("lang").alias("key"),
+        F.expr("round(sqrt(aggregate(transform(centroid, x -> x * x), "
+               "0D, (s, x) -> s + x)), 6)").alias("val"))
+    return scalar.unionAll(grouped)
 
 
 # ------------------------- rows-only (non-SQL-expressible candidates) ----
@@ -1231,7 +1252,20 @@ def oracle_sql() -> dict[str, str]:
                 EXCEPT ALL SELECT s_nationkey FROM supplier
                            WHERE s_nationkey < 12)""",
         "udf_pandas_vectorized": """
-            SELECT event_id, value * 0.5 + 1.0 AS scaled FROM events""",
+            SELECT 'scalar' AS kind, CAST(event_id AS VARCHAR) AS key,
+                   value * 0.5 + 1.0 AS val
+            FROM events
+            UNION ALL
+            SELECT 'centroid', lang, ROUND(sqrt(SUM(avg_v * avg_v)), 6)
+            FROM (SELECT lang, pos, AVG(v) AS avg_v
+                  FROM (SELECT d.lang,
+                               CAST(unnest(range(1, len(embedding) + 1))
+                                    AS INTEGER) AS pos,
+                               CAST(unnest(embedding) AS DOUBLE) AS v
+                        FROM embeddings e
+                        JOIN documents d ON e.vec_id = d.doc_id)
+                  GROUP BY lang, pos)
+            GROUP BY lang""",
         "x1_dedup_latest": """
             SELECT user_id, event_id, event_type, value FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id

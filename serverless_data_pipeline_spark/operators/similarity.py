@@ -43,7 +43,7 @@ from serverless_data_pipeline_spark.operators.util import spread_small_input
 
 __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "ann_topk_join", "ann_topk_indexed", "ivf_topk",
-           "train_ivf_centroids", "add_sign_lsh_buckets"]
+           "train_ivf_centroids", "add_sign_lsh_buckets", "group_centroids"]
 
 
 def _lit_vec(vec: list[float]):
@@ -209,6 +209,28 @@ def ann_topk_indexed(corpus: DataFrame, id_col: str, vec_col: str,
                       F.round(_np_cosine(vec_col, query_vec), 6)
                        .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def group_centroids(df: DataFrame, group_col: str, vec_col: str,
+                    dim: int) -> DataFrame:
+    """Per-group mean embedding via plain grouped-map ``applyInPandas`` —
+    the UDAF/UDTF extension shape of SURVEY §2.9 (the Lambda-body
+    analogue for grouped aggregation, py:226-309): one shuffle on the
+    group key, then one numpy mean per Arrow-delivered group, no per-row
+    Python. The built-in alternative (explode to (pos, val) + groupBy
+    avg + re-collect) costs an explode ×dim blow-up and two shuffles;
+    the grouped-map kernel does it in one. Returns (group, centroid
+    array<double>)."""
+    import numpy as np
+    import pandas as pd
+
+    def _agg(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        return pd.DataFrame({group_col: [key[0]],
+                             "centroid": [m.mean(axis=0).tolist()]})
+
+    schema = f"{group_col} string, centroid array<double>"
+    return df.groupBy(group_col).applyInPandas(_agg, schema)
 
 
 def train_ivf_centroids(corpus: DataFrame, vec_col: str,

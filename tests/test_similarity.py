@@ -131,6 +131,18 @@ def test_ivf_trained_centroids_beat_random(spark):
     assert len(got) == 10 and all(v < 20 for v in got)
 
 
+def test_group_centroids_exact_mean(spark):
+    from serverless_data_pipeline_spark.operators.similarity import (
+        group_centroids,
+    )
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [3.0, 2.0]), ("b", [5.0, 5.0])],
+        "grp string, embedding array<float>")
+    got = {r.grp: r.centroid
+           for r in group_centroids(df, "grp", "embedding", dim=2).collect()}
+    assert got == {"a": [2.0, 1.0], "b": [5.0, 5.0]}
+
+
 def test_cosine_matches_math(spark):
     a, b = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]
     df = spark.createDataFrame([(1, a)], "vec_id long, embedding array<float>")
