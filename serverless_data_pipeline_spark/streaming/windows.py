@@ -47,6 +47,33 @@ def sliding_agg(df: DataFrame, ts_col: str = "ts", keys: tuple[str, ...] = ("eve
                       "n_events", "sum_value"))
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame,
+                       key: str, ts_col: str = "ts",
+                       watermark: str = "1 hour",
+                       max_delay: str = "30 minutes") -> DataFrame:
+    """ST — stream-stream inner equi-join with an event-time range bound,
+    the Spark form of correlating the reference's two streams (main
+    ingest + analytics, py:161-174). Both sides carry a watermark and the
+    join predicate bounds how far the right event may trail the left one
+    — WITHOUT the time bound Spark must keep every left row in state
+    forever (unbounded state store at 100 TB/day); with it, state older
+    than watermark + delay is evicted per micro-batch.
+
+    Works identically on batch frames (watermarks become no-ops, the
+    range predicate is an ordinary theta conjunct), so tests can check
+    stream == batch. Returns left columns prefixed ``l_`` and right
+    prefixed ``r_``."""
+    l = _maybe_watermark(left, ts_col, watermark).select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns])
+    r = _maybe_watermark(right, ts_col, watermark).select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns])
+    cond = ((F.col(f"l_{key}") == F.col(f"r_{key}"))
+            & (F.col(f"r_{ts_col}") >= F.col(f"l_{ts_col}"))
+            & (F.col(f"r_{ts_col}")
+               <= F.col(f"l_{ts_col}") + F.expr(f"INTERVAL {max_delay}")))
+    return l.join(r, cond)
+
+
 def session_agg(df: DataFrame, ts_col: str = "ts", key: str = "user_id",
                 gap: str = "30 minutes",
                 watermark: str | None = "1 day") -> DataFrame:

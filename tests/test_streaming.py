@@ -16,7 +16,7 @@ from serverless_data_pipeline_spark.streaming.stateful import (
     running_user_totals,
 )
 from serverless_data_pipeline_spark.streaming.windows import (
-    session_agg, tumbling_agg,
+    session_agg, stream_stream_join, tumbling_agg,
 )
 
 SCHEMA = T.StructType([
@@ -87,6 +87,38 @@ def test_streaming_watermark_withholds_open_windows(spark, tmp_path):
               if w + _dt.timedelta(hours=1) <= max_ts - _dt.timedelta(hours=2)}
     assert emitted == closed
     assert emitted and emitted != all_windows   # some windows withheld
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Two file streams joined on user_id with an event-time range bound
+    must produce exactly the batch join of the same frames (the
+    main-ingest x analytics two-stream shape, py:161-174)."""
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    lbatch = _write_drips(spark, lsrc)
+    base = dt.datetime(2024, 1, 1, 0, 10, 0)  # right trails left by 10 min
+    rrows = [(100 + i, base + dt.timedelta(minutes=17 * i), i % 3,
+              "score", float(i) / 2) for i in range(40)]
+    rbatch = spark.createDataFrame(rrows, SCHEMA)
+    rbatch.repartition(4).write.mode("overwrite").parquet(rsrc)
+    rbatch = spark.read.schema(SCHEMA).parquet(rsrc)
+
+    lstream = read_stream_files(spark, lsrc, SCHEMA, max_files_per_trigger=1)
+    rstream = read_stream_files(spark, rsrc, SCHEMA, max_files_per_trigger=1)
+    # Files arrive in arbitrary order, so event time regresses between
+    # micro-batches; the watermark must exceed the full data span (11 h)
+    # or genuinely-late rows are (correctly) evicted and stream < batch.
+    joined = stream_stream_join(lstream, rstream, key="user_id",
+                                watermark="1 day", max_delay="30 minutes")
+    q = (joined.selectExpr("l_event_id", "r_event_id")
+         .writeStream.format("memory").queryName("ssjoin")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.l_event_id, r.r_event_id)
+           for r in spark.sql("SELECT * FROM ssjoin").collect()}
+    expect = {(r.l_event_id, r.r_event_id)
+              for r in stream_stream_join(lbatch, rbatch, key="user_id")
+              .select("l_event_id", "r_event_id").collect()}
+    assert got == expect and len(got) > 0
 
 
 def test_streaming_quarantine_split(spark, tmp_path):
