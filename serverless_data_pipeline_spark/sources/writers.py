@@ -74,6 +74,7 @@ def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
 
 def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
                     n_files: int = 32, mode: str = "overwrite",
+                    bloom_filter_cols: list[str] | None = None,
                     config: EngineConfig = DEFAULT_CONFIG) -> None:
     """Range-clustered layout: each output file covers a (near-)disjoint
     range of the cluster key, so parquet min/max footer stats prune whole
@@ -85,14 +86,23 @@ def write_clustered(df: DataFrame, path: str, cluster_cols: list[str],
 
     ``repartitionByRange`` assigns disjoint key ranges per output
     partition; ``sortWithinPartitions`` additionally sorts rows inside the
-    file so row-group (not just file) stats are tight."""
+    file so row-group (not just file) stats are tight.
+
+    ``bloom_filter_cols`` writes a parquet bloom filter per listed column
+    — point-lookup skipping for high-cardinality columns where min/max
+    stats are useless (a needle id is inside almost every file's range,
+    but bloom filters rule out row groups that definitely lack it). For
+    multi-dimensional RANGE skipping, cluster on a Z-order key instead
+    (functions/layout.py:zorder_key)."""
     cols = [F.col(c) for c in cluster_cols]
-    (df.repartitionByRange(n_files, *cols)
-       .sortWithinPartitions(*cols)
-       .write.mode(mode)
-       .option("compression", config.sink_compression)
-       .option("maxRecordsPerFile", config.max_records_per_file)
-       .parquet(path))
+    w = (df.repartitionByRange(n_files, *cols)
+         .sortWithinPartitions(*cols)
+         .write.mode(mode)
+         .option("compression", config.sink_compression)
+         .option("maxRecordsPerFile", config.max_records_per_file))
+    for c in bloom_filter_cols or []:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.parquet(path)
 
 
 def swap_into_place(spark, tmp_path: str, target_path: str) -> None:
