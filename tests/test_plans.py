@@ -119,6 +119,26 @@ def test_seq_packing_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_no_cartesian_product_in_any_registry_plan(spark):
+    """Global guard: no registry query may plan a CartesianProduct. The
+    only intentional cross join (j5_cross_theta) is 5x5 rows and plans as
+    BroadcastNestedLoopJoin, which stays allowed ONLY there; everything
+    else must be equi-join/broadcast shaped. st1_stream_exec is excluded
+    because building it executes a streaming query, not a plan."""
+    skip = {"st1_stream_exec"}
+    # Deliberate broadcast nested-loops: j5 (the cross-join op itself),
+    # j6 (tiny interval set), x3 (exact top-k = broadcast query batch x
+    # one corpus pass — the intended scale plan for an exact baseline).
+    bnlj_ok = {"j5_cross_theta", "j6_range_join", "x3_topk_similarity"}
+    for name in entry_mod.queries():
+        if name in skip:
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_corpus_mix_broadcast_weights_single_window_shuffle(spark):
     """corpus_mix: the weights table must arrive via broadcast (never a
     shuffled join for a 5-row dim) and both window functions share ONE

@@ -138,6 +138,37 @@ def test_streaming_quarantine_split(spark, tmp_path):
     assert bad.filter("_error_reason = 'stream_validation_failed'").count() == 5
 
 
+def test_stream_resume_is_exactly_once(spark, tmp_path):
+    """Restarting a checkpointed file-sink query must be exactly-once:
+    a re-run with no new input appends nothing; new files are consumed
+    once (the replayed-delivery idempotence the reference leaves to SQS
+    dedup + Firehose, py:133-137, handled natively by Spark's
+    checkpoint + file-sink commit log)."""
+    src, sink, ckpt = (str(tmp_path / p) for p in ("src", "sink", "ckpt"))
+    _write_drips(spark, src)
+
+    def run_once():
+        stream = read_stream_files(spark, src, SCHEMA,
+                                   max_files_per_trigger=2)
+        q = (stream.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 40
+    run_once()                                   # no new input: no-op
+    assert spark.read.parquet(sink).count() == 40
+    base = dt.datetime(2024, 2, 1)
+    extra = spark.createDataFrame(
+        [(100 + i, base + dt.timedelta(minutes=i), 0, "late", 1.0)
+         for i in range(5)], SCHEMA)
+    extra.coalesce(1).write.mode("append").parquet(src)
+    run_once()                                   # new file consumed once
+    run_once()                                   # and only once
+    assert spark.read.parquet(sink).count() == 45
+
+
 def test_stream_sink_failure_routes_to_dlq(spark, tmp_path):
     """S7: a batch whose sink write keeps failing lands in the DLQ path
     after max_retries instead of crashing the query (py:122-137)."""
