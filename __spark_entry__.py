@@ -942,12 +942,30 @@ def _q_x8_split_vocab(spark, sf):
 
 
 def _q_x8_seq_packing(spark, sf):
-    """X8 — sharded token-budget sequence packing (concat-then-chunk)."""
+    """X8 — sharded token-budget sequence packing (concat-then-chunk) and
+    overlapping character chunking (the retrieval/context-window prep) in
+    one tagged union. Columns harmonized to (kind, doc_id, a, b, c, h):
+    pack rows carry (n_tokens, shard, bin_id, NULL); chunk rows carry
+    (chunk_id, chunk_start, chunk_len, md5(chunk_text)) so the oracle
+    value-checks the actual chunk contents, not just offsets."""
     from serverless_data_pipeline_spark.operators.corpus import (
-        pack_sequences,
+        chunk_documents, pack_sequences,
     )
-    return pack_sequences(_t(spark, sf, "documents"), "doc_id", "text",
-                          budget=512, n_shards=8)
+    docs = _t(spark, sf, "documents")
+    pack = (pack_sequences(docs, "doc_id", "text", budget=512, n_shards=8)
+            .select(F.lit("pack").alias("kind"), "doc_id",
+                    F.col("n_tokens").cast("long").alias("a"),
+                    F.col("shard").cast("long").alias("b"),
+                    F.col("bin_id").cast("long").alias("c"),
+                    F.lit(None).cast("string").alias("h")))
+    chunk = (chunk_documents(docs, "doc_id", "text",
+                             chunk_chars=512, overlap_chars=64)
+             .select(F.lit("chunk").alias("kind"), "doc_id",
+                     F.col("chunk_id").cast("long").alias("a"),
+                     F.col("chunk_start").cast("long").alias("b"),
+                     F.length("chunk_text").cast("long").alias("c"),
+                     F.md5(F.col("chunk_text").cast("binary")).alias("h")))
+    return pack.unionAll(chunk)
 
 
 def _q_x9_corpus_mix(spark, sf):
@@ -1527,16 +1545,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token LIMIT 200""",
         "x8_seq_packing": f"""
-            SELECT doc_id, n_tokens, shard,
-                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id
+            SELECT 'pack' AS kind, doc_id, n_tokens AS a, shard AS b,
+                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS c,
+                   CAST(NULL AS VARCHAR) AS h
             FROM (SELECT doc_id, n_tokens, shard,
                          SUM(n_tokens) OVER (PARTITION BY shard
                                              ORDER BY doc_id) AS cum
                   FROM (SELECT doc_id,
                                CAST(len({_TOKENS_SQL.format(c='text')})
                                     AS BIGINT) AS n_tokens,
-                               CAST(doc_id % 8 AS INTEGER) AS shard
-                        FROM documents))""",
+                               CAST(doc_id % 8 AS BIGINT) AS shard
+                        FROM documents))
+            UNION ALL
+            SELECT 'chunk', doc_id, CAST((s - 1) // 448 AS BIGINT),
+                   CAST(s AS BIGINT),
+                   CAST(length(substr(text, s, 512)) AS BIGINT),
+                   md5(substr(text, s, 512))
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(
+                             1, greatest(1, length(text)), 448)) AS s
+                  FROM documents)""",
         "x9_corpus_mix": """
             WITH wts(lang, frac) AS (VALUES ('en', 0.25), ('de', 1.0),
                                             ('es', 1.0), ('fr', 1.0),

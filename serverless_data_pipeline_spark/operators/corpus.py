@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.functions.text import token_count, tokens
 
-__all__ = ["train_test_split", "vocabulary", "pack_sequences", "corpus_mix"]
+__all__ = ["train_test_split", "vocabulary", "pack_sequences", "corpus_mix",
+           "chunk_documents"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -70,6 +71,35 @@ def corpus_mix(df: DataFrame, group_col: str, id_col: str,
                                    * F.count("*").over(w_grp))))
     return (ranked.filter(F.col("sample_rank") <= F.col("__quota"))
                   .drop("__frac", "__quota"))
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_chars: int = 512,
+                    overlap_chars: int = 64) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the chunking step in front of embedding/retrieval indexes and
+    context-window-bounded training. Returns (id, chunk_id, chunk_start,
+    chunk_text); chunk_start is 1-based, stride = chunk - overlap, and
+    the final chunk is the (possibly short) remainder so every character
+    belongs to >= 1 chunk.
+
+    Pure higher-order SQL: `sequence` generates the start offsets,
+    `posexplode` fans them out, `substring` slices — a narrow explode
+    with no shuffle and no Python, so a 100 TB corpus chunks at scan
+    speed and the expansion factor is exactly len/stride."""
+    if overlap_chars >= chunk_chars:
+        raise ValueError("overlap_chars must be < chunk_chars")
+    stride = chunk_chars - overlap_chars
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.length(text_col).cast("int")),
+        F.lit(stride))
+    return (df.select(F.col(id_col), F.col(text_col),
+                      F.posexplode(starts).alias("chunk_id", "chunk_start"))
+              .select(id_col, "chunk_id", "chunk_start",
+                      F.col(text_col).substr(
+                          F.col("chunk_start"),
+                          F.lit(chunk_chars)).alias("chunk_text")))
 
 
 def vocabulary(df: DataFrame, text_col: str,

@@ -6,7 +6,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.operators.corpus import (
-    corpus_mix, pack_sequences, train_test_split, vocabulary,
+    chunk_documents, corpus_mix, pack_sequences, train_test_split,
+    vocabulary,
 )
 
 
@@ -40,6 +41,26 @@ def test_train_split_hashed_stable_under_growth(spark):
     s = {r.doc_id: r.split_id for r in small.collect()}
     b = {r.doc_id: r.split_id for r in big.collect()}
     assert all(b[k] == v for k, v in s.items())
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    text = "abcdefghij"  # 10 chars; chunk 4, overlap 2 -> starts 1,3,5,7,9
+    df = spark.createDataFrame([(1, text), (2, "")],
+                               "doc_id long, text string")
+    rows = chunk_documents(df, "doc_id", "text",
+                           chunk_chars=4, overlap_chars=2).collect()
+    got = {(r.doc_id, r.chunk_id): (r.chunk_start, r.chunk_text)
+           for r in rows}
+    assert got[(1, 0)] == (1, "abcd")
+    assert got[(1, 1)] == (3, "cdef")
+    assert got[(1, 4)] == (9, "ij")          # short remainder kept
+    # every char covered; consecutive chunks share exactly the overlap
+    assert got[(1, 1)][1][:2] == got[(1, 0)][1][2:]
+    assert got[(2, 0)] == (1, "")            # empty doc -> one empty chunk
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_chars=4, overlap_chars=4)
 
 
 def test_corpus_mix_quota_and_whitelist(spark):
