@@ -825,7 +825,8 @@ def _q_x2_lsh_pairs(spark, sf):
     bucketing. `metric` is the flavour's own score (est. Jaccard /
     Hamming distance / cosine)."""
     docs = _t(spark, sf, "documents")
-    mh = (minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.4)
+    mh = (minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.4,
+                            materialize_signatures=True)
           .select(F.lit("minhash").alias("method"), "id_a", "id_b",
                   F.col("jaccard_est").alias("metric")))
     sh = (simhash_pairs(docs, "doc_id", "text")

@@ -68,6 +68,22 @@ def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
     assert capped.count() == 0           # pruned -> no candidates at all
 
 
+def test_minhash_materialized_signatures_same_result(spark):
+    from serverless_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + ("x" * (i % 2)))
+         for i in range(8)], "doc_id long, text string")
+    plain = {(r.id_a, r.id_b, r.jaccard_est) for r in
+             minhash_lsh_pairs(df, "doc_id", "text",
+                               jaccard_threshold=0.3).collect()}
+    mat = {(r.id_a, r.id_b, r.jaccard_est) for r in
+           minhash_lsh_pairs(df, "doc_id", "text", jaccard_threshold=0.3,
+                             materialize_signatures=True).collect()}
+    assert plain == mat and len(plain) > 0
+
+
 def test_ngram_jaccard_materialized_index_same_result(spark):
     # The checkpointed inverted-index mode is a pure physical choice:
     # identical pairs/values either way.
