@@ -1,0 +1,94 @@
+"""Scale-up measurement: run the dedup + ANN families at 1x and 10x rows.
+
+Amplifies `documents` 10x (every doc duplicated 10 ways with small edits —
+a near-dup pair graph ~1000x denser than the natural corpus) and
+`embeddings` 10x (perturbed copies), then times the sketch dedup, the
+connected-components clustering, and the two-table ANN join at both
+sizes. Sub-linear growth in wall time despite super-linear growth in true
+pairs is the evidence that candidate generation is banded/bucketed, not
+all-pairs.
+
+Usage: python scripts/scale_check.py   (env SPARK_GRAFT_SF_DIR, default sf0.1)
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from serverless_data_pipeline_spark.session import get_spark  # noqa: E402
+from serverless_data_pipeline_spark.operators.dedup import (  # noqa: E402
+    dedupe_by_components, minhash_lsh_pairs, ngram_jaccard_pairs,
+)
+from serverless_data_pipeline_spark.operators.similarity import (  # noqa: E402
+    ann_topk_join,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def amplified_docs(docs, factor: int):
+    """factor near-dup variants per doc: tiny suffix edits keep Jaccard
+    high, ids stay unique."""
+    copies = F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    return (docs.withColumn("__c", copies)
+            .select((F.col("doc_id") * factor + F.col("__c")).alias("doc_id"),
+                    F.concat("text", F.lit(" v"),
+                             F.col("__c").cast("string")).alias("text")))
+
+
+def amplified_embeddings(emb, factor: int):
+    copies = F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    return (emb.withColumn("__c", copies)
+            .select((F.col("vec_id") * factor + F.col("__c")).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x: x + F.col("__c").cast("float") * 1e-4)
+                     .alias("embedding")))
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_check")
+    docs = entry_mod._t(spark, SF_DIR, "documents").select("doc_id", "text")
+    emb = entry_mod._t(spark, SF_DIR, "embeddings")
+    out: dict[str, dict[str, float]] = {}
+    for factor in (1, 10):
+        d = (docs if factor == 1
+             else amplified_docs(docs, factor)).localCheckpoint(eager=True)
+        e = (emb if factor == 1
+             else amplified_embeddings(emb, factor)).localCheckpoint(eager=True)
+        queries = e.filter(F.col("vec_id") % 1000 == 0)
+        r: dict[str, float] = {"n_docs": d.count(), "n_vecs": e.count()}
+        r["minhash_lsh"] = timed(
+            lambda: minhash_lsh_pairs(d, "doc_id", "text",
+                                      jaccard_threshold=0.4,
+                                      materialize_signatures=True).count())
+        pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4,
+                                    max_doc_freq=100, materialize_index=True)
+        r["cc_dedupe"] = timed(
+            lambda: dedupe_by_components(d, pairs, "doc_id").count())
+        r["ann_join"] = timed(
+            lambda: ann_topk_join(queries, e, "vec_id", "embedding",
+                                  "vec_id", "embedding", dim=64, k=10,
+                                  n_tables=2, n_planes=8).count())
+        out[f"{factor}x"] = r
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
