@@ -806,16 +806,52 @@ def _q_g_approx_sketches(spark, sf):
                   .alias("approx_median_price")))
 
 
-def _q_x4_ann_indexed(spark, sf):
-    """X4 — index-build + probe split: materialized LSH bucket columns,
-    probe is an equi-filter (the partition-prunable 100 TB path)."""
+def _q_x4_ann_suite(spark, sf):
+    """X4 — all four ANN shapes in one tagged union (rows-only: LSH/IVF
+    pruning isn't SQL-expressible; recall vs the exact X3 result is
+    pytest-asserted per flavour in tests/test_similarity.py):
+
+    - `lsh_inline`: single-vector sign-LSH probe, buckets computed on the
+      scan (query_id = -1);
+    - `lsh_indexed`: same probe over MATERIALIZED bucket columns
+      (add_sign_lsh_buckets) — the index-build/probe split that is
+      partition-prunable at 100 TB (query_id = -2);
+    - `lsh_join`: two-table batch ANN join on bucket collisions (5 query
+      vectors) — the scale path when the query set can't broadcast;
+    - `ivf`: probed top-k with a TRAINED k-means codebook
+      (train_ivf_centroids, the real offline index build; query_id = -3).
+    """
     from serverless_data_pipeline_spark.operators.similarity import (
-        add_sign_lsh_buckets, ann_topk_indexed,
+        add_sign_lsh_buckets, ann_topk_indexed, ann_topk_join,
+        train_ivf_centroids,
     )
-    indexed = add_sign_lsh_buckets(_t(spark, sf, "embeddings"), "embedding",
-                                   dim=64, n_tables=2, n_planes=8)
-    return ann_topk_indexed(indexed, "vec_id", "embedding", [0.1] * 64,
-                            k=10, n_tables=2, n_planes=8)
+    e = _t(spark, sf, "embeddings")
+    q = [0.1] * 64
+
+    def tag(df, method, qid=None):
+        qcol = (F.lit(qid).cast("long").alias("query_id") if qid is not None
+                else F.col("query_id"))
+        nid = ("neighbor_id" if "neighbor_id" in df.columns
+               else F.col("vec_id").alias("neighbor_id"))
+        return df.select(F.lit(method).alias("method"), qcol, nid, "cosine")
+
+    inline = tag(ann_topk(e, "vec_id", "embedding", q, k=10,
+                          n_tables=2, n_planes=8), "lsh_inline", -1)
+    indexed = tag(ann_topk_indexed(
+        add_sign_lsh_buckets(e, "embedding", dim=64, n_tables=2, n_planes=8),
+        "vec_id", "embedding", q, k=10, n_tables=2, n_planes=8),
+        "lsh_indexed", -2)
+    queries_df = e.filter(F.col("vec_id") < 5).selectExpr(
+        "vec_id as q_id", "embedding as qvec")
+    batch = tag(ann_topk_join(queries_df, e, "q_id", "qvec",
+                              "vec_id", "embedding", dim=64, k=10,
+                              n_tables=2, n_planes=8), "lsh_join")
+    cents = train_ivf_centroids(e, "embedding", n_cells=8, seed=42,
+                                max_iter=5)
+    ivf = tag(ivf_topk(e, "vec_id", "embedding", q, k=10, n_probe=4,
+                       centroids=cents), "ivf", -3)
+    return inline.unionAll(indexed).unionAll(batch).unionAll(ivf)
+
 
 def _q_x2_lsh_pairs(spark, sf):
     """X2 — the three sketch-based near-dup flavours in one tagged union
@@ -860,45 +896,6 @@ def _q_x2_dedup_clusters(spark, sf):
                                 materialize_index=True)
     return (neardup_components(pairs)
             .select(F.col("id").alias("doc_id"), "component_id"))
-
-
-def _q_x4_ann_topk(spark, sf):
-    """X4 — both ANN query shapes in one tagged union (rows-only; recall
-    vs exact asserted in tests/test_similarity.py): the single-vector
-    sign-LSH probe (query_id = -1) and the two-table batch ANN join
-    (bucket-collision equi-join, 5 query vectors), the scale path when
-    the query set is too large to broadcast."""
-    from serverless_data_pipeline_spark.operators.similarity import (
-        ann_topk_join,
-    )
-    e = _t(spark, sf, "embeddings")
-    q = [0.1] * 64
-    single = (ann_topk(e, "vec_id", "embedding", q, k=10,
-                       n_tables=2, n_planes=8)
-              .select(F.lit(-1).cast("long").alias("query_id"),
-                      F.col("vec_id").alias("neighbor_id"), "cosine"))
-    queries_df = e.filter(F.col("vec_id") < 5).selectExpr(
-        "vec_id as q_id", "embedding as qvec")
-    batch = ann_topk_join(queries_df, e, "q_id", "qvec",
-                          "vec_id", "embedding", dim=64, k=10,
-                          n_tables=2, n_planes=8)
-    return single.unionAll(batch)
-
-
-def _q_x4_ivf_topk(spark, sf):
-    """X4 — IVF probed top-k with a TRAINED codebook: k-means centroids
-    from train_ivf_centroids (the real offline index build; recall vs
-    exact is pytest-asserted), probe the nearest cells only. Rows-only
-    check (k-means assignment isn't SQL-expressible)."""
-    from serverless_data_pipeline_spark.operators.similarity import (
-        train_ivf_centroids,
-    )
-    q = [0.1] * 64
-    e = _t(spark, sf, "embeddings")
-    cents = train_ivf_centroids(e, "embedding", n_cells=8, seed=42,
-                                max_iter=5)
-    return ivf_topk(e, "vec_id", "embedding", q, k=10, n_probe=4,
-                    centroids=cents)
 
 
 def _q_x7_corpus_exact(spark, sf):
@@ -982,6 +979,52 @@ def _q_x9_corpus_mix(spark, sf):
     return mixed.select("doc_id", "lang", "sample_rank")
 
 
+def _q_x10_decontaminate(spark, sf):
+    """X10 — benchmark decontamination: flag training-split documents
+    sharing >= 1 distinct word 5-gram with any eval-split document
+    (train/eval from the deterministic portable split, X8). The eval
+    shingle set broadcasts; train never shuffles. Oracle: the identical
+    shingle-semi-join in DuckDB."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        decontaminate, train_test_split,
+    )
+    split = train_test_split(_t(spark, sf, "documents"), "doc_id",
+                             hashed=False)
+    train = split.filter(F.col("split") == "train")
+    ev = split.filter(F.col("split") == "eval")
+    out = decontaminate(train, ev, "doc_id", "text", n=5)
+    return out.select("doc_id", F.col("n_overlap").cast("long"),
+                      "contaminated")
+
+
+def _q_x11_text_hygiene(spark, sf):
+    """X11 — corpus hygiene in one doc-grain pass: intra-document
+    repetition signals (duplicate-token / duplicate-3-gram ratios, the
+    Gopher-style boilerplate filters) joined with PII-style redaction
+    counts + the md5 of the redacted text. The redaction runs on a
+    deterministic PII-bearing column derived from fixture data (the
+    fixtures themselves contain no emails/digit runs), built identically
+    in the oracle, so match counts and the redacted output are
+    value-checked."""
+    from serverless_data_pipeline_spark.operators.text import (
+        redact_pii, repetition_signals,
+    )
+    docs = _t(spark, sf, "documents")
+    rep = repetition_signals(docs, "doc_id", "text", ngram_n=3)
+    pii_text = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919 + 100003).cast("string"))
+    red = redact_pii(docs.select("doc_id", pii_text.alias("text")))
+    red = red.select("doc_id",
+                     F.col("n_email").cast("long"),
+                     F.col("n_digit_run").cast("long"),
+                     F.col("n_redactions").cast("long"),
+                     F.md5(F.col("redacted_text").cast("binary"))
+                      .alias("redacted_fp"))
+    return rep.join(red, "doc_id")
+
+
 def _q_x6_binary_udfs(spark, sf):
     """X6 — both binary-payload UDF paths in one rows-only query: the
     Arrow-batched decode/featurize stub (mapInPandas) joined with the
@@ -1007,6 +1050,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKENS_SQL = ("list_filter(regexp_split_to_array(trim({c}), '\\s+'), "
                "x -> x <> '')")
+
+# PII regexes — byte-identical to operators/text.py PII_PATTERNS (the same
+# pattern text is valid Java regex and DuckDB RE2).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_DIGIT_RE = r"[0-9]{4,}"
+
+# Distinct word 5-gram shingles of a token-list column {t} (DuckDB),
+# matching functions/text.py shingles_from_tokens(n=5) semantics:
+# shorter-than-5 lists degrade to one whole-text shingle; empties dropped.
+_SHINGLE5_SQL = (
+    "list_distinct(CASE WHEN len({t}) < 5"
+    "     THEN [array_to_string({t}, ' ')]"
+    "     ELSE list_transform(range(1, len({t}) - 3),"
+    "              i -> array_to_string({t}[i:i+4], ' '))"
+    " END)")
 _STOPWORDS_SQL = "['the','a','an','of','to','in','and','is','it','for']"
 _BPE_SQL = "regexp_extract_all({c}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')"
 
@@ -1678,4 +1736,72 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes
             FROM documents JOIN embeddings ON doc_id = vec_id
             GROUP BY 2""",
+        "x10_decontaminate": (
+            "WITH s AS (SELECT doc_id, text,"
+            "                  CASE WHEN doc_id % 10 < 8 THEN 'train'"
+            "                       ELSE 'eval' END AS split"
+            "           FROM documents),"
+            " tt AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text")
+            + " AS toks FROM s WHERE split = 'train'),"
+            " et AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text")
+            + " AS toks FROM s WHERE split = 'eval'),"
+            " tsh AS (SELECT doc_id, unnest("
+            + _SHINGLE5_SQL.format(t="toks") + ") AS sh FROM tt),"
+            " tsh2 AS (SELECT doc_id, sh FROM tsh WHERE sh <> ''),"
+            " esh0 AS (SELECT unnest(" + _SHINGLE5_SQL.format(t="toks")
+            + ") AS sh FROM et),"
+            " esh AS (SELECT DISTINCT sh FROM esh0 WHERE sh <> ''),"
+            " hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap"
+            "          FROM tsh2 JOIN esh USING (sh) GROUP BY doc_id)"
+            " SELECT s.doc_id,"
+            "        COALESCE(h.n_overlap, 0) AS n_overlap,"
+            "        COALESCE(h.n_overlap, 0) >= 1 AS contaminated"
+            " FROM s LEFT JOIN hits h USING (doc_id)"
+            " WHERE s.split = 'train'"),
+        "x11_text_hygiene": (
+            "WITH t AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text")
+            + " AS toks FROM documents),"
+            " rep0 AS (SELECT doc_id, toks,"
+            "     list_filter(CASE WHEN len(toks) < 3"
+            "          THEN [array_to_string(toks, ' ')]"
+            "          ELSE list_transform(range(1, len(toks) - 1),"
+            "                   i -> array_to_string(toks[i:i+2], ' '))"
+            "     END, x -> x <> '') AS sh"
+            "     FROM t),"
+            " rep AS (SELECT doc_id,"
+            "     CAST(len(toks) AS BIGINT) AS tok_total,"
+            "     CAST(len(list_distinct(toks)) AS BIGINT) AS tok_distinct,"
+            "     ROUND(CASE WHEN len(toks) > 0 THEN"
+            "         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)"
+            "               / len(toks)"
+            "         ELSE 0.0 END, 6) AS dup_token_ratio,"
+            "     CAST(len(sh) AS BIGINT) AS ngram_total,"
+            "     CAST(len(list_distinct(sh)) AS BIGINT) AS ngram_distinct,"
+            "     ROUND(CASE WHEN len(sh) > 0 THEN"
+            "         1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)"
+            "         ELSE 0.0 END, 6) AS dup_ngram_ratio"
+            "     FROM rep0),"
+            " p AS (SELECT doc_id,"
+            "     text || ' contact user' || CAST(doc_id AS VARCHAR)"
+            "          || '@example.com ref '"
+            "          || CAST(doc_id * 7919 + 100003 AS VARCHAR) AS ptext"
+            "     FROM documents),"
+            " e1 AS (SELECT doc_id,"
+            "     CAST(len(regexp_extract_all(ptext, '" + _EMAIL_RE + "'))"
+            "          AS BIGINT) AS n_email,"
+            "     regexp_replace(ptext, '" + _EMAIL_RE + "',"
+            "                    '[REDACTED]', 'g') AS t1"
+            "     FROM p),"
+            " e2 AS (SELECT doc_id, n_email,"
+            "     CAST(len(regexp_extract_all(t1, '" + _DIGIT_RE + "'))"
+            "          AS BIGINT) AS n_digit_run,"
+            "     regexp_replace(t1, '" + _DIGIT_RE + "',"
+            "                    '[REDACTED]', 'g') AS t2"
+            "     FROM e1)"
+            " SELECT r.doc_id, r.tok_total, r.tok_distinct,"
+            "        r.dup_token_ratio, r.ngram_total, r.ngram_distinct,"
+            "        r.dup_ngram_ratio, e2.n_email, e2.n_digit_run,"
+            "        e2.n_email + e2.n_digit_run AS n_redactions,"
+            "        md5(e2.t2) AS redacted_fp"
+            " FROM rep r JOIN e2 USING (doc_id)"),
     }

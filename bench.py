@@ -39,9 +39,11 @@ HEADLINE = (
     "x2_lsh_pairs",
     "x2_dedup_clusters",
     "x3_topk_similarity",
-    "x4_ann_topk",
+    "x4_ann_suite",
     "x5_text_signals",
     "x7_corpus_exact",
+    "x10_decontaminate",
+    "x11_text_hygiene",
 )
 
 

@@ -12,10 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from serverless_data_pipeline_spark.functions.text import token_count, tokens
+from serverless_data_pipeline_spark.functions.text import (
+    shingles_from_tokens, token_count, tokens,
+)
 
 __all__ = ["train_test_split", "vocabulary", "pack_sequences", "corpus_mix",
-           "chunk_documents"]
+           "chunk_documents", "decontaminate"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -138,3 +140,45 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                       F.floor((F.col("__cum") - F.col("n_tokens"))
                               / F.lit(float(budget))).cast("long")
                        .alias("bin_id")))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  id_col: str, text_col: str,
+                  n: int = 5, min_overlap: int = 1,
+                  broadcast_eval: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share >=
+    ``min_overlap`` distinct word ``n``-grams with ANY document in the
+    held-out/eval set — the standard guard against test-set leakage when
+    assembling a pretraining corpus (the X-extension sibling of the
+    validation stage contract, py:243-255: a gate that marks rows instead
+    of dropping them, so callers choose flag-and-audit or hard drop).
+
+    Returns ``train`` plus ``n_overlap`` (distinct contaminated n-grams
+    in this doc) and ``contaminated`` (boolean).
+
+    Scale shape: the eval side is tiny relative to a 100 TB train corpus
+    (thousands vs billions of docs), so its DISTINCT shingle set is
+    broadcast (``broadcast_eval=True``) and the probe is a map-side
+    semi-join on the train shingle scan — no shuffle of train data at
+    all. The only shuffles key on ``id_col``: counting overlaps per
+    contaminated doc (a tiny fraction of the corpus) and the final left
+    join of hits back onto train. If the eval set is itself huge, pass
+    ``broadcast_eval=False`` and the same plan degrades gracefully to a
+    shuffled hash join on the shingle key."""
+    t_sh = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+    e_sh = (eval_df.select(
+        F.explode(F.array_distinct(
+            shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+        .distinct())
+    if broadcast_eval:
+        e_sh = F.broadcast(e_sh)
+    hits = (t_sh.join(e_sh, "__sh")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_overlap"))
+            .filter(F.col("n_overlap") >= min_overlap))
+    return (train.join(hits, id_col, "left")
+            .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+            .withColumn("contaminated", F.col("n_overlap") >= min_overlap))

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from serverless_data_pipeline_spark.operators.util import spread_small_input
 from serverless_data_pipeline_spark.functions.text import (
     bpe_ish_tokens, fingerprint, punct_ratio, quality_score_expr,
-    stopword_ratio, token_count, tokens,
+    shingles_from_tokens, stopword_ratio, token_count, tokens,
 )
 
 # Marker function words per language (public, standard vocabulary lists).
@@ -105,3 +105,70 @@ def fingerprint_documents(df: DataFrame, id_col: str = "doc_id",
     fp = df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
     counts = fp.groupBy("fp").agg(F.count("*").alias("dup_count"))
     return fp.join(counts, "fp").select(id_col, "fp", "dup_count")
+
+
+# PII-ish patterns, deliberately dialect-portable (same regex text works in
+# Java regex and DuckDB's RE2): emails, then standalone digit runs >= 4
+# (account/phone-number-ish). Order matters — emails are redacted first so
+# their digits don't double-count as digit runs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("digit_run", r"[0-9]{4,}"),
+)
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", ngram_n: int = 3) -> DataFrame:
+    """Intra-document repetition signals — the Gopher-style quality
+    filters that catch boilerplate and degenerate generations: the
+    fraction of duplicate tokens and of duplicate word n-grams within
+    each document. Returns (id, tok_total, tok_distinct, dup_token_ratio,
+    ngram_total, ngram_distinct, dup_ngram_ratio).
+
+    One narrow projection per row — token and shingle arrays are built
+    and measured in-expression (size vs size(array_distinct)), no
+    explode, no shuffle, no Python. At 100 TB this runs at scan speed and
+    composes with the quality gate (plans/pipeline.py) as one more
+    columnar signal."""
+    df = spread_small_input(df)
+    toks = tokens(text_col)
+    sh = shingles_from_tokens(toks, ngram_n)
+    tt, td = F.size(toks), F.size(F.array_distinct(toks))
+    nt, nd = F.size(sh), F.size(F.array_distinct(sh))
+    ratio = lambda tot, dis: F.round(
+        F.when(tot > 0, 1.0 - dis.cast("double") / tot.cast("double"))
+         .otherwise(F.lit(0.0)), 6)
+    return df.select(
+        F.col(id_col),
+        tt.cast("long").alias("tok_total"),
+        td.cast("long").alias("tok_distinct"),
+        ratio(tt, td).alias("dup_token_ratio"),
+        nt.cast("long").alias("ngram_total"),
+        nd.cast("long").alias("ngram_distinct"),
+        ratio(nt, nd).alias("dup_ngram_ratio"))
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+               replacement: str = "[REDACTED]") -> DataFrame:
+    """Pattern-based PII-style scrubbing — the redaction pass a corpus
+    takes before training. Replaces every match of each pattern (in
+    order) with ``replacement`` and counts matches per pattern into
+    ``n_<name>`` columns plus a ``n_redactions`` total.
+
+    All regexp_replace/regexp_count built-ins: narrow, codegen'd, no
+    shuffle. Counts are computed on the PRE-redaction text for the first
+    pattern and on the progressively-redacted text for later ones, so
+    overlapping patterns never double-count (order patterns most- to
+    least-specific)."""
+    df = spread_small_input(df)
+    out = df
+    redacted = F.col(text_col)
+    total = F.lit(0).cast("long")
+    for name, pat in patterns:
+        cnt = F.regexp_count(redacted, F.lit(pat)).cast("long")
+        out = out.withColumn(f"n_{name}", cnt)
+        total = total + F.col(f"n_{name}")
+        redacted = F.regexp_replace(redacted, pat, replacement)
+    return (out.withColumn("redacted_text", redacted)
+               .withColumn("n_redactions", total))

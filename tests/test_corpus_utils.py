@@ -126,3 +126,37 @@ def test_pack_sequences_shards_partition_ids(spark):
         per_bin.setdefault((r.shard, r.bin_id), 0)
         per_bin[(r.shard, r.bin_id)] += 1
     assert all(v == 2 for v in per_bin.values())
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    # train doc 1 contains an exact 5-gram lifted from the eval doc;
+    # train doc 2 shares no 5-gram with eval.
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "XX alpha beta gamma delta epsilon YY")],
+        "doc_id long, text string")
+    from serverless_data_pipeline_spark.operators.corpus import decontaminate
+    got = {r.doc_id: (r.contaminated, r.n_overlap)
+           for r in decontaminate(train, ev, "doc_id", "text", n=5).collect()}
+    assert got[1] == (True, 1)
+    assert got[2] == (False, 0)
+    # every train row survives with the flag attached (no silent drop)
+    assert set(got) == {1, 2}
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    # two shared 5-grams; min_overlap=3 must NOT flag the doc.
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(2, "a b c d e f g h i j")], "doc_id long, text string")
+    from serverless_data_pipeline_spark.operators.corpus import decontaminate
+    flagged = decontaminate(train, ev, "doc_id", "text", n=5,
+                            min_overlap=3).collect()[0]
+    assert flagged.contaminated and flagged.n_overlap == 6
+    not_flagged = decontaminate(train, ev, "doc_id", "text", n=5,
+                                min_overlap=7).collect()[0]
+    assert (not not_flagged.contaminated) and not_flagged.n_overlap == 0

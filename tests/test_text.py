@@ -74,3 +74,37 @@ def test_fingerprint_documents_dup_groups(spark):
     got = {r.doc_id: r.dup_count for r in
            fingerprint_documents(df).collect()}
     assert got == {1: 2, 2: 2, 3: 1}
+
+
+def test_repetition_signals_known_ratios(spark):
+    from serverless_data_pipeline_spark.operators.text import (
+        repetition_signals,
+    )
+    # "a b a b a b": 6 tokens, 2 distinct; 4 trigrams (a b a, b a b,
+    # a b a, b a b) with 2 distinct -> dup ratios 4/6 and 2/4.
+    df = spark.createDataFrame([(1, "a b a b a b"), (2, "x y z w")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           repetition_signals(df, "doc_id", "text", ngram_n=3).collect()}
+    r1 = got[1]
+    assert (r1.tok_total, r1.tok_distinct) == (6, 2)
+    assert abs(r1.dup_token_ratio - 4 / 6) < 1e-6
+    assert (r1.ngram_total, r1.ngram_distinct) == (4, 2)
+    assert abs(r1.dup_ngram_ratio - 0.5) < 1e-6
+    r2 = got[2]  # all-unique text: zero duplication
+    assert r2.dup_token_ratio == 0.0 and r2.dup_ngram_ratio == 0.0
+
+
+def test_redact_pii_counts_and_output(spark):
+    from serverless_data_pipeline_spark.operators.text import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or call 5551234567 now"),
+         (2, "clean text with no pii at all")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    r1 = got[1]
+    assert (r1.n_email, r1.n_digit_run, r1.n_redactions) == (1, 1, 2)
+    assert r1.redacted_text == \
+        "mail [REDACTED] or call [REDACTED] now"
+    r2 = got[2]
+    assert r2.n_redactions == 0 and r2.redacted_text == r2.text
