@@ -88,3 +88,28 @@ def session_agg(df: DataFrame, ts_col: str = "ts", key: str = "user_id",
               .select(F.col("w.start").alias("session_start"),
                       F.col("w.end").alias("session_end"), key,
                       "n_events", "sum_value"))
+
+
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """ST — in-stream exact deduplication: drop redelivered records by
+    key while the stream runs — the streaming face of X1 exact dedup and
+    the semantic the reference's at-least-once delivery implies (SQS
+    redrive py:133-137 / Kinesis re-polling py:649-655 both redeliver;
+    downstream must be idempotent).
+
+    Streaming frames use ``dropDuplicatesWithinWatermark``: per-key state
+    is kept only until the watermark passes the first sighting, so state
+    is bounded by (keys arriving within the lateness window), not by
+    stream history — the only viable shape at 100 TB/day. A duplicate
+    arriving later than the watermark delay is NOT caught (that is the
+    documented trade: bounded state for bounded-lateness dedup); size
+    ``watermark`` to the delivery layer's redelivery horizon.
+
+    Batch frames fall back to plain ``dropDuplicates(keys)`` so the same
+    pipeline composes in both modes (stream==batch equivalence holds
+    whenever every duplicate arrives within the watermark)."""
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    return (df.withWatermark(ts_col, watermark)
+              .dropDuplicatesWithinWatermark(keys))

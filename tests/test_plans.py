@@ -155,3 +155,23 @@ def test_pivot_single_aggregation_pass(spark):
     plan = _plan(spark, "g5_filtered_pivot")
     assert plan.count("FileScan") <= 2
     assert "partial_sum" in plan.lower() or "partial" in plan
+
+
+def test_decontaminate_broadcasts_eval_never_shuffles_train(spark):
+    """X10: the eval shingle set must arrive via broadcast and the only
+    hash exchanges key on tiny derived frames (eval-distinct + the
+    contaminated-hit counts) — never a repartition of the train corpus
+    scan itself."""
+    plan = _plan(spark, "x10_decontaminate")
+    assert plan.count("BroadcastHashJoin") == 2  # shingle probe + hits join
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_text_hygiene_repetition_is_shuffle_free(spark):
+    """X11: repetition + redaction are narrow projections; the ONLY
+    exchange allowed is the doc_id equi-join of the two arms (and Spark
+    may satisfy even that with broadcast at this size)."""
+    plan = _plan(spark, "x11_text_hygiene")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan

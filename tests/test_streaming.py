@@ -231,3 +231,32 @@ def test_stateful_running_totals(spark, tmp_path):
               .collect()}
     got = {(r.user_id, r.n, r.s) for r in final.collect()}
     assert got == expect
+
+
+def test_stream_dedup_equals_batch_on_redelivery(spark, tmp_path):
+    """stream_dedup drops redelivered records by key in-stream: a drip
+    where every event is delivered twice (distinct files -> distinct
+    micro-batches) must come out exactly once, matching the batch
+    fallback on the same data."""
+    from serverless_data_pipeline_spark.streaming.windows import stream_dedup
+
+    src = str(tmp_path / "dup_src")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, base + dt.timedelta(minutes=i), i % 3, "click", float(i))
+            for i in range(20)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    df.coalesce(1).write.mode("append").parquet(src)  # full redelivery
+
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=1)
+    ded = stream_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    q = (ded.writeStream.format("memory").queryName("dedup_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    assert sorted(r.event_id for r in got) == list(range(20))
+
+    batch = stream_dedup(spark.read.schema(SCHEMA).parquet(src),
+                         ["event_id"])
+    assert sorted(r.event_id for r in batch.select("event_id").collect()) \
+        == list(range(20))
