@@ -91,3 +91,67 @@ def test_top_k_per_group_matches_pandas(spark, rows, k):
     expect = sorted((int(r.g), int(r.rid)) for r in
                     pdf.groupby("g").head(k).itertuples())
     assert got == expect
+
+
+@given(docs=st.lists(st.lists(st.sampled_from("abcde"), min_size=0,
+                              max_size=12), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_repetition_ratios_match_python_reference(spark, docs):
+    """dup_token_ratio/dup_ngram_ratio vs a direct Python computation on
+    random token lists (including empty and shorter-than-n docs)."""
+    from serverless_data_pipeline_spark.operators.text import (
+        repetition_signals,
+    )
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           repetition_signals(df, "doc_id", "text", ngram_n=3).collect()}
+    for i, toks in enumerate(docs):
+        r = got[i]
+        assert r.tok_total == len(toks)
+        assert r.tok_distinct == len(set(toks))
+        exp_tok = (1 - len(set(toks)) / len(toks)) if toks else 0.0
+        assert abs(r.dup_token_ratio - round(exp_tok, 6)) < 1e-9
+        if toks and len(toks) < 3:
+            sh = [" ".join(toks)]
+        else:
+            sh = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        sh = [x for x in sh if x]
+        assert r.ngram_total == len(sh)
+        exp_ng = (1 - len(set(sh)) / len(sh)) if sh else 0.0
+        assert abs(r.dup_ngram_ratio - round(exp_ng, 6)) < 1e-9
+
+
+@given(train=st.lists(st.lists(st.sampled_from("abc"), min_size=0,
+                               max_size=8), min_size=1, max_size=6),
+       ev=st.lists(st.lists(st.sampled_from("abc"), min_size=0,
+                            max_size=8), min_size=1, max_size=4))
+@settings(**SETTINGS)
+def test_decontaminate_matches_python_set_overlap(spark, train, ev):
+    """contaminated/n_overlap vs a direct Python shingle-set
+    intersection, over random short-alphabet docs (high collision rate
+    stresses the distinct/semi-join path)."""
+    from serverless_data_pipeline_spark.operators.corpus import decontaminate
+
+    def sh(toks, n=3):
+        if not toks:
+            return set()
+        if len(toks) < n:
+            s = " ".join(toks)
+            return {s} if s else set()
+        return {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+
+    tdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train)],
+        "doc_id long, text string")
+    edf = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(ev)],
+        "doc_id long, text string")
+    eset = set().union(*(sh(t) for t in ev)) if ev else set()
+    got = {r.doc_id: r for r in
+           decontaminate(tdf, edf, "doc_id", "text", n=3).collect()}
+    assert set(got) == set(range(len(train)))  # no rows dropped
+    for i, t in enumerate(train):
+        overlap = len(sh(t) & eset)
+        assert got[i].n_overlap == overlap, (i, t)
+        assert got[i].contaminated == (overlap >= 1)
