@@ -29,7 +29,7 @@ from serverless_data_pipeline_spark.operators.relational import (
     asof_join, dedupe_latest, range_join, top_k, top_k_per_group,
 )
 from serverless_data_pipeline_spark.functions.text import (
-    fingerprint, quality_score_expr,
+    fingerprint, quality_score_expr, shingles_from_tokens, tokens,
 )
 from serverless_data_pipeline_spark.operators.dedup import (
     dedupe_by_components, embedding_neardup_pairs, minhash_lsh_pairs,
@@ -899,13 +899,17 @@ def _q_x2_dedup_clusters(spark, sf):
 
 
 def _q_x7_corpus_exact(spark, sf):
-    """X7 — fully oracle-checked training-corpus pipeline: exact dedup
-    (md5 fingerprint, keep min doc id) → near-dup removal (exact n-gram
-    Jaccard pair graph → connected components, keep component min) →
-    English-language gate → quality gate. The MinHash variant
-    (x7_corpus_pipeline) is rows-only because LSH sketches aren't
-    SQL-expressible; every stage HERE is, so the whole composition is
-    value-checked against one DuckDB statement."""
+    """X7 — fully oracle-checked training-corpus pipeline, the complete
+    modern pretraining prep: exact dedup (md5 fingerprint, keep min doc
+    id) → near-dup removal (exact n-gram Jaccard pair graph → connected
+    components, keep component min) → English-language gate → quality
+    gate → repetition gate (duplicate-trigram ratio, X11) → train-split
+    restriction + benchmark decontamination vs the eval split (X10, drop
+    any train doc sharing a 5-gram with eval). Every stage is
+    SQL-expressible, so the whole composition is value-checked against
+    one DuckDB statement (the MinHash variant stays rows-only because
+    LSH sketches aren't)."""
+    from serverless_data_pipeline_spark.operators.corpus import decontaminate
     from serverless_data_pipeline_spark.operators.text import language_id
     docs = _t(spark, sf, "documents")
     keep = (docs.select("doc_id", fingerprint("text").alias("__fp"))
@@ -920,8 +924,28 @@ def _q_x7_corpus_exact(spark, sf):
                                 materialize_index=True)
     nd = dedupe_by_components(exact, pairs, "doc_id")
     en = language_id(nd).filter(F.col("predicted_lang") == "en")
-    return (en.withColumn("q_score", F.round(quality_score_expr("text"), 6))
-            .filter(F.col("q_score") >= 0.5)
+    gated = (en.withColumn("q_score", F.round(quality_score_expr("text"), 6))
+             .filter(F.col("q_score") >= 0.5))
+    # Repetition gate inline (same expressions as repetition_signals —
+    # narrow, no join back on doc_id).
+    sh = shingles_from_tokens(tokens("text"), 3)
+    dnr = F.round(
+        F.when(F.size(sh) > 0,
+               1.0 - F.size(F.array_distinct(sh)).cast("double")
+               / F.size(sh).cast("double"))
+         .otherwise(F.lit(0.0)), 6)
+    repg = gated.withColumn("__dnr", dnr).filter(F.col("__dnr") <= 0.5)
+    # train feeds TWO consumers inside decontaminate (the shingle probe
+    # and the final flag join) and is deliberately NOT checkpointed:
+    # its lineage below the gates is already checkpoint leaves (the
+    # exact-dedup frame and the CC label map), so the duplicated segment
+    # is cheap narrow work — measured A/B warm at sf0.01: 3.0s without
+    # vs 3.4s with (the blocking materialization job costs more than the
+    # recompute it saves; same verdict as the minhash/x7 notes above).
+    train = repg.filter(F.col("doc_id") % 10 < 8)
+    ev = docs.filter(F.col("doc_id") % 10 >= 8)
+    out = decontaminate(train, ev, "doc_id", "text", n=5)
+    return (out.filter(~F.col("contaminated"))
             .select("doc_id", "q_score"))
 
 
@@ -1577,7 +1601,7 @@ def oracle_sql() -> dict[str, str]:
                      AND greatest(s_de, s_en, s_es, s_fr) > 0
                      AND s_en = greatest(s_de, s_en, s_es, s_fr)
                      AND s_de < greatest(s_de, s_en, s_es, s_fr)),
-            q AS (SELECT doc_id,
+            q AS (SELECT doc_id, text,
                          length(regexp_replace(text, '\\s', '', 'g'))
                              AS nonspace,
                          length(regexp_replace(text, '[a-zA-Z0-9\\s]', '',
@@ -1585,7 +1609,7 @@ def oracle_sql() -> dict[str, str]:
                          {_TOKENS_SQL.format(c='text')} AS toks,
                          length(text) AS n_chars
                   FROM en),
-            scored AS (SELECT doc_id,
+            scored AS (SELECT doc_id, text, toks,
                    ROUND(((CASE WHEN n_chars BETWEEN 20 AND 100000
                                 THEN 1.0 ELSE 0.0 END)
                           + (CASE WHEN nonspace > 0 AND
@@ -1595,8 +1619,36 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE 0.0 END)
                           + (CASE WHEN len(toks) >= 5 THEN 1.0 ELSE 0.0 END))
                          / 3.0, 6) AS q_score
-                       FROM q)
-            SELECT doc_id, q_score FROM scored WHERE q_score >= 0.5""",
+                       FROM q),
+            rg AS (SELECT doc_id, text, toks, q_score,
+                          list_filter(CASE WHEN len(toks) < 3
+                              THEN [array_to_string(toks, ' ')]
+                              ELSE list_transform(range(1, len(toks) - 1),
+                                       i -> array_to_string(toks[i:i+2],
+                                                            ' '))
+                          END, x -> x <> '') AS rsh
+                   FROM scored WHERE q_score >= 0.5),
+            repg AS (SELECT doc_id, text, toks, q_score FROM rg
+                     WHERE (CASE WHEN len(rsh) > 0 THEN
+                            ROUND(1.0 - CAST(len(list_distinct(rsh))
+                                             AS DOUBLE) / len(rsh), 6)
+                            ELSE 0.0 END) <= 0.5),
+            tr AS (SELECT doc_id, toks, q_score FROM repg
+                   WHERE doc_id % 10 < 8),
+            ev AS (SELECT {_TOKENS_SQL.format(c='text')} AS toks
+                   FROM documents WHERE doc_id % 10 >= 8),
+            esh AS (SELECT DISTINCT sh FROM
+                        (SELECT unnest({_SHINGLE5_SQL.format(t='toks')})
+                             AS sh FROM ev)
+                    WHERE sh <> ''),
+            tsh AS (SELECT doc_id, sh FROM
+                        (SELECT doc_id,
+                                unnest({_SHINGLE5_SQL.format(t='toks')})
+                                    AS sh FROM tr)
+                    WHERE sh <> ''),
+            hits AS (SELECT DISTINCT doc_id FROM tsh JOIN esh USING (sh))
+            SELECT doc_id, q_score FROM tr
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)""",
         "x8_split_vocab": f"""
             SELECT token, CAST(COUNT(*) AS BIGINT) AS n
             FROM (SELECT unnest({_TOKENS_SQL.format(c='text')}) AS token
