@@ -7,6 +7,8 @@ what a 100 TB pretraining-corpus pipeline actually runs:
     → near-dup removal (MinHash LSH)     X2
     → language filter                    X5
     → quality filter                     X5
+    → repetition gate (optional)         X11
+    → decontamination (optional)         X10
     → corpus stats                       X5
 
 Every stage is a DataFrame→DataFrame transform; dedup stages are
@@ -48,13 +50,23 @@ def prepare_training_corpus(docs: DataFrame, *,
                             min_quality: float = 0.5,
                             jaccard_threshold: float = 0.6,
                             exact_clusters: bool = False,
+                            max_dup_ngram_ratio: float | None = None,
+                            eval_docs: DataFrame | None = None,
+                            decontam_ngram: int = 5,
                             collect_counts: bool = True) -> CorpusResult:
     """docs(doc_id, text, ...) -> deduped, language- and quality-filtered
     corpus + per-language token statistics.
 
     `exact_clusters=True` replaces the greedy edge-drop near-dup policy
     with true connected components (keep the min doc id per transitive
-    cluster) — a few extra shuffle rounds, exact cluster semantics."""
+    cluster) — a few extra shuffle rounds, exact cluster semantics.
+
+    `max_dup_ngram_ratio` (X11) adds the repetition gate: drop docs whose
+    duplicate-trigram ratio exceeds the bound (narrow pass, no shuffle).
+    `eval_docs` (X10) adds benchmark decontamination as the final stage:
+    drop any surviving doc sharing a distinct `decontam_ngram`-gram with
+    the eval set (eval shingles broadcast; the corpus never shuffles).
+    Both stages mirror __spark_entry__.py's oracle-checked x7 pipeline."""
     n0 = docs.count() if collect_counts else -1
 
     # exact dedup: keep the lowest id of each fingerprint group
@@ -79,6 +91,28 @@ def prepare_training_corpus(docs: DataFrame, *,
              .withColumn("__q", quality_score_expr(text_col))
              .filter(F.col("__q") >= min_quality)
              .drop("__q", "predicted_lang"))
+
+    if max_dup_ngram_ratio is not None:
+        from serverless_data_pipeline_spark.functions.text import (
+            shingles_from_tokens, tokens,
+        )
+        sh = shingles_from_tokens(tokens(text_col), 3)
+        dnr = (F.when(F.size(sh) > 0,
+                      1.0 - F.size(F.array_distinct(sh)).cast("double")
+                      / F.size(sh).cast("double"))
+                .otherwise(F.lit(0.0)))
+        clean = (clean.withColumn("__dnr", dnr)
+                 .filter(F.col("__dnr") <= max_dup_ngram_ratio)
+                 .drop("__dnr"))
+
+    if eval_docs is not None:
+        from serverless_data_pipeline_spark.operators.corpus import (
+            decontaminate,
+        )
+        clean = (decontaminate(clean, eval_docs, id_col, text_col,
+                               n=decontam_ngram)
+                 .filter(~F.col("contaminated"))
+                 .drop("n_overlap", "contaminated"))
 
     stats = token_stats(clean.withColumn("__lang_group", F.lit("corpus")),
                         text_col, group_col="__lang_group") \

@@ -45,3 +45,32 @@ def test_corpus_pipeline_exact_clusters(spark):
                                   exact_clusters=True)
     # same outcome as greedy on this graph, via true components
     assert sorted(r.doc_id for r in res.clean.collect()) == [1, 4]
+
+
+def test_corpus_pipeline_repetition_and_decontamination_stages(spark):
+    looping = ("the cat sat on the mat " * 8       # dup-trigram heavy
+               + "and that is the end of it all")
+    res_docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD2), (3, looping)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        # shares the 5-gram "the quick brown fox jumps" with GOOD
+        [(99, "we begin thus the quick brown fox jumps again here")],
+        "doc_id long, text string")
+
+    base = prepare_training_corpus(res_docs, languages=("en",),
+                                   min_quality=0.5, jaccard_threshold=0.5,
+                                   collect_counts=False)
+    assert sorted(r.doc_id for r in base.clean.collect()) == [1, 2, 3]
+
+    rep = prepare_training_corpus(res_docs, languages=("en",),
+                                  min_quality=0.5, jaccard_threshold=0.5,
+                                  max_dup_ngram_ratio=0.5,
+                                  collect_counts=False)
+    assert sorted(r.doc_id for r in rep.clean.collect()) == [1, 2]
+
+    full = prepare_training_corpus(res_docs, languages=("en",),
+                                   min_quality=0.5, jaccard_threshold=0.5,
+                                   max_dup_ngram_ratio=0.5, eval_docs=ev,
+                                   collect_counts=False)
+    assert sorted(r.doc_id for r in full.clean.collect()) == [2]
