@@ -317,7 +317,11 @@ def neardup_components(pairs: DataFrame, *,
     (near-dup components almost always have diameter <= 3) and every
     other round after; the final round always probes so the convergence
     warning below is accurate. Measured at sf0.1 this halves the CC
-    job count vs probing every round.
+    job count vs probing every round. (Also measured and REJECTED:
+    batching two propagation steps per checkpoint — warm 2.2s one-step
+    vs 2.5s two-step at sf0.1; the deeper two-join plan costs more than
+    the saved checkpoint job once the probe schedule already amortizes
+    round overhead.)
 
     Warns (does not raise) if labels did not converge within `max_iter`
     — callers like dedupe_by_components would otherwise silently keep
