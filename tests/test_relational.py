@@ -90,3 +90,26 @@ def test_sessionize_gap_splits(spark):
     u_sessions = {r.session_seq for r in out.filter("k = 'u'").collect()}
     assert u_sessions == {1, 2}
     assert out.filter("k = 'v'").first().session_seq == 1
+
+
+def test_approx_sketches_error_bounds(spark):
+    """The rows-only sketch aggregates (g_approx_sketches) carry no
+    DuckDB oracle (sketch internals differ per engine), so pin their
+    accuracy here: HLL++ within its 5% default rsd on a known
+    cardinality, and percentile_approx EXACT below the default accuracy
+    threshold (10k observations) — the regime the oracle queries run in."""
+    from pyspark.sql import functions as F
+
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") % 1000).alias("k"),          # true distinct = 1000
+        F.col("id").cast("double").alias("v"))
+    got = df.agg(
+        F.approx_count_distinct("k").alias("ad"),
+        F.percentile_approx("v", 0.5).alias("am"),
+        F.expr("percentile(v, 0.5)").alias("em")).collect()[0]
+    assert abs(got.ad - 1000) / 1000 <= 0.05       # HLL++ rsd bound
+    # below the sketch's accuracy threshold the approx IS the exact
+    # percentile (a member of the input, the lower of the middle pair)
+    assert got.am == 2499.0
+    assert abs(got.em - 2499.5) < 1e-9
