@@ -10,12 +10,37 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from serverless_data_pipeline_spark.plans.state import StateTable
+from serverless_data_pipeline_spark.plans.state import (
+    StateTable, new_pipeline_id,
+)
 
 
 class PipelineControl:
     def __init__(self, state: StateTable):
         self.state = state
+
+    def start_pipeline(self, *, source: str = "api",
+                       data_type: str = "json", priority: str = "normal",
+                       metadata: dict | None = None) -> str:
+        """POST /pipelines (md:169-181) — register a run and return its
+        id. Mirrors the API body shape {source, data_type, priority,
+        metadata{...}} (md:172-180); the proxy Lambda's StartExecution
+        grant (py:488) maps to the caller then invoking
+        plans.pipeline.run_pipeline with this id's batch. The SUBMITTED
+        marker lands before any stage so the run is visible to
+        list_pipelines immediately, as the reference's state table is."""
+        pid = new_pipeline_id()
+        self.state.append(pid, "control", "SUBMITTED", {
+            "source": source, "data_type": data_type,
+            "priority": priority, **(metadata or {})})
+        return pid
+
+    def update_pipeline(self, pipeline_id: str, **fields) -> None:
+        """PUT /pipelines/{id} (py:483) — append an UPDATED marker
+        carrying the changed fields (priority, metadata...). Append-only:
+        the audit trail keeps every revision, current() reads the
+        latest."""
+        self.state.append(pipeline_id, "control", "UPDATED", fields)
 
     def list_pipelines(self, status: str | None = None) -> list[dict]:
         """GET /pipelines (md:183-186)."""

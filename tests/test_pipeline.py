@@ -130,3 +130,18 @@ def test_control_plane_listing(spark, paths):
     assert len(history) >= 4
     ctl.cancel_pipeline(res.pipeline_id)
     assert ctl.list_pipelines(status="CANCELLED")
+
+
+def test_control_plane_start_and_update(spark, paths):
+    state = StateTable(spark, paths["state"])
+    ctl = PipelineControl(state)
+    pid = ctl.start_pipeline(source="api", data_type="json",
+                             priority="high", metadata={"batch_id": "b-1"})
+    assert pid.startswith("pipeline-")
+    listed = ctl.list_pipelines(status="SUBMITTED")
+    assert [p["pipeline_id"] for p in listed] == [pid]
+    ctl.update_pipeline(pid, priority="low")
+    cur = {p["pipeline_id"]: p for p in ctl.list_pipelines()}
+    assert cur[pid]["status"] == "UPDATED"
+    hist = ctl.get_pipeline(pid)
+    assert [h["status"] for h in hist] == ["SUBMITTED", "UPDATED"]
