@@ -52,9 +52,10 @@ from serverless_data_pipeline_spark.streaming.windows import (
 
 def _prep(spark: SparkSession) -> SparkSession:
     """Driver-owned sessions may lack engine conf; set the runtime-settable
-    bits every query depends on: UTC (== DuckDB wall clock), nanos events,
-    AQE + right-sized shuffle partitions (a bare session defaults to 200 —
-    needless task overhead at oracle scale)."""
+    bits every query depends on: UTC (== DuckDB wall clock), the
+    nanos-as-long escape hatch (engaged only when load_table probes a real
+    TIMESTAMP(NANOS) fixture), AQE + right-sized shuffle partitions (a bare
+    session defaults to 200 — needless task overhead at oracle scale)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -653,37 +654,52 @@ def _q_st1_stream_exec(spark, sf):
     import uuid
 
     _prep(spark)
-    read_schema = T.StructType([
-        T.StructField("ts", T.LongType()) if f.name == "ts" else f
-        for f in SCHEMAS["events"].fields])
-    # The file-stream source only accepts DIRECTORY paths; the fixture
-    # table is a single parquet file, so stage it into a temp dir once
-    # (idempotent across calls — keyed by source path).
-    import os
-    import shutil
-    import tempfile
-
-    src = f"{sf}/events.parquet"
-    if os.path.isdir(src):
-        stream_dir = src
+    stream_dir, ev_unit = _stage_events_stream_dir(f"{sf}/events.parquet")
+    if ev_unit == "ns":
+        read_schema = T.StructType([
+            T.StructField("ts", T.LongType()) if f.name == "ts" else f
+            for f in SCHEMAS["events"].fields])
+        raw = (spark.readStream.schema(read_schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(stream_dir))
+        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        stream_dir = os.path.join(
-            tempfile.gettempdir(),
-            "sdp_stream_" + src.strip("/").replace("/", "_"))
-        os.makedirs(stream_dir, exist_ok=True)
-        dst = os.path.join(stream_dir, "events.parquet")
-        if not os.path.exists(dst):
-            shutil.copy(src, dst)
-    raw = (spark.readStream.schema(read_schema)
-           .option("maxFilesPerTrigger", 1)
-           .parquet(stream_dir))
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = (spark.readStream.schema(SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1)
+              .parquet(stream_dir))
     agg = tumbling_agg(ev, keys=(), width="1 hour", watermark=None)
     name = f"st1_mem_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def _stage_events_stream_dir(src: str) -> tuple[str, str | None]:
+    """Stage the single-file events fixture into a directory for the
+    file-stream source (which only accepts directory paths), and probe the
+    `ts` physical unit so callers read nanos and micros fixtures alike.
+
+    The staged copy is keyed by source (path, mtime, size) so a regenerated
+    fixture re-stages instead of serving stale data forever.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from serverless_data_pipeline_spark.schemas import _parquet_timestamp_unit
+
+    unit = _parquet_timestamp_unit(src, "ts")
+    if os.path.isdir(src):
+        return src, unit
+    st = os.stat(src)
+    key = f"{src.strip('/').replace('/', '_')}_{int(st.st_mtime)}_{st.st_size}"
+    stream_dir = os.path.join(tempfile.gettempdir(), "sdp_stream_" + key)
+    os.makedirs(stream_dir, exist_ok=True)
+    dst = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(src, dst)
+    return stream_dir, unit
 
 
 def _q_st3_window_agg(spark, sf):

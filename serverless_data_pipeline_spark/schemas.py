@@ -104,18 +104,53 @@ INGEST_RECORD_SCHEMA = T.StructType([
 ])
 
 
+def _parquet_timestamp_unit(path: str, column: str) -> str | None:
+    """Probe a parquet file/dir footer for a timestamp column's time unit.
+
+    Returns 'ns' | 'us' | 'ms' | 's', or None when the column is absent or
+    not a timestamp. Footer-only read (pyarrow), no Spark job — schema-on-read
+    the way the reference's Glue-crawler contract intends (py:602-616): the
+    reader adapts to whatever physical unit the producer wrote, instead of
+    assuming one and silently corrupting when the producer shifts.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", ".")))
+        if not parts:
+            return None
+        probe = os.path.join(path, parts[0])
+    try:
+        arrow_schema = pq.ParquetFile(probe).schema_arrow
+    except (OSError, pa.ArrowInvalid):
+        return None
+    if column not in arrow_schema.names:
+        return None
+    typ = arrow_schema.field(column).type
+    return typ.unit if pa.types.is_timestamp(typ) else None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Registered-schema parquet scan (S2). No inference, prunable.
 
-    `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which PySpark
-    cannot map to TimestampType directly; with
-    `spark.sql.legacy.parquet.nanosAsLong=true` it reads as a nanos long,
-    converted here to microsecond TimestampType (`ts div 1000` — integer
-    division, no double round-trip, matching DuckDB's ns→us truncation).
+    `events.parquet` has historically shifted physical type under us:
+    TIMESTAMP(NANOS) in one fixture generation, TIMESTAMP(MICROS) in the
+    next. PySpark cannot map parquet nanos to TimestampType directly, so for
+    a nanos file we read `ts` as a long (`spark.sql.legacy.parquet.
+    nanosAsLong=true`) and truncate to micros (`ts div 1000` — integer
+    division, matching DuckDB's ns→us truncation). The unit is probed from
+    the parquet footer per read, never assumed: a micros/millis file reads
+    straight through the registered TimestampType schema.
     """
     path = f"{sf_dir}/{name}.parquet"
     schema = SCHEMAS.get(name)
-    if name == "events":
+    if name == "events" and _parquet_timestamp_unit(path, "ts") == "ns":
         # Conf is runtime-settable; set defensively for driver-owned
         # sessions that did not go through get_spark().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -42,8 +42,9 @@ def get_spark(app_name: str = "serverless_data_pipeline_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS); read as long, converted
-        # to TimestampType in schemas.load_table.
+        # Harmless unless a parquet column really is TIMESTAMP(NANOS);
+        # schemas.load_table probes the footer and only engages the
+        # nanos→micros shim for genuine nanos files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
