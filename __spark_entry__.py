@@ -1068,10 +1068,20 @@ def _q_x11_text_hygiene(spark, sf):
 def _q_x6_binary_udfs(spark, sf):
     """X6 — both binary-payload UDF paths in one rows-only query: the
     Arrow-batched decode/featurize stub (mapInPandas) joined with the
-    frame-sampling row explosion aggregated back to media grain."""
+    frame-sampling row explosion aggregated back to media grain.
+
+    The feature vector is projected to comparator-safe scalars (csv join +
+    first/last dims) — the driver's canonicalizer cannot hash list-typed
+    cells (r3 ERROR row), same portability rule as g8_array_agg."""
     media = attach_binary_payload(_t(spark, sf, "documents"),
                                   "doc_id", "text", "source")
-    feats = extract_features(media)
+    feats = extract_features(media).select(
+        "media_id", "n_bytes",
+        F.size("features").alias("n_dims"),
+        F.element_at("features", 1).alias("feat_first"),
+        F.element_at("features", -1).alias("feat_last"),
+        F.array_join(F.transform("features", lambda x: x.cast("string")),
+                     ",").alias("features_csv"))
     frames = (frame_sample(media, every_n_bytes=64)
               .groupBy("media_id")
               .agg(F.count("*").alias("n_frames"),
