@@ -651,9 +651,16 @@ def _q_st1_stream_exec(spark, sf):
     loop, py:187-213). Deterministic: availableNow consumes all input and
     complete mode emits the final aggregate, which the oracle checks
     against the identical batch SQL."""
-    import uuid
-
     _prep(spark)
+    agg = tumbling_agg(_events_readstream(spark, sf), keys=(),
+                       width="1 hour", watermark=None)
+    return _drain_stream(spark, agg, "st1")
+
+
+def _events_readstream(spark, sf) -> DataFrame:
+    """True `readStream` over the events fixture, unit-adaptive exactly
+    like load_table: a nanos fixture reads long + div-1000, a micros one
+    reads straight through the registered schema."""
     stream_dir, ev_unit = _stage_events_stream_dir(f"{sf}/events.parquet")
     if ev_unit == "ns":
         read_schema = T.StructType([
@@ -662,15 +669,24 @@ def _q_st1_stream_exec(spark, sf):
         raw = (spark.readStream.schema(read_schema)
                .option("maxFilesPerTrigger", 1)
                .parquet(stream_dir))
-        ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        ev = (spark.readStream.schema(SCHEMAS["events"])
-              .option("maxFilesPerTrigger", 1)
-              .parquet(stream_dir))
-    agg = tumbling_agg(ev, keys=(), width="1 hour", watermark=None)
-    name = f"st1_mem_{uuid.uuid4().hex[:8]}"
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (spark.readStream.schema(SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir))
+
+
+def _drain_stream(spark, agg: DataFrame, tag: str,
+                  output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming aggregate to a memory sink with
+    Trigger.availableNow — deterministic: all input is consumed and
+    complete mode emits the final aggregate state, so the result equals
+    the identical batch plan and the oracle can value-check a query that
+    really executed through the streaming engine."""
+    import uuid
+
+    name = f"{tag}_mem_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
 
@@ -703,23 +719,34 @@ def _stage_events_stream_dir(src: str) -> tuple[str, str | None]:
 
 
 def _q_st3_window_agg(spark, sf):
-    """ST3 — tumbling AND sliding (1 h / 30 min) window aggs as one
-    tagged union (batch-mode plan — identical to the streaming plan, see
-    streaming/windows.py; true streaming execution is st1_stream_exec +
-    tests/test_streaming.py)."""
-    tumb = (tumbling_agg(_t(spark, sf, "events"), width="1 hour")
-            .select(F.lit("tumbling").alias("kind"), "window_start",
-                    "event_type", "n_events", "sum_value"))
-    slide = (sliding_agg(_t(spark, sf, "events"),
-                         width="1 hour", slide="30 minutes")
-             .select(F.lit("sliding").alias("kind"), "window_start",
-                     "event_type", "n_events", "sum_value"))
+    """ST3 — tumbling AND sliding (1 h / 30 min) window aggs, each
+    EXECUTED THROUGH the streaming engine (readStream → availableNow →
+    memory sink; two streaming queries, since one streaming query cannot
+    union two stateful aggregations) and unioned as a tagged batch result
+    the oracle value-checks."""
+    _prep(spark)
+    tumb = _drain_stream(
+        spark, tumbling_agg(_events_readstream(spark, sf), width="1 hour"),
+        "st3t").select(F.lit("tumbling").alias("kind"), "window_start",
+                       "event_type", "n_events", "sum_value")
+    slide = _drain_stream(
+        spark, sliding_agg(_events_readstream(spark, sf),
+                           width="1 hour", slide="30 minutes"),
+        "st3s").select(F.lit("sliding").alias("kind"), "window_start",
+                       "event_type", "n_events", "sum_value")
     return tumb.unionAll(slide)
 
 
 def _q_st5_session(spark, sf):
-    """ST5 — session windows (30 min gap) per user."""
-    return session_agg(_t(spark, sf, "events"), gap="30 minutes")
+    """ST5 — session windows (30 min gap) per user, executed through the
+    streaming engine (merging session state store), final state drained
+    via availableNow + complete mode and value-checked by the oracle's
+    batch gaps-and-islands SQL."""
+    _prep(spark)
+    return _drain_stream(
+        spark,
+        session_agg(_events_readstream(spark, sf), gap="30 minutes"),
+        "st5")
 
 
 # =========================================================== X-ops (X)
@@ -876,20 +903,42 @@ def _q_x2_lsh_pairs(spark, sf):
     bucket join, SimHash pigeonhole piece join, sign-LSH embedding
     bucketing. `metric` is the flavour's own score (est. Jaccard /
     Hamming distance / cosine)."""
-    docs = _t(spark, sf, "documents")
-    mh = (minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.4,
-                            materialize_signatures=True)
-          .select(F.lit("minhash").alias("method"), "id_a", "id_b",
-                  F.col("jaccard_est").alias("metric")))
-    sh = (simhash_pairs(docs, "doc_id", "text")
-          .select(F.lit("simhash").alias("method"), "id_a", "id_b",
-                  F.col("hamming").cast("double").alias("metric")))
-    em = (embedding_neardup_pairs(_t(spark, sf, "embeddings"), "vec_id",
-                                  "embedding", threshold=0.3, n_planes=6,
-                                  dim=64)
-          .select(F.lit("embedding").alias("method"), "id_a", "id_b",
-                  F.col("cosine").alias("metric")))
-    return mh.unionAll(sh).unionAll(em)
+    return (_lsh_flavour_minhash(spark, sf)
+            .unionAll(_lsh_flavour_simhash(spark, sf))
+            .unionAll(_lsh_flavour_embedding(spark, sf)))
+
+
+def _lsh_flavour_minhash(spark, sf):
+    return (minhash_lsh_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                              jaccard_threshold=0.4,
+                              materialize_signatures=True)
+            .select(F.lit("minhash").alias("method"), "id_a", "id_b",
+                    F.col("jaccard_est").alias("metric")))
+
+
+def _lsh_flavour_simhash(spark, sf):
+    return (simhash_pairs(_t(spark, sf, "documents"), "doc_id", "text")
+            .select(F.lit("simhash").alias("method"), "id_a", "id_b",
+                    F.col("hamming").cast("double").alias("metric")))
+
+
+def _lsh_flavour_embedding(spark, sf):
+    return (embedding_neardup_pairs(_t(spark, sf, "embeddings"), "vec_id",
+                                    "embedding", threshold=0.3, n_planes=6,
+                                    dim=64)
+            .select(F.lit("embedding").alias("method"), "id_a", "id_b",
+                    F.col("cosine").alias("metric")))
+
+
+def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Per-flavour breakdown of composite headline queries, so bench.py can
+    attribute a composite's wall-clock to its components round over round.
+    NOT part of the driver registry (no leading `_q_`)."""
+    return {
+        "x2_lsh_pairs.minhash": _lsh_flavour_minhash,
+        "x2_lsh_pairs.simhash": _lsh_flavour_simhash,
+        "x2_lsh_pairs.embedding": _lsh_flavour_embedding,
+    }
 
 
 def _q_x2_ngram_jaccard(spark, sf):
