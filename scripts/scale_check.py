@@ -77,10 +77,26 @@ def main() -> None:
             lambda: minhash_lsh_pairs(d, "doc_id", "text",
                                       jaccard_threshold=0.4,
                                       materialize_signatures=True).count())
-        pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4,
-                                    max_doc_freq=100, materialize_index=True)
-        r["cc_dedupe"] = timed(
+        # Time candidate generation and clustering SEPARATELY — r3's
+        # combined number attributed pair-gen cost (the real superlinear
+        # term: 84 s of the 10x run) to CC (~8 s on the materialized
+        # 250k-pair list).
+        pairs_plan = ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.4,
+            max_doc_freq=100, materialize_index=True)
+        pairs = None
+
+        def _gen():
+            nonlocal pairs
+            pairs = (pairs_plan.select("id_a", "id_b")
+                     .localCheckpoint(eager=True))
+        r["pair_gen"] = timed(_gen)
+        r["n_pairs"] = pairs.count()
+        r["cc_label_prop"] = timed(
             lambda: dedupe_by_components(d, pairs, "doc_id").count())
+        r["cc_star"] = timed(
+            lambda: dedupe_by_components(d, pairs, "doc_id",
+                                         algorithm="star").count())
         r["ann_join"] = timed(
             lambda: ann_topk_join(queries, e, "vec_id", "embedding",
                                   "vec_id", "embedding", dim=64, k=10,

@@ -212,36 +212,77 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     high-df shingle pruning), bounding any bucket to max_doc_freq^2 pairs.
     None = exact Jaccard (small/oracle runs).
 
-    `materialize_index=True` checkpoints the (id, shingle) index once
-    (eager localCheckpoint): it feeds THREE plan branches (sizes + both
-    self-join sides) that Catalyst otherwise re-executes from the scan.
-    Measured BOTH ways at sf0.1 — 2.3x faster on a plain documents scan
-    (warm 7.8s -> 3.4s; the x2 registry entries use it), but ~2x SLOWER
-    when the upstream is itself a multi-join subplan (x7's post-dedup
-    frame: cold 11s -> 29s), where the blocking RDD materialization
-    costs more than the recompute it saves. Same verdict as the minhash
-    banded frame (see minhash_lsh_pairs): measure per call site; at
-    cluster scale, persistent reuse belongs in a parquet staging table,
-    not an executor-memory checkpoint."""
+    Candidate generation uses EXACT prefix filtering (Bayardo et al.
+    WWW'07 / Vernica et al. SIGMOD'10, the standard MapReduce
+    set-similarity join): order every doc's shingles by global rarity
+    (df asc, shingle asc — a deterministic total order) and index only the
+    first `sz - ceil(t*sz) + 1` of them. J(A,B) >= t implies
+    |A∩B| >= ceil(t*max(|A|,|B|)), and the prefix lemma then guarantees
+    any qualifying pair collides on at least one indexed prefix shingle —
+    so pruning is LOSSLESS for the given threshold. The win is that a
+    doc's COMMONEST shingles (the ones that smash unrelated docs
+    together) sort to the suffix and never enter the join: measured at
+    the 10x-amplified scale_check corpus, the un-prefixed self-join built
+    51.7M intermediate / 43.9M candidate pairs for 250k survivors (84 s);
+    prefix filtering cuts candidates to the near-dup neighborhoods.
+    Verification computes the exact intersection with one
+    `array_intersect` per candidate over the per-doc sorted shingle
+    arrays — two hash joins on the candidate list, no second inverted
+    index pass.
+
+    `materialize_index=True` checkpoints the per-doc shingle-set frame
+    once (eager localCheckpoint): it feeds the prefix index and both
+    verification sides, which Catalyst otherwise re-executes from the
+    scan. Measured BOTH ways at sf0.1 — faster on a plain documents scan
+    (the x2 registry entries use it), but SLOWER when the upstream is
+    itself a multi-join subplan (x7's post-dedup frame), where the
+    blocking RDD materialization costs more than the recompute it saves.
+    Same verdict as the minhash banded frame (see minhash_lsh_pairs):
+    measure per call site; at cluster scale, persistent reuse belongs in
+    a parquet staging table, not an executor-memory checkpoint."""
+    # Shingles ride as xxhash64 LONGS from here on: the prefix join key,
+    # the sorted set arrays, and the array_intersect all work on 8-byte
+    # ints instead of ~20-char strings — ~2.5x less shuffle volume and
+    # cheaper equality in the verify stage (the dominant cost at the 10x
+    # scale_check). A 64-bit collision would need ~2^32 distinct shingles
+    # per doc pair to matter; the DuckDB oracle (exact strings) guards it.
     sh = (_shingled(df, id_col, text_col, n)
-          .select(F.col(id_col).alias("__id"), "__sh"))
+          .select(F.col(id_col).alias("__id"),
+                  F.xxhash64("__sh").alias("__sh")))
+    dfreq = sh.groupBy("__sh").agg(F.count("*").alias("__df"))
     if max_doc_freq is not None:
-        doc_freq = (sh.groupBy("__sh")
-                      .agg(F.count("*").alias("__df"))
-                      .filter(F.col("__df") <= max_doc_freq)
-                      .select("__sh"))
-        sh = sh.join(doc_freq, "__sh")
+        dfreq = dfreq.filter(F.col("__df") <= max_doc_freq)
+    # Per-doc shingle set as ONE array in global rarity order; sz is the
+    # capped set size (cap drops the shingle from index AND sizes).
+    sets = (sh.join(dfreq, "__sh")
+            .groupBy("__id")
+            .agg(F.sort_array(F.collect_list(F.struct("__df", "__sh")))
+                  .alias("__arr"))
+            .select("__id",
+                    F.expr("transform(__arr, s -> s.__sh)").alias("__set"),
+                    F.size("__arr").alias("sz")))
     if materialize_index:
-        sh = sh.localCheckpoint(eager=True)
-    sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
-    common = (sh.alias("a").join(sh.alias("b"), "__sh")
-                .select(F.col("a.__id").alias("id_a"),
-                        F.col("b.__id").alias("id_b"))
-                .filter(F.col("id_a") < F.col("id_b"))
-                .groupBy("id_a", "id_b").agg(F.count("*").alias("common")))
-    sz_a = sizes.select(F.col("__id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("__id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (common.join(sz_a, "id_a").join(sz_b, "id_b")
+        sets = sets.localCheckpoint(eager=True)
+    prefix_len = (F.col("sz")
+                  - F.ceil(F.col("sz") * F.lit(float(threshold))) + 1
+                  ).cast("int")
+    pref = sets.select("__id",
+                       F.explode(F.slice("__set", F.lit(1), prefix_len))
+                        .alias("__sh"))
+    cands = (pref.alias("a").join(pref.alias("b"), "__sh")
+             .filter(F.col("a.__id") < F.col("b.__id"))
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"))
+             .distinct())
+    sa = sets.select(F.col("__id").alias("id_a"),
+                     F.col("__set").alias("__set_a"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("__id").alias("id_b"),
+                     F.col("__set").alias("__set_b"),
+                     F.col("sz").alias("sz_b"))
+    return (cands.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("common",
+                        F.size(F.array_intersect("__set_a", "__set_b")))
             .withColumn("jaccard",
                         F.col("common").cast("double")
                         / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
@@ -298,7 +339,8 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 def neardup_components(pairs: DataFrame, *,
                        id_a: str = "id_a", id_b: str = "id_b",
-                       max_iter: int = 15) -> DataFrame:
+                       max_iter: int = 15,
+                       algorithm: str = "label_prop") -> DataFrame:
     """Connected components over a near-dup pair list: (id, component_id)
     where component_id = MIN doc id reachable through any chain of pairs.
     This is the exact cluster semantics (greedy edge-drop in
@@ -325,7 +367,20 @@ def neardup_components(pairs: DataFrame, *,
 
     Warns (does not raise) if labels did not converge within `max_iter`
     — callers like dedupe_by_components would otherwise silently keep
-    extra near-duplicates from an unfinished propagation."""
+    extra near-duplicates from an unfinished propagation.
+
+    ``algorithm``:
+    - ``"label_prop"`` (default): min-label propagation. Cheapest per
+      round (~3 shuffles) but every round re-joins the FULL edge list —
+      the superlinear term scale_check surfaces at ~1000x edge density.
+    - ``"star"``: alternating large-star/small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+      public algorithm, re-derived here as DataFrame ops). Each round
+      REWRITES the edge list to point at component minima, so the graph
+      contracts as stars collapse; rounds are O(log^2 n) and late rounds
+      run on near-star (tiny) edge lists. The scale path for dense
+      near-dup graphs. Identical output (comp = min reachable id) —
+      pinned by tests/test_dedup.py equivalence tests."""
     # Materialize the pair list FIRST: it is tiny (it only names
     # near-dups), but its lineage is the whole candidate-generation plan
     # (shingle explode + self-join). Checkpointing here makes every
@@ -334,6 +389,10 @@ def neardup_components(pairs: DataFrame, *,
     # sf0.1 this cuts total CC wall-clock ~3x.
     p = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
          .localCheckpoint(eager=True))
+    if algorithm == "star":
+        return _components_star(p, max_iter=max_iter)
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown CC algorithm: {algorithm!r}")
     edges = (p.union(p.select(F.col("dst").alias("src"),
                               F.col("src").alias("dst")))
              .distinct().localCheckpoint(eager=True))
@@ -369,6 +428,70 @@ def neardup_components(pairs: DataFrame, *,
             "returned component_ids are NOT fully propagated; raise "
             "max_iter.", RuntimeWarning, stacklevel=2)
     return labels.select(F.col("id"), F.col("comp").alias("component_id"))
+
+
+def _components_star(p: DataFrame, *, max_iter: int = 15) -> DataFrame:
+    """Alternating large-star/small-star connected components over a
+    checkpointed (src, dst) pair list; returns (id, component_id) with
+    component_id = min reachable id — same contract as label propagation.
+
+    One round = large-star then small-star:
+    - large-star(u): every neighbor v > u re-points to m = min(N(u) ∪ u);
+    - small-star(u): every neighbor v <= u re-points to m, plus (u, m).
+    The edge list is REWRITTEN each half-round (contracting toward star
+    graphs rooted at component minima) instead of re-joined in full like
+    label propagation, which is what keeps dense graphs tractable.
+    Converged when a full round is a fixed point of the edge set; the
+    fixed point is exactly the union of component stars."""
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+
+    edges = (p.filter(F.col("src") != F.col("dst")).distinct()
+             .localCheckpoint(eager=True))
+    nodes = (p.select(F.col("src").alias("id"))
+             .union(p.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    converged = edges.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        sym = _sym(edges)
+        mins = (sym.groupBy("src").agg(F.min("dst").alias("__md"))
+                .select("src", F.least("src", "__md").alias("__m")))
+        large = (sym.filter(F.col("dst") > F.col("src"))
+                 .join(mins, "src")
+                 .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+                 .filter(F.col("src") != F.col("dst")).distinct()
+                 .localCheckpoint(eager=True))
+        small_n = _sym(large).filter(F.col("dst") <= F.col("src"))
+        mins2 = small_n.groupBy("src").agg(F.min("dst").alias("__m"))
+        new = (small_n.join(mins2, "src")
+               .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+               .union(mins2.select("src", F.col("__m").alias("dst")))
+               .filter(F.col("src") != F.col("dst")).distinct()
+               .localCheckpoint(eager=True))
+        # Fixed point: the round reproduced its input edge set. Cheap
+        # count gate first (checkpointed leaves), exact set-diff probe
+        # only when counts agree.
+        if new.count() == edges.count():
+            converged = (new.exceptAll(edges).limit(1).count() == 0)
+        edges = new
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"_components_star: edge set still contracting after "
+            f"{max_iter} rounds — returned component_ids may be "
+            "unpropagated; raise max_iter.", RuntimeWarning, stacklevel=3)
+    # At the fixed point every non-root points straight at its component
+    # min; roots appear only as dst (or not at all for isolated nodes —
+    # excluded here since every pair-list node has a neighbor).
+    comp = edges.groupBy("src").agg(F.min("dst").alias("component_id"))
+    return (nodes.join(comp, nodes["id"] == comp["src"], "left")
+            .select("id", F.coalesce("component_id", "id")
+                    .alias("component_id")))
 
 
 def dedupe_by_components(docs: DataFrame, pairs: DataFrame, id_col: str,

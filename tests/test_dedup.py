@@ -142,3 +142,48 @@ def test_neardup_components_converges_early(spark):
     out = neardup_components(pairs, max_iter=15).collect()
     assert {r.component_id for r in out} == {1}
     assert len(out) == 6
+
+
+def test_star_components_match_label_prop(spark):
+    """The star contraction must produce the identical (id, component_id)
+    map as label propagation: chain, star-shaped, disjoint, and a
+    pseudo-random graph with multi-merge components."""
+    import random
+
+    from serverless_data_pipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+    rng = random.Random(7)
+    edges = [(1, 2), (2, 3), (3, 7), (5, 9), (20, 21), (21, 22), (20, 22)]
+    edges += [(rng.randrange(100, 160), rng.randrange(100, 160))
+              for _ in range(80)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    lp = {r.id: r.component_id
+          for r in neardup_components(pairs).collect()}
+    st = {r.id: r.component_id
+          for r in neardup_components(pairs, algorithm="star").collect()}
+    assert st == lp
+
+
+def test_star_components_high_diameter_chain(spark):
+    """A 40-node path has diameter 39 — label prop needs ~39 rounds, star
+    contraction collapses it in O(log^2) rounds well inside max_iter."""
+    from serverless_data_pipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long")
+    out = neardup_components(pairs, algorithm="star", max_iter=10).collect()
+    assert {r.component_id for r in out} == {1}
+    assert len(out) == 40
+
+
+def test_star_components_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    from serverless_data_pipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with _pytest.raises(ValueError):
+        neardup_components(pairs, algorithm="nope")
