@@ -675,6 +675,19 @@ def _events_readstream(spark, sf) -> DataFrame:
             .parquet(stream_dir))
 
 
+def _start_stream(spark, agg: DataFrame, tag: str,
+                  output_mode: str = "complete"):
+    """Start a streaming aggregate into a memory sink with
+    Trigger.availableNow; returns (query, table_name) so independent
+    streams can run CONCURRENTLY and be awaited together."""
+    import uuid
+
+    name = f"{tag}_mem_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    return q, name
+
+
 def _drain_stream(spark, agg: DataFrame, tag: str,
                   output_mode: str = "complete") -> DataFrame:
     """Drain a streaming aggregate to a memory sink with
@@ -682,11 +695,7 @@ def _drain_stream(spark, agg: DataFrame, tag: str,
     complete mode emits the final aggregate state, so the result equals
     the identical batch plan and the oracle can value-check a query that
     really executed through the streaming engine."""
-    import uuid
-
-    name = f"{tag}_mem_{uuid.uuid4().hex[:8]}"
-    q = (agg.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode).trigger(availableNow=True).start())
+    q, name = _start_stream(spark, agg, tag, output_mode)
     q.awaitTermination(300)
     return spark.table(name)
 
@@ -725,15 +734,21 @@ def _q_st3_window_agg(spark, sf):
     union two stateful aggregations) and unioned as a tagged batch result
     the oracle value-checks."""
     _prep(spark)
-    tumb = _drain_stream(
+    qt, tname = _start_stream(
         spark, tumbling_agg(_events_readstream(spark, sf), width="1 hour"),
-        "st3t").select(F.lit("tumbling").alias("kind"), "window_start",
-                       "event_type", "n_events", "sum_value")
-    slide = _drain_stream(
+        "st3t")
+    qs_, sname = _start_stream(
         spark, sliding_agg(_events_readstream(spark, sf),
                            width="1 hour", slide="30 minutes"),
-        "st3s").select(F.lit("sliding").alias("kind"), "window_start",
-                       "event_type", "n_events", "sum_value")
+        "st3s")
+    qt.awaitTermination(300)
+    qs_.awaitTermination(300)
+    tumb = spark.table(tname).select(
+        F.lit("tumbling").alias("kind"), "window_start",
+        "event_type", "n_events", "sum_value")
+    slide = spark.table(sname).select(
+        F.lit("sliding").alias("kind"), "window_start",
+        "event_type", "n_events", "sum_value")
     return tumb.unionAll(slide)
 
 
@@ -1112,6 +1127,19 @@ def _q_x11_text_hygiene(spark, sf):
                      F.md5(F.col("redacted_text").cast("binary"))
                       .alias("redacted_fp"))
     return rep.join(red, "doc_id")
+
+
+def _q_x12_segment_dedup(spark, sf):
+    """X12 — sub-document segment-grain exact dedup (CCNet-style
+    paragraph-hash dedup mapped to 10-word segments): corpus-wide first
+    occurrence of every distinct segment survives, docs rebuilt from
+    surviving segments in order. The doc-level X1 complement — removes
+    the boilerplate span pasted across otherwise-distinct docs."""
+    from serverless_data_pipeline_spark.operators.corpus import segment_dedup
+    out = segment_dedup(_t(spark, sf, "documents"), "doc_id", "text",
+                        segment_words=10)
+    return out.select("doc_id", F.md5("text").alias("text_fp"),
+                      "n_segments", "n_kept")
 
 
 def _q_x6_binary_udfs(spark, sf):
@@ -1751,6 +1779,34 @@ def oracle_sql() -> dict[str, str]:
                          unnest(generate_series(
                              1, greatest(1, length(text)), 448)) AS s
                   FROM documents)""",
+        "x12_segment_dedup": f"""
+            WITH toks AS (SELECT doc_id,
+                                 {_TOKENS_SQL.format(c='text')} AS t
+                          FROM documents),
+            segs AS (SELECT doc_id,
+                            unnest(list_transform(
+                                range(0, cast(ceil(len(t) / 10.0)
+                                              AS BIGINT)),
+                                i -> {{'idx': i,
+                                      'seg': array_to_string(
+                                          t[i*10+1 : i*10+10], ' ')}}))
+                              AS s
+                     FROM toks WHERE len(t) > 0),
+            flat AS (SELECT doc_id, s.idx AS seg_idx, s.seg AS seg
+                     FROM segs),
+            firsts AS (SELECT doc_id, seg_idx, seg,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY md5(seg)
+                                  ORDER BY doc_id, seg_idx) AS rn
+                       FROM flat)
+            SELECT f.doc_id,
+                   md5(string_agg(f.seg, ' ' ORDER BY f.seg_idx))
+                       AS text_fp,
+                   CAST(ceil(len(t.t) / 10.0) AS INTEGER) AS n_segments,
+                   CAST(COUNT(*) AS INTEGER) AS n_kept
+            FROM firsts f JOIN toks t USING (doc_id)
+            WHERE f.rn = 1
+            GROUP BY f.doc_id, t.t""",
         "x9_corpus_mix": """
             WITH wts(lang, frac) AS (VALUES ('en', 0.25), ('de', 1.0),
                                             ('es', 1.0), ('fr', 1.0),

@@ -44,6 +44,7 @@ HEADLINE = (
     "x7_corpus_exact",
     "x10_decontaminate",
     "x11_text_hygiene",
+    "x12_segment_dedup",
 )
 
 

@@ -17,7 +17,7 @@ from serverless_data_pipeline_spark.functions.text import (
 )
 
 __all__ = ["train_test_split", "vocabulary", "pack_sequences", "corpus_mix",
-           "chunk_documents", "decontaminate"]
+           "chunk_documents", "decontaminate", "segment_dedup"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -182,3 +182,52 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     return (train.join(hits, id_col, "left")
             .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
             .withColumn("contaminated", F.col("n_overlap") >= min_overlap))
+
+
+def segment_dedup(df: DataFrame, id_col: str, text_col: str,
+                  segment_words: int = 10) -> DataFrame:
+    """Sub-document exact deduplication at segment grain — the line/
+    paragraph-level dedup of corpus pipelines (CCNet-style paragraph-hash
+    dedup; "Deduplicating Training Data Makes Language Models Better"
+    motivates removing repeated SPANS, not just whole documents). Whole-doc
+    dedup (X1) misses the boilerplate paragraph pasted into a million
+    otherwise-distinct pages; this removes it everywhere but its first
+    occurrence.
+
+    Each doc's token stream is cut into consecutive ``segment_words``-word
+    segments; for every distinct segment the corpus-wide FIRST occurrence
+    (min (doc_id, segment_idx)) survives; docs are rebuilt from their
+    surviving segments in original order. Docs whose every segment is a
+    repeat disappear (they were pure boilerplate). Returns
+    (id, text, n_segments, n_kept).
+
+    Scale shape: one shuffle keyed on the segment fingerprint (the
+    first-occurrence window — dup groups are small, AQE splits a
+    degenerate boilerplate key) + one groupBy(id) to reassemble. Linear
+    in corpus token count, no pairwise work; at 100 TB both shuffles are
+    the same hash-partitioned width as any groupBy."""
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    n_seg = F.ceil(F.size("__t") / F.lit(float(segment_words))).cast("int")
+    segs = (toks.filter(F.size("__t") > 0)
+            .select(
+                F.col(id_col),
+                F.posexplode(F.expr(
+                    f"transform(sequence(0, cast(ceil(size(__t) / "
+                    f"{float(segment_words)}) as int) - 1), "
+                    f"i -> array_join(slice(__t, i * {segment_words} + 1, "
+                    f"{segment_words}), ' '))"))
+                 .alias("__idx", "__seg")))
+    w = Window.partitionBy(F.md5("__seg")).orderBy(id_col, "__idx")
+    kept = (segs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1))
+    return (kept.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(F.struct("__idx", "__seg")))
+                  .alias("__ks"))
+            .join(toks.select(F.col(id_col), n_seg.alias("n_segments")),
+                  id_col)
+            .select(F.col(id_col),
+                    F.array_join(
+                        F.expr("transform(__ks, s -> s.__seg)"), " ")
+                     .alias(text_col),
+                    "n_segments",
+                    F.size("__ks").alias("n_kept")))

@@ -160,3 +160,35 @@ def test_decontaminate_min_overlap_threshold(spark):
     not_flagged = decontaminate(train, ev, "doc_id", "text", n=5,
                                 min_overlap=7).collect()[0]
     assert (not not_flagged.contaminated) and not_flagged.n_overlap == 0
+
+
+def test_segment_dedup_removes_planted_boilerplate(spark):
+    """Doc 1 owns the boilerplate segment; docs 2 and 3 repeat it and keep
+    only their unique tail; doc 4 is pure boilerplate and disappears."""
+    from serverless_data_pipeline_spark.operators.corpus import segment_dedup
+    boiler = "b1 b2 b3 b4"  # one 4-word segment
+    docs = spark.createDataFrame(
+        [(1, boiler + " u1 u2 u3 u4"),
+         (2, boiler + " v1 v2 v3 v4"),
+         (3, boiler + " w1 w2 w3 w4"),
+         (4, boiler)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           segment_dedup(docs, "doc_id", "text", segment_words=4).collect()}
+    assert out[1].text == boiler + " u1 u2 u3 u4"
+    assert out[2].text == "v1 v2 v3 v4"
+    assert out[3].text == "w1 w2 w3 w4"
+    assert 4 not in out
+    assert (out[1].n_segments, out[1].n_kept) == (2, 2)
+    assert (out[2].n_segments, out[2].n_kept) == (2, 1)
+
+
+def test_segment_dedup_keeps_order_and_partial_tail(spark):
+    """Surviving segments reassemble in original order; a short tail
+    segment (< segment_words) is its own segment."""
+    from serverless_data_pipeline_spark.operators.corpus import segment_dedup
+    docs = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string")
+    row = segment_dedup(docs, "doc_id", "text", segment_words=2).collect()[0]
+    assert row.text == "a b c d e"
+    assert row.n_segments == 3 and row.n_kept == 3
