@@ -207,10 +207,14 @@ def segment_dedup(df: DataFrame, id_col: str, text_col: str,
     in corpus token count, no pairwise work; at 100 TB both shuffles are
     the same hash-partitioned width as any groupBy."""
     toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
-    n_seg = F.ceil(F.size("__t") / F.lit(float(segment_words))).cast("int")
+    # n_segments rides through the explode (first() after the reassembly
+    # groupBy) — joining it back from a second tokenize pass would rescan
+    # and re-tokenize the whole corpus.
     segs = (toks.filter(F.size("__t") > 0)
             .select(
                 F.col(id_col),
+                F.ceil(F.size("__t") / F.lit(float(segment_words)))
+                 .cast("int").alias("n_segments"),
                 F.posexplode(F.expr(
                     f"transform(sequence(0, cast(ceil(size(__t) / "
                     f"{float(segment_words)}) as int) - 1), "
@@ -222,9 +226,8 @@ def segment_dedup(df: DataFrame, id_col: str, text_col: str,
             .filter(F.col("__rn") == 1))
     return (kept.groupBy(id_col)
             .agg(F.sort_array(F.collect_list(F.struct("__idx", "__seg")))
-                  .alias("__ks"))
-            .join(toks.select(F.col(id_col), n_seg.alias("n_segments")),
-                  id_col)
+                  .alias("__ks"),
+                 F.first("n_segments").alias("n_segments"))
             .select(F.col(id_col),
                     F.array_join(
                         F.expr("transform(__ks, s -> s.__seg)"), " ")

@@ -123,9 +123,10 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
     """Global guard: no registry query may plan a CartesianProduct. The
     only intentional cross join (j5_cross_theta) is 5x5 rows and plans as
     BroadcastNestedLoopJoin, which stays allowed ONLY there; everything
-    else must be equi-join/broadcast shaped. st1_stream_exec is excluded
-    because building it executes a streaming query, not a plan."""
-    skip = {"st1_stream_exec"}
+    else must be equi-join/broadcast shaped. The streaming rows are
+    excluded because building them executes streaming queries — their
+    "plan" here is just the drained memory sink's LocalTableScan."""
+    skip = {"st1_stream_exec", "st3_window_agg", "st5_session"}
     # Deliberate broadcast nested-loops: j5 (the cross-join op itself),
     # j6 (tiny interval set), x3 (exact top-k = broadcast query batch x
     # one corpus pass — the intended scale plan for an exact baseline).
@@ -175,3 +176,27 @@ def test_text_hygiene_repetition_is_shuffle_free(spark):
     plan = _plan(spark, "x11_text_hygiene")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_two_shuffles_no_rescan(spark):
+    """x12: exactly two hash exchanges (segment-fingerprint window +
+    doc reassembly groupBy) and ONE scan of documents — n_segments rides
+    through the explode instead of joining back a second tokenize pass."""
+    plan = _plan(spark, "x12_segment_dedup")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_ngram_jaccard_prefix_join_shape(spark):
+    """Prefix-filtered Jaccard: no cartesian/broadcast-nested-loop — the
+    candidate stage is an equi-join on the hashed shingle key, and
+    shingles transit as longs (xxhash64), never raw strings."""
+    from serverless_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    docs = entry_mod._t(spark, SF, "documents")
+    df = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
