@@ -877,7 +877,11 @@ def _q_x4_ann_suite(spark, sf):
     - `lsh_join`: two-table batch ANN join on bucket collisions (5 query
       vectors) — the scale path when the query set can't broadcast;
     - `ivf`: probed top-k with a TRAINED k-means codebook
-      (train_ivf_centroids, the real offline index build; query_id = -3).
+      (train_ivf_centroids, the real offline index build; query_id = -3);
+    - `pq_refined`: product-quantization ADC top-50 shortlist from
+      trained per-subspace codebooks, exact-cosine re-rank to top-10
+      (train_pq_codebooks/pq_topk — the m-bytes-per-vector billion-scale
+      index shape; query_id = -4).
     """
     from serverless_data_pipeline_spark.operators.similarity import (
         add_sign_lsh_buckets, ann_topk_indexed, ann_topk_join,
@@ -908,7 +912,15 @@ def _q_x4_ann_suite(spark, sf):
                                 max_iter=5)
     ivf = tag(ivf_topk(e, "vec_id", "embedding", q, k=10, n_probe=4,
                        centroids=cents), "ivf", -3)
-    return inline.unionAll(indexed).unionAll(batch).unionAll(ivf)
+    from serverless_data_pipeline_spark.operators.similarity import (
+        pq_topk, train_pq_codebooks,
+    )
+    books = train_pq_codebooks(e, "embedding", dim=64, m=8, ksub=16,
+                               seed=42, sample_n=2048)
+    pq = tag(pq_topk(e, "vec_id", "embedding", q, k=10, codebooks=books,
+                     refine=50), "pq_refined", -4)
+    return (inline.unionAll(indexed).unionAll(batch).unionAll(ivf)
+            .unionAll(pq))
 
 
 def _q_x2_lsh_pairs(spark, sf):

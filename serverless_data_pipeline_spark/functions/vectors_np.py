@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 __all__ = ["query_cosine_udf", "pair_cosine_udf", "sign_buckets_udf",
-           "argmax_cell_udf", "sign_bits"]
+           "argmax_cell_udf", "sign_bits", "pq_encode_udf",
+           "pq_adc_cosine_udf"]
 
 
 def _mat(vs: pd.Series, dim: int) -> np.ndarray:
@@ -103,6 +104,66 @@ def sign_buckets_udf(plane_tables: list[list[list[float]]], dim: int):
         return pd.Series(list(out))
 
     return _buckets
+
+
+def pq_encode_udf(codebooks: list[list[list[float]]], dim: int):
+    """Product-quantization encoder (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI'11): split each vector into
+    m = len(codebooks) contiguous subvectors; code j = argmin L2 distance
+    to codebook j's centroids (np.argmin: lowest index on ties —
+    deterministic). One einsum per subspace per Arrow batch; returns
+    array<int> of m codes (a 64-dim vector compresses to m bytes of
+    index payload when persisted)."""
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    dsub = dim // m
+    cnorms = [np.einsum("kd,kd->k", cb, cb) for cb in cbs]
+
+    @pandas_udf("array<int>")
+    def _encode(vs: pd.Series) -> pd.Series:
+        x = _mat(vs, dim).reshape(-1, m, dsub)
+        out = np.empty((x.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant
+            # over the argmin, dropped.
+            d = cnorms[j] - 2.0 * (x[:, j, :] @ cbs[j].T)
+            out[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return _encode
+
+
+def pq_adc_cosine_udf(codebooks: list[list[list[float]]],
+                      query_vec: list[float]):
+    """Asymmetric-distance (ADC) cosine estimate from PQ codes alone: the
+    query stays full-precision, the corpus vector is its reconstruction
+    from the codebooks. Per-query lookup tables (inner product + centroid
+    energy per subspace) are built ONCE driver-side; each Arrow batch is
+    two table-gather sums — no corpus vectors touched at probe time,
+    which is the entire point of PQ at scale (the index is m ints/vector,
+    the raw embeddings stay in cold storage)."""
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    dim = len(query_vec)
+    dsub = dim // m
+    q = np.asarray(query_vec, dtype=np.float64).reshape(m, dsub)
+    qn = float(np.linalg.norm(q))
+    ip_lut = np.stack([cbs[j] @ q[j] for j in range(m)])        # (m, ksub)
+    en_lut = np.stack([np.einsum("kd,kd->k", cbs[j], cbs[j])
+                       for j in range(m)])                      # (m, ksub)
+
+    @pandas_udf("double")
+    def _score(codes: pd.Series) -> pd.Series:
+        c = np.array(codes.tolist(), dtype=np.int64)            # (n, m)
+        rows = np.arange(m)
+        ip = ip_lut[rows, c].sum(axis=1)
+        norm = np.sqrt(en_lut[rows, c].sum(axis=1))
+        denom = norm * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(denom != 0.0, ip / denom, np.nan)
+        return pd.Series(out)
+
+    return _score
 
 
 def argmax_cell_udf(centroids: list[list[float]], dim: int):

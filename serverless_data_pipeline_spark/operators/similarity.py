@@ -36,14 +36,15 @@ from serverless_data_pipeline_spark.functions.vectors import (
     cosine_similarity, cosine_similarity_fixed,
 )
 from serverless_data_pipeline_spark.functions.vectors_np import (
-    argmax_cell_udf, pair_cosine_udf, query_cosine_udf, sign_bits,
-    sign_buckets_udf,
+    argmax_cell_udf, pair_cosine_udf, pq_adc_cosine_udf, pq_encode_udf,
+    query_cosine_udf, sign_bits, sign_buckets_udf,
 )
 from serverless_data_pipeline_spark.operators.util import spread_small_input
 
 __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "ann_topk_join", "ann_topk_indexed", "ivf_topk",
-           "train_ivf_centroids", "add_sign_lsh_buckets", "group_centroids"]
+           "train_ivf_centroids", "add_sign_lsh_buckets", "group_centroids",
+           "train_pq_codebooks", "pq_encode", "pq_topk"]
 
 
 def _lit_vec(vec: list[float]):
@@ -251,6 +252,97 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str,
         df = df.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(df)
     return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def train_pq_codebooks(corpus: DataFrame, vec_col: str, dim: int,
+                       m: int = 8, ksub: int = 16, seed: int = 42,
+                       sample_n: int = 4096,
+                       max_iter: int = 12) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jégou et al. TPAMI'11): one
+    ksub-centroid k-means per contiguous dim/m subspace, driver-side
+    numpy Lloyd on a deterministic bounded sample (first `sample_n` rows
+    by id order — PQ codebook quality saturates on thousands of samples;
+    at 100 TB you train on a sample regardless, never the corpus).
+    Returns plain Python nested lists so encode/probe stay executor-side
+    constants, same contract as train_ivf_centroids."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    first_col = corpus.columns[0]
+    rows = (corpus.select(F.col(vec_col).alias("v"))
+            .orderBy(F.col(first_col)) if first_col != vec_col else
+            corpus.select(F.col(vec_col).alias("v")))
+    sample = np.array([r.v for r in rows.limit(sample_n).collect()],
+                      dtype=np.float64)
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        x = sample[:, j * dsub:(j + 1) * dsub]
+        k = min(ksub, len(x))
+        cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(max_iter):
+            d = (np.einsum("kd,kd->k", cents, cents)
+                 - 2.0 * (x @ cents.T))
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(corpus: DataFrame, vec_col: str,
+              codebooks: list[list[list[float]]], dim: int,
+              out_col: str = "pq_code") -> DataFrame:
+    """Index build for the PQ path: materialize the m-byte code per
+    vector (one narrow pass, no shuffle). Persist (id, pq_code) WITHOUT
+    the raw embedding and the probe-time index is ~m bytes/vector — the
+    compression that makes billion-vector ANN fit hot storage."""
+    return corpus.withColumn(
+        out_col, pq_encode_udf(codebooks, dim)(F.col(vec_col)))
+
+
+def pq_topk(corpus: DataFrame, id_col: str, vec_col: str,
+            query_vec: list[float], k: int = 10,
+            codebooks: list[list[list[float]]] | None = None,
+            m: int = 8, ksub: int = 16, seed: int = 42,
+            refine: int = 0, code_col: str | None = None) -> DataFrame:
+    """X4 (PQ flavour) — top-k by asymmetric-distance cosine over PQ
+    codes. Probe cost is two lookup-table gathers per corpus row (the
+    raw vectors are never read when `code_col` points at a materialized
+    pq_encode index), then one TakeOrderedAndProject.
+
+    `refine` > 0 re-scores the top `refine` ADC candidates with exact
+    cosine on the raw vectors (the standard re-rank step): candidate
+    selection stays code-only, exactness returns on a k-sized shortlist.
+    Returns (id, cosine) — ADC estimate when refine=0, exact cosine on
+    the refined shortlist otherwise."""
+    dim = len(query_vec)
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, vec_col, dim, m=m,
+                                       ksub=ksub, seed=seed)
+    codes = (corpus if code_col else
+             pq_encode(corpus, vec_col, codebooks, dim))
+    code = F.col(code_col) if code_col else F.col("pq_code")
+    adc = pq_adc_cosine_udf(codebooks, query_vec)(code)
+    scored = codes.select(
+        F.col(id_col), F.col(vec_col),
+        F.nanvl(adc, F.lit(None).cast("double")).alias("__adc"))
+    if not refine:
+        return (scored
+                .select(F.col(id_col),
+                        F.round("__adc", 6).alias("cosine"))
+                .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+    shortlist = (scored.orderBy(F.col("__adc").desc(), F.col(id_col))
+                 .limit(max(refine, k)))
+    return (shortlist
+            .select(F.col(id_col),
+                    F.round(_np_cosine(vec_col, query_vec), 6)
+                     .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
 
 
 def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,

@@ -151,3 +151,85 @@ def test_cosine_matches_math(spark):
     expect = dot / (math.sqrt(sum(x * x for x in a))
                     * math.sqrt(sum(y * y for y in b)))
     assert abs(out.first().cosine - round(expect, 6)) < 1e-6
+
+
+def test_pq_recall_with_refine_on_fixture(spark):
+    """PQ+refine recall >= 0.8 vs exact top-10 on the real embeddings
+    fixture (64-dim), trained codebooks, code-only candidate stage."""
+    import __spark_entry__ as entry_mod
+    from serverless_data_pipeline_spark.operators.similarity import (
+        pq_topk, train_pq_codebooks,
+    )
+    emb = entry_mod._t(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = emb.filter("vec_id = 3").first().embedding
+    qv = [float(x) for x in qv]
+    books = train_pq_codebooks(emb, "embedding", dim=64, m=8, ksub=16,
+                               seed=11, sample_n=512)
+    exact = {r.vec_id for r in
+             brute_force_topk(emb, "vec_id", "embedding", qv, k=10).collect()}
+    approx = {r.vec_id for r in
+              pq_topk(emb, "vec_id", "embedding", qv, k=10,
+                      codebooks=books, refine=50).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall {recall} < 0.8"
+
+
+def test_pq_refined_scores_are_exact_cosine(spark):
+    """After the refine pass the returned cosine must equal the exact
+    brute-force cosine for every surviving id."""
+    import __spark_entry__ as entry_mod
+    from serverless_data_pipeline_spark.operators.similarity import (
+        pq_topk, train_pq_codebooks,
+    )
+    emb = entry_mod._t(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 3").first().embedding]
+    books = train_pq_codebooks(emb, "embedding", dim=64, m=8, ksub=16,
+                               seed=11, sample_n=512)
+    exact = {r.vec_id: r.cosine for r in
+             brute_force_topk(emb, "vec_id", "embedding", qv,
+                              k=200).collect()}
+    got = pq_topk(emb, "vec_id", "embedding", qv, k=10,
+                  codebooks=books, refine=50).collect()
+    for r in got:
+        assert abs(r.cosine - exact[r.vec_id]) < 1e-6
+
+
+def test_pq_encode_deterministic_and_shaped(spark):
+    from serverless_data_pipeline_spark.operators.similarity import (
+        pq_encode, train_pq_codebooks,
+    )
+    rows, _ = _clustered(dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq_codebooks(df, "embedding", dim=16, m=4, ksub=8, seed=3)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    a = {r.vec_id: r.pq_code for r in
+         pq_encode(df, "embedding", books, 16).collect()}
+    b = {r.vec_id: r.pq_code for r in
+         pq_encode(df, "embedding", books, 16).collect()}
+    assert a == b
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c)
+               for c in a.values())
+
+
+def test_pq_codes_separate_clusters(spark):
+    """PQ codes must agree (per position) far more within a tight cluster
+    than across clusters — the property ADC relies on. Exact full-code
+    equality is NOT expected: with ksub > clusters, k-means happily
+    subdivides a cluster's noise ball."""
+    from serverless_data_pipeline_spark.operators.similarity import (
+        pq_encode, train_pq_codebooks,
+    )
+    rows, _ = _clustered(n_per=20, dim=16)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = train_pq_codebooks(df, "embedding", dim=16, m=4, ksub=4, seed=3)
+    codes = {r.vec_id: tuple(r.pq_code) for r in
+             pq_encode(df, "embedding", books, 16).collect()}
+
+    def agree(i, j):
+        return sum(a == b for a, b in zip(codes[i], codes[j])) / 4.0
+
+    same = [agree(i, j) for i in range(0, 20) for j in range(i + 1, 20)]
+    cross = [agree(i, j) for i in range(0, 20) for j in range(20, 40)]
+    assert sum(same) / len(same) > 0.5
+    assert sum(cross) / len(cross) < 0.2
+    assert sum(same) / len(same) > 2 * (sum(cross) / len(cross))
