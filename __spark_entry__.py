@@ -46,7 +46,7 @@ from serverless_data_pipeline_spark.operators.multimodal import (
     media_metadata_stats, multimodal_join,
 )
 from serverless_data_pipeline_spark.streaming.windows import (
-    session_agg, sliding_agg, tumbling_agg,
+    session_agg, sliding_agg, stream_stream_join, tumbling_agg,
 )
 
 
@@ -750,6 +750,52 @@ def _q_st3_window_agg(spark, sf):
         F.lit("sliding").alias("kind"), "window_start",
         "event_type", "n_events", "sum_value")
     return tumb.unionAll(slide)
+
+
+def _q_st6_stateful(spark, sf):
+    """ST6 — arbitrary per-key streaming state via applyInPandasWithState
+    (running per-user totals), EXECUTED through the streaming engine and
+    oracle-checked: one availableNow batch makes the final update-mode
+    emission equal the per-user batch aggregate. `value` is quantized to
+    round(value*10000) BEFORE the stateful op (integer-valued doubles add
+    exactly, so the Python-side accumulation order cannot flip a bit —
+    the _msum discipline applied to a stateful operator)."""
+    from serverless_data_pipeline_spark.streaming.stateful import (
+        running_user_totals,
+    )
+    _prep(spark)
+    ev = (_events_readstream(spark, sf)
+          .withColumn("value", F.round(F.col("value") * 10000)))
+    out = _drain_stream(spark, running_user_totals(ev), "st6",
+                        output_mode="update")
+    # Defensive: totals are monotone per user, so if the source ever
+    # split into several micro-batches, keep each user's last emission.
+    return (out.groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 (F.max("sum_value") / F.lit(10000.0)).alias("sum_value")))
+
+
+def _q_st8_stream_join(spark, sf):
+    """ST8 — watermarked stream-stream inner join (click → purchase by
+    the same user within 30 min), EXECUTED through the streaming engine:
+    both sides are independent readStreams, the event-time range bound
+    keeps join state finite, and a single availableNow batch emits every
+    matched pair — value-identical to the batch theta join the oracle
+    runs."""
+    _prep(spark)
+    left = _events_readstream(spark, sf).filter(
+        F.col("event_type") == "click")
+    right = _events_readstream(spark, sf).filter(
+        F.col("event_type") == "purchase")
+    joined = stream_stream_join(left, right, key="user_id", ts_col="ts",
+                                watermark="1 hour", max_delay="30 minutes")
+    out = _drain_stream(spark, joined, "st8", output_mode="append")
+    return out.select(
+        F.col("l_event_id"), F.col("r_event_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_ts"), F.col("r_ts"),
+        F.round(F.col("l_value") + F.col("r_value"), 6)
+         .alias("funnel_value"))
 
 
 def _q_st5_session(spark, sf):
@@ -1791,6 +1837,19 @@ def oracle_sql() -> dict[str, str]:
                          unnest(generate_series(
                              1, greatest(1, length(text)), 448)) AS s
                   FROM documents)""",
+        "st6_stateful": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS sum_value
+            FROM events GROUP BY user_id""",
+        "st8_stream_join": """
+            SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+                   a.user_id AS user_id, a.ts AS l_ts, b.ts AS r_ts,
+                   ROUND(a.value + b.value, 6) AS funnel_value
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
         "x12_segment_dedup": f"""
             WITH toks AS (SELECT doc_id,
                                  {_TOKENS_SQL.format(c='text')} AS t

@@ -126,7 +126,8 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
     else must be equi-join/broadcast shaped. The streaming rows are
     excluded because building them executes streaming queries — their
     "plan" here is just the drained memory sink's LocalTableScan."""
-    skip = {"st1_stream_exec", "st3_window_agg", "st5_session"}
+    skip = {"st1_stream_exec", "st3_window_agg", "st5_session",
+            "st6_stateful", "st8_stream_join"}
     # Deliberate broadcast nested-loops: j5 (the cross-join op itself),
     # j6 (tiny interval set), x3 (exact top-k = broadcast query batch x
     # one corpus pass — the intended scale plan for an exact baseline).
