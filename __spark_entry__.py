@@ -798,6 +798,23 @@ def _q_st8_stream_join(spark, sf):
          .alias("funnel_value"))
 
 
+def _q_st9_stream_dedup(spark, sf):
+    """ST9 — in-stream exact dedup under redelivery, EXECUTED through the
+    streaming engine: the events stream unioned with itself is an
+    at-least-once delivery (every record arrives twice, the SQS-redrive /
+    Kinesis-repoll semantics); dropDuplicatesWithinWatermark keeps
+    exactly one copy per event_id. Oracle: the plain distinct event set."""
+    from serverless_data_pipeline_spark.streaming.windows import stream_dedup
+    _prep(spark)
+    s1 = _events_readstream(spark, sf)
+    s2 = _events_readstream(spark, sf)
+    deduped = stream_dedup(s1.unionAll(s2), keys=["event_id"],
+                           ts_col="ts", watermark="1 hour")
+    out = _drain_stream(spark, deduped, "st9", output_mode="append")
+    return out.select("event_id", "ts", "user_id", "event_type",
+                      F.round("value", 6).alias("value"))
+
+
 def _q_st5_session(spark, sf):
     """ST5 — session windows (30 min gap) per user, executed through the
     streaming engine (merging session state store), final state drained
@@ -1842,6 +1859,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
                        / 10000.0 AS sum_value
             FROM events GROUP BY user_id""",
+        "st9_stream_dedup": """
+            SELECT event_id, ts, user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events""",
         "st8_stream_join": """
             SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
                    a.user_id AS user_id, a.ts AS l_ts, b.ts AS r_ts,

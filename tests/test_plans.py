@@ -127,7 +127,7 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
     excluded because building them executes streaming queries — their
     "plan" here is just the drained memory sink's LocalTableScan."""
     skip = {"st1_stream_exec", "st3_window_agg", "st5_session",
-            "st6_stateful", "st8_stream_join"}
+            "st6_stateful", "st8_stream_join", "st9_stream_dedup"}
     # Deliberate broadcast nested-loops: j5 (the cross-join op itself),
     # j6 (tiny interval set), x3 (exact top-k = broadcast query batch x
     # one corpus pass — the intended scale plan for an exact baseline).
