@@ -798,6 +798,43 @@ def _q_st8_stream_join(spark, sf):
          .alias("funnel_value"))
 
 
+def _q_s3_sink_roundtrip(spark, sf):
+    """S3 — the partitioned processed-tier sink checked END-TO-END: write
+    events through write_partitioned_parquet (hive year/month/day/hour
+    layout, the Firehose prefix contract py:197), read the files back,
+    and aggregate per partition. The oracle computes the same aggregate
+    from the source table, so layout-induced loss/duplication/type drift
+    in the sink path would hash-mismatch. Staged per (fixture mtime,
+    size) so a regenerated fixture re-writes."""
+    import os
+    import tempfile
+
+    _prep(spark)
+    src = f"{sf}/events.parquet"
+    st = os.stat(src)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "sdp_sink_" + src.strip("/").replace("/", "_")
+        + f"_{int(st.st_mtime)}_{st.st_size}")
+    marker = os.path.join(out_dir, "_written")
+    if not os.path.exists(marker):
+        from serverless_data_pipeline_spark.sources.writers import (
+            write_partitioned_parquet,
+        )
+        write_partitioned_parquet(_t(spark, sf, "events"), out_dir,
+                                  mode="overwrite")
+        open(marker, "w").close()
+    back = spark.read.parquet(out_dir)
+    return (back.groupBy(
+        F.col("year").cast("int").alias("year"),
+        F.col("month").cast("int").alias("month"),
+        F.col("day").cast("int").alias("day"),
+        F.col("hour").cast("int").alias("hour"))
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("event_id").alias("n_ids"),
+             _msum("value", "sum_value")))
+
+
 def _q_st9_stream_dedup(spark, sf):
     """ST9 — in-stream exact dedup under redelivery, EXECUTED through the
     streaming engine: the events stream unioned with itself is an
@@ -1854,6 +1891,15 @@ def oracle_sql() -> dict[str, str]:
                          unnest(generate_series(
                              1, greatest(1, length(text)), 448)) AS s
                   FROM documents)""",
+        "s3_sink_roundtrip": f"""
+            SELECT CAST(year(ts) AS INTEGER) AS year,
+                   CAST(month(ts) AS INTEGER) AS month,
+                   CAST(day(ts) AS INTEGER) AS day,
+                   CAST(hour(ts) AS INTEGER) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+                   {_MSUM_SQL.format(c='value')} AS sum_value
+            FROM events GROUP BY 1, 2, 3, 4""",
         "st6_stateful": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
