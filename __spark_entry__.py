@@ -835,6 +835,34 @@ def _q_s3_sink_roundtrip(spark, sf):
              _msum("value", "sum_value")))
 
 
+def _q_s10_upsert_roundtrip(spark, sf):
+    """S10 — MERGE/upsert on a plain-parquet table checked END-TO-END:
+    seed a target with the even-id half of events, upsert an updates set
+    that overlaps it (ids divisible by 4, value doubled) and extends it
+    (the odd-id rows with user 0-9), read the swapped-in table back and
+    return it row-level. The oracle states the update-else-insert
+    contract directly (updates ∪ target-not-updated), so a lost update,
+    duplicate key, or failed swap hash-mismatches. Fresh target dir per
+    call (temp uuid) — merge mutates it."""
+    import tempfile
+    import uuid
+
+    _prep(spark)
+    from serverless_data_pipeline_spark.sources.writers import merge_upsert
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    target_dir = tempfile.gettempdir() + f"/sdp_upsert_{uuid.uuid4().hex[:8]}"
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(target_dir)
+    updates = (ev.filter((F.col("event_id") % 4 == 0)
+                         | ((F.col("event_id") % 2 == 1)
+                            & (F.col("user_id") < 10)))
+               .withColumn("value", F.round(F.col("value") * 2, 6)))
+    merge_upsert(spark, target_dir, updates, keys=["event_id"])
+    back = spark.read.parquet(target_dir)
+    return back.select("event_id", "user_id",
+                       F.round("value", 6).alias("value"))
+
+
 def _q_st9_stream_dedup(spark, sf):
     """ST9 — in-stream exact dedup under redelivery, EXECUTED through the
     streaming engine: the events stream unioned with itself is an
@@ -1900,6 +1928,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
                    {_MSUM_SQL.format(c='value')} AS sum_value
             FROM events GROUP BY 1, 2, 3, 4""",
+        "s10_upsert_roundtrip": """
+            WITH t AS (SELECT event_id, user_id, value FROM events
+                       WHERE event_id % 2 = 0),
+                 u AS (SELECT event_id, user_id,
+                              ROUND(value * 2, 6) AS value FROM events
+                       WHERE event_id % 4 = 0
+                          OR (event_id % 2 = 1 AND user_id < 10))
+            SELECT event_id, user_id, ROUND(value, 6) AS value FROM u
+            UNION ALL
+            SELECT event_id, user_id, ROUND(value, 6) AS value FROM t
+            WHERE event_id NOT IN (SELECT event_id FROM u)""",
         "st6_stateful": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
