@@ -375,6 +375,32 @@ def _q_q10_returned_items(spark, sf):
               .limit(20))
 
 
+def _q_q18_large_orders(spark, sf):
+    """TPC-H Q18 shape (large-volume customers) through the spark.sql
+    surface — the Athena/ANSI contract (py:619-629): a grouped-HAVING
+    subquery feeding an IN predicate (plans as a semi join on the
+    pre-aggregated key set), a 4-table join, and a grouped re-aggregation
+    with top-n. Exercises subquery planning end-to-end where the
+    DataFrame flagships exercise the builder API."""
+    _prep(spark)
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c_name, c_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+               (CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+                     AS DOUBLE) / 10000.0) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(round(l_quantity * 10000) AS BIGINT)) > 1500000)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")
+
+
 # =============================================================== aggs (G)
 
 def _q_g1_groupby_agg(spark, sf):
@@ -1928,6 +1954,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
                    {_MSUM_SQL.format(c='value')} AS sum_value
             FROM events GROUP BY 1, 2, 3, 4""",
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+                   (CAST(SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+                         AS DOUBLE) / 10000.0) AS total_qty
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey
+                HAVING SUM(CAST(round(l_quantity * 10000) AS BIGINT))
+                       > 1500000)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+                     o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 100""",
         "s10_upsert_roundtrip": """
             WITH t AS (SELECT event_id, user_id, value FROM events
                        WHERE event_id % 2 = 0),

@@ -201,3 +201,15 @@ def test_ngram_jaccard_prefix_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan
+
+
+def test_q18_semi_join_and_topn(spark):
+    """Q18: the IN subquery must plan as a (broadcast) semi join on the
+    pre-aggregated key set — never a full join + distinct — and the
+    top-100 must be a TakeOrderedAndProject, with every join broadcast
+    at this scale."""
+    plan = _plan(spark, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
