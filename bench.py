@@ -32,6 +32,7 @@ HEADLINE = (
     "q3_shipping_priority",
     "q5_local_supplier",
     "q10_returned_items",
+    "q18_large_orders",
     "j7_asof_join",
     "st3_window_agg",
     "w_window_suite",
