@@ -387,21 +387,27 @@ def neardup_components(pairs: DataFrame, *,
     # iteration (and the iteration plans Catalyst must re-analyze) operate
     # on a two-column leaf instead of re-carrying that plan. Measured at
     # sf0.1 this cuts total CC wall-clock ~3x.
-    p = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-         .localCheckpoint(eager=True))
+    # Symmetrize in ONE pass over the candidate-generation plan (explode
+    # both directions per pair) so a single checkpoint job materializes
+    # the edge leaf — checkpointing the raw pair list first and unioning
+    # its swap costs an extra blocking job for nothing (measured: two
+    # jobs -> one, same pair-gen count).
+    sym = (pairs.select(F.explode(F.array(
+        F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+        F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))))
+        .alias("e")).select("e.src", "e.dst"))
+    edges = sym.distinct().localCheckpoint(eager=True)
     if algorithm == "star":
-        return _components_star(p, max_iter=max_iter)
+        return _components_star(edges, max_iter=max_iter)
     if algorithm != "label_prop":
         raise ValueError(f"unknown CC algorithm: {algorithm!r}")
-    edges = (p.union(p.select(F.col("dst").alias("src"),
-                              F.col("src").alias("dst")))
-             .distinct().localCheckpoint(eager=True))
     # Init folds in the first propagation step: comp = min(self, direct
     # neighbours). Every node appears as src in the symmetrized edges.
+    # NOT checkpointed: its lineage is one groupBy over the edge leaf —
+    # re-analysis is trivial and iteration 0 checkpoints its successor.
     labels = (edges.groupBy("src").agg(F.min("dst").alias("__m"))
               .select(F.col("src").alias("id"),
-                      F.least(F.col("src"), F.col("__m")).alias("comp"))
-              .localCheckpoint(eager=True))
+                      F.least(F.col("src"), F.col("__m")).alias("comp")))
     changed: int | None = None
     for it in range(max_iter):
         nbr = (edges.join(labels, edges["dst"] == labels["id"])
@@ -432,7 +438,8 @@ def neardup_components(pairs: DataFrame, *,
 
 def _components_star(p: DataFrame, *, max_iter: int = 15) -> DataFrame:
     """Alternating large-star/small-star connected components over a
-    checkpointed (src, dst) pair list; returns (id, component_id) with
+    checkpointed SYMMETRIZED (src, dst) edge list (both directions
+    present; see neardup_components); returns (id, component_id) with
     component_id = min reachable id — same contract as label propagation.
 
     One round = large-star then small-star:
@@ -448,11 +455,11 @@ def _components_star(p: DataFrame, *, max_iter: int = 15) -> DataFrame:
         return e.union(e.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
 
-    edges = (p.filter(F.col("src") != F.col("dst")).distinct()
-             .localCheckpoint(eager=True))
-    nodes = (p.select(F.col("src").alias("id"))
-             .union(p.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint(eager=True))
+    # Input is a symmetric checkpointed leaf: every node appears as src,
+    # so node extraction needs no union, and the self-loop filter rides
+    # on the leaf without another checkpoint.
+    edges = p.filter(F.col("src") != F.col("dst"))
+    nodes = p.select(F.col("src").alias("id")).distinct()
     converged = edges.isEmpty()
     for _ in range(max_iter):
         if converged:
