@@ -155,3 +155,45 @@ def test_decontaminate_matches_python_set_overlap(spark, train, ev):
         overlap = len(sh(t) & eset)
         assert got[i].n_overlap == overlap, (i, t)
         assert got[i].contaminated == (overlap >= 1)
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(_doc, min_size=2, max_size=10),
+       threshold=st.sampled_from([0.2, 0.4, 0.6, 0.9]))
+@settings(**SETTINGS)
+def test_prefix_filtered_jaccard_matches_bruteforce(spark, docs, threshold):
+    """The prefix-filter lemma is LOSSLESS: ngram_jaccard_pairs must equal
+    the O(n^2) Python ground truth (distinct word-3-gram sets, whole-text
+    shingle for short docs) for every random corpus and threshold."""
+    from serverless_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    def shingle_set(text):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return set()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingle_set(d) for i, d in enumerate(docs)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                j = inter / union
+                if j >= threshold:
+                    expect[(a, b)] = round(j, 6)
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                        threshold=threshold).collect()}
+    assert got == expect

@@ -114,3 +114,28 @@ def test_registry_query_matches_oracle_on_fixtures(spark, oracle_gate, name):
     odf = con.execute(entry_mod.oracle_sql()[name]).df()
     verdict = mod.compare(name, sdf, odf)
     assert verdict == "OK", f"{name}: {verdict}"
+
+
+def test_stream_staging_rekeys_on_fixture_change(tmp_path):
+    """The staged stream dir must change when the source file's
+    mtime/size changes — a regenerated fixture may never serve stale
+    data (r3 VERDICT item: staging was keyed by path alone)."""
+    import os
+    import time
+
+    from __spark_entry__ import _stage_events_stream_dir
+
+    src = tmp_path / "events.parquet"
+    _write_events(tmp_path, "us")
+    d1, unit1 = _stage_events_stream_dir(str(src))
+    assert unit1 == "us"
+    assert os.path.exists(os.path.join(d1, "events.parquet"))
+    # same source, unchanged -> same staging dir (idempotent)
+    d1b, _ = _stage_events_stream_dir(str(src))
+    assert d1b == d1
+    # touch the file into the future (regeneration) -> new staging dir
+    st = os.stat(src)
+    os.utime(src, (st.st_atime, st.st_mtime + 10))
+    d2, _ = _stage_events_stream_dir(str(src))
+    assert d2 != d1
+    assert os.path.exists(os.path.join(d2, "events.parquet"))
