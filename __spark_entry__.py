@@ -1295,6 +1295,15 @@ def _q_x11_text_hygiene(spark, sf):
     return rep.join(red, "doc_id")
 
 
+def _q_x13_lm_score(spark, sf):
+    """X13 — CCNet-style LM quality scoring: add-k bigram LM trained on
+    the corpus itself, each doc scored by the quantized mean log2
+    P(w_i | w_{i-1}). Low scorers are the gibberish/boilerplate
+    candidates a pretraining pipeline filters."""
+    from serverless_data_pipeline_spark.operators.text import lm_score
+    return lm_score(_t(spark, sf, "documents"), "doc_id", "text")
+
+
 def _q_x12_segment_dedup(spark, sf):
     """X12 — sub-document segment-grain exact dedup (CCNet-style
     paragraph-hash dedup mapped to 10-word segments): corpus-wide first
@@ -1998,6 +2007,32 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND a.event_type = 'click' AND b.event_type = 'purchase'
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE""",
+        "x13_lm_score": f"""
+            WITH toks AS (SELECT doc_id,
+                                 {_TOKENS_SQL.format(c='text')} AS t
+                          FROM documents),
+            bg AS (SELECT doc_id,
+                          unnest(list_transform(range(1, len(t)),
+                              i -> {{'w1': t[i], 'w2': t[i+1]}})) AS b
+                   FROM toks WHERE len(t) >= 2),
+            flat AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM flat
+                    GROUP BY w1, w2),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM flat GROUP BY w1),
+            v AS (SELECT COUNT(DISTINCT w) AS v
+                  FROM (SELECT unnest(t) AS w FROM toks)),
+            lp AS (SELECT f.doc_id,
+                          round(log2((COALESCE(c12.c12, 0) + 0.5)
+                                     / (COALESCE(c1.c1, 0) + 0.5 * v.v)),
+                                6) AS lp
+                   FROM flat f
+                   LEFT JOIN c12 USING (w1, w2)
+                   LEFT JOIN c1 USING (w1)
+                   CROSS JOIN v)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   (CAST(SUM(CAST(round(lp * 1000000) AS BIGINT)) AS DOUBLE)
+                    / (COUNT(*) * 1000000.0)) AS lm_logp
+            FROM lp GROUP BY doc_id""",
         "x12_segment_dedup": f"""
             WITH toks AS (SELECT doc_id,
                                  {_TOKENS_SQL.format(c='text')} AS t

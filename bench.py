@@ -46,6 +46,7 @@ HEADLINE = (
     "x10_decontaminate",
     "x11_text_hygiene",
     "x12_segment_dedup",
+    "x13_lm_score",
 )
 
 

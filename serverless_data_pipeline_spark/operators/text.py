@@ -172,3 +172,56 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         redacted = F.regexp_replace(redacted, pat, replacement)
     return (out.withColumn("redacted_text", redacted)
                .withColumn("n_redactions", total))
+
+
+def lm_score(docs: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", ref: DataFrame | None = None,
+             add_k: float = 0.5) -> DataFrame:
+    """X13 — statistical LM quality scoring (the CCNet recipe: score each
+    document by a language model trained on reference text; low-probability
+    docs are gibberish/boilerplate candidates). Model = add-k-smoothed
+    bigram LM over word tokens; score = mean log2 P(w_i | w_{i-1}).
+
+    ``ref`` is the training corpus (default: ``docs`` itself — self-scoring
+    flags a doc as atypical for its own corpus). At 100 TB train on a
+    bounded reference sample: the count tables then broadcast and the scan
+    side never shuffles; self-training keeps everything keyed-shuffle
+    (two groupBys + two hash joins on token keys), still linear.
+
+    Returns (id, n_bigrams, lm_logp) for docs with >= 1 bigram (single-token
+    and empty docs have no bigram evidence and are dropped — gate them with
+    quality_features instead). Determinism: each bigram's log2-prob is
+    rounded to 6dp and accumulated with exact integer arithmetic (the _msum
+    discipline), so the mean is reproducible across engines and partition
+    orders."""
+    ref = docs if ref is None else ref
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        return (df.select(F.col(id_col), tokens(text_col).alias("__t"))
+                .filter(F.size("__t") >= 2)
+                .select(F.col(id_col), F.explode(F.expr(
+                    "transform(sequence(1, size(__t) - 1), "
+                    "i -> struct(__t[i-1] AS w1, __t[i] AS w2))"))
+                    .alias("b"))
+                .select(F.col(id_col), F.col("b.w1").alias("w1"),
+                        F.col("b.w2").alias("w2")))
+
+    ref_bg = bigrams(ref)
+    c12 = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    c1 = ref_bg.groupBy("w1").agg(F.count("*").alias("__c1"))
+    vocab = (ref.select(F.explode(tokens(text_col)).alias("__w"))
+             .agg(F.countDistinct("__w").alias("__v")))
+
+    logp = F.round(F.log2(
+        (F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(add_k) * F.col("__v"))
+    ), 6)
+    scored = (bigrams(docs)
+              .join(c12, ["w1", "w2"], "left")
+              .join(c1, ["w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .select(F.col(id_col), logp.alias("__lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 (F.sum(F.round(F.col("__lp") * 1000000).cast("long"))
+                  / (F.count("*") * F.lit(1000000.0))).alias("lm_logp")))

@@ -108,3 +108,57 @@ def test_redact_pii_counts_and_output(spark):
         "mail [REDACTED] or call [REDACTED] now"
     r2 = got[2]
     assert r2.n_redactions == 0 and r2.redacted_text == r2.text
+
+
+def test_lm_score_exact_tiny_corpus(spark):
+    """Hand-checkable add-k bigram LM: corpus 'a b a b' + 'c d',
+    V=4, k=0.5 — every probability and the quantized mean are exact."""
+    import math
+
+    from serverless_data_pipeline_spark.operators.text import lm_score
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c d")], "doc_id long, text string")
+    got = {r.doc_id: r for r in lm_score(docs).collect()}
+
+    def q(p):  # the operator's 6dp-quantized log2
+        return round(round(math.log2(p), 6) * 1e6)
+
+    p_ba = (2 + 0.5) / (2 + 0.5 * 4)   # P(b|a): c12=2, c1=2
+    p_ab = (1 + 0.5) / (1 + 0.5 * 4)   # P(a|b): c12=1, c1=1
+    p_dc = (1 + 0.5) / (1 + 0.5 * 4)   # P(d|c)
+    exp1 = (2 * q(p_ba) + q(p_ab)) / (3 * 1e6)
+    exp2 = q(p_dc) / 1e6
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 1
+    assert abs(got[1].lm_logp - exp1) < 1e-12
+    assert abs(got[2].lm_logp - exp2) < 1e-12
+
+
+def test_lm_score_flags_atypical_doc(spark):
+    """A doc whose bigrams never repeat in the corpus must score below
+    docs made of the corpus's dominant bigrams, and single-token docs
+    are absent (no bigram evidence)."""
+    from serverless_data_pipeline_spark.operators.text import lm_score
+    common = [(i, "the cat sat on the mat") for i in range(10)]
+    docs = spark.createDataFrame(
+        common + [(99, "zx qv pl mn zx qv"), (100, "solo")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.lm_logp for r in lm_score(docs).collect()}
+    assert 100 not in got
+    # decisively lower likelihood (self-training includes doc 99's own
+    # repeated bigram, so the gap is real but not unbounded)
+    assert got[99] < got[0] - 0.5
+
+
+def test_lm_score_separate_reference_corpus(spark):
+    """Scoring against an explicit reference: bigrams unseen in ref get
+    the OOV floor log2(k / (k*V)) = -log2(V)."""
+    import math
+
+    from serverless_data_pipeline_spark.operators.text import lm_score
+    ref = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(7, "x y")], "doc_id long, text string")
+    row = lm_score(docs, ref=ref).collect()[0]
+    # V=2 ('a','b'); unseen history: (0+0.5)/(0+0.5*2) = 0.5
+    assert abs(row.lm_logp - round(math.log2(0.5), 6)) < 1e-9
