@@ -130,8 +130,10 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
             "st6_stateful", "st8_stream_join", "st9_stream_dedup"}
     # Deliberate broadcast nested-loops: j5 (the cross-join op itself),
     # j6 (tiny interval set), x3 (exact top-k = broadcast query batch x
-    # one corpus pass — the intended scale plan for an exact baseline).
-    bnlj_ok = {"j5_cross_theta", "j6_range_join", "x3_topk_similarity"}
+    # one corpus pass — the intended scale plan for an exact baseline),
+    # x13 (1-row vocab-size scalar broadcast onto every bigram).
+    bnlj_ok = {"j5_cross_theta", "j6_range_join", "x3_topk_similarity",
+               "x13_lm_score"}
     for name in entry_mod.queries():
         if name in skip:
             continue
