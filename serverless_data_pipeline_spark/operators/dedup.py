@@ -62,9 +62,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        num_hashes: int = 32, shingle_n: int = 3) -> DataFrame:
     """Per-document MinHash signature: shingle -> num_hashes seeded
     xxhash64 values -> column-wise min. One explode + one groupBy(id):
-    linear in total shingle count, never pairwise."""
-    shingled = _shingled(df, id_col, text_col, shingle_n)
-    mins = [F.min(F.xxhash64(F.col("__sh"), F.lit(i))).alias(f"mh_{i}")
+    linear in total shingle count, never pairwise.
+
+    The variable-length shingle string is hashed ONCE to a long; the
+    num_hashes family then re-hashes that fixed 8-byte value with the
+    seed (collision only on a 2^-64 base-hash collision). Measured at the
+    10x scale_check corpus: 5.0 s -> 4.1 s warm vs hashing the string
+    per seed — the per-seed hash cost is width-bound."""
+    shingled = (_shingled(df, id_col, text_col, shingle_n)
+                .select(F.col(id_col), F.xxhash64("__sh").alias("__h0")))
+    mins = [F.min(F.xxhash64(F.col("__h0"), F.lit(i))).alias(f"mh_{i}")
             for i in range(num_hashes)]
     return shingled.groupBy(id_col).agg(*mins)
 
