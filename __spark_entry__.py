@@ -1144,6 +1144,18 @@ def _q_x2_dedup_clusters(spark, sf):
             .select(F.col("id").alias("doc_id"), "component_id"))
 
 
+def _q_x2_clusters_star(spark, sf):
+    """X2 — the SAME near-dup clustering as x2_dedup_clusters but through
+    the alternating large-star/small-star contraction (the 100x-density
+    scale path), sharing the recursive-CTE oracle: both CC algorithms are
+    driver-verified, not just equivalence-tested against each other."""
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                                n=3, threshold=0.4, max_doc_freq=100,
+                                materialize_index=True)
+    return (neardup_components(pairs, algorithm="star")
+            .select(F.col("id").alias("doc_id"), "component_id"))
+
+
 def _q_x7_corpus_exact(spark, sf):
     """X7 — fully oracle-checked training-corpus pipeline, the complete
     modern pretraining prep: exact dedup (md5 fingerprint, keep min doc
@@ -1369,6 +1381,43 @@ _SHINGLE5_SQL = (
     " END)")
 _STOPWORDS_SQL = "['the','a','an','of','to','in','and','is','it','for']"
 _BPE_SQL = "regexp_extract_all({c}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')"
+
+
+_CLUSTERS_ORACLE = f"""
+            WITH RECURSIVE t AS (SELECT doc_id,
+                              {_TOKENS_SQL.format(c='text')} AS toks
+                       FROM documents),
+            sh0 AS (SELECT doc_id, unnest(list_distinct(
+                        CASE WHEN len(toks) < 3
+                             THEN [array_to_string(toks, ' ')]
+                             ELSE list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                        END)) AS sh
+                    FROM t),
+            sh1 AS (SELECT doc_id, sh FROM sh0 WHERE sh <> ''),
+            keepsh AS (SELECT sh FROM sh1 GROUP BY sh
+                       HAVING COUNT(*) <= 100),
+            sh2 AS (SELECT s.doc_id, s.sh FROM sh1 s JOIN keepsh USING (sh)),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2
+                      GROUP BY doc_id),
+            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                              COUNT(*) AS c
+                       FROM sh2 a JOIN sh2 b USING (sh)
+                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            pairs AS (SELECT id_a, id_b
+                      FROM common
+                      JOIN sizes sa ON sa.doc_id = id_a
+                      JOIN sizes sb ON sb.doc_id = id_b
+                      WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.4),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION
+                      SELECT id_b AS src, id_a AS dst FROM pairs),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+            FROM reach GROUP BY src"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1785,41 +1834,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.4""",
-        "x2_dedup_clusters": f"""
-            WITH RECURSIVE t AS (SELECT doc_id,
-                              {_TOKENS_SQL.format(c='text')} AS toks
-                       FROM documents),
-            sh0 AS (SELECT doc_id, unnest(list_distinct(
-                        CASE WHEN len(toks) < 3
-                             THEN [array_to_string(toks, ' ')]
-                             ELSE list_transform(range(1, len(toks) - 1),
-                                      i -> array_to_string(toks[i:i+2], ' '))
-                        END)) AS sh
-                    FROM t),
-            sh1 AS (SELECT doc_id, sh FROM sh0 WHERE sh <> ''),
-            keepsh AS (SELECT sh FROM sh1 GROUP BY sh
-                       HAVING COUNT(*) <= 100),
-            sh2 AS (SELECT s.doc_id, s.sh FROM sh1 s JOIN keepsh USING (sh)),
-            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2
-                      GROUP BY doc_id),
-            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                              COUNT(*) AS c
-                       FROM sh2 a JOIN sh2 b USING (sh)
-                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-            pairs AS (SELECT id_a, id_b
-                      FROM common
-                      JOIN sizes sa ON sa.doc_id = id_a
-                      JOIN sizes sb ON sb.doc_id = id_b
-                      WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.4),
-            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                      UNION
-                      SELECT id_b AS src, id_a AS dst FROM pairs),
-            reach(src, dst) AS (
-                SELECT src, dst FROM edges
-                UNION
-                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
-            FROM reach GROUP BY src""",
+        "x2_clusters_star": _CLUSTERS_ORACLE,
+        "x2_dedup_clusters": _CLUSTERS_ORACLE,
         "x7_corpus_exact": f"""
             WITH RECURSIVE
             fp AS (SELECT doc_id,
