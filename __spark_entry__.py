@@ -132,33 +132,34 @@ def _q_s12_json_parquet_sql(spark, sf):
 
 # ========================================================= ETL stages (T)
 
-def _q_t1_ingest(spark, sf):
-    """T1 — ingest/normalize metadata stamping (py:226-240, md:172-180)."""
-    out = stages.ingest(_t(spark, sf, "events"), source="s3",
+def _q_t_etl_suite(spark, sf):
+    """T1 + T2 + T3 + T6 — the whole narrow ETL stage chain on the event
+    grain, exactly as run_pipeline composes it (the r4 verdict's registry
+    consolidation: one driver row per family, every operator still
+    exercised and oracle-checked):
+
+    - T1 ingest metadata stamping (py:226-240, md:172-180);
+    - T2 schema validation split (py:243-255, py:404-408) — both halves
+      re-tagged as an `is_valid` flag so valid ∪ invalid provably
+      partitions the batch;
+    - T3 batch transform (clean trim/lower, convert year/month/day/hour
+      partition derivation py:197) + T6 realtime event_hour (py:287-298;
+      processed_ts dropped — wall-clock, not oracle-checkable)."""
+    ing = stages.ingest(_t(spark, sf, "events"), source="s3",
                         data_type="json", priority="normal", batch_id="b1")
-    return out.select("event_id", "source", "data_type", "priority", "batch_id")
-
-
-def _q_t2_validate(spark, sf):
-    """T2 — schema validation split; invalid rows (py:243-255, py:404-408)."""
     res = stages.validate(
-        _t(spark, sf, "events"),
+        ing,
         {"event_id": T.LongType(), "ts": T.TimestampType(),
          "value": T.DoubleType()},
         checks=[F.col("value") >= 0.05])
-    return res.invalid.select("event_id", "value")
-
-
-def _q_t3_t6_transform(spark, sf):
-    """T3 + T6 — batch transform (clean: trim/lower string normalization,
-    py:258-270, md:317; convert: year/month/day/hour partition
-    derivation, py:197) composed with the per-record realtime transform's
-    event_hour derivation (py:287-298; processed_ts dropped — wall-clock,
-    not oracle-checkable)."""
-    out = stages.transform(_t(spark, sf, "events"), ts_col="ts")
-    out = stages.realtime_transform(out)
-    return out.select("event_id", F.col("event_type").alias("clean_type"),
-                      "year", "month", "day", "hour", "event_hour")
+    flags = (res.valid.select("event_id", F.lit(True).alias("is_valid"))
+             .unionAll(res.invalid.select("event_id",
+                                          F.lit(False).alias("is_valid"))))
+    out = stages.realtime_transform(stages.transform(ing, ts_col="ts"))
+    return (out.select("event_id", "source", "data_type", "priority",
+                       "batch_id", F.col("event_type").alias("clean_type"),
+                       "year", "month", "day", "hour", "event_hour", "value")
+            .join(flags, "event_id"))
 
 
 def _q_t5_quality_score(spark, sf):
@@ -194,35 +195,40 @@ def _q_j1_inner_join(spark, sf):
                   _dsum("o_totalprice", "revenue")))
 
 
-def _q_j2_left_right_join(spark, sf):
-    """J2 — left AND right outer joins in one tagged union (keep-all
-    customers from either side; both halves aggregate identically, so the
-    op coverage is the join types, the values cross-check each other)."""
+def _q_j2_outer_suite(spark, sf):
+    """J2 — left, right AND full outer joins in one tagged union
+    (registry consolidation, r4 verdict). The left/right halves keep all
+    customers from either syntactic side and aggregate identically (the
+    op coverage is the join types; the values cross-check each other);
+    the full-outer half joins per-nation customer/supplier counts with
+    rows unique to each side. Columns harmonized to (side, key, n_a,
+    n_b, amount): outer rows carry (nationkey, n_cust, n_supp, NULL),
+    left/right rows carry (c_custkey, n_orders, NULL, total_spent)."""
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
     left = (c.join(o, c.c_custkey == o.o_custkey, "left")
              .groupBy("c_custkey")
-             .agg(F.count("o_orderkey").alias("n_orders"),
-                  _dsum("o_totalprice", "total_spent"))
-             .select(F.lit("left").alias("side"), "c_custkey",
-                     "n_orders", "total_spent"))
+             .agg(F.count("o_orderkey").alias("n_a"),
+                  _dsum("o_totalprice", "amount"))
+             .select(F.lit("left").alias("side"),
+                     F.col("c_custkey").cast("long").alias("key"),
+                     "n_a", F.lit(None).cast("long").alias("n_b"), "amount"))
     right = (o.join(c, o.o_custkey == c.c_custkey, "right")
               .groupBy("c_custkey")
-              .agg(F.count("o_orderkey").alias("n_orders"),
-                   _dsum("o_totalprice", "total_spent"))
-              .select(F.lit("right").alias("side"), "c_custkey",
-                      "n_orders", "total_spent"))
-    return left.unionAll(right)
-
-
-def _q_j2_full_outer_join(spark, sf):
-    """J2 — full outer join with rows unique to each side."""
-    c = (_t(spark, sf, "customer").filter(F.col("c_nationkey") >= 5)
-         .groupBy("c_nationkey").agg(F.count("*").alias("n_cust")))
-    s = (_t(spark, sf, "supplier").filter(F.col("s_nationkey") < 12)
-         .groupBy("s_nationkey").agg(F.count("*").alias("n_supp")))
-    return (c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
-             .select(F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
-                     "n_cust", "n_supp"))
+              .agg(F.count("o_orderkey").alias("n_a"),
+                   _dsum("o_totalprice", "amount"))
+              .select(F.lit("right").alias("side"),
+                      F.col("c_custkey").cast("long").alias("key"),
+                      "n_a", F.lit(None).cast("long").alias("n_b"), "amount"))
+    cn = (_t(spark, sf, "customer").filter(F.col("c_nationkey") >= 5)
+          .groupBy("c_nationkey").agg(F.count("*").alias("n_a")))
+    sn = (_t(spark, sf, "supplier").filter(F.col("s_nationkey") < 12)
+          .groupBy("s_nationkey").agg(F.count("*").alias("n_b")))
+    full = (cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full_outer")
+            .select(F.lit("full").alias("side"),
+                    F.coalesce("c_nationkey", "s_nationkey").cast("long")
+                     .alias("key"),
+                    "n_a", "n_b", F.lit(None).cast("double").alias("amount")))
+    return left.unionAll(right).unionAll(full)
 
 
 def _q_j3_semi_anti_join(spark, sf):
@@ -247,42 +253,44 @@ def _q_j4_broadcast_join(spark, sf):
                          "gross_revenue")))
 
 
-def _q_j5_cross_theta(spark, sf):
-    """J5 — cross join (BroadcastNestedLoopJoin) and non-equi theta join
-    (same-region nation pairs) as one tagged union."""
+def _q_j56_cross_range(spark, sf):
+    """J5 + J6 — cross join (BroadcastNestedLoopJoin), non-equi theta
+    join (same-region nation pairs), and the range/interval join in BOTH
+    physical strategies (broadcast nested-loop for small interval sets;
+    the scale path: explode intervals into coarse buckets, equi-join on
+    bucket, re-apply the exact predicate — a shuffled hash join for
+    large×large), one tagged union (registry consolidation, r4 verdict).
+    Columns harmonized to (kind, name_a, name_b, n_events, sum_value):
+    join-pair rows carry names, range rows carry the band + aggregate."""
+    from serverless_data_pipeline_spark.operators.relational import (
+        bucketed_range_join,
+    )
+    nulls = [F.lit(None).cast("long").alias("n_events"),
+             F.lit(None).cast("double").alias("sum_value")]
     r1 = _t(spark, sf, "region").select(F.col("r_name").alias("name_a"))
     r2 = _t(spark, sf, "region").select(F.col("r_name").alias("name_b"))
     cross = r1.crossJoin(r2).select(
-        F.lit("cross").alias("kind"), "name_a", "name_b")
+        F.lit("cross").alias("kind"), "name_a", "name_b", *nulls)
     n1 = _t(spark, sf, "nation").select(
         F.col("n_name").alias("name_a"), F.col("n_regionkey").alias("r1"))
     n2 = _t(spark, sf, "nation").select(
         F.col("n_name").alias("name_b"), F.col("n_regionkey").alias("r2"))
     theta = (n1.join(n2, (F.col("r1") == F.col("r2"))
                      & (F.col("name_a") < F.col("name_b")))
-               .select(F.lit("theta").alias("kind"), "name_a", "name_b"))
-    return cross.unionAll(theta)
-
-
-def _q_j6_range_join(spark, sf):
-    """J6 — range/interval join, BOTH physical strategies in one tagged
-    union: the broadcast nested-loop form for small interval sets, and
-    the scale path (explode intervals into coarse buckets, equi-join on
-    bucket, re-apply the exact predicate — a shuffled hash join for
-    large×large). Identical groups from both halves, oracle-verified."""
-    from serverless_data_pipeline_spark.operators.relational import (
-        bucketed_range_join,
-    )
+               .select(F.lit("theta").alias("kind"), "name_a", "name_b",
+                       *nulls))
     bands = spark.createDataFrame(
         [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1000.0)],
         "band string, lo double, hi double")
     ev = _t(spark, sf, "events")
+    name_b_null = F.lit(None).cast("string").alias("name_b")
     bcast = (range_join(ev, bands,
                         (F.col("value") >= F.col("lo"))
                         & (F.col("value") < F.col("hi")))
              .groupBy("band")
              .agg(F.count("*").alias("n_events"), _dsum("value", "sum_value"))
-             .select(F.lit("broadcast").alias("mode"), "band",
+             .select(F.lit("range_broadcast").alias("kind"),
+                     F.col("band").alias("name_a"), name_b_null,
                      "n_events", "sum_value"))
     # bucketed_range_join is hi-inclusive; exact boundary values excluded
     # below for parity with the half-open oracle.
@@ -292,9 +300,10 @@ def _q_j6_range_join(spark, sf):
                 .groupBy("band")
                 .agg(F.count("*").alias("n_events"),
                      _dsum("value", "sum_value"))
-                .select(F.lit("bucketed").alias("mode"), "band",
+                .select(F.lit("range_bucketed").alias("kind"),
+                        F.col("band").alias("name_a"), name_b_null,
                         "n_events", "sum_value"))
-    return bcast.unionAll(bucketed)
+    return cross.unionAll(theta).unionAll(bcast).unionAll(bucketed)
 
 
 def _q_j7_asof_join(spark, sf):
@@ -537,19 +546,22 @@ def _q_g8_array_agg(spark, sf):
 
 # ===================================================== sorts/sets (SRT/SET)
 
-def _q_srt_topk(spark, sf):
-    """SRT — global top-k (TakeOrderedAndProject)."""
-    return top_k(_t(spark, sf, "orders"),
-                 [F.col("o_totalprice").desc(), F.col("o_orderkey")],
-                 10).select("o_orderkey", "o_totalprice")
-
-
-def _q_tkg_topk_per_group(spark, sf):
-    """TKG — top-k per group via row_number."""
-    out = top_k_per_group(
+def _q_topk_suite(spark, sf):
+    """SRT + TKG — global top-k (TakeOrderedAndProject — O(k) heap per
+    task, no global sort) and top-k per group (row_number window) in one
+    tagged union (registry consolidation, r4 verdict)."""
+    glob = (top_k(_t(spark, sf, "orders"),
+                  [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+            .select(F.lit("global").alias("kind"),
+                    F.lit(None).cast("string").alias("o_orderpriority"),
+                    "o_orderkey", "o_totalprice",
+                    F.lit(None).cast("int").alias("rnk")))
+    grp = (top_k_per_group(
         _t(spark, sf, "orders"), ["o_orderpriority"],
         [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3)
-    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+        .select(F.lit("group").alias("kind"), "o_orderpriority",
+                "o_orderkey", "o_totalprice", "rnk"))
+    return glob.unionAll(grp)
 
 
 def _q_set_operations(spark, sf):
@@ -745,6 +757,7 @@ def _stage_events_stream_dir(src: str) -> tuple[str, str | None]:
         return src, unit
     st = os.stat(src)
     key = f"{src.strip('/').replace('/', '_')}_{int(st.st_mtime)}_{st.st_size}"
+    _evict_stale_staging("sdp_stream_", key)
     stream_dir = os.path.join(tempfile.gettempdir(), "sdp_stream_" + key)
     os.makedirs(stream_dir, exist_ok=True)
     dst = os.path.join(stream_dir, "events.parquet")
@@ -824,59 +837,84 @@ def _q_st8_stream_join(spark, sf):
          .alias("funnel_value"))
 
 
-def _q_s3_sink_roundtrip(spark, sf):
-    """S3 — the partitioned processed-tier sink checked END-TO-END: write
-    events through write_partitioned_parquet (hive year/month/day/hour
-    layout, the Firehose prefix contract py:197), read the files back,
-    and aggregate per partition. The oracle computes the same aggregate
-    from the source table, so layout-induced loss/duplication/type drift
-    in the sink path would hash-mismatch. Staged per (fixture mtime,
-    size) so a regenerated fixture re-writes."""
+def _evict_stale_staging(prefix: str, keep_basename: str) -> None:
+    """Best-effort removal of sibling staging dirs left by PRIOR fixture
+    generations: the staging key embeds (path, mtime, size), so every
+    regenerated fixture would otherwise leave its predecessor's copy in
+    tempdir forever (ADVICE r4). Matches dirs sharing the same
+    path-derived prefix but a stale mtime/size suffix."""
+    import glob
     import os
+    import shutil
     import tempfile
 
-    _prep(spark)
-    src = f"{sf}/events.parquet"
-    st = os.stat(src)
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        "sdp_sink_" + src.strip("/").replace("/", "_")
-        + f"_{int(st.st_mtime)}_{st.st_size}")
-    marker = os.path.join(out_dir, "_written")
-    if not os.path.exists(marker):
-        from serverless_data_pipeline_spark.sources.writers import (
-            write_partitioned_parquet,
-        )
-        write_partitioned_parquet(_t(spark, sf, "events"), out_dir,
-                                  mode="overwrite")
-        open(marker, "w").close()
-    back = spark.read.parquet(out_dir)
-    return (back.groupBy(
-        F.col("year").cast("int").alias("year"),
-        F.col("month").cast("int").alias("month"),
-        F.col("day").cast("int").alias("day"),
-        F.col("hour").cast("int").alias("hour"))
-        .agg(F.count("*").alias("n_rows"),
-             F.countDistinct("event_id").alias("n_ids"),
-             _msum("value", "sum_value")))
+    stem = "_".join(keep_basename.split("_")[:-2])  # drop mtime_size key
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + stem + "_*")):
+        if os.path.basename(d) != prefix + keep_basename:
+            shutil.rmtree(d, ignore_errors=True)
 
 
-def _q_s10_upsert_roundtrip(spark, sf):
-    """S10 — MERGE/upsert on a plain-parquet table checked END-TO-END:
-    seed a target with the even-id half of events, upsert an updates set
-    that overlaps it (ids divisible by 4, value doubled) and extends it
-    (the odd-id rows with user 0-9), read the swapped-in table back and
-    return it row-level. The oracle states the update-else-insert
-    contract directly (updates ∪ target-not-updated), so a lost update,
-    duplicate key, or failed swap hash-mismatches. Fresh target dir per
-    call (temp uuid) — merge mutates it."""
+def _q_s_sink_suite(spark, sf):
+    """S3 + S10 — both persistent-sink paths checked END-TO-END in one
+    tagged union (registry consolidation, r4 verdict):
+
+    - `sink`: write events through write_partitioned_parquet (hive
+      year/month/day/hour layout, the Firehose prefix contract py:197),
+      read the files back, aggregate per partition. The oracle computes
+      the same aggregate from the source table, so layout-induced loss/
+      duplication/type drift in the sink path hash-mismatches. Staged
+      per (fixture mtime, size) so a regenerated fixture re-writes;
+      stale predecessors are evicted.
+    - `upsert`: MERGE on a plain-parquet table — seed a target with the
+      even-id half of events, upsert an updates set that overlaps it
+      (ids divisible by 4, value doubled) and extends it (odd-id rows
+      with user 0-9), read the swapped-in table back row-level. The
+      oracle states the update-else-insert contract directly (updates ∪
+      target-not-updated), so a lost update, duplicate key, or failed
+      swap hash-mismatches. Fresh target dir per call — merge mutates
+      it.
+
+    Columns harmonized to (kind, a, b, c, d, n_rows, n_ids, val): sink
+    rows carry (year, month, day, hour, n_rows, n_ids, sum_value);
+    upsert rows carry (event_id, user_id, NULL..., value)."""
+    import os
     import tempfile
     import uuid
 
     _prep(spark)
-    from serverless_data_pipeline_spark.sources.writers import merge_upsert
+    from serverless_data_pipeline_spark.sources.writers import (
+        merge_upsert, write_partitioned_parquet,
+    )
+
+    src = f"{sf}/events.parquet"
+    st = os.stat(src)
+    key = (src.strip("/").replace("/", "_")
+           + f"_{int(st.st_mtime)}_{st.st_size}")
+    _evict_stale_staging("sdp_sink_", key)
+    out_dir = os.path.join(tempfile.gettempdir(), "sdp_sink_" + key)
+    marker = os.path.join(out_dir, "_written")
+    if not os.path.exists(marker):
+        write_partitioned_parquet(_t(spark, sf, "events"), out_dir,
+                                  mode="overwrite")
+        open(marker, "w").close()
+    back = spark.read.parquet(out_dir)
+    sink = (back.groupBy(
+        F.col("year").cast("long").alias("a"),
+        F.col("month").cast("long").alias("b"),
+        F.col("day").cast("long").alias("c"),
+        F.col("hour").cast("long").alias("d"))
+        .agg(F.count("*").alias("n_rows"),
+             F.countDistinct("event_id").alias("n_ids"),
+             _msum("value", "val"))
+        .select(F.lit("sink").alias("kind"), "a", "b", "c", "d",
+                "n_rows", "n_ids", "val"))
 
     ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
+    # uuid-keyed target dirs from prior calls are garbage by definition.
+    import glob
+    import shutil
+    for d in glob.glob(tempfile.gettempdir() + "/sdp_upsert_*"):
+        shutil.rmtree(d, ignore_errors=True)
     target_dir = tempfile.gettempdir() + f"/sdp_upsert_{uuid.uuid4().hex[:8]}"
     ev.filter(F.col("event_id") % 2 == 0).write.parquet(target_dir)
     updates = (ev.filter((F.col("event_id") % 4 == 0)
@@ -884,9 +922,14 @@ def _q_s10_upsert_roundtrip(spark, sf):
                             & (F.col("user_id") < 10)))
                .withColumn("value", F.round(F.col("value") * 2, 6)))
     merge_upsert(spark, target_dir, updates, keys=["event_id"])
-    back = spark.read.parquet(target_dir)
-    return back.select("event_id", "user_id",
-                       F.round("value", 6).alias("value"))
+    nulls = [F.lit(None).cast("long").alias(c)
+             for c in ("c", "d", "n_rows", "n_ids")]
+    upsert = (spark.read.parquet(target_dir)
+              .select(F.lit("upsert").alias("kind"),
+                      F.col("event_id").cast("long").alias("a"),
+                      F.col("user_id").cast("long").alias("b"), *nulls,
+                      F.round("value", 6).alias("val")))
+    return sink.unionAll(upsert)
 
 
 def _q_st9_stream_dedup(spark, sf):
@@ -957,19 +1000,67 @@ def _q_x5_text_signals(spark, sf):
                     "vocab"))
 
 
-def _q_x6_media_suite(spark, sf):
-    """X6 — documents ⋈ embeddings on the shared id space (multimodal
-    join), payload attached, then the metadata-only aggregate (payload
-    bytes never read — ReadSchema pruning). The group key mixes a
-    document column with an embedding column so the oracle proves the
-    join actually fed the aggregate."""
+def _q_x6_multimodal(spark, sf):
+    """X6 — the whole multimodal family in one tagged union (registry
+    consolidation, r4 verdict), and now FULLY oracle-checked (the binary
+    half was rows-only through r4):
+
+    - `media`: documents ⋈ embeddings on the shared id space (multimodal
+      join), payload attached, then the metadata-only aggregate (payload
+      bytes never read — ReadSchema pruning). The group key mixes a
+      document column with an embedding column so the oracle proves the
+      join actually fed the aggregate.
+    - `binary`: both binary-payload UDF paths — the Arrow-batched
+      decode/featurize stub (mapInPandas) joined with the frame-sampling
+      row explosion aggregated back to media grain. The stub features are
+      a normalized byte-bucket histogram; multiplying back by n_bytes
+      recovers the EXACT integer bucket counts (|round6(c/n)*n - c| <
+      0.5 for n < 1e6), which the DuckDB oracle recomputes from the hex
+      dump of the same UTF-8 payload (byte % 8 == low nibble % 8) — so
+      the Python featurizer boundary itself is value-checked, not just
+      row-counted.
+
+    Columns harmonized to (kind, key, a, b, c, v, h): media rows carry
+    (mime|src_label, n_items, total_bytes, NULL, avg_bytes, NULL);
+    binary rows carry (media_id, n_bytes, n_frames, last_offset, NULL,
+    counts_csv)."""
     joined = multimodal_join(_t(spark, sf, "documents"),
                              _t(spark, sf, "embeddings"))
     joined = joined.withColumn(
         "src_label", F.concat_ws("#", "source",
                                  F.pmod(F.col("label"), F.lit(2))))
-    media = attach_binary_payload(joined, "doc_id", "text", "src_label")
-    return media_metadata_stats(media)
+    media_j = attach_binary_payload(joined, "doc_id", "text", "src_label")
+    media = (media_metadata_stats(media_j)
+             .select(F.lit("media").alias("kind"),
+                     F.concat_ws("|", "mime", "source").alias("key"),
+                     F.col("n_items").cast("long").alias("a"),
+                     F.col("total_bytes").cast("long").alias("b"),
+                     F.lit(None).cast("long").alias("c"),
+                     F.col("avg_bytes").alias("v"),
+                     F.lit(None).cast("string").alias("h")))
+
+    payload = attach_binary_payload(_t(spark, sf, "documents"),
+                                    "doc_id", "text", "source")
+    feats = extract_features(payload).select(
+        "media_id", "n_bytes",
+        F.array_join(
+            F.transform("features",
+                        lambda x: F.round(x * F.col("n_bytes"))
+                                   .cast("long").cast("string")),
+            ",").alias("counts_csv"))
+    frames = (frame_sample(payload, every_n_bytes=64)
+              .groupBy("media_id")
+              .agg(F.count("*").alias("n_frames"),
+                   F.max("byte_offset").alias("last_offset")))
+    binary = (feats.join(frames, "media_id")
+              .select(F.lit("binary").alias("kind"),
+                      F.col("media_id").cast("string").alias("key"),
+                      F.col("n_bytes").cast("long").alias("a"),
+                      F.col("n_frames").cast("long").alias("b"),
+                      F.col("last_offset").cast("long").alias("c"),
+                      F.lit(None).cast("double").alias("v"),
+                      F.col("counts_csv").alias("h")))
+    return media.unionAll(binary)
 
 
 def _q_udf_pandas_vectorized(spark, sf):
@@ -1119,6 +1210,10 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_lsh_pairs.minhash": _lsh_flavour_minhash,
         "x2_lsh_pairs.simhash": _lsh_flavour_simhash,
         "x2_lsh_pairs.embedding": _lsh_flavour_embedding,
+        "x2_dedup_clusters.label":
+            lambda spark, sf: _clusters_flavour(spark, sf, "label_prop"),
+        "x2_dedup_clusters.star":
+            lambda spark, sf: _clusters_flavour(spark, sf, "star"),
     }
 
 
@@ -1129,30 +1224,38 @@ def _q_x2_ngram_jaccard(spark, sf):
 
 
 def _q_x2_dedup_clusters(spark, sf):
-    """X2 — near-dup components: connected components (iterative min-label
-    propagation) over the n-gram Jaccard pair graph WITH the
-    document-frequency cap on (the configuration you would actually run
-    at 100 TB — a boilerplate shingle shared by 1M docs otherwise makes a
-    10^12-pair bucket). Oracle: DuckDB recursive-CTE transitive closure
-    over the identically-capped pair SQL, so the scale-safe path itself
-    is value-checked. component_id = min doc_id transitively reachable —
-    the canonical-doc semantics a corpus dedup keeps."""
+    """X2 — near-dup components over the n-gram Jaccard pair graph WITH
+    the document-frequency cap on (the configuration you would actually
+    run at 100 TB — a boilerplate shingle shared by 1M docs otherwise
+    makes a 10^12-pair bucket), through BOTH CC algorithms in one tagged
+    union (registry consolidation, r4 verdict): iterative min-label
+    propagation AND the alternating large-star/small-star contraction
+    (the 100x-density scale path). The pair list is computed ONCE and
+    checkpointed — both algorithms iterate over the same 2-column leaf,
+    so the union costs one pair-gen plus two (cheap) CC runs. Oracle:
+    DuckDB recursive-CTE transitive closure over the identically-capped
+    pair SQL, emitted once per algo tag — both algorithms are
+    driver-verified against it, not just equivalence-tested against each
+    other. component_id = min doc_id transitively reachable — the
+    canonical-doc semantics a corpus dedup keeps."""
+    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
+                                n=3, threshold=0.4, max_doc_freq=100,
+                                materialize_index=True
+                                ).localCheckpoint(eager=True)
+    label = (neardup_components(pairs)
+             .select(F.lit("label").alias("algo"),
+                     F.col("id").alias("doc_id"), "component_id"))
+    star = (neardup_components(pairs, algorithm="star")
+            .select(F.lit("star").alias("algo"),
+                    F.col("id").alias("doc_id"), "component_id"))
+    return label.unionAll(star)
+
+
+def _clusters_flavour(spark, sf, algorithm):
     pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
                                 n=3, threshold=0.4, max_doc_freq=100,
                                 materialize_index=True)
-    return (neardup_components(pairs)
-            .select(F.col("id").alias("doc_id"), "component_id"))
-
-
-def _q_x2_clusters_star(spark, sf):
-    """X2 — the SAME near-dup clustering as x2_dedup_clusters but through
-    the alternating large-star/small-star contraction (the 100x-density
-    scale path), sharing the recursive-CTE oracle: both CC algorithms are
-    driver-verified, not just equivalence-tested against each other."""
-    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
-                                n=3, threshold=0.4, max_doc_freq=100,
-                                materialize_index=True)
-    return (neardup_components(pairs, algorithm="star")
+    return (neardup_components(pairs, algorithm=algorithm)
             .select(F.col("id").alias("doc_id"), "component_id"))
 
 
@@ -1207,31 +1310,32 @@ def _q_x7_corpus_exact(spark, sf):
             .select("doc_id", "q_score"))
 
 
-def _q_x8_split_vocab(spark, sf):
-    """X8 — deterministic train/eval split (portable modulo mode; the
-    xxhash64 production mode is pytest-pinned for uniformity) composed
-    with the vocabulary build: top-200 tokens by frequency over the
-    TRAIN split only — the exact shape of a tokenizer-training prep."""
+def _q_x8_corpus_utils(spark, sf):
+    """X8 — the whole corpus-utility family in one tagged union (registry
+    consolidation, r4 verdict): deterministic train/eval split (portable
+    modulo mode; the xxhash64 production mode is pytest-pinned for
+    uniformity) composed with the vocabulary build (top-200 tokens by
+    frequency over the TRAIN split only — the tokenizer-training prep),
+    sharded token-budget sequence packing (concat-then-chunk), and
+    overlapping character chunking (the retrieval/context-window prep).
+    Columns harmonized to (kind, doc_id, a, b, c, h): vocab rows carry
+    (NULL, n, NULL, NULL, token); pack rows carry (n_tokens, shard,
+    bin_id, NULL); chunk rows carry (chunk_id, chunk_start, chunk_len,
+    md5(chunk_text)) so the oracle value-checks the actual chunk
+    contents, not just offsets."""
     from serverless_data_pipeline_spark.operators.corpus import (
-        train_test_split, vocabulary,
-    )
-    split = train_test_split(_t(spark, sf, "documents"), "doc_id",
-                             hashed=False)
-    return vocabulary(split.filter(F.col("split") == "train"),
-                      "text", top_n=200)
-
-
-def _q_x8_seq_packing(spark, sf):
-    """X8 — sharded token-budget sequence packing (concat-then-chunk) and
-    overlapping character chunking (the retrieval/context-window prep) in
-    one tagged union. Columns harmonized to (kind, doc_id, a, b, c, h):
-    pack rows carry (n_tokens, shard, bin_id, NULL); chunk rows carry
-    (chunk_id, chunk_start, chunk_len, md5(chunk_text)) so the oracle
-    value-checks the actual chunk contents, not just offsets."""
-    from serverless_data_pipeline_spark.operators.corpus import (
-        chunk_documents, pack_sequences,
+        chunk_documents, pack_sequences, train_test_split, vocabulary,
     )
     docs = _t(spark, sf, "documents")
+    split = train_test_split(docs, "doc_id", hashed=False)
+    vocab = (vocabulary(split.filter(F.col("split") == "train"),
+                        "text", top_n=200)
+             .select(F.lit("vocab").alias("kind"),
+                     F.lit(None).cast("long").alias("doc_id"),
+                     F.col("n").cast("long").alias("a"),
+                     F.lit(None).cast("long").alias("b"),
+                     F.lit(None).cast("long").alias("c"),
+                     F.col("token").alias("h")))
     pack = (pack_sequences(docs, "doc_id", "text", budget=512, n_shards=8)
             .select(F.lit("pack").alias("kind"), "doc_id",
                     F.col("n_tokens").cast("long").alias("a"),
@@ -1245,7 +1349,7 @@ def _q_x8_seq_packing(spark, sf):
                      F.col("chunk_start").cast("long").alias("b"),
                      F.length("chunk_text").cast("long").alias("c"),
                      F.md5(F.col("chunk_text").cast("binary")).alias("h")))
-    return pack.unionAll(chunk)
+    return vocab.unionAll(pack).unionAll(chunk)
 
 
 def _q_x9_corpus_mix(spark, sf):
@@ -1329,30 +1433,6 @@ def _q_x12_segment_dedup(spark, sf):
                       "n_segments", "n_kept")
 
 
-def _q_x6_binary_udfs(spark, sf):
-    """X6 — both binary-payload UDF paths in one rows-only query: the
-    Arrow-batched decode/featurize stub (mapInPandas) joined with the
-    frame-sampling row explosion aggregated back to media grain.
-
-    The feature vector is projected to comparator-safe scalars (csv join +
-    first/last dims) — the driver's canonicalizer cannot hash list-typed
-    cells (r3 ERROR row), same portability rule as g8_array_agg."""
-    media = attach_binary_payload(_t(spark, sf, "documents"),
-                                  "doc_id", "text", "source")
-    feats = extract_features(media).select(
-        "media_id", "n_bytes",
-        F.size("features").alias("n_dims"),
-        F.element_at("features", 1).alias("feat_first"),
-        F.element_at("features", -1).alias("feat_last"),
-        F.array_join(F.transform("features", lambda x: x.cast("string")),
-                     ",").alias("features_csv"))
-    frames = (frame_sample(media, every_n_bytes=64)
-              .groupBy("media_id")
-              .agg(F.count("*").alias("n_frames"),
-                   F.max("byte_offset").alias("last_offset")))
-    return feats.join(frames, "media_id")
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     g = globals()
@@ -1415,9 +1495,13 @@ _CLUSTERS_ORACLE = f"""
             reach(src, dst) AS (
                 SELECT src, dst FROM edges
                 UNION
-                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
-            FROM reach GROUP BY src"""
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            comp AS (SELECT src AS doc_id,
+                            LEAST(src, MIN(dst)) AS component_id
+                     FROM reach GROUP BY src)
+            SELECT 'label' AS algo, doc_id, component_id FROM comp
+            UNION ALL
+            SELECT 'star' AS algo, doc_id, component_id FROM comp"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1435,18 +1519,18 @@ def oracle_sql() -> dict[str, str]:
                        AS total
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
-        "t1_ingest": """
+        "t_etl_suite": """
             SELECT event_id, 's3' AS source, 'json' AS data_type,
-                   'normal' AS priority, 'b1' AS batch_id FROM events""",
-        "t2_validate": """
-            SELECT event_id, value FROM events WHERE NOT (value >= 0.05)""",
-        "t3_t6_transform": """
-            SELECT event_id, lower(trim(event_type)) AS clean_type,
+                   'normal' AS priority, 'b1' AS batch_id,
+                   lower(trim(event_type)) AS clean_type,
                    CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER) AS year,
                    CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER) AS month,
                    CAST(day(CAST(ts AS TIMESTAMP)) AS INTEGER) AS day,
                    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hour,
-                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_hour
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS event_hour,
+                   value,
+                   COALESCE(event_id IS NOT NULL AND ts IS NOT NULL
+                            AND value >= 0.05, FALSE) AS is_valid
             FROM events""",
         "t5_quality_score": """
             SELECT ROUND((5.0 + AVG(CASE WHEN n_chars >= 200 THEN 1.0
@@ -1463,26 +1547,29 @@ def oracle_sql() -> dict[str, str]:
                    {_DSUM_SQL.format(c='o_totalprice')} AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment""",
-        "j2_left_right_join": f"""
-            SELECT 'left' AS side, c_custkey,
-                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-                   {_DSUM_SQL.format(c='o_totalprice')} AS total_spent
+        "j2_outer_suite": f"""
+            SELECT 'left' AS side, CAST(c_custkey AS BIGINT) AS key,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_a,
+                   CAST(NULL AS BIGINT) AS n_b,
+                   {_DSUM_SQL.format(c='o_totalprice')} AS amount
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey
             UNION ALL
-            SELECT 'right' AS side, c_custkey,
-                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-                   {_DSUM_SQL.format(c='o_totalprice')} AS total_spent
+            SELECT 'right' AS side, CAST(c_custkey AS BIGINT) AS key,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_a,
+                   CAST(NULL AS BIGINT) AS n_b,
+                   {_DSUM_SQL.format(c='o_totalprice')} AS amount
             FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_custkey""",
-        "j2_full_outer_join": """
-            SELECT COALESCE(cn, sn) AS nationkey, n_cust, n_supp
+            GROUP BY c_custkey
+            UNION ALL
+            SELECT 'full' AS side, CAST(COALESCE(cn, sn) AS BIGINT) AS key,
+                   n_a, n_b, CAST(NULL AS DOUBLE) AS amount
             FROM (SELECT c_nationkey AS cn,
-                         CAST(COUNT(*) AS BIGINT) AS n_cust
+                         CAST(COUNT(*) AS BIGINT) AS n_a
                   FROM customer WHERE c_nationkey >= 5 GROUP BY 1) c
             FULL OUTER JOIN
                  (SELECT s_nationkey AS sn,
-                         CAST(COUNT(*) AS BIGINT) AS n_supp
+                         CAST(COUNT(*) AS BIGINT) AS n_b
                   FROM supplier WHERE s_nationkey < 12 GROUP BY 1) s
               ON cn = sn""",
         "j3_semi_anti_join": """
@@ -1498,15 +1585,7 @@ def oracle_sql() -> dict[str, str]:
                        AS gross_revenue
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand""",
-        "j5_cross_theta": """
-            SELECT 'cross' AS kind, r1.r_name AS name_a, r2.r_name AS name_b
-            FROM region r1 CROSS JOIN region r2
-            UNION ALL
-            SELECT 'theta' AS kind, n1.n_name AS name_a, n2.n_name AS name_b
-            FROM nation n1 JOIN nation n2
-              ON n1.n_regionkey = n2.n_regionkey
-             AND n1.n_name < n2.n_name""",
-        "j6_range_join": f"""
+        "j56_cross_range": f"""
             WITH banded AS (
                 SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events,
                        {dsum_v} AS sum_value
@@ -1515,9 +1594,24 @@ def oracle_sql() -> dict[str, str]:
                              ('high', 200.0, 1000.0)) AS b(band, lo, hi)
                   ON e.value >= b.lo AND e.value < b.hi
                 GROUP BY band)
-            SELECT 'broadcast' AS mode, band, n_events, sum_value FROM banded
+            SELECT 'cross' AS kind, r1.r_name AS name_a, r2.r_name AS name_b,
+                   CAST(NULL AS BIGINT) AS n_events,
+                   CAST(NULL AS DOUBLE) AS sum_value
+            FROM region r1 CROSS JOIN region r2
             UNION ALL
-            SELECT 'bucketed' AS mode, band, n_events, sum_value FROM banded""",
+            SELECT 'theta' AS kind, n1.n_name AS name_a, n2.n_name AS name_b,
+                   CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+            FROM nation n1 JOIN nation n2
+              ON n1.n_regionkey = n2.n_regionkey
+             AND n1.n_name < n2.n_name
+            UNION ALL
+            SELECT 'range_broadcast' AS kind, band AS name_a,
+                   CAST(NULL AS VARCHAR) AS name_b, n_events, sum_value
+            FROM banded
+            UNION ALL
+            SELECT 'range_bucketed' AS kind, band AS name_a,
+                   CAST(NULL AS VARCHAR) AS name_b, n_events, sum_value
+            FROM banded""",
         "j7_asof_join": """
             SELECT l.event_id, r.purchase_value
             FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -1654,12 +1748,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name""",
-        "srt_topk": """
-            SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-        "tkg_topk_per_group": """
-            SELECT o_orderpriority, o_orderkey, o_totalprice,
-                   CAST(rnk AS INTEGER) AS rnk
+        "topk_suite": """
+            SELECT * FROM (
+                SELECT 'global' AS kind,
+                       CAST(NULL AS VARCHAR) AS o_orderpriority,
+                       o_orderkey, o_totalprice,
+                       CAST(NULL AS INTEGER) AS rnk
+                FROM orders
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+            UNION ALL
+            SELECT 'group' AS kind, o_orderpriority, o_orderkey,
+                   o_totalprice, CAST(rnk AS INTEGER) AS rnk
             FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
                          row_number() OVER (PARTITION BY o_orderpriority
                                             ORDER BY o_totalprice DESC,
@@ -1834,7 +1933,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.4""",
-        "x2_clusters_star": _CLUSTERS_ORACLE,
         "x2_dedup_clusters": _CLUSTERS_ORACLE,
         "x7_corpus_exact": f"""
             WITH RECURSIVE
@@ -1943,13 +2041,17 @@ def oracle_sql() -> dict[str, str]:
             hits AS (SELECT DISTINCT doc_id FROM tsh JOIN esh USING (sh))
             SELECT doc_id, q_score FROM tr
             WHERE doc_id NOT IN (SELECT doc_id FROM hits)""",
-        "x8_split_vocab": f"""
-            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
-            FROM (SELECT unnest({_TOKENS_SQL.format(c='text')}) AS token
-                  FROM documents WHERE doc_id % 10 < 8)
-            GROUP BY token
-            ORDER BY n DESC, token LIMIT 200""",
-        "x8_seq_packing": f"""
+        "x8_corpus_utils": f"""
+            SELECT 'vocab' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+                   n AS a, CAST(NULL AS BIGINT) AS b,
+                   CAST(NULL AS BIGINT) AS c, token AS h
+            FROM (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM (SELECT unnest({_TOKENS_SQL.format(c='text')})
+                            AS token
+                        FROM documents WHERE doc_id % 10 < 8)
+                  GROUP BY token
+                  ORDER BY n DESC, token LIMIT 200)
+            UNION ALL
             SELECT 'pack' AS kind, doc_id, n_tokens AS a, shard AS b,
                    CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS c,
                    CAST(NULL AS VARCHAR) AS h
@@ -1970,15 +2072,32 @@ def oracle_sql() -> dict[str, str]:
                          unnest(generate_series(
                              1, greatest(1, length(text)), 448)) AS s
                   FROM documents)""",
-        "s3_sink_roundtrip": f"""
-            SELECT CAST(year(ts) AS INTEGER) AS year,
-                   CAST(month(ts) AS INTEGER) AS month,
-                   CAST(day(ts) AS INTEGER) AS day,
-                   CAST(hour(ts) AS INTEGER) AS hour,
+        "s_sink_suite": f"""
+            SELECT 'sink' AS kind,
+                   CAST(year(ts) AS BIGINT) AS a,
+                   CAST(month(ts) AS BIGINT) AS b,
+                   CAST(day(ts) AS BIGINT) AS c,
+                   CAST(hour(ts) AS BIGINT) AS d,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
-                   {_MSUM_SQL.format(c='value')} AS sum_value
-            FROM events GROUP BY 1, 2, 3, 4""",
+                   {_MSUM_SQL.format(c='value')} AS val
+            FROM events GROUP BY 2, 3, 4, 5
+            UNION ALL
+            SELECT 'upsert' AS kind, CAST(event_id AS BIGINT) AS a,
+                   CAST(user_id AS BIGINT) AS b, CAST(NULL AS BIGINT) AS c,
+                   CAST(NULL AS BIGINT) AS d, CAST(NULL AS BIGINT) AS n_rows,
+                   CAST(NULL AS BIGINT) AS n_ids, val
+            FROM (
+                WITH t AS (SELECT event_id, user_id, value FROM events
+                           WHERE event_id % 2 = 0),
+                     u AS (SELECT event_id, user_id,
+                                  ROUND(value * 2, 6) AS value FROM events
+                           WHERE event_id % 4 = 0
+                              OR (event_id % 2 = 1 AND user_id < 10))
+                SELECT event_id, user_id, ROUND(value, 6) AS val FROM u
+                UNION ALL
+                SELECT event_id, user_id, ROUND(value, 6) AS val FROM t
+                WHERE event_id NOT IN (SELECT event_id FROM u))""",
         "q18_large_orders": """
             SELECT c_name, c_custkey, o_orderkey,
                    CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
@@ -1995,17 +2114,6 @@ def oracle_sql() -> dict[str, str]:
                      o_totalprice
             ORDER BY o_totalprice DESC, o_orderkey
             LIMIT 100""",
-        "s10_upsert_roundtrip": """
-            WITH t AS (SELECT event_id, user_id, value FROM events
-                       WHERE event_id % 2 = 0),
-                 u AS (SELECT event_id, user_id,
-                              ROUND(value * 2, 6) AS value FROM events
-                       WHERE event_id % 4 = 0
-                          OR (event_id % 2 = 1 AND user_id < 10))
-            SELECT event_id, user_id, ROUND(value, 6) AS value FROM u
-            UNION ALL
-            SELECT event_id, user_id, ROUND(value, 6) AS value FROM t
-            WHERE event_id NOT IN (SELECT event_id FROM u)""",
         "st6_stateful": """
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                    CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
@@ -2180,15 +2288,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN qf USING (doc_id)
             JOIN fpc USING (doc_id)
             JOIN st ON d.lang = st.lang""",
-        "x6_media_suite": """
-            SELECT 'application/octet-stream' AS mime,
-                   source || '#' || CAST(label % 2 AS VARCHAR) AS source,
-                   CAST(COUNT(*) AS BIGINT) AS n_items,
-                   CAST(SUM(octet_length(encode(text))) AS BIGINT)
-                       AS total_bytes,
-                   ROUND(AVG(octet_length(encode(text))), 4) AS avg_bytes
+        "x6_multimodal": """
+            SELECT 'media' AS kind,
+                   'application/octet-stream|' || source || '#'
+                       || CAST(label % 2 AS VARCHAR) AS key,
+                   CAST(COUNT(*) AS BIGINT) AS a,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS b,
+                   CAST(NULL AS BIGINT) AS c,
+                   ROUND(AVG(octet_length(encode(text))), 4) AS v,
+                   CAST(NULL AS VARCHAR) AS h
             FROM documents JOIN embeddings ON doc_id = vec_id
-            GROUP BY 2""",
+            GROUP BY 2
+            UNION ALL
+            -- binary-UDF half: recompute the stub featurizer's byte-bucket
+            -- histogram from the hex dump of the same UTF-8 payload
+            -- (byte % 8 == low nibble % 8 — the low nibble is every
+            -- even-position hex char), plus the frame-sampling row counts.
+            SELECT 'binary' AS kind, CAST(doc_id AS VARCHAR) AS key,
+                   n_bytes AS a,
+                   greatest(n_bytes // 64, 1) AS b,
+                   (greatest(n_bytes // 64, 1) - 1) * 64 AS c,
+                   CAST(NULL AS DOUBLE) AS v,
+                   array_to_string(
+                       list_transform(range(0, 8),
+                           k -> len(list_filter(
+                               list_transform(
+                                   range(1, CAST(n_bytes AS BIGINT) + 1),
+                                   i -> substr(hx, CAST(2*i AS BIGINT), 1)),
+                               ch -> (strpos('0123456789abcdef', ch) - 1)
+                                     % 8 = k))),
+                       ',') AS h
+            FROM (SELECT doc_id,
+                         CAST(octet_length(encode(text)) AS BIGINT)
+                             AS n_bytes,
+                         lower(hex(encode(text))) AS hx
+                  FROM documents)""",
         "x10_decontaminate": (
             "WITH s AS (SELECT doc_id, text,"
             "                  CASE WHEN doc_id % 10 < 8 THEN 'train'"

@@ -41,8 +41,16 @@ def test_small_dim_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_registry_fits_driver_correctness_window():
+    """The driver verifies only the FIRST 50 registry entries
+    (alphabetical) — r4 silently dropped 9 tail rows from verification by
+    growing to 59. Any new query must merge into an existing suite row
+    instead of overflowing the window."""
+    assert len(entry_mod.queries()) <= 50
+
+
 def test_topk_plans_take_ordered(spark):
-    plan = _plan(spark, "srt_topk")
+    plan = _plan(spark, "topk_suite")
     assert "TakeOrderedAndProject" in plan   # O(k) heap, not a full sort
 
 
@@ -104,36 +112,31 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
     assert "EqualTo(l_returnflag,R)" in plan
 
 
-def test_vocabulary_partial_count_then_topn(spark):
-    """Vocabulary build: map-side partial counts before the shuffle and an
-    O(top_n) heap instead of a global sort."""
-    plan = _plan(spark, "x8_split_vocab")
+def test_corpus_utils_plan_shape(spark):
+    """x8 suite: the vocabulary arm keeps map-side partial counts and the
+    O(top_n) heap (no global sort); across all three arms exactly two
+    hash exchanges exist (vocab token groupBy + the per-shard packing
+    window) — chunking stays a narrow projection."""
+    plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-
-
-def test_seq_packing_single_shuffle(spark):
-    """Sequence packing = one hash exchange (the per-shard window); the
-    token counting stays a narrow projection before it."""
-    plan = _plan(spark, "x8_seq_packing")
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
     """Global guard: no registry query may plan a CartesianProduct. The
-    only intentional cross join (j5_cross_theta) is 5x5 rows and plans as
+    only intentional cross join (j56_cross_range) is 5x5 rows and plans as
     BroadcastNestedLoopJoin, which stays allowed ONLY there; everything
     else must be equi-join/broadcast shaped. The streaming rows are
     excluded because building them executes streaming queries — their
     "plan" here is just the drained memory sink's LocalTableScan."""
     skip = {"st1_stream_exec", "st3_window_agg", "st5_session",
             "st6_stateful", "st8_stream_join", "st9_stream_dedup"}
-    # Deliberate broadcast nested-loops: j5 (the cross-join op itself),
-    # j6 (tiny interval set), x3 (exact top-k = broadcast query batch x
+    # Deliberate broadcast nested-loops: j56 (the cross-join op itself +
+    # the tiny interval set), x3 (exact top-k = broadcast query batch x
     # one corpus pass — the intended scale plan for an exact baseline),
     # x13 (1-row vocab-size scalar broadcast onto every bigram).
-    bnlj_ok = {"j5_cross_theta", "j6_range_join", "x3_topk_similarity",
-               "x13_lm_score"}
+    bnlj_ok = {"j56_cross_range", "x3_topk_similarity", "x13_lm_score"}
     for name in entry_mod.queries():
         if name in skip:
             continue

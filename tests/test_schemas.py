@@ -103,7 +103,7 @@ def oracle_gate():
 @pytest.mark.parametrize("name", [
     "f_datetime_json",     # events scalar datetime path — the r3 casualty
     "st3_window_agg",      # events windowed agg — row counts explode on drift
-    "t3_t6_transform",     # events transform stage
+    "t_etl_suite",         # events ETL stage chain
     "g1_groupby_agg",      # lineitem flagship — guards the relational side
 ])
 def test_registry_query_matches_oracle_on_fixtures(spark, oracle_gate, name):
