@@ -256,23 +256,33 @@ def train_ivf_centroids(corpus: DataFrame, vec_col: str,
 
 def train_pq_codebooks(corpus: DataFrame, vec_col: str, dim: int,
                        m: int = 8, ksub: int = 16, seed: int = 42,
-                       sample_n: int = 4096,
-                       max_iter: int = 12) -> list[list[list[float]]]:
+                       sample_n: int = 4096, max_iter: int = 12,
+                       id_col: str | None = None) -> list[list[list[float]]]:
     """Train product-quantization codebooks (Jégou et al. TPAMI'11): one
     ksub-centroid k-means per contiguous dim/m subspace, driver-side
     numpy Lloyd on a deterministic bounded sample (first `sample_n` rows
-    by id order — PQ codebook quality saturates on thousands of samples;
-    at 100 TB you train on a sample regardless, never the corpus).
-    Returns plain Python nested lists so encode/probe stay executor-side
-    constants, same contract as train_ivf_centroids."""
+    ordered by `id_col` — PQ codebook quality saturates on thousands of
+    samples; at 100 TB you train on a sample regardless, never the
+    corpus). `id_col` defaults to the first non-vector column and should
+    be unique for a total order (ADVICE r4: an arbitrary non-unique
+    first column made limit(sample_n) run-dependent); raises if the
+    frame has no candidate ordering column at all. Returns plain Python
+    nested lists so encode/probe stay executor-side constants, same
+    contract as train_ivf_centroids."""
     import numpy as np
 
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    first_col = corpus.columns[0]
-    rows = (corpus.select(F.col(vec_col).alias("v"))
-            .orderBy(F.col(first_col)) if first_col != vec_col else
-            corpus.select(F.col(vec_col).alias("v")))
+    if id_col is None:
+        non_vec = [c for c in corpus.columns if c != vec_col]
+        if not non_vec:
+            raise ValueError(
+                "train_pq_codebooks needs id_col (or any non-vector "
+                "column) to define a deterministic sample order; the "
+                "input frame has only the vector column")
+        id_col = non_vec[0]
+    rows = (corpus.select(F.col(vec_col).alias("v"), F.col(id_col))
+            .orderBy(F.col(id_col)))
     sample = np.array([r.v for r in rows.limit(sample_n).collect()],
                       dtype=np.float64)
     dsub = dim // m
@@ -328,9 +338,20 @@ def pq_topk(corpus: DataFrame, id_col: str, vec_col: str,
              pq_encode(corpus, vec_col, codebooks, dim))
     code = F.col(code_col) if code_col else F.col("pq_code")
     adc = pq_adc_cosine_udf(codebooks, query_vec)(code)
+    # Select the raw vector only when the re-rank needs it: a codes-only
+    # index frame (id, pq_code) — the documented persistence shape — has
+    # no vec_col, and refine=0 must probe it without an AnalysisException
+    # (ADVICE r4).
+    if refine and vec_col not in codes.columns:
+        raise ValueError(
+            f"pq_topk(refine={refine}) needs the raw vector column "
+            f"{vec_col!r} for the exact re-rank, but the input frame has "
+            f"only {codes.columns} — probe codes-only frames with "
+            "refine=0, or join the vectors back")
+    cols = ([F.col(id_col), F.col(vec_col)] if refine
+            else [F.col(id_col)])
     scored = codes.select(
-        F.col(id_col), F.col(vec_col),
-        F.nanvl(adc, F.lit(None).cast("double")).alias("__adc"))
+        *cols, F.nanvl(adc, F.lit(None).cast("double")).alias("__adc"))
     if not refine:
         return (scored
                 .select(F.col(id_col),

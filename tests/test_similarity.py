@@ -233,3 +233,55 @@ def test_pq_codes_separate_clusters(spark):
     assert sum(same) / len(same) > 0.5
     assert sum(cross) / len(cross) < 0.2
     assert sum(same) / len(same) > 2 * (sum(cross) / len(cross))
+
+
+def test_pq_codes_only_probe_without_vectors(spark):
+    """refine=0 must probe a materialized (id, pq_code) index frame with
+    the embedding column DROPPED — the documented persistence shape
+    (ADVICE r4: the unconditional vec_col select raised
+    AnalysisException). refine>0 on the same frame must raise a clear
+    ValueError, not an analyzer error."""
+    import pytest
+
+    import __spark_entry__ as entry_mod
+    from serverless_data_pipeline_spark.operators.similarity import (
+        pq_encode, pq_topk, train_pq_codebooks,
+    )
+    emb = entry_mod._t(spark, "/root/testdata/sf0.001", "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 3").first().embedding]
+    books = train_pq_codebooks(emb, "embedding", dim=64, m=8, ksub=16,
+                               seed=11, sample_n=512)
+    index = (pq_encode(emb, "embedding", books, 64)
+             .select("vec_id", "pq_code"))          # vectors dropped
+    got = pq_topk(index, "vec_id", "embedding", qv, k=10,
+                  codebooks=books, refine=0, code_col="pq_code").collect()
+    assert len(got) == 10
+    full = pq_topk(emb, "vec_id", "embedding", qv, k=10,
+                   codebooks=books, refine=0).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in full]
+    with pytest.raises(ValueError, match="refine"):
+        pq_topk(index, "vec_id", "embedding", qv, k=10,
+                codebooks=books, refine=50, code_col="pq_code")
+
+
+def test_pq_codebook_sample_is_deterministic(spark):
+    """The training sample must be a total-order prefix: shuffling the
+    input partitioning must not change the trained codebooks (ADVICE r4:
+    the old first-column fallback made limit() run-dependent). A frame
+    with ONLY the vector column must raise."""
+    import pytest
+
+    import __spark_entry__ as entry_mod
+    from serverless_data_pipeline_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+    emb = entry_mod._t(spark, "/root/testdata/sf0.001", "embeddings")
+    a = train_pq_codebooks(emb, "embedding", dim=64, m=4, ksub=8,
+                           seed=7, sample_n=256, id_col="vec_id")
+    b = train_pq_codebooks(emb.repartition(13), "embedding", dim=64,
+                           m=4, ksub=8, seed=7, sample_n=256,
+                           id_col="vec_id")
+    assert a == b
+    with pytest.raises(ValueError, match="id_col"):
+        train_pq_codebooks(emb.select("embedding"), "embedding",
+                           dim=64, m=4, ksub=8)
