@@ -162,12 +162,16 @@ _doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
 
 
 @given(docs=st.lists(_doc, min_size=2, max_size=10),
-       threshold=st.sampled_from([0.2, 0.4, 0.6, 0.9]))
+       threshold=st.sampled_from([0.2, 0.4, 0.6, 0.9]),
+       positional=st.booleans())
 @settings(**SETTINGS)
-def test_prefix_filtered_jaccard_matches_bruteforce(spark, docs, threshold):
-    """The prefix-filter lemma is LOSSLESS: ngram_jaccard_pairs must equal
+def test_prefix_filtered_jaccard_matches_bruteforce(spark, docs, threshold,
+                                                    positional):
+    """The prefix-filter lemma is LOSSLESS — and so are the PPJoin length
+    + positional filters when enabled: ngram_jaccard_pairs must equal
     the O(n^2) Python ground truth (distinct word-3-gram sets, whole-text
-    shingle for short docs) for every random corpus and threshold."""
+    shingle for short docs) for every random corpus and threshold, with
+    the positional filter both off (default) and on."""
     from serverless_data_pipeline_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
@@ -194,6 +198,7 @@ def test_prefix_filtered_jaccard_matches_bruteforce(spark, docs, threshold):
     df = spark.createDataFrame(
         [(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
     got = {(r.id_a, r.id_b): r.jaccard
-           for r in ngram_jaccard_pairs(df, "doc_id", "text", n=3,
-                                        threshold=threshold).collect()}
+           for r in ngram_jaccard_pairs(
+               df, "doc_id", "text", n=3, threshold=threshold,
+               positional_filter=positional).collect()}
     assert got == expect
