@@ -37,6 +37,14 @@ class EngineConfig:
     # Bound output file size at scale (100 TB discipline): Firehose's 5 MB
     # buffer becomes a max-records-per-file cap on the Spark side.
     max_records_per_file: int = 5_000_000
+    # End-to-end wall-clock budget for one pipeline run. The reference's
+    # only latency contract is the Step Functions state-machine timeout of
+    # 2 hours (timeout=Duration.hours(2), py:427); a breach there aborts
+    # the execution. Here each stage boundary checks elapsed wall-clock
+    # against this budget and flips the run to FAILED (reason
+    # "sla_budget_exceeded") — stage timings are recorded on every state
+    # row either way.
+    sla_budget_s: float = 2 * 3600.0
     # Opaque secrets hook (py:687-698) — never logged.
     secrets: dict = field(default_factory=dict, repr=False)
 

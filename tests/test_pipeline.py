@@ -104,6 +104,49 @@ def test_e2e_partial_invalid_quarantines_rows(spark, paths):
     assert res.counts == {"processed": 1, "invalid": 1}
 
 
+def test_sla_stage_timings_recorded(spark, paths):
+    """Every state row carries stage/total wall-clock (the 2 h
+    state-machine-timeout analogue, py:427) and totals are monotone in
+    append order."""
+    import json
+    state = StateTable(spark, paths["state"])
+    res = run_pipeline(_batch(spark), processed_path=paths["processed"],
+                       archive_path=paths["archive"],
+                       error_path=paths["errors"], state=state,
+                       required=REQUIRED)
+    assert res.status == "SUCCEEDED"
+    rows = sorted(state.history(res.pipeline_id).collect(),
+                  key=lambda r: r.timestamp)
+    details = [json.loads(r.detail) for r in rows]
+    for d in details:
+        assert d["stage_elapsed_s"] >= 0.0
+        assert d["total_elapsed_s"] >= 0.0
+    totals = [d["total_elapsed_s"] for d in details]
+    assert totals == sorted(totals)
+
+
+def test_sla_budget_breach_fails_run(spark, paths):
+    """A zero budget breaches at the first stage boundary: the run flips
+    to FAILED with reason sla_budget_exceeded, a FAILED state row lands,
+    and the processed sink is never written (abort-without-output)."""
+    import json
+    state = StateTable(spark, paths["state"])
+    res = run_pipeline(_batch(spark), processed_path=paths["processed"],
+                       archive_path=paths["archive"],
+                       error_path=paths["errors"], state=state,
+                       required=REQUIRED,
+                       config=EngineConfig(sla_budget_s=0.0))
+    assert res.status == "FAILED"
+    assert res.failure_reason == "sla_budget_exceeded"
+    assert not os.path.exists(paths["processed"])
+    failed = [r for r in state.history(res.pipeline_id).collect()
+              if r.status == "FAILED"]
+    assert len(failed) == 1
+    d = json.loads(failed[0].detail)
+    assert d["reason"] == "sla_budget_exceeded"
+    assert d["budget_s"] == 0.0
+
+
 def test_state_table_compaction(spark, paths):
     import glob
     state = StateTable(spark, paths["state"])
