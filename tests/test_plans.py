@@ -49,6 +49,20 @@ def test_registry_fits_driver_correctness_window():
     assert len(entry_mod.queries()) <= 50
 
 
+def test_readme_counts_match_registry():
+    """README counts are enforced, not typed (r4 verdict: the README
+    drifted to 57/53 while the registry had 59). The 'Running' section
+    must state exactly len(queries()) / len(oracle_sql())."""
+    import pathlib
+    import re
+    readme = pathlib.Path(__file__).parent.parent.joinpath(
+        "README.md").read_text()
+    m = re.search(r"(\d+) queries \((\d+) DuckDB oracles\)", readme)
+    assert m, "README 'Running' section lost its query-count line"
+    assert int(m.group(1)) == len(entry_mod.queries())
+    assert int(m.group(2)) == len(entry_mod.oracle_sql())
+
+
 def test_topk_plans_take_ordered(spark):
     plan = _plan(spark, "topk_suite")
     assert "TakeOrderedAndProject" in plan   # O(k) heap, not a full sort
