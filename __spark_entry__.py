@@ -1236,13 +1236,16 @@ def _q_x2_dedup_clusters(spark, sf):
     DuckDB recursive-CTE transitive closure over the identically-capped
     pair SQL, emitted once per algo tag — both algorithms are
     driver-verified against it, not just equivalence-tested against each
-    other. component_id = min doc_id transitively reachable — the
-    canonical-doc semantics a corpus dedup keeps."""
+    other (the default "auto" hybrid — bounded label prop, star on the
+    contracted residual — is driver-verified through x7, whose pipeline
+    calls dedupe_by_components with the default). component_id = min
+    doc_id transitively reachable — the canonical-doc semantics a corpus
+    dedup keeps."""
     pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
                                 n=3, threshold=0.4, max_doc_freq=100,
                                 materialize_index=True
                                 ).localCheckpoint(eager=True)
-    label = (neardup_components(pairs)
+    label = (neardup_components(pairs, algorithm="label_prop")
              .select(F.lit("label").alias("algo"),
                      F.col("id").alias("doc_id"), "component_id"))
     star = (neardup_components(pairs, algorithm="star")

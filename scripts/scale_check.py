@@ -93,10 +93,13 @@ def main() -> None:
         r["pair_gen"] = timed(_gen)
         r["n_pairs"] = pairs.count()
         r["cc_label_prop"] = timed(
-            lambda: dedupe_by_components(d, pairs, "doc_id").count())
+            lambda: dedupe_by_components(d, pairs, "doc_id",
+                                         algorithm="label_prop").count())
         r["cc_star"] = timed(
             lambda: dedupe_by_components(d, pairs, "doc_id",
                                          algorithm="star").count())
+        r["cc_auto"] = timed(
+            lambda: dedupe_by_components(d, pairs, "doc_id").count())
         r["ann_join"] = timed(
             lambda: ann_topk_join(queries, e, "vec_id", "embedding",
                                   "vec_id", "embedding", dim=64, k=10,

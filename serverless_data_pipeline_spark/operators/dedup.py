@@ -437,10 +437,20 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 # ------------------------------------------------- dedup-cluster grouping
 
+# Label-prop rounds the "auto" mode spends before handing the unconverged
+# residual to star. From the scripts/cc_sweep.py chain sweep (table in
+# neardup_components): budget 4 covers the diameter<=4 components that
+# dominate real near-dup graphs at label-prop round cost, and caps the
+# adversarial deep-chain case at 4 cheap rounds + star on a 4x-contracted
+# residual. Raising it narrows the depth-8..16 hybrid valley but linearly
+# taxes every deeper graph.
+_AUTO_LP_ROUNDS = 4
+
+
 def neardup_components(pairs: DataFrame, *,
                        id_a: str = "id_a", id_b: str = "id_b",
                        max_iter: int = 15,
-                       algorithm: str = "label_prop") -> DataFrame:
+                       algorithm: str = "auto") -> DataFrame:
     """Connected components over a near-dup pair list: (id, component_id)
     where component_id = MIN doc id reachable through any chain of pairs.
     This is the exact cluster semantics (greedy edge-drop in
@@ -470,17 +480,45 @@ def neardup_components(pairs: DataFrame, *,
     extra near-duplicates from an unfinished propagation.
 
     ``algorithm``:
-    - ``"label_prop"`` (default): min-label propagation. Cheapest per
-      round (~3 shuffles) but every round re-joins the FULL edge list —
-      the superlinear term scale_check surfaces at ~1000x edge density.
+    - ``"auto"`` (default): hybrid — run label propagation for up to
+      ``_AUTO_LP_ROUNDS`` rounds (enough for the diameter <= 3..4
+      components that dominate every near-dup graph), then, only if
+      labels are still changing, CONTRACT the edge list by the current
+      labels (each node replaced by its partial component minimum;
+      internal edges become self-loops and vanish) and finish the tiny
+      high-diameter residual with the star algorithm. The measured sweep
+      (scripts/cc_sweep.py) picks the crossover: label_prop wins
+      whenever components converge within its round budget — including
+      the 250k-edge 10x scale_check graph (5.2-11.9 s vs 10.5-13.2 s
+      star, three paired runs) — because its rounds are ~2x cheaper than
+      star's two half-rounds; star wins only when diameter exceeds the
+      round budget (a 40-deep chain: 39 label rounds vs 4 star rounds).
+      Auto pays one extra convergence probe in the common case and never
+      runs a deep propagation. Measured sweep (60k edges as parallel
+      chains of depth d, local[32], one run each — ±30% host noise):
+
+          depth       2     4     8     16    64
+          label_prop  6.3   3.5   4.9   8.9   33.9
+          star        5.6   6.2   6.4   8.1   9.7
+          auto        3.0   3.2   9.5   10.4  12.9
+
+      Auto tracks the winner at both extremes (the cases that matter:
+      near-dup graphs are depth<=4; adversarial chains are deep) and
+      stays within ~1.3x of the best pure mode in the 8-16 valley where
+      the handoff cost peaks — while each pure mode is up to 2-3.5x off
+      at its bad extreme.
+    - ``"label_prop"``: min-label propagation. Cheapest per round
+      (~3 shuffles) but needs diameter rounds, every round re-joining
+      the FULL edge list.
     - ``"star"``: alternating large-star/small-star contraction (Kiveris
       et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
       public algorithm, re-derived here as DataFrame ops). Each round
       REWRITES the edge list to point at component minima, so the graph
       contracts as stars collapse; rounds are O(log^2 n) and late rounds
-      run on near-star (tiny) edge lists. The scale path for dense
-      near-dup graphs. Identical output (comp = min reachable id) —
-      pinned by tests/test_dedup.py equivalence tests."""
+      run on near-star (tiny) edge lists. The scale path for dense,
+      HIGH-DIAMETER graphs. Identical output (comp = min reachable id)
+      for all three modes — pinned by tests/test_dedup.py equivalence
+      tests."""
     # Materialize the pair list FIRST: it is tiny (it only names
     # near-dups), but its lineage is the whole candidate-generation plan
     # (shingle explode + self-join). Checkpointing here makes every
@@ -499,8 +537,10 @@ def neardup_components(pairs: DataFrame, *,
     edges = sym.distinct().localCheckpoint(eager=True)
     if algorithm == "star":
         return _components_star(edges, max_iter=max_iter)
-    if algorithm != "label_prop":
+    if algorithm not in ("label_prop", "auto"):
         raise ValueError(f"unknown CC algorithm: {algorithm!r}")
+    lp_budget = (min(max_iter, _AUTO_LP_ROUNDS)
+                 if algorithm == "auto" else max_iter)
     # Init folds in the first propagation step: comp = min(self, direct
     # neighbours). Every node appears as src in the symmetrized edges.
     # NOT checkpointed: its lineage is one groupBy over the edge leaf —
@@ -509,7 +549,7 @@ def neardup_components(pairs: DataFrame, *,
               .select(F.col("src").alias("id"),
                       F.least(F.col("src"), F.col("__m")).alias("comp")))
     changed: int | None = None
-    for it in range(max_iter):
+    for it in range(lp_budget):
         nbr = (edges.join(labels, edges["dst"] == labels["id"])
                .groupBy("src").agg(F.min("comp").alias("__nbr")))
         new = (labels.join(nbr, labels["id"] == nbr["src"], "left")
@@ -518,7 +558,7 @@ def neardup_components(pairs: DataFrame, *,
                                F.coalesce(F.col("__nbr"), F.col("comp")))
                         .alias("comp"))
                .localCheckpoint(eager=True))
-        if (it >= 2 and it % 2 == 0) or it == max_iter - 1:
+        if (it >= 2 and it % 2 == 0) or it == lp_budget - 1:
             changed = (new.alias("n").join(labels.alias("o"), "id")
                        .filter(F.col("n.comp") != F.col("o.comp"))
                        .limit(1).count())
@@ -526,6 +566,33 @@ def neardup_components(pairs: DataFrame, *,
         if changed == 0:
             break
     if changed != 0:
+        if algorithm == "auto":
+            # High-diameter residual: contract the edge list by the
+            # partial labels (each endpoint -> its current component
+            # minimum; intra-cluster edges become self-loops and
+            # vanish), then finish with star on the contracted graph —
+            # it holds ONLY the components whose diameter exceeded the
+            # label-prop budget, which on near-dup graphs is a vanishing
+            # fraction of the corpus. Exactness: a partial label is the
+            # min id within lp_budget hops, so the true component min m
+            # keeps comp(m) = m, survives contraction as a node, and
+            # star returns it as the contracted component's minimum.
+            lbl_s = labels.select(F.col("id").alias("src"),
+                                  F.col("comp").alias("__cs"))
+            lbl_d = labels.select(F.col("id").alias("dst"),
+                                  F.col("comp").alias("__cd"))
+            resid = (edges.join(lbl_s, "src").join(lbl_d, "dst")
+                     .select(F.col("__cs").alias("src"),
+                             F.col("__cd").alias("dst"))
+                     .filter(F.col("src") != F.col("dst"))
+                     .distinct().localCheckpoint(eager=True))
+            fin = _components_star(resid, max_iter=max_iter)
+            return (labels.join(
+                        fin.select(F.col("id").alias("comp"),
+                                   F.col("component_id").alias("__f")),
+                        "comp", "left")
+                    .select("id", F.coalesce("__f", "comp")
+                            .alias("component_id")))
         import warnings
 
         warnings.warn(

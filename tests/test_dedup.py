@@ -159,10 +159,14 @@ def test_star_components_match_label_prop(spark):
               for _ in range(80)]
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     lp = {r.id: r.component_id
-          for r in neardup_components(pairs).collect()}
+          for r in neardup_components(pairs,
+                                      algorithm="label_prop").collect()}
     st = {r.id: r.component_id
           for r in neardup_components(pairs, algorithm="star").collect()}
+    au = {r.id: r.component_id
+          for r in neardup_components(pairs, algorithm="auto").collect()}
     assert st == lp
+    assert au == lp
 
 
 def test_star_components_high_diameter_chain(spark):
@@ -174,6 +178,25 @@ def test_star_components_high_diameter_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long")
     out = neardup_components(pairs, algorithm="star", max_iter=10).collect()
+    assert {r.component_id for r in out} == {1}
+    assert len(out) == 40
+
+
+def test_auto_components_high_diameter_chain(spark):
+    """The default (auto) hybrid must finish a 40-node path exactly even
+    though the diameter (39) dwarfs its label-prop round budget: the
+    unconverged residual contracts by partial labels and star finishes
+    it — no convergence warning, true min label everywhere."""
+    import warnings as _warnings
+
+    from serverless_data_pipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "id_a long, id_b long")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")          # any warn -> failure
+        out = neardup_components(pairs, max_iter=10).collect()
     assert {r.component_id for r in out} == {1}
     assert len(out) == 40
 
