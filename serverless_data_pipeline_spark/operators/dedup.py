@@ -46,6 +46,26 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
          .alias("__sh"))
 
 
+def _ratio(threshold: float) -> tuple[int, int]:
+    """The threshold as an exact small rational (num, den): the nearest
+    fraction with denominator <= 10^6 — recovers the decimal the caller
+    typed (0.4 -> 2/5) rather than its binary-float image, so pruning
+    bounds are computed in integer arithmetic with zero rounding."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    return fr.numerator, fr.denominator
+
+
+def _ceil_mul(col, num: int, den: int):
+    """Exact ceil(col * num / den) for a nonnegative integer column:
+    ceil(a/b) = floor((a+b-1)/b), and the floor division is done by
+    first stripping the remainder so the double divide acts on an exact
+    multiple of den (exact up to 2^53 — sz*num tops out far below)."""
+    x = col * F.lit(num) + F.lit(den - 1)
+    return ((x - F.pmod(x, F.lit(den))) / F.lit(den)).cast("long")
+
+
 def exact_dedup(df: DataFrame, keys: list[str],
                 order_by: list | None = None) -> DataFrame:
     """X1 — exact dedup. With `order_by`, keep-first deterministic variant
@@ -327,14 +347,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # the 10x scale_check corpus: 21.0M -> 0.70M candidates entering
     # verification for the same 250 220 survivors (pair-gen wall
     # 28.5 s -> 10.4 s; 84.6 s before any prefix filtering).
-    # Every pruning bound below goes through an epsilon-guarded ceil:
-    # double arithmetic can land a hair ABOVE the true rational bound
-    # (e.g. sz*t for t=0.6), and a one-too-high ceil OVER-prunes — a
-    # correctness bug, because pruning must be lossless. Undershooting by
-    # 1e-9 merely admits a few extra candidates into the exact verify.
-    t = float(threshold)
-    eps = F.lit(1e-9)
-    alpha = F.ceil(F.col("sz") * F.lit(t) - eps)
+    # Every pruning bound below is EXACT integer arithmetic on the
+    # threshold as a rational num/den. double ceil(sz*t) lands one too
+    # HIGH whenever rounding pushes an exactly-integral product across
+    # the next integer — none of the one-decimal thresholds exhibit it
+    # below sz 2000 (swept), but it is threshold-dependent and a
+    # one-too-high ceil OVER-prunes, i.e. silently drops qualifying
+    # pairs. ceil(sz*num/den) via integer div removes the entire
+    # failure class at no cost and stays tight (no epsilon slack); at
+    # t=0.4 it reproduces the float bounds bit-for-bit (identical
+    # 27.0M collision rows at the 10x corpus).
+    t_num, t_den = _ratio(threshold)
+    alpha = _ceil_mul(F.col("sz"), t_num, t_den)
     prefix_len = (F.col("sz") - alpha + 2).cast("int")
     pref = sets.select(
         "__id", "sz",
@@ -344,7 +368,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     pa, pb = F.col("a.__pos") + 1, F.col("b.__pos") + 1  # 1-based rank
     # Length filter: J >= t forces min(sz) >= ceil(t * max(sz)).
     length_ok = (F.least(sz_a, sz_b)
-                 >= F.ceil(F.greatest(sz_a, sz_b) * F.lit(t) - eps))
+                 >= _ceil_mul(F.greatest(sz_a, sz_b), t_num, t_den))
     # Positional filter (PPJoin, Xiao et al. WWW'08): a collision at
     # 1-based ranks (pa, pb) of the rarity-sorted sets bounds the true
     # overlap — elements before the collision are all < it in the total
@@ -356,10 +380,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # alpha_pair, so no collision of a qualifying pair is dropped and the
     # c=2 count gate below still sees all of them — lossless, and the
     # pruned collision rows never enter the groupBy shuffle.
-    alpha_pair = F.ceil((sz_a + sz_b) * F.lit(t / (1.0 + t)) - eps)
+    alpha_pair = _ceil_mul(sz_a + sz_b, t_num, t_num + t_den)
     ubound = F.least(pa, pb) + F.least(sz_a - pa, sz_b - pb)
-    need2 = (F.greatest(F.ceil(F.col("sz_a") * F.lit(t) - eps),
-                        F.ceil(F.col("sz_b") * F.lit(t) - eps))
+    need2 = (F.greatest(_ceil_mul(F.col("sz_a"), t_num, t_den),
+                        _ceil_mul(F.col("sz_b"), t_num, t_den))
              >= 2)
     cand_base = (pref.alias("a").join(pref.alias("b"), "__sh")
                  .filter(F.col("a.__id") < F.col("b.__id")))
