@@ -47,6 +47,9 @@ def get_spark(app_name: str = "serverless_data_pipeline_spark",
         # nanos→micros shim for genuine nanos files.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Keep stdout/stderr clean for harnesses that capture output
+        # (bench.py must emit exactly one JSON line).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     # Respect a master/memory already configured by spark-submit — builder
