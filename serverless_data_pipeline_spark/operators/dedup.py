@@ -35,11 +35,30 @@ from serverless_data_pipeline_spark.operators.util import (
 )
 
 
+def _tokens_of(df: DataFrame, text_col: str):
+    """`text_col` may be a raw string column (tokenized here) or an
+    already-tokenized array<string> column (used as-is) — for callers
+    whose corpus is stored pre-tokenized.
+
+    Deliberately NOT used to share tokenization across sketch flavours:
+    the measured A/B (minhash+simhash union, sf0.1, interleaved
+    min-of-3) is 1.65 s recomputing the regex split per flavour vs
+    4.84 s reading a checkpointed (id, tokens) frame — materialized
+    string arrays are wider than the source text and lose to codegen
+    recompute, the same verdict as the banded-minhash-frame
+    materialization (see minhash_lsh_pairs)."""
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(df.schema[text_col].dataType, ArrayType):
+        return F.col(text_col)
+    return tokens(text_col)
+
+
 def _shingled(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) pairs: tokenize ONCE into a column, shingle from the
     materialized array, explode distinct."""
     base = _spread(df.select(F.col(id_col),
-                             tokens(text_col).alias("__toks")))
+                             _tokens_of(df, text_col).alias("__toks")))
     return base.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles_from_tokens("__toks", n)))
@@ -187,7 +206,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     lane_mask = (1 << lane_bits) - 1
     # Hash each token ONCE into a column — referencing xxhash64 inside all
     # aggregate expressions would re-hash per group.
-    tok = (_spread(df.select(F.col(id_col), tokens(text_col).alias("__toks")))
+    tok = (_spread(df.select(F.col(id_col),
+                             _tokens_of(df, text_col).alias("__toks")))
            .select(F.col(id_col), F.explode("__toks").alias("__t"))
            .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
     h = F.col("__h")
