@@ -1214,6 +1214,8 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf: _clusters_flavour(spark, sf, "label_prop"),
         "x2_dedup_clusters.star":
             lambda spark, sf: _clusters_flavour(spark, sf, "star"),
+        "x2_dedup_clusters.auto":
+            lambda spark, sf: _clusters_flavour(spark, sf, "auto"),
     }
 
 

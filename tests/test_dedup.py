@@ -37,6 +37,23 @@ def test_minhash_finds_planted_pair(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_sketches_accept_pretokenized_arrays(spark):
+    """minhash/simhash/jaccard over an array<string> column must produce
+    the same pair sets as over the raw text it was tokenized from."""
+    from serverless_data_pipeline_spark.functions.text import tokens
+
+    raw = _docs(spark)
+    tokd = raw.select("doc_id", tokens("text").alias("toks"))
+    for fn, kw in ((minhash_lsh_pairs, {"jaccard_threshold": 0.3}),
+                   (simhash_pairs, {"max_hamming": 6}),
+                   (ngram_jaccard_pairs, {"threshold": 0.4})):
+        from_text = {(r.id_a, r.id_b)
+                     for r in fn(raw, "doc_id", "text", **kw).collect()}
+        from_toks = {(r.id_a, r.id_b)
+                     for r in fn(tokd, "doc_id", "toks", **kw).collect()}
+        assert from_toks == from_text, fn.__name__
+
+
 def test_simhash_default_bits_finds_pair(spark):
     # Regression: bits=64 used to overflow a JVM long (1 << 63 literal).
     pairs = simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=6)
