@@ -152,14 +152,25 @@ def _q_t_etl_suite(spark, sf):
         {"event_id": T.LongType(), "ts": T.TimestampType(),
          "value": T.DoubleType()},
         checks=[F.col("value") >= 0.05])
-    flags = (res.valid.select("event_id", F.lit(True).alias("is_valid"))
-             .unionAll(res.invalid.select("event_id",
-                                          F.lit(False).alias("is_valid"))))
-    out = stages.realtime_transform(stages.transform(ing, ts_col="ts"))
-    return (out.select("event_id", "source", "data_type", "priority",
-                       "batch_id", F.col("event_type").alias("clean_type"),
-                       "year", "month", "day", "hour", "event_hour", "value")
-            .join(flags, "event_id"))
+
+    # The flag is carried by transforming each validation half and
+    # tagging it with a literal — NOT by joining a flag frame back on
+    # event_id: an equi-join would silently DROP any invalid row whose
+    # event_id is NULL (null keys never match) and fan out under
+    # duplicate ids, diverging from the oracle's null-safe
+    # COALESCE(..., FALSE) the moment the fixture grows such rows. The
+    # T3/T6 transforms are narrow and deterministic, so
+    # transform(valid) ∪ transform(invalid) ≡ transform(valid ∪ invalid)
+    # — and validate()'s split is still what partitions the batch.
+    def _half(df, flag):
+        out = stages.realtime_transform(stages.transform(df, ts_col="ts"))
+        return out.select(
+            "event_id", "source", "data_type", "priority", "batch_id",
+            F.col("event_type").alias("clean_type"),
+            "year", "month", "day", "hour", "event_hour", "value",
+            F.lit(flag).alias("is_valid"))
+
+    return _half(res.valid, True).unionAll(_half(res.invalid, False))
 
 
 def _q_t5_quality_score(spark, sf):
@@ -842,15 +853,21 @@ def _evict_stale_staging(prefix: str, keep_basename: str) -> None:
     generations: the staging key embeds (path, mtime, size), so every
     regenerated fixture would otherwise leave its predecessor's copy in
     tempdir forever (ADVICE r4). Matches dirs sharing the same
-    path-derived prefix but a stale mtime/size suffix."""
+    path-derived prefix but a stale mtime/size suffix. The suffix match
+    is exact (_<digits>_<digits>): a bare prefix glob would also catch
+    staging dirs of a DIFFERENT fixture whose path string extends this
+    one (sf1 vs sf1_old) and delete a live sibling cache."""
     import glob
     import os
+    import re
     import shutil
     import tempfile
 
     stem = "_".join(keep_basename.split("_")[:-2])  # drop mtime_size key
+    stale = re.compile(re.escape(prefix + stem) + r"_\d+_\d+$")
     for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + stem + "_*")):
-        if os.path.basename(d) != prefix + keep_basename:
+        base = os.path.basename(d)
+        if base != prefix + keep_basename and stale.fullmatch(base):
             shutil.rmtree(d, ignore_errors=True)
 
 
@@ -910,11 +927,21 @@ def _q_s_sink_suite(spark, sf):
                 "n_rows", "n_ids", "val"))
 
     ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
-    # uuid-keyed target dirs from prior calls are garbage by definition.
+    # uuid-keyed target dirs from prior calls are garbage, but only
+    # EVENTUALLY: an unconditional sweep would race a concurrent driver
+    # (check_oracles + bench sharing /tmp) or a lazy DataFrame built
+    # earlier in this session that still reads its target. Age-gate the
+    # cleanup — anything older than an hour is no live run's table.
     import glob
     import shutil
+    import time as _time
+    now = _time.time()
     for d in glob.glob(tempfile.gettempdir() + "/sdp_upsert_*"):
-        shutil.rmtree(d, ignore_errors=True)
+        try:
+            if now - os.path.getmtime(d) > 3600:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
     target_dir = tempfile.gettempdir() + f"/sdp_upsert_{uuid.uuid4().hex[:8]}"
     ev.filter(F.col("event_id") % 2 == 0).write.parquet(target_dir)
     updates = (ev.filter((F.col("event_id") % 4 == 0)

@@ -80,8 +80,12 @@ def _ceil_mul(col, num: int, den: int):
     """Exact ceil(col * num / den) for a nonnegative integer column:
     ceil(a/b) = floor((a+b-1)/b), and the floor division is done by
     first stripping the remainder so the double divide acts on an exact
-    multiple of den (exact up to 2^53 — sz*num tops out far below)."""
-    x = col * F.lit(num) + F.lit(den - 1)
+    multiple of den (exact up to 2^53 — sz <= 10^7 shingles times
+    num <= 10^6 tops out at 10^13). The column is widened to LONG before
+    the multiply: F.size() columns are 32-bit, and sz*num overflows int
+    for large docs (ANSI mode kills the job; non-ANSI silently wraps
+    negative, which would quietly disable all pruning)."""
+    x = col.cast("long") * F.lit(num) + F.lit(den - 1)
     return ((x - F.pmod(x, F.lit(den))) / F.lit(den)).cast("long")
 
 
@@ -380,15 +384,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     t_num, t_den = _ratio(threshold)
     alpha = _ceil_mul(F.col("sz"), t_num, t_den)
     prefix_len = (F.col("sz") - alpha + 2).cast("int")
-    pref = sets.select(
-        "__id", "sz",
-        F.posexplode(F.slice("__set", F.lit(1), prefix_len))
-         .alias("__pos", "__sh"))
+    prefix_sh = F.slice("__set", F.lit(1), prefix_len)
+    if positional_filter:
+        # The shingle's 1-based rank rides along ONLY when the
+        # positional filter will read it — on the default path an unused
+        # int per prefix row would widen both sides of the candidate
+        # self-join shuffle for nothing.
+        pref = sets.select("__id", "sz",
+                           F.posexplode(prefix_sh).alias("__pos", "__sh"))
+    else:
+        pref = sets.select("__id", "sz", F.explode(prefix_sh).alias("__sh"))
     sz_a, sz_b = F.col("a.sz"), F.col("b.sz")
-    pa, pb = F.col("a.__pos") + 1, F.col("b.__pos") + 1  # 1-based rank
-    # Length filter: J >= t forces min(sz) >= ceil(t * max(sz)).
-    length_ok = (F.least(sz_a, sz_b)
-                 >= _ceil_mul(F.greatest(sz_a, sz_b), t_num, t_den))
     # Positional filter (PPJoin, Xiao et al. WWW'08): a collision at
     # 1-based ranks (pa, pb) of the rarity-sorted sets bounds the true
     # overlap — elements before the collision are all < it in the total
@@ -400,14 +406,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # alpha_pair, so no collision of a qualifying pair is dropped and the
     # c=2 count gate below still sees all of them — lossless, and the
     # pruned collision rows never enter the groupBy shuffle.
-    alpha_pair = _ceil_mul(sz_a + sz_b, t_num, t_num + t_den)
-    ubound = F.least(pa, pb) + F.least(sz_a - pa, sz_b - pb)
     need2 = (F.greatest(_ceil_mul(F.col("sz_a"), t_num, t_den),
                         _ceil_mul(F.col("sz_b"), t_num, t_den))
              >= 2)
     cand_base = (pref.alias("a").join(pref.alias("b"), "__sh")
                  .filter(F.col("a.__id") < F.col("b.__id")))
     if positional_filter:
+        pa, pb = F.col("a.__pos") + 1, F.col("b.__pos") + 1  # 1-based
+        # Length filter: J >= t forces min(sz) >= ceil(t * max(sz)).
+        length_ok = (F.least(sz_a, sz_b)
+                     >= _ceil_mul(F.greatest(sz_a, sz_b), t_num, t_den))
+        alpha_pair = _ceil_mul(sz_a + sz_b, t_num, t_num + t_den)
+        ubound = F.least(pa, pb) + F.least(sz_a - pa, sz_b - pb)
         cand_base = cand_base.filter(length_ok).filter(ubound >= alpha_pair)
     cands = (cand_base
              .select(F.col("a.__id").alias("id_a"),

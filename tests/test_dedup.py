@@ -37,6 +37,20 @@ def test_minhash_finds_planted_pair(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_ngram_jaccard_large_doc_high_precision_threshold(spark):
+    """Regression: sz*num in the pruning bounds was computed in the
+    size() column's 32-bit int — a threshold with a large rational
+    numerator (0.654321 -> 654321/1000000) on a few-thousand-shingle doc
+    overflowed (ANSI: job-killing ArithmeticException; non-ANSI: silent
+    negative alpha disabling all pruning)."""
+    text = " ".join(f"w{i}" for i in range(3500))   # 3498 distinct shingles
+    df = spark.createDataFrame([(1, text), (2, text)],
+                               "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                              threshold=0.654321).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in out] == [(1, 2, 1.0)]
+
+
 def test_sketches_accept_pretokenized_arrays(spark):
     """minhash/simhash/jaccard over an array<string> column must produce
     the same pair sets as over the raw text it was tokenized from."""
