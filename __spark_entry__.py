@@ -1243,7 +1243,20 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf: _clusters_flavour(spark, sf, "star"),
         "x2_dedup_clusters.auto":
             lambda spark, sf: _clusters_flavour(spark, sf, "auto"),
+        "x12_segment_dedup.segment": _x12_flavour_segment,
+        "x12_segment_dedup.passage": _x12_flavour_passage,
     }
+
+
+def _x12_flavour_segment(spark, sf):
+    from serverless_data_pipeline_spark.operators.corpus import segment_dedup
+    return segment_dedup(_t(spark, sf, "documents"), "doc_id", "text",
+                         segment_words=10)
+
+
+def _x12_flavour_passage(spark, sf):
+    from serverless_data_pipeline_spark.operators.corpus import passage_dedup
+    return passage_dedup(_t(spark, sf, "documents"), "doc_id", "text", k=8)
 
 
 def _q_x2_ngram_jaccard(spark, sf):
@@ -1453,16 +1466,30 @@ def _q_x13_lm_score(spark, sf):
 
 
 def _q_x12_segment_dedup(spark, sf):
-    """X12 — sub-document segment-grain exact dedup (CCNet-style
-    paragraph-hash dedup mapped to 10-word segments): corpus-wide first
-    occurrence of every distinct segment survives, docs rebuilt from
-    surviving segments in order. The doc-level X1 complement — removes
-    the boilerplate span pasted across otherwise-distinct docs."""
-    from serverless_data_pipeline_spark.operators.corpus import segment_dedup
-    out = segment_dedup(_t(spark, sf, "documents"), "doc_id", "text",
-                        segment_words=10)
-    return out.select("doc_id", F.md5("text").alias("text_fp"),
-                      "n_segments", "n_kept")
+    """X12 — sub-document exact dedup, both grains in one tagged union.
+    `segment`: CCNet-style fixed-boundary dedup (10-word segments,
+    corpus-wide first occurrence survives, docs rebuilt in order).
+    `passage`: ExactSubstr-style sliding-window dedup (Lee et al. 2022)
+    — an 8-token window with stride 1, so a duplicated run is excised at
+    ANY alignment, including the boundary-straddling copies the fixed
+    grain misses. Rebuilt text is md5-checked against the oracle for
+    both variants; n_units is segments vs tokens respectively."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        passage_dedup, segment_dedup,
+    )
+    docs = _t(spark, sf, "documents")
+    seg = (segment_dedup(docs, "doc_id", "text", segment_words=10)
+           .select(F.lit("segment").alias("variant"), "doc_id",
+                   F.md5("text").alias("text_fp"),
+                   F.col("n_segments").cast("int").alias("n_units"),
+                   F.col("n_kept").cast("int").alias("n_kept")))
+    pas = (passage_dedup(docs, "doc_id", "text", k=8)
+           .select(F.lit("passage").alias("variant"), "doc_id",
+                   F.md5("text").alias("text_fp"),
+                   F.col("n_tokens").cast("int").alias("n_units"),
+                   (F.col("n_tokens") - F.col("n_removed")).cast("int")
+                    .alias("n_kept")))
+    return seg.unionByName(pas)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2208,15 +2235,47 @@ def oracle_sql() -> dict[str, str]:
                               ROW_NUMBER() OVER (
                                   PARTITION BY md5(seg)
                                   ORDER BY doc_id, seg_idx) AS rn
-                       FROM flat)
-            SELECT f.doc_id,
+                       FROM flat),
+            wins AS (SELECT doc_id,
+                            unnest(list_transform(
+                                range(1, len(t) - 8 + 2),
+                                i -> {{'p': i,
+                                      'fp': md5(array_to_string(
+                                          t[i : i+7], ' '))}})) AS w
+                     FROM toks WHERE len(t) >= 8),
+            ranked AS (SELECT doc_id, w.p AS p,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY w.fp
+                                  ORDER BY doc_id, w.p) AS rn
+                       FROM wins),
+            removed AS (SELECT DISTINCT doc_id, rp FROM (
+                            SELECT doc_id, unnest(range(p, p + 8)) AS rp
+                            FROM ranked WHERE rn >= 2)),
+            tokflat AS (SELECT doc_id, len(t) AS n_tokens,
+                               unnest(list_transform(
+                                   range(1, len(t) + 1),
+                                   i -> {{'tp': i, 'tok': t[i]}})) AS s
+                        FROM toks),
+            kept AS (SELECT f.doc_id, f.n_tokens,
+                            f.s.tp AS tp, f.s.tok AS tok
+                     FROM tokflat f
+                     LEFT JOIN removed r
+                       ON f.doc_id = r.doc_id AND f.s.tp = r.rp
+                     WHERE r.rp IS NULL)
+            SELECT 'segment' AS variant, f.doc_id,
                    md5(string_agg(f.seg, ' ' ORDER BY f.seg_idx))
                        AS text_fp,
-                   CAST(ceil(len(t.t) / 10.0) AS INTEGER) AS n_segments,
+                   CAST(ceil(len(t.t) / 10.0) AS INTEGER) AS n_units,
                    CAST(COUNT(*) AS INTEGER) AS n_kept
             FROM firsts f JOIN toks t USING (doc_id)
             WHERE f.rn = 1
-            GROUP BY f.doc_id, t.t""",
+            GROUP BY f.doc_id, t.t
+            UNION ALL
+            SELECT 'passage' AS variant, doc_id,
+                   md5(string_agg(tok, ' ' ORDER BY tp)) AS text_fp,
+                   CAST(n_tokens AS INTEGER) AS n_units,
+                   CAST(COUNT(*) AS INTEGER) AS n_kept
+            FROM kept GROUP BY doc_id, n_tokens""",
         "x9_corpus_mix": """
             WITH wts(lang, frac) AS (VALUES ('en', 0.25), ('de', 1.0),
                                             ('es', 1.0), ('fr', 1.0),

@@ -17,7 +17,8 @@ from serverless_data_pipeline_spark.functions.text import (
 )
 
 __all__ = ["train_test_split", "vocabulary", "pack_sequences", "corpus_mix",
-           "chunk_documents", "decontaminate", "segment_dedup"]
+           "chunk_documents", "decontaminate", "segment_dedup",
+           "passage_dedup"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -234,3 +235,78 @@ def segment_dedup(df: DataFrame, id_col: str, text_col: str,
                      .alias(text_col),
                     "n_segments",
                     F.size("__ks").alias("n_kept")))
+
+
+def passage_dedup(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 8,
+                  fingerprint: str = "md5") -> DataFrame:
+    """Exact repeated-passage removal at sliding-window grain — the
+    ExactSubstr dedup of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al., 2022) re-expressed as DataFrame ops.
+    `segment_dedup` cuts at fixed segment boundaries, so a duplicated
+    passage that straddles a boundary survives; this slides a k-token
+    window with stride 1, so EVERY duplicated run of >= k tokens is
+    caught regardless of alignment.
+
+    Semantics: a k-token window whose text occurs more than once in the
+    corpus is a duplicate; its corpus-wide first occurrence (ordered by
+    (doc, position)) survives, and every token covered by a non-first
+    occurrence is removed. Docs are rebuilt from surviving tokens in
+    order; docs that lose everything disappear (pure boilerplate), and
+    docs shorter than k tokens are untouched. Returns
+    (id, text, n_tokens, n_removed).
+
+    Scale shape (the suffix array of the paper is a shared-memory
+    structure; this is the shuffle-native equivalent). Two corpus-scale
+    shuffles only:
+    1. duplicate ranking — window fingerprints are compacted to a hash
+       BEFORE the shuffle, so the wide window text never moves: the
+       shuffle carries (fp, id, pos) triples, one per window (stride 1
+       => one per token, constant row size);
+    2. one doc-grain join of the corpus against the per-doc removed
+       position sets (collect_set over k x duplicated-window positions —
+       small by construction since duplicates are the minority), with
+       the excision done by a higher-order `filter((x, i) -> ...)` over
+       the already-held token array. Tokens are never exploded into a
+       shuffle and there is no collect_list reassembly.
+    No pairwise work anywhere. `fingerprint="md5"` matches the DuckDB
+    oracle bit-for-bit; "xxhash64" is the cheaper 8-byte shuffle key for
+    production corpora (collision odds ~n^2/2^64 merge two windows' rank
+    chains — worst case an extra span removal, never corrupted text).
+    """
+    fp_sql = {"md5": "md5(array_join(slice(__t, i, {k}), ' '))",
+              "xxhash64": "xxhash64(array_join(slice(__t, i, {k}), ' '))"}[
+        fingerprint].format(k=k)
+    toks = (df.select(F.col(id_col), tokens(text_col).alias("__t"))
+              .filter(F.size("__t") > 0))
+    wins = (toks.filter(F.size("__t") >= k)
+            .select(F.col(id_col),
+                    F.posexplode(F.expr(
+                        f"transform(sequence(1, size(__t) - {k} + 1), "
+                        f"i -> {fp_sql})")).alias("__p0", "__fp")))
+    # Non-first occurrences of any duplicated window. rn >= 2 implies the
+    # fingerprint group has >= 2 members — no separate count needed.
+    w = Window.partitionBy("__fp").orderBy(id_col, "__p0")
+    flagged = (wins.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") >= 2))
+    # Per-doc set of covered token positions (1-based start = __p0+1
+    # covers start .. start+k-1); collect_set dedups overlapping windows.
+    removed = (flagged.select(F.col(id_col),
+                              F.explode(F.expr(
+                                  f"sequence(__p0 + 1, __p0 + {k})"))
+                               .alias("__rp"))
+               .groupBy(id_col).agg(F.collect_set("__rp").alias("__rm")))
+    return (toks.join(removed, id_col, "left")
+            .select(F.col(id_col),
+                    F.size("__t").alias("n_tokens"),
+                    F.when(F.col("__rm").isNull(), F.col("__t"))
+                     .otherwise(F.expr(
+                         "filter(__t, (x, i) -> "
+                         "NOT array_contains(__rm, i + 1))"))
+                     .alias("__keep"))
+            .filter(F.size("__keep") > 0)
+            .select(F.col(id_col),
+                    F.array_join("__keep", " ").alias(text_col),
+                    "n_tokens",
+                    (F.col("n_tokens") - F.size("__keep"))
+                    .cast("int").alias("n_removed")))

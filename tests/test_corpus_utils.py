@@ -192,3 +192,74 @@ def test_segment_dedup_keeps_order_and_partial_tail(spark):
     row = segment_dedup(docs, "doc_id", "text", segment_words=2).collect()[0]
     assert row.text == "a b c d e"
     assert row.n_segments == 3 and row.n_kept == 3
+
+
+# ------------------------------------------------------------ passage dedup
+
+
+def _pd_docs(spark):
+    # doc 1 contains a 10-token passage; doc 2 pastes it mid-sentence at a
+    # DIFFERENT alignment (offset 3), the straddle case fixed-boundary
+    # segment dedup misses; doc 3 is clean; doc 4 is shorter than k.
+    passage = " ".join(f"p{i}" for i in range(10))
+    rows = [
+        (1, f"intro one two {passage} outro alpha beta gamma delta"),
+        (2, f"x y z {passage} tail1 tail2 tail3 tail4 tail5"),
+        (3, "totally unique text with no repeats at all here friend"),
+        (4, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_passage_dedup_removes_straddling_duplicate(spark):
+    from serverless_data_pipeline_spark.operators.corpus import passage_dedup
+
+    out = {r.doc_id: r for r in
+           passage_dedup(_pd_docs(spark), "doc_id", "text", k=8).collect()}
+    # First occurrence (doc 1) keeps its full text.
+    assert out[1].n_removed == 0
+    assert "p0" in out[1].text and out[1].text.startswith("intro one two")
+    # Doc 2's pasted copy is excised regardless of alignment; surrounding
+    # tokens survive in order.
+    assert out[2].n_removed == 10
+    assert "p0" not in out[2].text and "p9" not in out[2].text
+    assert out[2].text == "x y z tail1 tail2 tail3 tail4 tail5"
+    # Clean and sub-k docs untouched.
+    assert out[3].n_removed == 0
+    assert out[4].n_removed == 0 and out[4].text == "tiny doc"
+
+
+def test_passage_dedup_first_occurrence_order_is_doc_then_pos(spark):
+    from serverless_data_pipeline_spark.operators.corpus import passage_dedup
+
+    # The same passage twice INSIDE one doc: second in-doc copy removed.
+    passage = " ".join(f"q{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(7, f"{passage} mid1 mid2 mid3 {passage} end")],
+        "doc_id long, text string")
+    out = passage_dedup(df, "doc_id", "text", k=8).collect()[0]
+    assert out.n_removed == 8
+    assert out.text == f"{passage} mid1 mid2 mid3 end"
+
+
+def test_passage_dedup_xxhash_flavour_matches_md5(spark):
+    from serverless_data_pipeline_spark.operators.corpus import passage_dedup
+
+    df = _pd_docs(spark)
+    a = sorted(map(tuple, passage_dedup(df, "doc_id", "text", k=8)
+                   .collect()))
+    b = sorted(map(tuple, passage_dedup(df, "doc_id", "text", k=8,
+                                        fingerprint="xxhash64").collect()))
+    assert a == b
+
+
+def test_passage_dedup_pure_boilerplate_doc_disappears(spark):
+    from serverless_data_pipeline_spark.operators.corpus import passage_dedup
+
+    passage = " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"keep me {passage} and more"), (2, passage)],
+        "doc_id long, text string")
+    out = {r.doc_id for r in
+           passage_dedup(df, "doc_id", "text", k=8).collect()}
+    assert out == {1}
