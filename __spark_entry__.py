@@ -1196,15 +1196,17 @@ def _q_x4_ann_suite(spark, sf):
 
 
 def _q_x2_lsh_pairs(spark, sf):
-    """X2 — the three sketch-based near-dup flavours in one tagged union
-    (rows-only: LSH sketches aren't SQL-expressible; each flavour is
-    planted-pair-tested in tests/test_dedup.py): MinHash+LSH banded
-    bucket join, SimHash pigeonhole piece join, sign-LSH embedding
-    bucketing. `metric` is the flavour's own score (est. Jaccard /
-    Hamming distance / cosine)."""
+    """X2 — the four sketch/cluster near-dup flavours in one tagged union
+    (rows-only: LSH sketches and k-means aren't SQL-expressible; each
+    flavour is planted-pair-tested in tests/test_dedup.py): MinHash+LSH
+    banded bucket join, SimHash pigeonhole piece join, sign-LSH embedding
+    bucketing, and SemDeDup k-means-cluster semantic dedup (dropped item
+    -> kept representative pairs). `metric` is the flavour's own score
+    (est. Jaccard / Hamming distance / cosine)."""
     return (_lsh_flavour_minhash(spark, sf)
             .unionAll(_lsh_flavour_simhash(spark, sf))
-            .unionAll(_lsh_flavour_embedding(spark, sf)))
+            .unionAll(_lsh_flavour_embedding(spark, sf))
+            .unionAll(_lsh_flavour_semantic(spark, sf)))
 
 
 def _lsh_flavour_minhash(spark, sf):
@@ -1229,6 +1231,19 @@ def _lsh_flavour_embedding(spark, sf):
                     F.col("cosine").alias("metric")))
 
 
+def _lsh_flavour_semantic(spark, sf):
+    """SemDeDup: k-means clusters + within-cluster greedy cosine dedup;
+    dropped rows surface as (dropped, kept-representative) pairs."""
+    from serverless_data_pipeline_spark.operators.dedup import semantic_dedup
+    out = semantic_dedup(_t(spark, sf, "embeddings"), "vec_id", "embedding",
+                         threshold=0.3, n_clusters=16, dim=64)
+    return (out.filter(~F.col("keep"))
+            .select(F.lit("semantic").alias("method"),
+                    F.col("vec_id").alias("id_a"),
+                    F.col("dup_of").alias("id_b"),
+                    F.col("dup_sim").alias("metric")))
+
+
 def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Per-flavour breakdown of composite headline queries, so bench.py can
     attribute a composite's wall-clock to its components round over round.
@@ -1237,6 +1252,7 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_lsh_pairs.minhash": _lsh_flavour_minhash,
         "x2_lsh_pairs.simhash": _lsh_flavour_simhash,
         "x2_lsh_pairs.embedding": _lsh_flavour_embedding,
+        "x2_lsh_pairs.semantic": _lsh_flavour_semantic,
         "x2_dedup_clusters.label":
             lambda spark, sf: _clusters_flavour(spark, sf, "label_prop"),
         "x2_dedup_clusters.star":

@@ -25,7 +25,7 @@ from serverless_data_pipeline_spark.operators.relational import dedupe_latest
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
-    "embedding_neardup_pairs", "neardup_components",
+    "embedding_neardup_pairs", "semantic_dedup", "neardup_components",
     "dedupe_by_components",
 ]
 
@@ -732,3 +732,116 @@ def dedupe_by_components(docs: DataFrame, pairs: DataFrame, id_col: str,
     losers = (comp.filter(F.col("id") != F.col("component_id"))
               .select(F.col("id").alias(id_col)))
     return docs.join(losers, id_col, "left_anti")
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
+                   threshold: float = 0.9, n_clusters: int = 16,
+                   dim: int | None = None, seed: int = 42,
+                   centroids: list[list[float]] | None = None,
+                   sample_fraction: float | None = None,
+                   max_iter: int = 10,
+                   max_cluster_size: int = 8192) -> DataFrame:
+    """X2 (semantic flavour) — SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space, then inside each
+    cluster greedily drop every item whose cosine to an already-kept item
+    exceeds `threshold`, processing items farthest-from-centroid first
+    (the paper's best-performing keep rule). Catches the paraphrase /
+    re-encode / translation duplicates that share no n-grams — the
+    semantic complement of the lexical sketch flavours.
+
+    Scale shape: the codebook is trained once (pass `centroids` from an
+    offline `train_ivf_centroids` run, or let `sample_fraction` bound the
+    in-line training scan) and broadcasts as a plain constant; cell
+    assignment is one narrow Arrow-batched matmul pass; the ONLY shuffle
+    groups by cluster id; the quadratic verification is confined within a
+    cluster, so `n_clusters` is the scale lever (the paper runs 50k
+    clusters at LAION scale). A cluster larger than `max_cluster_size`
+    raises instead of silently going quadratic — raise `n_clusters`, not
+    the cap. Given a fixed codebook the whole pass is deterministic and
+    partition-independent (the greedy scan orders by (centroid_sim, id),
+    dup_of ties break to the earliest kept item); in-line training is
+    seeded but — like any parallel k-means init — partitioning-sensitive,
+    so production reruns should pass `centroids` from one offline
+    training.
+
+    Returns one row per input: (id, cluster_id, centroid_sim, keep,
+    dup_of, dup_sim); dropped rows point at their kept representative.
+    Pass `dim` explicitly on anything big (the fallback inference runs a
+    `.first()` driver action)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from serverless_data_pipeline_spark.functions.vectors_np import (
+        argmax_cell_udf,
+    )
+    from serverless_data_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_cells=n_clusters,
+                                        seed=seed, max_iter=max_iter,
+                                        sample_fraction=sample_fraction)
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    cents_n = cents / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("cluster_id", T.IntegerType()),
+        T.StructField("centroid_sim", T.DoubleType()),
+        T.StructField("keep", T.BooleanType()),
+        T.StructField("dup_of", id_type),
+        T.StructField("dup_sim", T.DoubleType()),
+    ])
+
+    def _cluster_dedup(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        c = len(pdf)
+        if c > max_cluster_size:
+            raise ValueError(
+                f"semantic_dedup cluster {key[0]} has {c} members > "
+                f"max_cluster_size={max_cluster_size}; raise n_clusters")
+        # Canonical row order BEFORE any arithmetic: BLAS accumulation is
+        # row-order-sensitive in the last ulp, and partitioning changes
+        # the arrival order — sorting by id makes every float bit-stable.
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        m = np.stack(pdf["__v"].map(
+            lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        norms = np.linalg.norm(m, axis=1)
+        mn = m / np.where(norms == 0.0, 1.0, norms)[:, None]
+        csim = mn @ cents_n[int(key[0])]
+        ids = pdf["__id"].to_numpy()
+        # farthest-from-centroid first; id tiebreak for determinism
+        order = np.lexsort((ids, csim))
+        sims = mn @ mn.T
+        keep = np.zeros(c, dtype=bool)
+        dup_of = [None] * c
+        dup_sim = np.full(c, np.nan)
+        kept: list[int] = []
+        for i in order:
+            if kept:
+                s = sims[i, kept]
+                j = int(np.argmax(s))
+                if s[j] > threshold:
+                    dup_of[i] = ids[kept[j]]
+                    dup_sim[i] = s[j]
+                    continue
+            keep[i] = True
+            kept.append(i)
+        return pd.DataFrame({
+            id_col: ids, "cluster_id": int(key[0]),
+            "centroid_sim": csim, "keep": keep,
+            "dup_of": pd.Series(dup_of, dtype=object),
+            "dup_sim": dup_sim,
+        })
+
+    assigned = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        argmax_cell_udf([list(map(float, c)) for c in centroids], dim)(
+            F.col(vec_col)).alias("__cell"))
+    return (assigned.groupBy("__cell")
+            .applyInPandas(_cluster_dedup, out_schema))

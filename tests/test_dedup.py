@@ -241,3 +241,97 @@ def test_star_components_rejects_unknown_algorithm(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with _pytest.raises(ValueError):
         neardup_components(pairs, algorithm="nope")
+
+
+# ------------------------------------------------------------ SemDeDup
+
+
+def _sem_frame(spark, seed=7):
+    """3 planted near-dup families (tiny noise around a base vector),
+    plus well-separated singletons. cos(family members) > 0.99;
+    cos(cross-family) well below."""
+    import random
+
+    rng = random.Random(seed)
+    dim = 16
+    rows = []
+    vid = 0
+
+    def base():
+        return [rng.gauss(0.0, 1.0) for _ in range(dim)]
+
+    families = []
+    for _ in range(3):
+        b = base()
+        families.append([])
+        for _ in range(4):  # 4 near-identical members
+            v = [x + rng.gauss(0.0, 0.001) for x in b]
+            rows.append((vid, v)); families[-1].append(vid); vid += 1
+    singles = []
+    for _ in range(6):
+        rows.append((vid, base())); singles.append(vid); vid += 1
+    return (spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+            families, singles, dim)
+
+
+def test_semantic_dedup_keeps_one_per_family(spark):
+    from serverless_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    df, families, singles, dim = _sem_frame(spark)
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, "vec_id", "embedding", threshold=0.95,
+                          n_clusters=4, dim=dim).collect()}
+    assert len(out) == df.count()  # one row per input
+    for fam in families:
+        kept = [i for i in fam if out[i].keep]
+        assert len(kept) == 1
+        for i in fam:
+            if not out[i].keep:
+                assert out[i].dup_of == kept[0]
+                assert out[i].dup_sim > 0.95
+    # well-separated singletons all survive
+    assert all(out[i].keep for i in singles)
+
+
+def test_semantic_dedup_deterministic_across_partitionings(spark):
+    # Given a fixed codebook the whole pass is partition-independent
+    # (training itself is seeded but, like any parallel k-means init,
+    # partitioning-sensitive — hence the offline-codebook contract).
+    from serverless_data_pipeline_spark.operators.dedup import semantic_dedup
+    from serverless_data_pipeline_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    df, *_ , dim = _sem_frame(spark)
+    cents = train_ivf_centroids(df, "embedding", n_cells=4, seed=1)
+    a = sorted(map(tuple, semantic_dedup(
+        df.repartition(1), "vec_id", "embedding", threshold=0.95,
+        dim=dim, centroids=cents).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        df.repartition(13), "vec_id", "embedding", threshold=0.95,
+        dim=dim, centroids=cents).collect()))
+    assert a == b
+
+
+def test_semantic_dedup_oversize_cluster_raises(spark):
+    import pytest as _pytest
+
+    from serverless_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    df, *_ , dim = _sem_frame(spark)
+    with _pytest.raises(Exception, match="max_cluster_size"):
+        # 18 rows over <=2 clusters guarantees one cluster > 3 members
+        semantic_dedup(df, "vec_id", "embedding", n_clusters=2, dim=dim,
+                       max_cluster_size=3).collect()
+
+
+def test_semantic_dedup_precomputed_centroids_skip_training(spark):
+    from serverless_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    df, families, _, dim = _sem_frame(spark)
+    cents = [[1.0 if i == j else 0.0 for i in range(dim)] for j in range(2)]
+    out = semantic_dedup(df, "vec_id", "embedding", threshold=0.95,
+                         n_clusters=2, dim=dim, centroids=cents).collect()
+    assert {r.cluster_id for r in out} <= {0, 1}
+    for fam in families:
+        assert sum(1 for r in out if r.vec_id in fam and r.keep) == 1

@@ -199,12 +199,37 @@ def test_text_hygiene_repetition_is_shuffle_free(spark):
 
 
 def test_segment_dedup_two_shuffles_no_rescan(spark):
-    """x12: exactly two hash exchanges (segment-fingerprint window +
-    doc reassembly groupBy) and ONE scan of documents — n_segments rides
+    """segment_dedup: exactly two hash exchanges (segment-fingerprint
+    window + doc reassembly groupBy) and ONE scan — n_segments rides
     through the explode instead of joining back a second tokenize pass."""
-    plan = _plan(spark, "x12_segment_dedup")
+    from serverless_data_pipeline_spark.operators.corpus import segment_dedup
+    from serverless_data_pipeline_spark.schemas import load_table
+
+    df = segment_dedup(load_table(spark, SF, "documents"),
+                       "doc_id", "text", segment_words=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_passage_dedup_no_token_grain_shuffle(spark):
+    """passage_dedup: the duplicate-ranking exchange partitions on the
+    compact fingerprint (never the window text), and tokens are excised
+    via ONE doc-grain join — no token-grain exchange, no collect_list
+    reassembly, no cartesian."""
+    from serverless_data_pipeline_spark.operators.corpus import passage_dedup
+    from serverless_data_pipeline_spark.schemas import load_table
+
+    df = passage_dedup(load_table(spark, SF, "documents"),
+                       "doc_id", "text", k=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # fingerprint ranking + removed-set groupBy + one doc-grain join
+    # (two join-side exchanges) = 4 hash exchanges, and nothing else
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    assert "collect_list" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the ranking exchange carries the hashed fingerprint, not window text
+    assert "hashpartitioning(__fp" in plan, plan
 
 
 def test_ngram_jaccard_prefix_join_shape(spark):
