@@ -25,8 +25,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 from serverless_data_pipeline_spark.session import get_spark  # noqa: E402
+from serverless_data_pipeline_spark.operators.corpus import (  # noqa: E402
+    passage_dedup,
+)
 from serverless_data_pipeline_spark.operators.dedup import (  # noqa: E402
     dedupe_by_components, minhash_lsh_pairs, ngram_jaccard_pairs,
+    semantic_dedup,
 )
 from serverless_data_pipeline_spark.operators.similarity import (  # noqa: E402
     ann_topk_join,
@@ -104,6 +108,17 @@ def main() -> None:
             lambda: ann_topk_join(queries, e, "vec_id", "embedding",
                                   "vec_id", "embedding", dim=64, k=10,
                                   n_tables=2, n_planes=8).count())
+        # 10x amplification multiplies duplicated windows ~100x (every
+        # window of every doc is now shared by `factor` variants) — the
+        # stress case for the fingerprint-ranking shuffle.
+        r["passage_dedup"] = timed(
+            lambda: passage_dedup(d, "doc_id", "text", k=8,
+                                  fingerprint="xxhash64").count())
+        # n_clusters scales with the corpus (the SemDeDup contract) so
+        # the within-cluster quadratic term stays bounded.
+        r["semantic_dedup"] = timed(
+            lambda: semantic_dedup(e, "vec_id", "embedding", threshold=0.3,
+                                   n_clusters=16 * factor, dim=64).count())
         out[f"{factor}x"] = r
     print(json.dumps(out))
     spark.stop()
