@@ -1235,8 +1235,11 @@ def _lsh_flavour_semantic(spark, sf):
     """SemDeDup: k-means clusters + within-cluster greedy cosine dedup;
     dropped rows surface as (dropped, kept-representative) pairs."""
     from serverless_data_pipeline_spark.operators.dedup import semantic_dedup
+    # max_iter=5: dedup only needs clusters that co-locate near-identical
+    # vectors, which k-means reaches in a few rounds — at 100 TB the
+    # codebook comes from one offline training anyway.
     out = semantic_dedup(_t(spark, sf, "embeddings"), "vec_id", "embedding",
-                         threshold=0.3, n_clusters=16, dim=64)
+                         threshold=0.3, n_clusters=16, dim=64, max_iter=5)
     return (out.filter(~F.col("keep"))
             .select(F.lit("semantic").alias("method"),
                     F.col("vec_id").alias("id_a"),

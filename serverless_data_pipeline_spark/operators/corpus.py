@@ -266,9 +266,13 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
     2. one doc-grain join of the corpus against the per-doc removed
        position sets (collect_set over k x duplicated-window positions —
        small by construction since duplicates are the minority), with
-       the excision done by a higher-order `filter((x, i) -> ...)` over
-       the already-held token array. Tokens are never exploded into a
-       shuffle and there is no collect_list reassembly.
+       the excision done in-row by a hash-set `array_except` over the
+       position list plus an `element_at` gather. Tokens are never
+       exploded into a shuffle and there is no collect_list reassembly.
+    The source is scanned twice (window pass + rebuild pass) and the
+    tokenize is recomputed per pass — deliberate: materializing the wide
+    token arrays measured 3x slower than regex recompute over compact
+    text (same A/B as the sketch operators' call sites).
     No pairwise work anywhere. `fingerprint="md5"` matches the DuckDB
     oracle bit-for-bit; "xxhash64" is the cheaper 8-byte shuffle key for
     production corpora (collision odds ~n^2/2^64 merge two windows' rank
@@ -296,13 +300,18 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
                                   f"sequence(__p0 + 1, __p0 + {k})"))
                                .alias("__rp"))
                .groupBy(id_col).agg(F.collect_set("__rp").alias("__rm")))
+    # array_except is hash-set backed (O(tokens + removed) per doc, vs
+    # O(tokens x removed) for a per-token array_contains scan — the
+    # difference between linear and quadratic on a large mostly-duplicate
+    # doc) and preserves first-array order, so the position list stays
+    # sorted and the gather keeps token order.
     return (toks.join(removed, id_col, "left")
             .select(F.col(id_col),
                     F.size("__t").alias("n_tokens"),
                     F.when(F.col("__rm").isNull(), F.col("__t"))
                      .otherwise(F.expr(
-                         "filter(__t, (x, i) -> "
-                         "NOT array_contains(__rm, i + 1))"))
+                         "transform(array_except(sequence(1, size(__t)), "
+                         "__rm), p -> element_at(__t, p))"))
                      .alias("__keep"))
             .filter(F.size("__keep") > 0)
             .select(F.col(id_col),

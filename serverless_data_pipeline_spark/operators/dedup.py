@@ -757,7 +757,8 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
     cluster, so `n_clusters` is the scale lever (the paper runs 50k
     clusters at LAION scale). A cluster larger than `max_cluster_size`
     raises instead of silently going quadratic — raise `n_clusters`, not
-    the cap. Given a fixed codebook the whole pass is deterministic and
+    the cap (which also bounds kernel memory: the within-cluster cosine
+    matrix is c^2 doubles, ~0.5 GB at the 8192 default). Given a fixed codebook the whole pass is deterministic and
     partition-independent (the greedy scan orders by (centroid_sim, id),
     dup_of ties break to the earliest kept item); in-line training is
     seeded but — like any parallel k-means init — partitioning-sensitive,
@@ -836,7 +837,10 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
             id_col: ids, "cluster_id": int(key[0]),
             "centroid_sim": csim, "keep": keep,
             "dup_of": pd.Series(dup_of, dtype=object),
-            "dup_sim": dup_sim,
+            # object dtype so kept rows surface as NULL, not NaN
+            "dup_sim": pd.Series(
+                [None if k else float(s)
+                 for k, s in zip(keep, dup_sim)], dtype=object),
         })
 
     assigned = df.select(

@@ -289,8 +289,11 @@ def test_semantic_dedup_keeps_one_per_family(spark):
             if not out[i].keep:
                 assert out[i].dup_of == kept[0]
                 assert out[i].dup_sim > 0.95
-    # well-separated singletons all survive
+    # well-separated singletons all survive; kept rows carry NULL (not
+    # NaN) dup markers
     assert all(out[i].keep for i in singles)
+    assert all(out[i].dup_of is None and out[i].dup_sim is None
+               for i in out if out[i].keep)
 
 
 def test_semantic_dedup_deterministic_across_partitionings(spark):
