@@ -202,15 +202,19 @@ def segment_dedup(df: DataFrame, id_col: str, text_col: str,
     repeat disappear (they were pure boilerplate). Returns
     (id, text, n_segments, n_kept).
 
-    Scale shape: one shuffle keyed on the segment fingerprint (the
-    first-occurrence window — dup groups are small, AQE splits a
-    degenerate boilerplate key) + one groupBy(id) to reassemble. Linear
-    in corpus token count, no pairwise work; at 100 TB both shuffles are
-    the same hash-partitioned width as any groupBy."""
+    Scale shape: one groupBy keyed on the segment fingerprint + one
+    groupBy(id) to reassemble; linear in corpus token count, no pairwise
+    work. The first-occurrence pick is a min-struct AGGREGATION, not a
+    row_number window: partial aggregation combines map-side, so the
+    boilerplate segment pasted into a million pages — the exact skew
+    case this operator exists for — ships one pre-combined row per map
+    task instead of serializing a million rows into one un-splittable
+    window sort. The shuffle also shrinks to one row per DISTINCT
+    segment."""
     toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
-    # n_segments rides through the explode (first() after the reassembly
-    # groupBy) — joining it back from a second tokenize pass would rescan
-    # and re-tokenize the whole corpus.
+    # n_segments rides through the explode (and through the min struct —
+    # it belongs to the winning row's doc) — joining it back from a
+    # second tokenize pass would rescan and re-tokenize the whole corpus.
     segs = (toks.filter(F.size("__t") > 0)
             .select(
                 F.col(id_col),
@@ -222,9 +226,16 @@ def segment_dedup(df: DataFrame, id_col: str, text_col: str,
                     f"i -> array_join(slice(__t, i * {segment_words} + 1, "
                     f"{segment_words}), ' '))"))
                  .alias("__idx", "__seg")))
-    w = Window.partitionBy(F.md5("__seg")).orderBy(id_col, "__idx")
-    kept = (segs.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1))
+    # (id, idx) is unique, so min(struct) is a total order and __seg /
+    # n_segments just ride along with the winner.
+    kept = (segs.groupBy(F.md5("__seg").alias("__fp"))
+            .agg(F.min(F.struct(F.col(id_col), F.col("__idx"),
+                                F.col("__seg"), F.col("n_segments")))
+                  .alias("__f"))
+            .select(F.col(f"__f.{id_col}").alias(id_col),
+                    F.col("__f.__idx").alias("__idx"),
+                    F.col("__f.__seg").alias("__seg"),
+                    F.col("__f.n_segments").alias("n_segments")))
     return (kept.groupBy(id_col)
             .agg(F.sort_array(F.collect_list(F.struct("__idx", "__seg")))
                   .alias("__ks"),
@@ -239,7 +250,8 @@ def segment_dedup(df: DataFrame, id_col: str, text_col: str,
 
 def passage_dedup(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8,
-                  fingerprint: str = "md5") -> DataFrame:
+                  fingerprint: str = "md5",
+                  rank_via: str = "window") -> DataFrame:
     """Exact repeated-passage removal at sliding-window grain — the
     ExactSubstr dedup of "Deduplicating Training Data Makes Language
     Models Better" (Lee et al., 2022) re-expressed as DataFrame ops.
@@ -277,6 +289,18 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
     oracle bit-for-bit; "xxhash64" is the cheaper 8-byte shuffle key for
     production corpora (collision odds ~n^2/2^64 merge two windows' rank
     chains — worst case an extra span removal, never corrupted text).
+
+    `rank_via` picks the first-occurrence ranking (equivalence-tested):
+    * "window" (default) — one row_number window over the fingerprint;
+      single pass over the window stream (A/B at sf0.1: 1.5-1.7 s vs
+      2.3-2.4 s for minjoin, whose join-back recomputes the stream).
+    * "minjoin" — min-struct aggregation (map-side combinable) + an
+      AQE-skew-splittable join-back. Use when one fingerprint is
+      pathologically hot (boilerplate pasted into millions of docs): a
+      window sort cannot split a hot key across tasks, the aggregation
+      pre-combines it map-side. segment_dedup needs no such switch — its
+      kept set IS the aggregation result, no join-back, so min-struct is
+      both the fast and the skew-safe path there.
     """
     fp_sql = {"md5": "md5(array_join(slice(__t, i, {k}), ' '))",
               "xxhash64": "xxhash64(array_join(slice(__t, i, {k}), ' '))"}[
@@ -288,11 +312,28 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
                     F.posexplode(F.expr(
                         f"transform(sequence(1, size(__t) - {k} + 1), "
                         f"i -> {fp_sql})")).alias("__p0", "__fp")))
-    # Non-first occurrences of any duplicated window. rn >= 2 implies the
-    # fingerprint group has >= 2 members — no separate count needed.
-    w = Window.partitionBy("__fp").orderBy(id_col, "__p0")
-    flagged = (wins.withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__rn") >= 2))
+    if rank_via == "window":
+        # rn >= 2 implies the fingerprint group has >= 2 members.
+        w = Window.partitionBy("__fp").orderBy(id_col, "__p0")
+        flagged = (wins.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") >= 2))
+    elif rank_via == "minjoin":
+        # `firsts` keeps only cnt >= 2 groups (duplicates are the
+        # minority, so it is small and often broadcastable); the inner
+        # join-back drops every non-duplicated window before any
+        # downstream work and AQE can skew-split a hot fingerprint.
+        firsts = (wins.groupBy("__fp")
+                  .agg(F.min(F.struct(F.col(id_col), F.col("__p0")))
+                        .alias("__f"),
+                       F.count(F.lit(1)).alias("__cnt"))
+                  .filter(F.col("__cnt") >= 2)
+                  .select("__fp", "__f"))
+        flagged = (wins.join(firsts, "__fp")
+                   .filter(~((F.col(id_col) == F.col(f"__f.{id_col}"))
+                             & (F.col("__p0") == F.col("__f.__p0")))))
+    else:
+        raise ValueError(f"rank_via must be 'window' or 'minjoin', "
+                         f"got {rank_via!r}")
     # Per-doc set of covered token positions (1-based start = __p0+1
     # covers start .. start+k-1); collect_set dedups overlapping windows.
     removed = (flagged.select(F.col(id_col),

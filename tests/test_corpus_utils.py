@@ -263,3 +263,22 @@ def test_passage_dedup_pure_boilerplate_doc_disappears(spark):
     out = {r.doc_id for r in
            passage_dedup(df, "doc_id", "text", k=8).collect()}
     assert out == {1}
+
+
+def test_passage_dedup_minjoin_rank_path_equivalent(spark):
+    """The skew-safe minjoin ranking (min-struct agg + join-back) must be
+    value-identical to the default window ranking, including on a corpus
+    with a hot boilerplate passage shared by every doc."""
+    from serverless_data_pipeline_spark.operators.corpus import passage_dedup
+
+    boiler = " ".join(f"h{i}" for i in range(8))
+    rows = [(i, f"u{i}a u{i}b {boiler} u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, passage_dedup(df, "doc_id", "text", k=8).collect()))
+    b = sorted(map(tuple, passage_dedup(df, "doc_id", "text", k=8,
+                                        rank_via="minjoin").collect()))
+    assert a == b
+    # the hot passage survives only in doc 0
+    kept_with_boiler = [r for r in a if "h0 h1" in r[1]]
+    assert len(kept_with_boiler) == 1 and kept_with_boiler[0][0] == 0
