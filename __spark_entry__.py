@@ -856,19 +856,29 @@ def _evict_stale_staging(prefix: str, keep_basename: str) -> None:
     path-derived prefix but a stale mtime/size suffix. The suffix match
     is exact (_<digits>_<digits>): a bare prefix glob would also catch
     staging dirs of a DIFFERENT fixture whose path string extends this
-    one (sf1 vs sf1_old) and delete a live sibling cache."""
+    one (sf1 vs sf1_old) and delete a live sibling cache. Age-gated 1 h
+    (same as the sdp_upsert_ sweep): a just-written stale dir may still
+    be read by a concurrent driver that started before the fixture was
+    regenerated — deleting it mid-run fails that driver's in-flight
+    streaming queries."""
     import glob
     import os
     import re
     import shutil
     import tempfile
+    import time
 
     stem = "_".join(keep_basename.split("_")[:-2])  # drop mtime_size key
     stale = re.compile(re.escape(prefix + stem) + r"_\d+_\d+$")
+    cutoff = time.time() - 3600
     for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + stem + "_*")):
         base = os.path.basename(d)
         if base != prefix + keep_basename and stale.fullmatch(base):
-            shutil.rmtree(d, ignore_errors=True)
+            try:
+                if os.path.getmtime(d) < cutoff:
+                    shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
 
 
 def _q_s_sink_suite(spark, sf):

@@ -302,9 +302,14 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
       kept set IS the aggregation result, no join-back, so min-struct is
       both the fast and the skew-safe path there.
     """
-    fp_sql = {"md5": "md5(array_join(slice(__t, i, {k}), ' '))",
-              "xxhash64": "xxhash64(array_join(slice(__t, i, {k}), ' '))"}[
-        fingerprint].format(k=k)
+    fp_templates = {
+        "md5": "md5(array_join(slice(__t, i, {k}), ' '))",
+        "xxhash64": "xxhash64(array_join(slice(__t, i, {k}), ' '))",
+    }
+    if fingerprint not in fp_templates:
+        raise ValueError(f"fingerprint must be one of "
+                         f"{sorted(fp_templates)}, got {fingerprint!r}")
+    fp_sql = fp_templates[fingerprint].format(k=k)
     toks = (df.select(F.col(id_col), tokens(text_col).alias("__t"))
               .filter(F.size("__t") > 0))
     wins = (toks.filter(F.size("__t") >= k)

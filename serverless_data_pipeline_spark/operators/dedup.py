@@ -202,17 +202,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     3.3 s attribution to the 64 aggregates was contention, the local cost
     is the tokenize+explode scan either way. Kept for the shuffle-width
     reduction, not a local-time win. Lane capacity bounds tokens per
-    document at 2^21-1 (~2M tokens ≈ >10 MB of text — far beyond any
-    real document; a doc above it would overflow its lane silently, so
-    split such inputs upstream)."""
+    document at 2^21-1 (~2M tokens ≈ >10 MB of text — beyond any sane
+    document, but a giant concatenated crawl page can exceed it); a doc
+    at or above the cap FAILS FAST with a raise_error naming the doc,
+    because a silent lane carry would flip arbitrary fingerprint bits —
+    pre-chunk or truncate such inputs upstream (passage/segment dedup
+    and the hygiene operators all bound text length earlier in a real
+    pipeline)."""
     lanes = 3
     lane_bits = 21
     lane_mask = (1 << lane_bits) - 1
     # Hash each token ONCE into a column — referencing xxhash64 inside all
-    # aggregate expressions would re-hash per group.
+    # aggregate expressions would re-hash per group. The lane-capacity
+    # guard runs HERE, pre-aggregation: a 2^21-token doc would overflow
+    # its lane inside the packed SUM itself (ANSI mode kills the job with
+    # an opaque ARITHMETIC_OVERFLOW; non-ANSI silently corrupts bits), so
+    # it must be rejected before any lane arithmetic happens.
+    guarded = F.when(
+        F.size("__toks") >= (1 << lane_bits),
+        F.raise_error(F.concat(
+            F.lit("simhash lane overflow: document "),
+            F.col(id_col).cast("string"),
+            F.lit(f" has >= 2^{lane_bits} tokens; "
+                  "truncate or pre-chunk upstream")))
+    ).otherwise(F.col("__toks"))
     tok = (_spread(df.select(F.col(id_col),
                              _tokens_of(df, text_col).alias("__toks")))
-           .select(F.col(id_col), F.explode("__toks").alias("__t"))
+           .select(F.col(id_col), F.explode(guarded).alias("__t"))
            .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
     h = F.col("__h")
     one = F.lit(1).cast("long")

@@ -104,10 +104,13 @@ def scheduled_batch_query(spark: SparkSession, raw_path: str,
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_tick))
     stream = getattr(reader, fmt)(raw_path)
 
+    # milliseconds so a float interval keeps its sub-second part
+    # (int(0.5) would silently become the run-continuously '0 seconds')
     trigger = ({"availableNow": True} if available_now
-               else {"processingTime": f"{int(interval_s)} seconds"})
+               else {"processingTime":
+                     f"{int(interval_s * 1000)} milliseconds"})
     return (stream.writeStream
-            .foreachBatch(lambda batch, epoch: run_batch(batch, epoch))
+            .foreachBatch(run_batch)
             .option("checkpointLocation", checkpoint)
             .trigger(**trigger)
             .start())

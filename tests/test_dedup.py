@@ -338,3 +338,20 @@ def test_semantic_dedup_precomputed_centroids_skip_training(spark):
     assert {r.cluster_id for r in out} <= {0, 1}
     for fam in families:
         assert sum(1 for r in out if r.vec_id in fam and r.keep) == 1
+
+
+def test_simhash_lane_overflow_fails_fast(spark):
+    """A doc at the 2^21-token lane capacity must raise (a silent lane
+    carry would flip arbitrary fingerprint bits), and normal docs are
+    untouched by the guard."""
+    import pytest as _pytest
+
+    from serverless_data_pipeline_spark.operators.dedup import simhash
+
+    big = " ".join(["x"] * (1 << 21))
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with _pytest.raises(Exception, match="lane overflow"):
+        simhash(df, "doc_id", "text").collect()
+    ok = spark.createDataFrame([(2, "a perfectly ordinary document")],
+                               "doc_id long, text string")
+    assert simhash(ok, "doc_id", "text").count() == 1
