@@ -50,6 +50,10 @@ def prepare_training_corpus(docs: DataFrame, *,
                             min_quality: float = 0.5,
                             jaccard_threshold: float = 0.6,
                             exact_clusters: bool = False,
+                            passage_k: int | None = None,
+                            embeddings: DataFrame | None = None,
+                            semantic_threshold: float = 0.9,
+                            semantic_clusters: int = 16,
                             max_dup_ngram_ratio: float | None = None,
                             eval_docs: DataFrame | None = None,
                             decontam_ngram: int = 5,
@@ -60,6 +64,15 @@ def prepare_training_corpus(docs: DataFrame, *,
     `exact_clusters=True` replaces the greedy edge-drop near-dup policy
     with true connected components (keep the min doc id per transitive
     cluster) — a few extra shuffle rounds, exact cluster semantics.
+
+    `passage_k` (X12) rebuilds each surviving doc with repeated
+    >=k-token passages excised (ExactSubstr sliding-window dedup) BEFORE
+    the language/quality gates, so boilerplate spans do not distort the
+    scores; docs reduced to nothing disappear. `embeddings` (X2
+    semantic) — a frame keyed by the same `id_col` with an `embedding`
+    column — adds SemDeDup: docs whose embedding is dropped within its
+    k-means cluster are removed (docs without an embedding row are
+    kept).
 
     `max_dup_ngram_ratio` (X11) adds the repetition gate: drop docs whose
     duplicate-trigram ratio exceeds the bound (narrow pass, no shuffle).
@@ -83,6 +96,28 @@ def prepare_training_corpus(docs: DataFrame, *,
     else:
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         neardeduped = exact.join(drop, id_col, "left_anti")
+
+    if passage_k is not None:
+        from serverless_data_pipeline_spark.operators.corpus import (
+            passage_dedup,
+        )
+        rebuilt = (passage_dedup(neardeduped, id_col, text_col,
+                                 k=passage_k)
+                   .select(id_col, F.col(text_col).alias("__ptext")))
+        # inner join: docs excised to nothing (pure boilerplate) drop out
+        neardeduped = (neardeduped.drop(text_col).join(rebuilt, id_col)
+                       .withColumnRenamed("__ptext", text_col))
+
+    if embeddings is not None:
+        from serverless_data_pipeline_spark.operators.dedup import (
+            semantic_dedup,
+        )
+        dropped = (semantic_dedup(embeddings, id_col, "embedding",
+                                  threshold=semantic_threshold,
+                                  n_clusters=semantic_clusters)
+                   .filter(~F.col("keep")).select(id_col))
+        # anti-join the DROPPED set so docs without an embedding survive
+        neardeduped = neardeduped.join(dropped, id_col, "left_anti")
 
     # language + quality gates (single narrow pass each)
     lang_ok = (language_id(neardeduped, text_col)

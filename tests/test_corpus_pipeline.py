@@ -74,3 +74,32 @@ def test_corpus_pipeline_repetition_and_decontamination_stages(spark):
                                    max_dup_ngram_ratio=0.5, eval_docs=ev,
                                    collect_counts=False)
     assert sorted(r.doc_id for r in full.clean.collect()) == [2]
+
+
+def test_corpus_pipeline_passage_and_semantic_stages(spark):
+    boiler = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, f"{GOOD} {boiler}"),      # corpus-first occurrence: kept
+         (2, f"{GOOD2} {boiler}"),     # later copy: excised, doc survives
+         (3, f"{boiler} another fine document about engines and rivers "
+             "flowing through the quiet valley during a long warm summer"),
+         (4, boiler)],                 # pure boilerplate -> vanishes
+        "doc_id long, text string")
+    # embeddings: doc 3 is a semantic dup of doc 1 (same direction), doc
+    # 2 distinct; docs 1 and 4 have no embedding rows at all
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.1]),
+         (3, [1.0, 0.001, 0.0, 0.1]),
+         (2, [-1.0, 0.5, 0.2, -0.8])],
+        "doc_id long, embedding array<double>")
+    res = prepare_training_corpus(
+        docs, languages=("en",), min_quality=0.3, jaccard_threshold=0.9,
+        passage_k=8, embeddings=emb, semantic_threshold=0.95,
+        semantic_clusters=2)
+    kept = {r.doc_id: r.text for r in res.clean.collect()}
+    # doc 4 excised to nothing; doc 3 dropped as a semantic dup of 1
+    assert set(kept) == {1, 2}
+    # doc 1 keeps the corpus-first copy; doc 2's later copy was excised
+    # before the quality/language scoring saw it
+    assert "b0" in kept[1]
+    assert "b0" not in kept[2] and kept[2].startswith("a completely")
