@@ -202,3 +202,46 @@ def test_prefix_filtered_jaccard_matches_bruteforce(spark, docs, threshold,
                df, "doc_id", "text", n=3, threshold=threshold,
                positional_filter=positional).collect()}
     assert got == expect
+
+
+# ------------------------------------------------- passage dedup reference
+
+def _passage_reference(docs: list[tuple[int, str]], k: int):
+    """Brute-force reference: rank every k-token window by (doc, pos);
+    tokens covered by any non-first occurrence of a duplicated window are
+    removed; docs rebuilt, empty docs vanish."""
+    toks = {i: t.split() for i, t in docs if t.split()}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p:p + k]), []).append((i, p))
+    removed: dict[int, set[int]] = {}
+    for places in occ.values():
+        for (i, p) in sorted(places)[1:]:
+            removed.setdefault(i, set()).update(range(p, p + k))
+    out = {}
+    for i, ts in toks.items():
+        kept = [t for q, t in enumerate(ts) if q not in removed.get(i, ())]
+        if kept:
+            out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+# Small vocabulary + short docs => frequent genuine window collisions.
+_doc = st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=12)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6),
+       k=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_passage_dedup_matches_bruteforce_reference(spark, texts, k):
+    from serverless_data_pipeline_spark.operators.corpus import passage_dedup
+
+    docs = [(i, " ".join(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for rank_via in ("window", "minjoin"):
+        got = {r.doc_id: (r.text, r.n_tokens, r.n_removed)
+               for r in passage_dedup(df, "doc_id", "text", k=k,
+                                      rank_via=rank_via).collect()}
+        assert got == _passage_reference(docs, k), (rank_via, docs, k)
