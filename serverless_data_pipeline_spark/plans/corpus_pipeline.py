@@ -54,6 +54,8 @@ def prepare_training_corpus(docs: DataFrame, *,
                             embeddings: DataFrame | None = None,
                             semantic_threshold: float = 0.9,
                             semantic_clusters: int = 16,
+                            semantic_dim: int | None = None,
+                            semantic_centroids: list | None = None,
                             max_dup_ngram_ratio: float | None = None,
                             eval_docs: DataFrame | None = None,
                             decontam_ngram: int = 5,
@@ -68,11 +70,17 @@ def prepare_training_corpus(docs: DataFrame, *,
     `passage_k` (X12) rebuilds each surviving doc with repeated
     >=k-token passages excised (ExactSubstr sliding-window dedup) BEFORE
     the language/quality gates, so boilerplate spans do not distort the
-    scores; docs reduced to nothing disappear. `embeddings` (X2
-    semantic) — a frame keyed by the same `id_col` with an `embedding`
-    column — adds SemDeDup: docs whose embedding is dropped within its
-    k-means cluster are removed (docs without an embedding row are
-    kept).
+    scores; docs whose every token was a repeat disappear, while docs
+    that had no tokens to begin with pass through untouched (identical
+    to the passage_k=None path). `embeddings` (X2 semantic) — a frame
+    keyed by the same `id_col` with an `embedding` column — adds
+    SemDeDup: docs whose embedding is dropped within its k-means cluster
+    are removed (docs without an embedding row are kept). The embeddings
+    are semi-joined against the docs STILL ALIVE at that stage first —
+    running SemDeDup over stale rows would let an already-removed doc
+    win a semantic family and delete every surviving copy. At scale pass
+    `semantic_dim` and `semantic_centroids` (one offline training) so
+    pipeline construction triggers no driver action or in-line k-means.
 
     `max_dup_ngram_ratio` (X11) adds the repetition gate: drop docs whose
     duplicate-trigram ratio exceeds the bound (narrow pass, no shuffle).
@@ -97,30 +105,46 @@ def prepare_training_corpus(docs: DataFrame, *,
         drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
         neardeduped = exact.join(drop, id_col, "left_anti")
 
+    stage = neardeduped
     if passage_k is not None:
+        from serverless_data_pipeline_spark.functions.text import tokens
         from serverless_data_pipeline_spark.operators.corpus import (
             passage_dedup,
         )
-        rebuilt = (passage_dedup(neardeduped, id_col, text_col,
-                                 k=passage_k)
+        rebuilt = (passage_dedup(stage, id_col, text_col, k=passage_k)
                    .select(id_col, F.col(text_col).alias("__ptext")))
-        # inner join: docs excised to nothing (pure boilerplate) drop out
-        neardeduped = (neardeduped.drop(text_col).join(rebuilt, id_col)
-                       .withColumnRenamed("__ptext", text_col))
+        # left join + coalesce: a doc absent from the rebuilt frame was
+        # either excised to nothing (had tokens -> drop, it was pure
+        # boilerplate) or had no tokens at all (keep untouched, same as
+        # the passage_k=None path).
+        stage = (stage.join(rebuilt, id_col, "left")
+                 .filter(F.col("__ptext").isNotNull()
+                         | (F.size(tokens(text_col)) == 0))
+                 .withColumn(text_col,
+                             F.coalesce("__ptext", F.col(text_col)))
+                 .drop("__ptext"))
+    after_passage = stage
 
     if embeddings is not None:
         from serverless_data_pipeline_spark.operators.dedup import (
             semantic_dedup,
         )
-        dropped = (semantic_dedup(embeddings, id_col, "embedding",
+        # Only embeddings of docs still alive: a stale row could win a
+        # semantic family and delete every surviving copy of it.
+        live_emb = embeddings.join(stage.select(id_col), id_col,
+                                   "left_semi")
+        dropped = (semantic_dedup(live_emb, id_col, "embedding",
                                   threshold=semantic_threshold,
-                                  n_clusters=semantic_clusters)
+                                  n_clusters=semantic_clusters,
+                                  dim=semantic_dim,
+                                  centroids=semantic_centroids)
                    .filter(~F.col("keep")).select(id_col))
         # anti-join the DROPPED set so docs without an embedding survive
-        neardeduped = neardeduped.join(dropped, id_col, "left_anti")
+        stage = stage.join(dropped, id_col, "left_anti")
+    after_semantic = stage
 
     # language + quality gates (single narrow pass each)
-    lang_ok = (language_id(neardeduped, text_col)
+    lang_ok = (language_id(stage, text_col)
                .filter(F.col("predicted_lang").isin(*languages)))
     clean = (lang_ok
              .withColumn("__q", quality_score_expr(text_col))
@@ -155,9 +179,12 @@ def prepare_training_corpus(docs: DataFrame, *,
 
     counts = {}
     if collect_counts:
-        n_exact = exact.count()
-        n_near = neardeduped.count()
-        n_clean = clean.count()
-        counts = {"input": n0, "after_exact_dedup": n_exact,
-                  "after_near_dedup": n_near, "clean": n_clean}
+        counts = {"input": n0,
+                  "after_exact_dedup": exact.count(),
+                  "after_near_dedup": neardeduped.count()}
+        if passage_k is not None:
+            counts["after_passage_dedup"] = after_passage.count()
+        if embeddings is not None:
+            counts["after_semantic_dedup"] = after_semantic.count()
+        counts["clean"] = clean.count()
     return CorpusResult(clean=clean, stats=stats, counts=counts)

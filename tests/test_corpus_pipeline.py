@@ -83,12 +83,16 @@ def test_corpus_pipeline_passage_and_semantic_stages(spark):
          (2, f"{GOOD2} {boiler}"),     # later copy: excised, doc survives
          (3, f"{boiler} another fine document about engines and rivers "
              "flowing through the quiet valley during a long warm summer"),
-         (4, boiler)],                 # pure boilerplate -> vanishes
+         (4, boiler),                  # pure boilerplate -> vanishes
+         (7, f"{GOOD} {boiler}")],     # exact dup of 1 -> exact stage
         "doc_id long, text string")
     # embeddings: doc 3 is a semantic dup of doc 1 (same direction), doc
-    # 2 distinct; docs 1 and 4 have no embedding rows at all
+    # 2 distinct; doc 4 has no embedding row. Doc 7's row is STALE (doc 7
+    # dies in exact dedup) and must not be allowed to win doc 1/3's
+    # semantic family — the pipeline semi-joins embeddings on live ids.
     emb = spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.1]),
+        [(7, [1.0, 0.0005, 0.0, 0.1]),
+         (1, [1.0, 0.0, 0.0, 0.1]),
          (3, [1.0, 0.001, 0.0, 0.1]),
          (2, [-1.0, 0.5, 0.2, -0.8])],
         "doc_id long, embedding array<double>")
@@ -97,9 +101,27 @@ def test_corpus_pipeline_passage_and_semantic_stages(spark):
         passage_k=8, embeddings=emb, semantic_threshold=0.95,
         semantic_clusters=2)
     kept = {r.doc_id: r.text for r in res.clean.collect()}
-    # doc 4 excised to nothing; doc 3 dropped as a semantic dup of 1
+    # doc 4 excised to nothing; doc 3 dropped as a semantic dup of 1;
+    # doc 1 survives (its family's stale doc-7 row was excluded)
     assert set(kept) == {1, 2}
     # doc 1 keeps the corpus-first copy; doc 2's later copy was excised
     # before the quality/language scoring saw it
     assert "b0" in kept[1]
     assert "b0" not in kept[2] and kept[2].startswith("a completely")
+    # per-stage attrition is attributed to the right stage
+    assert res.counts["after_exact_dedup"] == 4     # doc 7 gone
+    assert res.counts["after_near_dedup"] == 4
+    assert res.counts["after_passage_dedup"] == 3   # doc 4 gone
+    assert res.counts["after_semantic_dedup"] == 2  # doc 3 gone
+    assert res.counts["clean"] == 2
+
+
+def test_corpus_pipeline_passage_keeps_tokenless_docs(spark):
+    # a whitespace-only doc must pass the passage stage untouched, same
+    # as with passage_k=None (it has no windows, nothing was excised)
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, "   ")], "doc_id long, text string")
+    res = prepare_training_corpus(docs, languages=("en",), min_quality=0.0,
+                                  jaccard_threshold=0.9, passage_k=8,
+                                  collect_counts=True)
+    assert res.counts["after_passage_dedup"] == 2
