@@ -89,9 +89,12 @@ def main() -> int:
                     f"read_parquet('{SF_DIR}/{t}.parquet')")
 
     failures = 0
+    n_run = n_run_oracled = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
+        n_run_oracled += name in oracles
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
@@ -115,8 +118,9 @@ def main() -> int:
             failures += 1
         print(f"{status}{name}: {verdict} ({len(sdf)} rows) "
               f"[{time.time()-t0:.1f}s]")
+    subset = f" — SUBSET of {len(qs)}" if only else ""
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'} "
-          f"({len(qs)} queries, {len(oracles)} with oracle)")
+          f"({n_run} queries run, {n_run_oracled} with oracle{subset})")
     spark.stop()
     return 1 if failures else 0
 
