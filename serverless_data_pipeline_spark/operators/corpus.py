@@ -298,9 +298,14 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
       AQE-skew-splittable join-back. Use when one fingerprint is
       pathologically hot (boilerplate pasted into millions of docs): a
       window sort cannot split a hot key across tasks, the aggregation
-      pre-combines it map-side. segment_dedup needs no such switch — its
-      kept set IS the aggregation result, no join-back, so min-struct is
-      both the fast and the skew-safe path there.
+      pre-combines it map-side. Measured honestly: local A/B stays flat
+      even with a planted 2M-occurrence hot key (min-of-3: 14.3 s window
+      vs 13.9 s minjoin at 2M docs) because 32 local threads hide the
+      straggler behind the rest of the stream — the lever is cluster
+      wall-clock, where the one unsplittable sort task defines the
+      stage. segment_dedup needs no such switch — its kept set IS the
+      aggregation result, no join-back, so min-struct is both the fast
+      and the skew-safe path there.
     """
     fp_templates = {
         "md5": "md5(array_join(slice(__t, i, {k}), ' '))",
