@@ -230,31 +230,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
                              _tokens_of(df, text_col).alias("__toks")))
            .select(F.col(id_col), F.explode(guarded).alias("__t"))
            .select(F.col(id_col), F.xxhash64("__t").alias("__h")))
-    h = F.col("__h")
-    one = F.lit(1).cast("long")
+    # Pack/unpack expressions are generated as SQL STRINGS, one F.expr
+    # per aggregate and one for the whole unpack: building them from
+    # nested Column operators cost ~350 py4j round trips and 1.2-1.5 s
+    # of driver-side PLAN CONSTRUCTION per call — more than the query's
+    # own execution at sf0.1 (measured; exec unchanged either way).
     n_groups = (bits + lanes - 1) // lanes
     packed = []
     for g in range(n_groups):
-        expr = None
-        for j in range(lanes):
-            b = g * lanes + j
-            if b >= bits:
-                break
-            lane = F.shiftleft(
-                F.shiftrightunsigned(h, b).bitwiseAND(one), j * lane_bits)
-            expr = lane if expr is None else expr.bitwiseOR(lane)
-        packed.append(F.sum(expr).alias(f"p_{g}"))
+        terms = [
+            f"shiftleft(shiftrightunsigned(__h, {b}) & 1L, {j * lane_bits})"
+            for j in range(lanes) if (b := g * lanes + j) < bits]
+        packed.append(F.expr(f"sum({' | '.join(terms)})").alias(f"p_{g}"))
     agg = tok.groupBy(id_col).agg(F.count("*").alias("__n"), *packed)
     # Unpack in a narrow projection (cheap — no aggregation buffers):
     # bit b set ⟺ count_b*2 > n, identical to sign(Σ±1) > 0 incl. ties.
-    fp = F.lit(0).cast("long")
+    bit_terms = []
     for b in range(bits):
         g, j = divmod(b, lanes)
-        cnt = (F.shiftrightunsigned(F.col(f"p_{g}"), j * lane_bits)
-               .bitwiseAND(F.lit(lane_mask).cast("long")))
-        fp = fp.bitwiseOR(
-            F.when(cnt * 2 > F.col("__n"), F.shiftleft(one, b))
-             .otherwise(F.lit(0).cast("long")))
+        cnt = (f"(shiftrightunsigned(p_{g}, {j * lane_bits}) "
+               f"& {lane_mask}L)")
+        bit_terms.append(
+            f"if({cnt} * 2L > __n, shiftleft(1L, {b}), 0L)")
+    fp = F.expr(" | ".join(bit_terms))
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
