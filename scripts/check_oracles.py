@@ -82,6 +82,13 @@ def main() -> int:
     only = set(sys.argv[1:])
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - qs.keys()
+    if unknown:
+        # a stale/typo'd name must not produce a false-green "ALL GREEN
+        # (0 queries run)" verdict
+        print(f"UNKNOWN query names: {sorted(unknown)}; "
+              f"valid: {sorted(qs)}")
+        return 2
 
     spark = get_spark(shuffle_partitions=16)
     con = duckdb.connect()

@@ -107,7 +107,6 @@ def prepare_training_corpus(docs: DataFrame, *,
 
     stage = neardeduped
     if passage_k is not None:
-        from serverless_data_pipeline_spark.functions.text import tokens
         from serverless_data_pipeline_spark.operators.corpus import (
             passage_dedup,
         )
@@ -117,13 +116,21 @@ def prepare_training_corpus(docs: DataFrame, *,
         # either excised to nothing (had tokens -> drop, it was pure
         # boilerplate) or had no tokens at all (keep untouched, same as
         # the passage_k=None path).
+        # trim == "" is exactly "tokenizes to zero tokens" (tokens() is
+        # whitespace splitting; NULL text is non-true under both forms)
+        # at a string-compare instead of a third corpus-wide tokenize.
         stage = (stage.join(rebuilt, id_col, "left")
                  .filter(F.col("__ptext").isNotNull()
-                         | (F.size(tokens(text_col)) == 0))
+                         | (F.trim(F.col(text_col)) == ""))
                  .withColumn(text_col,
                              F.coalesce("__ptext", F.col(text_col)))
                  .drop("__ptext"))
     after_passage = stage
+    if passage_k is not None and collect_counts:
+        # counted below AND consumed by every later stage — without the
+        # cache the passage plan (the pipeline's most expensive stage)
+        # re-executes for each downstream count + the stats pass.
+        after_passage = stage = stage.cache()
 
     if embeddings is not None:
         from serverless_data_pipeline_spark.operators.dedup import (
@@ -142,6 +149,10 @@ def prepare_training_corpus(docs: DataFrame, *,
         # anti-join the DROPPED set so docs without an embedding survive
         stage = stage.join(dropped, id_col, "left_anti")
     after_semantic = stage
+    if embeddings is not None and collect_counts:
+        # same re-execution argument as the passage cache: counted below
+        # and consumed by the gates + stats.
+        after_semantic = stage = stage.cache()
 
     # language + quality gates (single narrow pass each)
     lang_ok = (language_id(stage, text_col)

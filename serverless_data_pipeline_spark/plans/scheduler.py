@@ -86,9 +86,14 @@ def scheduled_batch_query(spark: SparkSession, raw_path: str,
       interval skips the missed grid points exactly like the reference's
       rate rule (py:658-666), with no stacked catch-up backlog.
     * The file source tracks processed files in the checkpoint, so each
-      tick hands `run_batch` ONLY the data landed since the previous tick
-      — incremental by construction, restart-safe, exactly-once. The
-      driver loop cannot offer that: a crashed loop re-reads or skips.
+      tick hands `run_batch` ONLY the data landed since the previous
+      tick — incremental by construction and restart-safe. The driver
+      loop cannot offer that: a crashed loop re-reads or skips. Standard
+      foreachBatch caveat: offsets are exactly-once but the CALLBACK's
+      side effects are at-least-once — a crash between run_batch's
+      output and the checkpoint commit re-delivers that tick on restart,
+      so run_batch must be idempotent (key its writes on the tick id, or
+      write to an overwrite-by-partition sink).
     * `max_files_per_tick` (maxFilesPerTrigger) bounds a tick's input the
       way the reference bounds a poll batch (10 SQS messages, py:645) —
       at 100 TB a backlogged landing zone must drip-feed, not deliver one

@@ -229,10 +229,11 @@ def _passage_reference(docs: list[tuple[int, str]], k: int):
 
 
 # Small vocabulary + short docs => frequent genuine window collisions.
-_doc = st.lists(st.sampled_from("a b c d".split()), min_size=0, max_size=12)
+_tok_doc = st.lists(st.sampled_from("a b c d".split()),
+                    min_size=0, max_size=12)
 
 
-@given(texts=st.lists(_doc, min_size=1, max_size=6),
+@given(texts=st.lists(_tok_doc, min_size=1, max_size=6),
        k=st.integers(2, 4))
 @settings(**SETTINGS)
 def test_passage_dedup_matches_bruteforce_reference(spark, texts, k):
