@@ -794,16 +794,6 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
         train_ivf_centroids,
     )
 
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    if centroids is None:
-        centroids = train_ivf_centroids(df, vec_col, n_cells=n_clusters,
-                                        seed=seed, max_iter=max_iter,
-                                        sample_fraction=sample_fraction)
-    cents = np.asarray(centroids, dtype=np.float64)
-    cnorm = np.linalg.norm(cents, axis=1)
-    cents_n = cents / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]
-
     id_type = df.schema[id_col].dataType
     out_schema = T.StructType([
         T.StructField(id_col, id_type),
@@ -813,6 +803,26 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
         T.StructField("dup_of", id_type),
         T.StructField("dup_sim", T.DoubleType()),
     ])
+
+    if dim is None or centroids is None:
+        # Both fallbacks dereference data (a .first() probe / an in-line
+        # k-means fit) and die with an opaque TypeError on an EMPTY frame
+        # — which the corpus pipeline can legitimately produce when the
+        # embeddings-vs-live-docs semi-join comes back empty (ADVICE r5).
+        # An empty input has no duplicates: short-circuit with an empty
+        # result of the output schema.
+        probe = df.select(vec_col).first()
+        if probe is None:
+            return df.sparkSession.createDataFrame([], out_schema)
+        if dim is None:
+            dim = len(probe[0])
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_cells=n_clusters,
+                                        seed=seed, max_iter=max_iter,
+                                        sample_fraction=sample_fraction)
+    cents = np.asarray(centroids, dtype=np.float64)
+    cnorm = np.linalg.norm(cents, axis=1)
+    cents_n = cents / np.where(cnorm == 0.0, 1.0, cnorm)[:, None]
 
     def _cluster_dedup(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         c = len(pdf)

@@ -38,9 +38,24 @@ from serverless_data_pipeline_spark.operators.text import (
 
 @dataclass
 class CorpusResult:
+    """`cached` lists the intermediate frames `prepare_training_corpus`
+    cached (passage/semantic stages). Their lifetime is CALLER-owned:
+    `clean`/`stats` read through them, so they stay cached until the
+    caller is done — call `unpersist()` then (ADVICE r5: repeated
+    pipeline runs in one session otherwise accumulate storage memory)."""
+
     clean: DataFrame
     stats: DataFrame
     counts: dict = field(default_factory=dict)
+    cached: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """Release the pipeline's cached intermediates. Call after the
+        last action on `clean`/`stats`; later actions still succeed but
+        recompute the passage/semantic stages."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
 
 
 def prepare_training_corpus(docs: DataFrame, *,
@@ -117,20 +132,27 @@ def prepare_training_corpus(docs: DataFrame, *,
         # boilerplate) or had no tokens at all (keep untouched, same as
         # the passage_k=None path).
         # trim == "" is exactly "tokenizes to zero tokens" (tokens() is
-        # whitespace splitting; NULL text is non-true under both forms)
-        # at a string-compare instead of a third corpus-wide tokenize.
+        # whitespace splitting) at a string-compare instead of a third
+        # corpus-wide tokenize; the isNull arm keeps NULL-text docs on
+        # the tokenless path too (ADVICE r5: trim(NULL)=='' is non-true,
+        # which silently dropped them here while the passage_k=None path
+        # carried them to the gates).
         stage = (stage.join(rebuilt, id_col, "left")
                  .filter(F.col("__ptext").isNotNull()
-                         | (F.trim(F.col(text_col)) == ""))
+                         | (F.trim(F.col(text_col)) == "")
+                         | F.col(text_col).isNull())
                  .withColumn(text_col,
                              F.coalesce("__ptext", F.col(text_col)))
                  .drop("__ptext"))
+    cached: list[DataFrame] = []
     after_passage = stage
     if passage_k is not None and collect_counts:
         # counted below AND consumed by every later stage — without the
         # cache the passage plan (the pipeline's most expensive stage)
         # re-executes for each downstream count + the stats pass.
+        # Lifetime is caller-owned via CorpusResult.unpersist().
         after_passage = stage = stage.cache()
+        cached.append(stage)
 
     if embeddings is not None:
         from serverless_data_pipeline_spark.operators.dedup import (
@@ -153,6 +175,7 @@ def prepare_training_corpus(docs: DataFrame, *,
         # same re-execution argument as the passage cache: counted below
         # and consumed by the gates + stats.
         after_semantic = stage = stage.cache()
+        cached.append(stage)
 
     # language + quality gates (single narrow pass each)
     lang_ok = (language_id(stage, text_col)
@@ -198,4 +221,5 @@ def prepare_training_corpus(docs: DataFrame, *,
         if embeddings is not None:
             counts["after_semantic_dedup"] = after_semantic.count()
         counts["clean"] = clean.count()
-    return CorpusResult(clean=clean, stats=stats, counts=counts)
+    return CorpusResult(clean=clean, stats=stats, counts=counts,
+                        cached=cached)

@@ -125,3 +125,47 @@ def test_corpus_pipeline_passage_keeps_tokenless_docs(spark):
                                   jaccard_threshold=0.9, passage_k=8,
                                   collect_counts=True)
     assert res.counts["after_passage_dedup"] == 2
+
+
+def test_corpus_pipeline_null_text_path_parity(spark):
+    # The passage stage must treat NULL text exactly like the
+    # passage_k=None path does (ADVICE r5: trim(NULL)=='' is non-true,
+    # so the stage's keep-filter needs an explicit isNull arm). Whether
+    # a NULL doc survives the PIPELINE is decided upstream (exact dedup
+    # drops it on both paths — NULL fp never equi-joins); the contract
+    # here is that passage_k never changes that outcome.
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, None)], "doc_id long, text string")
+    with_passage = prepare_training_corpus(
+        docs, languages=("en",), min_quality=0.0, jaccard_threshold=0.9,
+        passage_k=8, collect_counts=True)
+    without = prepare_training_corpus(
+        docs, languages=("en",), min_quality=0.0, jaccard_threshold=0.9,
+        collect_counts=True)
+    assert ({r.doc_id for r in with_passage.clean.collect()}
+            == {r.doc_id for r in without.clean.collect()})
+    # and the stage itself keeps a NULL-text row that reaches it
+    from pyspark.sql import functions as F
+    from serverless_data_pipeline_spark.operators.corpus import passage_dedup
+    stage = spark.createDataFrame([(1, GOOD), (2, None)],
+                                  "doc_id long, text string")
+    rebuilt = (passage_dedup(stage, "doc_id", "text", k=8)
+               .select("doc_id", F.col("text").alias("__ptext")))
+    kept = (stage.join(rebuilt, "doc_id", "left")
+            .filter(F.col("__ptext").isNotNull()
+                    | (F.trim(F.col("text")) == "")
+                    | F.col("text").isNull()))
+    assert kept.count() == 2
+
+
+def test_corpus_pipeline_unpersist_releases_stage_caches(spark):
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD + " extra trailing words here")],
+        "doc_id long, text string")
+    res = prepare_training_corpus(docs, languages=("en",), min_quality=0.0,
+                                  jaccard_threshold=0.9, passage_k=8,
+                                  collect_counts=True)
+    assert len(res.cached) == 1
+    assert res.cached[0].storageLevel.useMemory
+    res.unpersist()
+    assert res.cached == []

@@ -355,3 +355,17 @@ def test_simhash_lane_overflow_fails_fast(spark):
     ok = spark.createDataFrame([(2, "a perfectly ordinary document")],
                                "doc_id long, text string")
     assert simhash(ok, "doc_id", "text").count() == 1
+
+
+def test_semantic_dedup_empty_input_short_circuits(spark):
+    """An empty frame must yield an empty result (output schema intact),
+    not an opaque TypeError from the dim probe / in-line k-means (ADVICE
+    r5 — the corpus pipeline hits this when the embeddings-vs-live-docs
+    semi-join comes back empty)."""
+    from serverless_data_pipeline_spark.operators.dedup import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(empty, "vec_id", "embedding", n_clusters=4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "cluster_id", "centroid_sim", "keep", "dup_of", "dup_sim"]
