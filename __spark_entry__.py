@@ -881,6 +881,27 @@ def _evict_stale_staging(prefix: str, keep_basename: str) -> None:
                 pass
 
 
+def _sweep_aged_tmp(prefix: str, max_age_s: float = 3600.0) -> None:
+    """Age-gated cleanup of uuid-keyed tempdir working dirs from PRIOR
+    calls. Prior dirs are garbage, but only EVENTUALLY: an unconditional
+    sweep would race a concurrent driver (check_oracles + bench sharing
+    /tmp) or a lazy DataFrame built earlier in this session that still
+    reads its dir. Anything older than an hour is no live run's data."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    now = time.time()
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            if now - os.path.getmtime(d) > max_age_s:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _q_s_sink_suite(spark, sf):
     """S3 + S10 — both persistent-sink paths checked END-TO-END in one
     tagged union (registry consolidation, r4 verdict):
@@ -937,21 +958,7 @@ def _q_s_sink_suite(spark, sf):
                 "n_rows", "n_ids", "val"))
 
     ev = _t(spark, sf, "events").select("event_id", "user_id", "value")
-    # uuid-keyed target dirs from prior calls are garbage, but only
-    # EVENTUALLY: an unconditional sweep would race a concurrent driver
-    # (check_oracles + bench sharing /tmp) or a lazy DataFrame built
-    # earlier in this session that still reads its target. Age-gate the
-    # cleanup — anything older than an hour is no live run's table.
-    import glob
-    import shutil
-    import time as _time
-    now = _time.time()
-    for d in glob.glob(tempfile.gettempdir() + "/sdp_upsert_*"):
-        try:
-            if now - os.path.getmtime(d) > 3600:
-                shutil.rmtree(d, ignore_errors=True)
-        except OSError:
-            pass
+    _sweep_aged_tmp("sdp_upsert_")
     target_dir = tempfile.gettempdir() + f"/sdp_upsert_{uuid.uuid4().hex[:8]}"
     ev.filter(F.col("event_id") % 2 == 0).write.parquet(target_dir)
     updates = (ev.filter((F.col("event_id") % 4 == 0)
@@ -967,6 +974,120 @@ def _q_s_sink_suite(spark, sf):
                       F.col("user_id").cast("long").alias("b"), *nulls,
                       F.round("value", 6).alias("val")))
     return sink.unionAll(upsert)
+
+
+def _q_streaming_ops_suite(spark, sf):
+    """S6 + S7 + ST7 — the buffered/quarantining streaming sink path
+    checked END-TO-END (r5 verdict #1: these families were pytest-only
+    because the registry had no free slots): a TRUE readStream over the
+    events fixture runs through start_quarantining_stream's foreachBatch
+    split — rows passing the validity predicate land in the partitioned
+    processed sink (S6, the Firehose buffer contract py:199-213), rows
+    failing it are appended to the errors/ quarantine with a reason (ST7
+    dead-letter routing, py:198 + py:122-137) — then BOTH sinks are read
+    back from disk and unioned. The oracle states the good/bad partition
+    of events directly, so a dropped row, a duplicated batch, a
+    mis-routed row, or type drift through the parquet/JSON sinks all
+    hash-mismatch. (The DLQ bounded-retry arm needs a deterministically
+    FAILING sink; that stays pytest-covered — tests/test_streaming.py.)
+
+    Fresh uuid working dirs per call (the checkpointed stream must see
+    an empty sink), prior dirs swept age-gated."""
+    import tempfile
+    import uuid
+
+    from serverless_data_pipeline_spark.streaming.sinks import (
+        start_quarantining_stream,
+    )
+
+    _prep(spark)
+    _sweep_aged_tmp("sdp_sops_")
+    base = tempfile.gettempdir() + f"/sdp_sops_{uuid.uuid4().hex[:8]}"
+    q = start_quarantining_stream(
+        _events_readstream(spark, sf),
+        good_path=base + "/good", error_path=base + "/errors",
+        checkpoint=base + "/ckpt",
+        validity=F.col("value") >= 0.05,
+        trigger={"availableNow": True})
+    q.awaitTermination(300)
+    cols = [F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type"),
+            F.round("value", 6).alias("value")]
+    good = (spark.read.parquet(base + "/good")
+            .select(F.lit("good").alias("kind"), *cols))
+    bad = (spark.read
+           .schema("event_id long, user_id long, event_type string, "
+                   "value double")
+           .json(base + "/errors")
+           .select(F.lit("quarantined").alias("kind"), *cols))
+    return good.unionAll(bad)
+
+
+def _q_s8_s9_suite(spark, sf):
+    """S8 + S9 — retention enforcement and the scheduled incremental
+    batch tick checked END-TO-END (r5 verdict #1):
+
+    - `retain`: events written through the partitioned sink, then
+      delete_expired_partitions removes every day partition before the
+      EXPLICIT cutoff 2024-01-16 (the fixture spans 2024-01-01..30 at
+      every sf); the survivors are read back and aggregated per day. The
+      oracle states the surviving set directly (date(ts) >= cutoff), so
+      an under-delete, over-delete, or a delete that corrupted a
+      surviving partition hash-mismatches.
+    - `tick`: scheduled_batch_query (S9 — the rate rule as a
+      checkpointed file-source trigger, plans/scheduler.py:68) run for
+      two availableNow ticks over a two-batch landing: even-id events
+      land first, tick 1 drains them; odd-id events land second, tick 2
+      must process ONLY them (the checkpoint's incremental contract).
+      Each tick appends one aggregate row tagged by the batch's id
+      parity — if tick 2 re-read batch 1 (or missed batch 2), the tag
+      grouping emits the wrong rows and the oracle (per-parity
+      aggregates of events) hash-mismatches."""
+    import tempfile
+    import uuid
+
+    from serverless_data_pipeline_spark.plans.scheduler import (
+        scheduled_batch_query,
+    )
+    from serverless_data_pipeline_spark.sources.writers import (
+        delete_expired_partitions, write_partitioned_parquet,
+    )
+
+    _prep(spark)
+    _sweep_aged_tmp("sdp_s89_")
+    base = tempfile.gettempdir() + f"/sdp_s89_{uuid.uuid4().hex[:8]}"
+    ev = _t(spark, sf, "events")
+
+    write_partitioned_parquet(ev, base + "/retain", mode="overwrite")
+    delete_expired_partitions(spark, base + "/retain", "2024-01-16")
+    retain = (spark.read.parquet(base + "/retain")
+              .groupBy(F.col("day").cast("long").alias("a"))
+              .agg(F.count("*").alias("n_rows"), _msum("value", "val"))
+              .select(F.lit("retain").alias("kind"), "a",
+                      "n_rows", "val"))
+
+    land, out, ckpt = base + "/landing", base + "/ticks", base + "/ckpt"
+    slim = ev.select("event_id", "value")
+    slim.filter(F.col("event_id") % 2 == 0).write.parquet(land)
+    schema = spark.read.parquet(land).schema
+
+    def _run_batch(batch, _tick_id):
+        (batch.groupBy(F.pmod(F.col("event_id"), F.lit(2)).alias("a"))
+         .agg(F.count("*").alias("n_rows"), _msum("value", "val"))
+         .write.mode("append").parquet(out))
+
+    for land_second in (False, True):
+        if land_second:
+            slim.filter(F.col("event_id") % 2 == 1).write.mode(
+                "append").parquet(land)
+        q = scheduled_batch_query(spark, land, schema, _run_batch, ckpt,
+                                  fmt="parquet", available_now=True)
+        q.awaitTermination(300)
+    tick = (spark.read.parquet(out)
+            .select(F.lit("tick").alias("kind"),
+                    F.col("a").cast("long").alias("a"), "n_rows", "val"))
+    return retain.unionAll(tick)
 
 
 def _q_st9_stream_dedup(spark, sf):
@@ -1136,18 +1257,56 @@ def _q_udf_pandas_vectorized(spark, sf):
 
 # ------------------------- rows-only (non-SQL-expressible candidates) ----
 
-def _q_g_approx_sketches(spark, sf):
-    """G2-approx + G6-approx — the sketch aggregates (HLL
-    approx_count_distinct, approx percentile) in one query. Rows-only by
-    design: sketch algorithms differ per engine."""
+def _q_x_approx_suite(spark, sf):
+    """G2-approx + G6-approx + X2 sketch flavours + X4 ANN — EVERY
+    rows-only-by-design operator in ONE tagged union (r6 registry
+    consolidation: merging the three no_oracle rows frees two driver
+    slots for the operational suites without demoting any oracled row).
+    Rows-only because none is ANSI-SQL-expressible — sketch algorithms
+    (HLL, KLL) differ per engine, and LSH banding / k-means cells have
+    no SQL oracle; every member is pinned by pytest instead
+    (planted-pair tests, recall floors, sketch error bounds).
+
+    Columns harmonized to (method, key, id_a, id_b, metric):
+    - `sketch_hll` / `sketch_p50` rows carry (o_orderstatus, NULL, NULL,
+      approx value) — G2/G6 approximate aggregates;
+    - the four X2 near-dup flavours (minhash/simhash/embedding/semantic)
+      carry (NULL, id_a, id_b, flavour score);
+    - the five X4 ANN shapes carry (NULL, query_id, neighbor_id,
+      cosine)."""
+    ids = [F.lit(None).cast("long").alias("id_a"),
+           F.lit(None).cast("long").alias("id_b")]
+    sk = (_t(spark, sf, "orders").groupBy("o_orderstatus")
+          .agg(F.approx_count_distinct("o_custkey").alias("approx_custs"),
+               F.percentile_approx("o_totalprice", 0.5)
+                .alias("approx_median_price")))
+    hll = sk.select(F.lit("sketch_hll").alias("method"),
+                    F.col("o_orderstatus").alias("key"), *ids,
+                    F.col("approx_custs").cast("double").alias("metric"))
+    p50 = sk.select(F.lit("sketch_p50").alias("method"),
+                    F.col("o_orderstatus").alias("key"), *ids,
+                    F.col("approx_median_price").alias("metric"))
+    nkey = F.lit(None).cast("string").alias("key")
+    lsh = _lsh_flavours(spark, sf).select(
+        "method", nkey, "id_a", "id_b", "metric")
+    ann = _ann_flavours(spark, sf).select(
+        "method", nkey,
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cosine").alias("metric"))
+    return hll.unionAll(p50).unionAll(lsh).unionAll(ann)
+
+
+def _sketch_flavour(spark, sf):
+    """bench attribution arm: the G2/G6 sketch aggregates alone."""
     return (_t(spark, sf, "orders").groupBy("o_orderstatus")
             .agg(F.approx_count_distinct("o_custkey").alias("approx_custs"),
                  F.percentile_approx("o_totalprice", 0.5)
                   .alias("approx_median_price")))
 
 
-def _q_x4_ann_suite(spark, sf):
-    """X4 — all four ANN shapes in one tagged union (rows-only: LSH/IVF
+def _ann_flavours(spark, sf):
+    """X4 — all five ANN shapes in one tagged union (rows-only: LSH/IVF
     pruning isn't SQL-expressible; recall vs the exact X3 result is
     pytest-asserted per flavour in tests/test_similarity.py):
 
@@ -1205,7 +1364,7 @@ def _q_x4_ann_suite(spark, sf):
             .unionAll(pq))
 
 
-def _q_x2_lsh_pairs(spark, sf):
+def _lsh_flavours(spark, sf):
     """X2 — the four sketch/cluster near-dup flavours in one tagged union
     (rows-only: LSH sketches and k-means aren't SQL-expressible; each
     flavour is planted-pair-tested in tests/test_dedup.py): MinHash+LSH
@@ -1261,11 +1420,17 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Per-flavour breakdown of composite headline queries, so bench.py can
     attribute a composite's wall-clock to its components round over round.
     NOT part of the driver registry (no leading `_q_`)."""
+    # x_approx_suite.* were named x2_lsh_pairs.* / x4_ann_suite /
+    # g_approx_sketches through r5 — same code, consolidated row (r6).
     return {
-        "x2_lsh_pairs.minhash": _lsh_flavour_minhash,
-        "x2_lsh_pairs.simhash": _lsh_flavour_simhash,
-        "x2_lsh_pairs.embedding": _lsh_flavour_embedding,
-        "x2_lsh_pairs.semantic": _lsh_flavour_semantic,
+        "x_approx_suite.minhash": _lsh_flavour_minhash,
+        "x_approx_suite.simhash": _lsh_flavour_simhash,
+        "x_approx_suite.embedding": _lsh_flavour_embedding,
+        "x_approx_suite.semantic": _lsh_flavour_semantic,
+        "x_approx_suite.ann": _ann_flavours,
+        "x_approx_suite.sketches": _sketch_flavour,
+        "x2_dedup_clusters.pairs":
+            lambda spark, sf: _capped_pairs(spark, sf),
         "x2_dedup_clusters.label":
             lambda spark, sf: _clusters_flavour(spark, sf, "label_prop"),
         "x2_dedup_clusters.star":
@@ -1288,48 +1453,59 @@ def _x12_flavour_passage(spark, sf):
     return passage_dedup(_t(spark, sf, "documents"), "doc_id", "text", k=8)
 
 
-def _q_x2_ngram_jaccard(spark, sf):
-    """X2 — exact n-gram Jaccard pairs via inverted index."""
+def _capped_pairs(spark, sf):
+    """The df-capped exact-Jaccard pair list shared by x2_dedup_clusters'
+    three arms (and benched standalone as x2_dedup_clusters.pairs)."""
     return ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
-                               n=3, threshold=0.4, materialize_index=True)
+                               n=3, threshold=0.4, max_doc_freq=100,
+                               materialize_index=True)
 
 
 def _q_x2_dedup_clusters(spark, sf):
-    """X2 — near-dup components over the n-gram Jaccard pair graph WITH
-    the document-frequency cap on (the configuration you would actually
-    run at 100 TB — a boilerplate shingle shared by 1M docs otherwise
-    makes a 10^12-pair bucket), through BOTH CC algorithms in one tagged
-    union (registry consolidation, r4 verdict): iterative min-label
-    propagation AND the alternating large-star/small-star contraction
-    (the 100x-density scale path). The pair list is computed ONCE and
-    checkpointed — both algorithms iterate over the same 2-column leaf,
-    so the union costs one pair-gen plus two (cheap) CC runs. Oracle:
-    DuckDB recursive-CTE transitive closure over the identically-capped
-    pair SQL, emitted once per algo tag — both algorithms are
-    driver-verified against it, not just equivalence-tested against each
-    other (the default "auto" hybrid — bounded label prop, star on the
-    contracted residual — is driver-verified through x7, whose pipeline
-    calls dedupe_by_components with the default). component_id = min
-    doc_id transitively reachable — the canonical-doc semantics a corpus
-    dedup keeps."""
-    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
-                                n=3, threshold=0.4, max_doc_freq=100,
-                                materialize_index=True
-                                ).localCheckpoint(eager=True)
+    """X2 — exact n-gram Jaccard near-dup pairs AND the components built
+    over them, in one tagged union (r6 consolidation: the pair list the
+    former x2_ngram_jaccard row verified is emitted here as the `pairs`
+    arm — it was already being computed as the CC input, so the merge
+    frees a registry slot at zero extra work; the uncapped exact-Jaccard
+    variant stays pytest-covered in tests/test_dedup.py).
+
+    Pair-gen runs WITH the document-frequency cap on (the configuration
+    you would actually run at 100 TB — a boilerplate shingle shared by
+    1M docs otherwise makes a 10^12-pair bucket), and components run
+    through BOTH CC algorithms: iterative min-label propagation AND the
+    alternating large-star/small-star contraction (the 100x-density
+    scale path). The pair list is computed ONCE and checkpointed — the
+    `pairs` arm and both CC algorithms read the same 2-column leaf, so
+    the union costs one pair-gen plus two (cheap) CC runs. Oracle:
+    DuckDB computes the identically-capped pair SQL (with Jaccard) and a
+    recursive-CTE transitive closure over it, emitted once per algo tag
+    — both algorithms are driver-verified against it, not just
+    equivalence-tested against each other (the default "auto" hybrid —
+    bounded label prop, star on the contracted residual — is
+    driver-verified through x7, whose pipeline calls
+    dedupe_by_components with the default). component_id = min doc_id
+    transitively reachable — the canonical-doc semantics a corpus dedup
+    keeps. Columns harmonized to (algo, id_a, id_b, metric): pairs carry
+    the exact Jaccard, component rows carry (doc, component min) with a
+    NULL metric."""
+    pairs = _capped_pairs(spark, sf).localCheckpoint(eager=True)
+    nmetric = F.lit(None).cast("double").alias("metric")
+    pair_rows = pairs.select(F.lit("pairs").alias("algo"), "id_a", "id_b",
+                             F.col("jaccard").alias("metric"))
     label = (neardup_components(pairs, algorithm="label_prop")
              .select(F.lit("label").alias("algo"),
-                     F.col("id").alias("doc_id"), "component_id"))
+                     F.col("id").alias("id_a"),
+                     F.col("component_id").alias("id_b"), nmetric))
     star = (neardup_components(pairs, algorithm="star")
             .select(F.lit("star").alias("algo"),
-                    F.col("id").alias("doc_id"), "component_id"))
-    return label.unionAll(star)
+                    F.col("id").alias("id_a"),
+                    F.col("component_id").alias("id_b"), nmetric))
+    return pair_rows.unionAll(label).unionAll(star)
 
 
 def _clusters_flavour(spark, sf, algorithm):
-    pairs = ngram_jaccard_pairs(_t(spark, sf, "documents"), "doc_id", "text",
-                                n=3, threshold=0.4, max_doc_freq=100,
-                                materialize_index=True)
-    return (neardup_components(pairs, algorithm=algorithm)
+    return (neardup_components(_capped_pairs(spark, sf),
+                               algorithm=algorithm)
             .select(F.col("id").alias("doc_id"), "component_id"))
 
 
@@ -1390,15 +1566,22 @@ def _q_x8_corpus_utils(spark, sf):
     modulo mode; the xxhash64 production mode is pytest-pinned for
     uniformity) composed with the vocabulary build (top-200 tokens by
     frequency over the TRAIN split only — the tokenizer-training prep),
-    sharded token-budget sequence packing (concat-then-chunk), and
-    overlapping character chunking (the retrieval/context-window prep).
+    sharded token-budget sequence packing (concat-then-chunk),
+    overlapping character chunking (the retrieval/context-window prep),
+    and — merged from the former x9_corpus_mix row (r6 consolidation) —
+    X9 weighted corpus mixing: rebalance to a target language mixture
+    (keep all rare-language docs, downsample the dominant ones) with a
+    deterministic md5-ranked per-group quota, engine-portable by
+    construction so the whole sampling decision stays value-checked.
     Columns harmonized to (kind, doc_id, a, b, c, h): vocab rows carry
     (NULL, n, NULL, NULL, token); pack rows carry (n_tokens, shard,
     bin_id, NULL); chunk rows carry (chunk_id, chunk_start, chunk_len,
     md5(chunk_text)) so the oracle value-checks the actual chunk
-    contents, not just offsets."""
+    contents, not just offsets; mix rows carry (sample_rank, NULL, NULL,
+    lang)."""
     from serverless_data_pipeline_spark.operators.corpus import (
-        chunk_documents, pack_sequences, train_test_split, vocabulary,
+        chunk_documents, corpus_mix, pack_sequences, train_test_split,
+        vocabulary,
     )
     docs = _t(spark, sf, "documents")
     split = train_test_split(docs, "doc_id", hashed=False)
@@ -1423,20 +1606,15 @@ def _q_x8_corpus_utils(spark, sf):
                      F.col("chunk_start").cast("long").alias("b"),
                      F.length("chunk_text").cast("long").alias("c"),
                      F.md5(F.col("chunk_text").cast("binary")).alias("h")))
-    return vocab.unionAll(pack).unionAll(chunk)
-
-
-def _q_x9_corpus_mix(spark, sf):
-    """X9 — weighted corpus mixing: rebalance the documents table to a
-    target language mixture (keep all rare-language docs, downsample the
-    dominant languages) with a deterministic md5-ranked per-group quota.
-    Engine-portable by construction, so the whole sampling decision is
-    value-checked against DuckDB."""
-    from serverless_data_pipeline_spark.operators.corpus import corpus_mix
-    mixed = corpus_mix(_t(spark, sf, "documents"), "lang", "doc_id",
-                       {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0,
-                        "zh": 0.5})
-    return mixed.select("doc_id", "lang", "sample_rank")
+    mix = (corpus_mix(docs, "lang", "doc_id",
+                      {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0,
+                       "zh": 0.5})
+           .select(F.lit("mix").alias("kind"), "doc_id",
+                   F.col("sample_rank").cast("long").alias("a"),
+                   F.lit(None).cast("long").alias("b"),
+                   F.lit(None).cast("long").alias("c"),
+                   F.col("lang").alias("h")))
+    return vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -1572,7 +1750,9 @@ _CLUSTERS_ORACLE = f"""
                               COUNT(*) AS c
                        FROM sh2 a JOIN sh2 b USING (sh)
                        WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-            pairs AS (SELECT id_a, id_b
+            pairs AS (SELECT id_a, id_b,
+                             ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c),
+                                   6) AS jacc
                       FROM common
                       JOIN sizes sa ON sa.doc_id = id_a
                       JOIN sizes sb ON sb.doc_id = id_b
@@ -1584,12 +1764,16 @@ _CLUSTERS_ORACLE = f"""
                 SELECT src, dst FROM edges
                 UNION
                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-            comp AS (SELECT src AS doc_id,
-                            LEAST(src, MIN(dst)) AS component_id
+            comp AS (SELECT src AS id_a,
+                            LEAST(src, MIN(dst)) AS id_b
                      FROM reach GROUP BY src)
-            SELECT 'label' AS algo, doc_id, component_id FROM comp
+            SELECT 'pairs' AS algo, id_a, id_b, jacc AS metric FROM pairs
             UNION ALL
-            SELECT 'star' AS algo, doc_id, component_id FROM comp"""
+            SELECT 'label' AS algo, id_a, id_b,
+                   CAST(NULL AS DOUBLE) AS metric FROM comp
+            UNION ALL
+            SELECT 'star' AS algo, id_a, id_b,
+                   CAST(NULL AS DOUBLE) AS metric FROM comp"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1996,31 +2180,6 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) <= 10""",
-        "x2_ngram_jaccard": f"""
-            WITH t AS (SELECT doc_id,
-                              {_TOKENS_SQL.format(c='text')} AS toks
-                       FROM documents),
-            sh0 AS (SELECT doc_id, unnest(list_distinct(
-                        CASE WHEN len(toks) < 3
-                             THEN [array_to_string(toks, ' ')]
-                             ELSE list_transform(range(1, len(toks) - 1),
-                                      i -> array_to_string(toks[i:i+2], ' '))
-                        END)) AS sh
-                    FROM t),
-            sh2 AS (SELECT doc_id, sh FROM sh0 WHERE sh <> ''),
-            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh2
-                      GROUP BY doc_id),
-            common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                              COUNT(*) AS c
-                       FROM sh2 a JOIN sh2 b USING (sh)
-                       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   ROUND(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 6)
-                       AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.4""",
         "x2_dedup_clusters": _CLUSTERS_ORACLE,
         "x7_corpus_exact": f"""
             WITH RECURSIVE
@@ -2159,7 +2318,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          unnest(generate_series(
                              1, greatest(1, length(text)), 448)) AS s
-                  FROM documents)""",
+                  FROM documents)
+            UNION ALL
+            SELECT 'mix', doc_id, CAST(sample_rank AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), lang
+            FROM (WITH wts(lang, frac) AS (VALUES ('en', 0.25), ('de', 1.0),
+                                                  ('es', 1.0), ('fr', 1.0),
+                                                  ('zh', 0.5)),
+                  r AS (SELECT doc_id, lang,
+                               ROW_NUMBER() OVER (
+                                   PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id) AS sample_rank,
+                               COUNT(*) OVER (PARTITION BY lang) AS n
+                        FROM documents)
+                  SELECT doc_id, lang, sample_rank
+                  FROM r JOIN wts USING (lang)
+                  WHERE sample_rank <= CEIL(frac * n))""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,
@@ -2305,20 +2480,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS INTEGER) AS n_units,
                    CAST(COUNT(*) AS INTEGER) AS n_kept
             FROM kept GROUP BY doc_id, n_tokens""",
-        "x9_corpus_mix": """
-            WITH wts(lang, frac) AS (VALUES ('en', 0.25), ('de', 1.0),
-                                            ('es', 1.0), ('fr', 1.0),
-                                            ('zh', 0.5)),
-            r AS (SELECT doc_id, lang,
-                         CAST(ROW_NUMBER() OVER (
-                             PARTITION BY lang
-                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-                           AS INTEGER) AS sample_rank,
-                         COUNT(*) OVER (PARTITION BY lang) AS n
-                  FROM documents)
-            SELECT doc_id, lang, sample_rank
-            FROM r JOIN wts USING (lang)
-            WHERE sample_rank <= CEIL(frac * n)""",
+        "streaming_ops_suite": """
+            SELECT 'good' AS kind, CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id, event_type,
+                   ROUND(value, 6) AS value
+            FROM events WHERE value >= 0.05
+            UNION ALL
+            SELECT 'quarantined' AS kind, CAST(event_id AS BIGINT),
+                   CAST(user_id AS BIGINT), event_type, ROUND(value, 6)
+            FROM events WHERE value < 0.05 OR value IS NULL""",
+        "s8_s9_suite": f"""
+            SELECT 'retain' AS kind, CAST(day(ts) AS BIGINT) AS a,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   {_MSUM_SQL.format(c='value')} AS val
+            FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+            GROUP BY 2
+            UNION ALL
+            SELECT 'tick' AS kind, CAST(event_id % 2 AS BIGINT) AS a,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   {_MSUM_SQL.format(c='value')} AS val
+            FROM events GROUP BY 2""",
         "x5_text_signals": f"""
             WITH t AS (SELECT doc_id, text,
                               {_TOKENS_SQL.format(c='lower(text)')} AS toks

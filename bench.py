@@ -37,10 +37,11 @@ HEADLINE = (
     "st3_window_agg",
     "w_window_suite",
     "x1_dedup_latest",
-    "x2_lsh_pairs",
     "x2_dedup_clusters",
     "x3_topk_similarity",
-    "x4_ann_suite",
+    # consolidated r6: x2_lsh_pairs + x4_ann_suite + g_approx_sketches
+    # in one row; per-flavour attribution lives in `subqueries`.
+    "x_approx_suite",
     "x5_text_signals",
     "x7_corpus_exact",
     "x10_decontaminate",

@@ -1,6 +1,6 @@
 """Print the physical plan of one or more registry queries.
 
-Usage: python scripts/explain_query.py q5_local_supplier [x9_corpus_mix ...]
+Usage: python scripts/explain_query.py q5_local_supplier [x8_corpus_utils ...]
        python scripts/explain_query.py --all          # every entry
 Optional: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.001 — plans only,
 so the smallest fixtures are enough).

@@ -197,7 +197,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     shuffle volume — the lever that matters on a cluster, where partials
     cross the network). The ±1 branch also becomes a branchless bit
     extract (sign(Σ±1) > 0 ⟺ 2·count_b > n). Honest local A/B at sf0.1
-    (x2_lsh_pairs.simhash, warm, min-of-3): 0.94 s → 0.92 s fingerprints,
+    (x_approx_suite.simhash, warm, min-of-3): 0.94 s → 0.92 s fingerprints,
     1.63 s → 1.81 s full pairs — flat within host noise; the r4 bench's
     3.3 s attribution to the 64 aggregates was contention, the local cost
     is the tokenize+explode scan either way. Kept for the shuffle-width

@@ -194,3 +194,35 @@ def apply_retention(spark, path: str, max_age_days: int,
     old = (df.select("year", "month", "day").distinct()
              .filter(F.make_date("year", "month", "day") < cutoff))
     return old.count()
+
+
+def delete_expired_partitions(spark, path: str, cutoff_date: str) -> int:
+    """S8, enforcement half — DELETE day-grain partitions strictly older
+    than ``cutoff_date`` ('yyyy-mm-dd'): the expiry action of the
+    reference's lifecycle rules (py:77-92), applied at the partition
+    directory level so it is a metadata listing + directory deletes —
+    no data files are read and no rows are rewritten.
+
+    The cutoff is an EXPLICIT date, not current_date arithmetic:
+    retention jobs replay deterministically (re-running yesterday's tick
+    deletes yesterday's set, not a shifted one) and tests/oracles can
+    state the surviving partition set exactly; callers wanting the
+    rolling policy pass `today - max_age_days`. The partition list is a
+    driver-side collect by design — it is directory metadata (one row
+    per day partition), the same inherently-small class as the control
+    plane's run listing. Deletes go through the Hadoop FileSystem API
+    (path-scheme-agnostic, same as swap_into_place). Returns the number
+    of day partitions deleted."""
+    df = spark.read.parquet(path)
+    old = (df.select("year", "month", "day").distinct()
+           .filter(F.make_date("year", "month", "day")
+                   < F.lit(cutoff_date).cast("date"))
+           .collect())
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for r in old:
+        part = (f"{path.rstrip('/')}/year={r['year']}"
+                f"/month={r['month']}/day={r['day']}")
+        jpath = jvm.org.apache.hadoop.fs.Path(part)
+        jpath.getFileSystem(conf).delete(jpath, True)
+    return len(old)

@@ -44,9 +44,11 @@ def test_small_dim_broadcasts(spark):
 def test_registry_fits_driver_correctness_window():
     """The driver verifies only the FIRST 50 registry entries
     (alphabetical) — r4 silently dropped 9 tail rows from verification by
-    growing to 59. Any new query must merge into an existing suite row
-    instead of overflowing the window."""
-    assert len(entry_mod.queries()) <= 50
+    growing to 59. Standing policy since r6 (verdict #8): keep >= 2 free
+    slots below the window, so a future operator lands WITH a driver row
+    instead of triggering another consolidation round. Any new query
+    beyond the headroom must merge into an existing suite row."""
+    assert len(entry_mod.queries()) <= 48
 
 
 def test_readme_counts_match_registry():
@@ -76,7 +78,7 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_no_cartesian_in_dedup(spark):
-    for name in ("x2_lsh_pairs", "x2_ngram_jaccard"):
+    for name in ("x_approx_suite", "x2_dedup_clusters"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
@@ -128,13 +130,14 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all three arms exactly two
+    O(top_n) heap (no global sort); across all four arms exactly three
     hash exchanges exist (vocab token groupBy + the per-shard packing
-    window) — chunking stays a narrow projection."""
+    window + the mix per-language window) — chunking stays a narrow
+    projection."""
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
@@ -145,7 +148,11 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
     excluded because building them executes streaming queries — their
     "plan" here is just the drained memory sink's LocalTableScan."""
     skip = {"st1_stream_exec", "st3_window_agg", "st5_session",
-            "st6_stateful", "st8_stream_join", "st9_stream_dedup"}
+            "st6_stateful", "st8_stream_join", "st9_stream_dedup",
+            # building these executes their streaming/sink side effects;
+            # the returned frame is a read-back scan of the results, so
+            # a plan assertion on it would check nothing
+            "streaming_ops_suite", "s8_s9_suite"}
     # Deliberate broadcast nested-loops: j56 (the cross-join op itself +
     # the tiny interval set), x3 (exact top-k = broadcast query batch x
     # one corpus pass — the intended scale plan for an exact baseline),
@@ -163,8 +170,15 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
 def test_corpus_mix_broadcast_weights_single_window_shuffle(spark):
     """corpus_mix: the weights table must arrive via broadcast (never a
     shuffled join for a 5-row dim) and both window functions share ONE
-    hash exchange on the group column."""
-    plan = _plan(spark, "x9_corpus_mix")
+    hash exchange on the group column. Asserted at operator level since
+    the registry row merged into x8_corpus_utils (r6)."""
+    from serverless_data_pipeline_spark.operators.corpus import corpus_mix
+    from serverless_data_pipeline_spark.schemas import load_table
+
+    df = corpus_mix(load_table(spark, SF, "documents"), "lang", "doc_id",
+                    {"en": 0.25, "de": 1.0, "es": 1.0, "fr": 1.0,
+                     "zh": 0.5})
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("Exchange hashpartitioning") == 1
 

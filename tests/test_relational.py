@@ -93,7 +93,7 @@ def test_sessionize_gap_splits(spark):
 
 
 def test_approx_sketches_error_bounds(spark):
-    """The rows-only sketch aggregates (g_approx_sketches) carry no
+    """The rows-only sketch aggregates (x_approx_suite sketch arm) carry no
     DuckDB oracle (sketch internals differ per engine), so pin their
     accuracy here: HLL++ within its 5% default rsd on a known
     cardinality, and percentile_approx EXACT below the default accuracy

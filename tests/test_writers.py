@@ -181,3 +181,23 @@ def test_partitioned_stream_sink(spark, tmp_path):
     assert out.count() == 2
     assert {"year", "month", "day", "hour"} <= set(out.columns)
     assert os.path.isdir(os.path.join(str(tmp_path / "sink"), "year=2026"))
+
+
+def test_delete_expired_partitions_removes_only_old_days(spark, tmp_path):
+    from serverless_data_pipeline_spark.sources.writers import (
+        delete_expired_partitions,
+    )
+
+    rows = [(i, dt.datetime(2024, 1, d, 6, 0, 0), float(i))
+            for i, d in enumerate((10, 15, 16, 20))]
+    path = str(tmp_path / "ret")
+    write_partitioned_parquet(
+        spark.createDataFrame(rows, "id long, ts timestamp, v double"), path)
+    n = delete_expired_partitions(spark, path, "2024-01-16")
+    assert n == 2  # days 10 and 15 strictly before the cutoff
+    back = spark.read.parquet(path)
+    assert sorted(r.day for r in back.select("day").collect()) == [16, 20]
+    # surviving rows are intact, not just surviving directories
+    assert sorted(r.id for r in back.select("id").collect()) == [2, 3]
+    # idempotent: nothing left to expire
+    assert delete_expired_partitions(spark, path, "2024-01-16") == 0
