@@ -49,6 +49,15 @@ def main() -> None:
     # cosine is noise-level, so "the" top-10 barely exists); production
     # embedding spaces are clustered and sit far above these numbers.
     shapes = {
+        # the registry row's cheap 2x8 config, exact-bucket vs the r6
+        # multiprobe default — the flip-1-bit probe set is the
+        # recall-per-table multiplier that costs no index storage
+        "lsh_2x8_mp0": lambda q: ann_topk(emb, "vec_id", "embedding", q,
+                                          k=K, n_tables=2, n_planes=8,
+                                          multiprobe=0),
+        "lsh_2x8_mp1": lambda q: ann_topk(emb, "vec_id", "embedding", q,
+                                          k=K, n_tables=2, n_planes=8,
+                                          multiprobe=1),
         "lsh_4x8": lambda q: ann_topk(emb, "vec_id", "embedding", q, k=K,
                                       n_tables=4, n_planes=8),
         "lsh_8x5": lambda q: ann_topk(emb, "vec_id", "embedding", q, k=K,

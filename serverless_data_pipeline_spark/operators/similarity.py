@@ -99,6 +99,26 @@ def _plane_sets(dim: int, n_tables: int, n_planes: int, seed: int):
              for _ in range(n_planes)] for _ in range(n_tables)]
 
 
+def _probe_buckets(qbucket: int, n_planes: int, multiprobe: int) -> list[int]:
+    """Multiprobe bucket set for one table (Lv et al., "Multi-Probe LSH",
+    VLDB'07 — the standard recall-per-table multiplier): the query's own
+    bucket plus every bucket within Hamming distance `multiprobe` of it.
+    A true neighbor that lands one sign-bit away from the query (the
+    dominant miss mode: one near-orthogonal plane flips) is then still
+    probed, at zero extra index storage — the trade is candidate volume,
+    1 + sum_d C(n_planes, d) buckets per table instead of 1."""
+    from itertools import combinations
+
+    probes = [qbucket]
+    for d in range(1, min(multiprobe, n_planes) + 1):
+        for bits in combinations(range(n_planes), d):
+            b = qbucket
+            for i in bits:
+                b ^= (1 << i)
+            probes.append(b)
+    return probes
+
+
 def add_sign_lsh_buckets(df: DataFrame, vec_col: str, dim: int,
                          n_tables: int = 4, n_planes: int = 8,
                          seed: int = 42,
@@ -120,17 +140,24 @@ def add_sign_lsh_buckets(df: DataFrame, vec_col: str, dim: int,
 def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
              query_vec: list[float], k: int = 10,
              n_tables: int = 4, n_planes: int = 8,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42, multiprobe: int = 1) -> DataFrame:
     """X4 — approximate top-k: score only corpus vectors that collide with
-    the query in >= 1 of `n_tables` sign-LSH tables. Inline mode computes
-    bucket ids per scan (one stacked matmul per Arrow batch); at scale
-    persist them once via add_sign_lsh_buckets and use ann_topk_indexed.
+    the query in >= 1 of `n_tables` sign-LSH tables, probing each table
+    multiprobe-style (the query bucket + every bucket within `multiprobe`
+    bit flips — see _probe_buckets; 0 restores exact-bucket probing).
+    Inline mode computes bucket ids per scan (one stacked matmul per
+    Arrow batch); at scale persist them once via add_sign_lsh_buckets and
+    use ann_topk_indexed.
 
-    Regime caveat (measured): sign-LSH collision probability per table is
-    (1 - theta/pi)^n_planes, so recall is high only when true neighbors
-    are high-cosine (near-dup regime, ~0.9+). For a query whose nearest
-    neighbors sit at cos ~0.35, recall collapses to ~0 — use
-    brute_force_topk (one scan, O(k)/task) or ivf_topk there."""
+    Regime caveat (measured, scripts/ann_recall.py): sign-LSH collision
+    probability per table is (1 - theta/pi)^n_planes, so exact-bucket
+    recall is high only when true neighbors are high-cosine (near-dup
+    regime, ~0.9+) — 2x8 tables measured recall@10 ~0.2 on a RANDOM
+    64-dim fixture (true neighbors at cos ~0.35). multiprobe=1 (default,
+    r6) lifts that same config to ~0.6-0.9 for the cost of scoring 9x
+    the buckets (still a tiny corpus fraction). For exhaustive
+    mid-cosine search use brute_force_topk (one scan, O(k)/task) or
+    ivf_topk."""
     dim = len(query_vec)
     tables = _plane_sets(dim, n_tables, n_planes, seed)
     qbuckets = [sign_bits(query_vec, planes) for planes in tables]
@@ -138,7 +165,8 @@ def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
         "__bkts", sign_buckets_udf(tables, dim)(F.col(vec_col)))
     cond = None
     for t, qb in enumerate(qbuckets):
-        c = F.element_at("__bkts", t + 1) == F.lit(qb)
+        probes = _probe_buckets(qb, n_planes, multiprobe)
+        c = F.element_at("__bkts", t + 1).isin(probes)
         cond = c if cond is None else (cond | c)
     scored = (with_b.filter(cond)
               .select(F.col(id_col),
@@ -151,7 +179,7 @@ def ann_topk_join(queries: DataFrame, corpus: DataFrame,
                   q_id: str, q_vec: str, c_id: str, c_vec: str,
                   dim: int, k: int = 10,
                   n_tables: int = 4, n_planes: int = 8,
-                  seed: int = 42) -> DataFrame:
+                  seed: int = 42, multiprobe: int = 1) -> DataFrame:
     """X4 batch form — approximate top-k for EVERY query row. The scale
     path when the query set is itself too large to broadcast-cross-join
     (brute_force_topk_join): bucket BOTH sides with the same sign-LSH
@@ -160,14 +188,21 @@ def ann_topk_join(queries: DataFrame, corpus: DataFrame,
     collisions, never |Q| x |C|. Candidates dedupe (a pair can collide in
     several tables) before one pairwise numpy-cosine verification, then
     per-query top-k via window. Shuffles: the bucket join + the top-k
-    window; both keyed, both AQE-skew-splittable. Same recall regime as
-    ann_topk (high-cosine neighbors; tables x planes tunes it)."""
-    def _exploded(df, id_in, vec_in, id_out, vec_out):
+    window; both keyed, both AQE-skew-splittable. Multiprobe expands the
+    QUERY side only (each query row emits its bucket + `multiprobe`-bit
+    flips per table, XOR'd executor-side) — the corpus index stays one
+    row per (vector, table), so the recall lift costs query-side fan-out
+    (tiny: |Q| x tables x probes), never index size. Same recall regime
+    as ann_topk (tables x planes x multiprobe tunes it)."""
+    def _exploded(df, id_in, vec_in, id_out, vec_out, probe: bool):
         b = add_sign_lsh_buckets(df, vec_in, dim, n_tables, n_planes, seed)
+        # XOR masks: _probe_buckets of the zero bucket IS the mask set
+        # (leading 0 = the un-flipped bucket itself).
+        masks = _probe_buckets(0, n_planes, multiprobe) if probe else [0]
         pairs = F.array(*[
             F.struct(F.lit(t).alias("tbl"),
-                     F.col(f"lsh_{t}").alias("bkt"))
-            for t in range(n_tables)])
+                     (F.col(f"lsh_{t}").bitwiseXOR(F.lit(m))).alias("bkt"))
+            for t in range(n_tables) for m in masks])
         return (b.select(F.col(id_in).alias(id_out),
                          F.col(vec_in).alias(vec_out),
                          F.explode(pairs).alias("__tb"))
@@ -175,8 +210,8 @@ def ann_topk_join(queries: DataFrame, corpus: DataFrame,
                          F.col("__tb.tbl").alias("__tbl"),
                          F.col("__tb.bkt").alias("__bkt")))
 
-    qx = _exploded(queries, q_id, q_vec, "query_id", "__qv")
-    cx = _exploded(corpus, c_id, c_vec, "neighbor_id", "__cv")
+    qx = _exploded(queries, q_id, q_vec, "query_id", "__qv", True)
+    cx = _exploded(corpus, c_id, c_vec, "neighbor_id", "__cv", False)
     cand = (qx.join(cx, ["__tbl", "__bkt"])
               .dropDuplicates(["query_id", "neighbor_id"]))
     score = pair_cosine_udf(dim)(F.col("__qv"), F.col("__cv"))
@@ -193,17 +228,22 @@ def ann_topk_join(queries: DataFrame, corpus: DataFrame,
 def ann_topk_indexed(corpus: DataFrame, id_col: str, vec_col: str,
                      query_vec: list[float], k: int = 10,
                      n_tables: int = 4, n_planes: int = 8,
-                     seed: int = 42, prefix: str = "lsh") -> DataFrame:
+                     seed: int = 42, prefix: str = "lsh",
+                     multiprobe: int = 1) -> DataFrame:
     """X4 probe over a bucket-indexed corpus (see add_sign_lsh_buckets):
-    the query's bucket per table is computed driver-side and the probe is
-    a plain equi-filter on materialized columns — partition-prunable when
-    the index table is written partitioned by bucket, and no per-scan
-    projection arithmetic at all."""
+    the query's probe buckets per table (own bucket + `multiprobe`-bit
+    flips, same recall lift as ann_topk) are computed driver-side and
+    the probe is a plain IN-filter on materialized columns —
+    partition-prunable when the index table is written partitioned by
+    bucket (an In predicate pushes to the scan exactly like EqualTo),
+    and no per-scan projection arithmetic at all."""
     dim = len(query_vec)
     tables = _plane_sets(dim, n_tables, n_planes, seed)
     cond = None
     for t, planes in enumerate(tables):
-        c = F.col(f"{prefix}_{t}") == F.lit(sign_bits(query_vec, planes))
+        probes = _probe_buckets(sign_bits(query_vec, planes), n_planes,
+                                multiprobe)
+        c = F.col(f"{prefix}_{t}").isin(probes)
         cond = c if cond is None else (cond | c)
     scored = (corpus.filter(cond)
               .select(F.col(id_col),

@@ -35,9 +35,44 @@ def test_extract_features_deterministic_stub(spark):
     assert row.features == [0.0, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
 
 
-def test_extract_features_real_decode_raises(spark):
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
+def test_extract_features_real_decode_raises_on_non_wav(spark):
+    # _media() payloads are application/octet-stream — the real-decode
+    # path only handles audio/wav (stdlib wave); anything else still
+    # raises where PIL/ffmpeg would be called.
+    with pytest.raises(Exception, match="NotImplementedError|decode|wav"):
         extract_features(_media(spark), decode_stub=False).collect()
+
+
+def test_wav_synthesize_decode_round_trip(spark):
+    """The real decode path: genuine RIFF/WAVE bytes are synthesized,
+    parsed back with stdlib wave, and the frame-level features must
+    match an independent numpy recomputation of the generator's closed
+    form — a mis-parsed header, wrong endianness, or dropped frame
+    fails."""
+    import numpy as np
+
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        synthesize_wav_payload,
+    )
+
+    ids = spark.createDataFrame([(3,), (107,)], "doc_id long")
+    wav = synthesize_wav_payload(ids, "doc_id")
+    # payloads are real RIFF containers
+    first = wav.filter("media_id = 3").first()
+    assert bytes(first.payload[:4]) == b"RIFF"
+    assert first.meta.mime == "audio/wav"
+    out = {r.media_id: r for r in
+           extract_features(wav, decode_stub=False).collect()}
+    for mid in (3, 107):
+        n = 50 + mid % 100
+        i = np.arange(n, dtype=np.int64)
+        s = ((mid * 31 + i * 17) % 2048) - 1024
+        r = out[mid]
+        assert r.n_channels == 1
+        assert r.sample_rate == 8000
+        assert r.n_frames == n
+        assert r.sample_sum == int(s.sum())
+        assert r.rms == round(float(np.sqrt((s * s).sum() / n)), 6)
 
 
 def test_frame_sample_explosion(spark):
