@@ -1361,11 +1361,17 @@ def _ann_flavours(spark, sf):
                else F.col("vec_id").alias("neighbor_id"))
         return df.select(F.lit(method).alias("method"), qcol, nid, "cosine")
 
+    # multiprobe=2 at the cheap 2x8 config (r6): measured recall@10 on
+    # the adversarial random-vector fixture (scripts/ann_recall.py,
+    # sf0.1) 0.14 exact-bucket -> 0.30 at 1 flip -> 0.64 at 2 flips —
+    # 37 probed buckets/table, zero extra index storage.
     inline = tag(ann_topk(e, "vec_id", "embedding", q, k=10,
-                          n_tables=2, n_planes=8), "lsh_inline", -1)
+                          n_tables=2, n_planes=8, multiprobe=2),
+                 "lsh_inline", -1)
     indexed = tag(ann_topk_indexed(
         add_sign_lsh_buckets(e, "embedding", dim=64, n_tables=2, n_planes=8),
-        "vec_id", "embedding", q, k=10, n_tables=2, n_planes=8),
+        "vec_id", "embedding", q, k=10, n_tables=2, n_planes=8,
+        multiprobe=2),
         "lsh_indexed", -2)
     queries_df = e.filter(F.col("vec_id") < 5).selectExpr(
         "vec_id as q_id", "embedding as qvec")

@@ -51,6 +51,27 @@ HEADLINE = (
 )
 
 
+def _calibrate_ms(reps: int = 40) -> float:
+    """Fixed-work, single-thread host-speed probe: md5 over a constant
+    1 MiB buffer, `reps` times, min-of-3. Recorded as `calib_ms` so
+    round-over-round bench deltas can be NORMALIZED for host speed
+    instead of argued (r5 verdict #6: identical code swung ±40% between
+    rounds on different/contended hosts). A round whose calib_ms is 1.3x
+    another's should expect ~1.3x on CPU-bound queries."""
+    import hashlib
+
+    buf = bytes(range(256)) * 4096  # 1 MiB
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(reps):
+            h.update(buf)
+        h.digest()
+        best = min(best, (time.perf_counter() - t0) * 1000)
+    return round(best, 2)
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from serverless_data_pipeline_spark.session import get_spark
@@ -89,6 +110,10 @@ def main() -> None:
         sub[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -96,6 +121,8 @@ def main() -> None:
         "queries": times,
         "subqueries": sub,
         "cold_total_sec": round(sum(cold.values()), 3),
+        "calib_ms": _calibrate_ms(),
+        "loadavg": loadavg,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

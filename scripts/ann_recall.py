@@ -58,6 +58,9 @@ def main() -> None:
         "lsh_2x8_mp1": lambda q: ann_topk(emb, "vec_id", "embedding", q,
                                           k=K, n_tables=2, n_planes=8,
                                           multiprobe=1),
+        "lsh_2x8_mp2": lambda q: ann_topk(emb, "vec_id", "embedding", q,
+                                          k=K, n_tables=2, n_planes=8,
+                                          multiprobe=2),
         "lsh_4x8": lambda q: ann_topk(emb, "vec_id", "embedding", q, k=K,
                                       n_tables=4, n_planes=8),
         "lsh_8x5": lambda q: ann_topk(emb, "vec_id", "embedding", q, k=K,

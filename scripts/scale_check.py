@@ -59,6 +59,19 @@ def amplified_embeddings(emb, factor: int):
                      .alias("embedding")))
 
 
+def amplified_lineitem(li, factor: int):
+    """factor copies per lineitem with join keys INTACT (l_orderkey /
+    l_partkey / l_suppkey unchanged) — fact-side density grows 10x
+    against the same dimensions, the stress case for join build/probe
+    sizing and agg key cardinality; l_linenumber is re-keyed so rows
+    stay unique."""
+    copies = F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    return (li.withColumn("__c", copies)
+            .withColumn("l_linenumber",
+                        F.col("l_linenumber") * factor + F.col("__c"))
+            .drop("__c"))
+
+
 def timed(fn) -> float:
     t0 = time.time()
     fn()
@@ -69,6 +82,12 @@ def main() -> None:
     spark = get_spark(app_name="scale_check")
     docs = entry_mod._t(spark, SF_DIR, "documents").select("doc_id", "text")
     emb = entry_mod._t(spark, SF_DIR, "embeddings")
+    li_base = entry_mod._t(spark, SF_DIR, "lineitem")
+    orders = entry_mod._t(spark, SF_DIR, "orders")
+    cust = entry_mod._t(spark, SF_DIR, "customer")
+    supp = entry_mod._t(spark, SF_DIR, "supplier")
+    nation = entry_mod._t(spark, SF_DIR, "nation")
+    region = entry_mod._t(spark, SF_DIR, "region")
     out: dict[str, dict[str, float]] = {}
     for factor in (1, 10):
         d = (docs if factor == 1
@@ -119,6 +138,59 @@ def main() -> None:
         r["semantic_dedup"] = timed(
             lambda: semantic_dedup(e, "vec_id", "embedding", threshold=0.3,
                                    n_clusters=16 * factor, dim=64).count())
+
+        # Relational flagships at amplified fact density (r5 verdict #7):
+        # same plan shapes as __spark_entry__ q3/q5/q10 (dimension
+        # broadcasts, pushed filters, TakeOrderedAndProject) with the
+        # amplified lineitem injected. Near-linear wall growth (flat
+        # rows/s) is the pass signal — a join-order or broadcast
+        # regression shows up as superlinear wall at 10x.
+        li = (li_base if factor == 1
+              else amplified_lineitem(li_base, factor)
+              ).localCheckpoint(eager=True)
+        n_li = li.count()
+        r["n_lineitem"] = n_li
+        rev = F.sum(F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))).alias("revenue")
+
+        def _q3():
+            cb = cust.filter(F.col("c_mktsegment") == "BUILDING")
+            return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                    .join(cb, orders.o_custkey == cb.c_custkey)
+                    .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+                    .agg(rev)
+                    .orderBy(F.col("revenue").desc(), "l_orderkey")
+                    .limit(10).count())
+
+        def _q5():
+            reg = region.filter(F.col("r_name") == "ASIA")
+            o = orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                              & (F.col("o_orderdate") < "1998-01-01"))
+            return (li.join(o, li.l_orderkey == o.o_orderkey)
+                    .join(cust, o.o_custkey == cust.c_custkey)
+                    .join(supp, (li.l_suppkey == supp.s_suppkey)
+                          & (cust.c_nationkey == supp.s_nationkey))
+                    .join(nation, supp.s_nationkey == nation.n_nationkey)
+                    .join(reg, nation.n_regionkey == reg.r_regionkey)
+                    .groupBy("n_name").agg(rev)
+                    .orderBy(F.col("revenue").desc()).count())
+
+        def _q10():
+            o = orders.filter((F.col("o_orderdate") >= "1996-01-01")
+                              & (F.col("o_orderdate") < "1996-07-01"))
+            lr = li.filter(F.col("l_returnflag") == "R")
+            return (lr.join(o, lr.l_orderkey == o.o_orderkey)
+                    .join(cust, o.o_custkey == cust.c_custkey)
+                    .join(nation, cust.c_nationkey == nation.n_nationkey)
+                    .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+                    .agg(rev)
+                    .orderBy(F.col("revenue").desc(), "c_custkey")
+                    .limit(20).count())
+
+        for name, fn in (("q3", _q3), ("q5", _q5), ("q10", _q10)):
+            r[name] = timed(fn)
+            r[f"{name}_rows_per_s"] = (round(n_li / r[name])
+                                       if r[name] else None)
         out[f"{factor}x"] = r
     print(json.dumps(out))
     spark.stop()

@@ -149,13 +149,15 @@ def ann_topk(corpus: DataFrame, id_col: str, vec_col: str,
     Arrow batch); at scale persist them once via add_sign_lsh_buckets and
     use ann_topk_indexed.
 
-    Regime caveat (measured, scripts/ann_recall.py): sign-LSH collision
-    probability per table is (1 - theta/pi)^n_planes, so exact-bucket
-    recall is high only when true neighbors are high-cosine (near-dup
-    regime, ~0.9+) — 2x8 tables measured recall@10 ~0.2 on a RANDOM
-    64-dim fixture (true neighbors at cos ~0.35). multiprobe=1 (default,
-    r6) lifts that same config to ~0.6-0.9 for the cost of scoring 9x
-    the buckets (still a tiny corpus fraction). For exhaustive
+    Regime caveat (measured, scripts/ann_recall.py, sf0.1 random 64-dim
+    fixture — true neighbors at cos ~0.35, ANN's adversarial case):
+    sign-LSH collision probability per table is (1 - theta/pi)^n_planes,
+    so exact-bucket recall is high only when true neighbors are
+    high-cosine (near-dup regime, ~0.9+). Measured recall@10 at 2x8:
+    0.14 exact-bucket, 0.30 at multiprobe=1 (9 buckets/table), 0.64 at
+    multiprobe=2 (37), 0.88 at multiprobe=3 (93) — each step trades
+    candidate volume (still a tiny corpus fraction) for recall at zero
+    index storage. The registry row runs multiprobe=2. For exhaustive
     mid-cosine search use brute_force_topk (one scan, O(k)/task) or
     ivf_topk."""
     dim = len(query_vec)

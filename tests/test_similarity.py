@@ -285,3 +285,35 @@ def test_pq_codebook_sample_is_deterministic(spark):
     with pytest.raises(ValueError, match="id_col"):
         train_pq_codebooks(emb.select("embedding"), "embedding",
                            dim=64, m=4, ksub=8)
+
+
+def test_multiprobe_lifts_random_fixture_recall(spark):
+    """The r6 multiprobe floor on the ADVERSARIAL regime (uniform random
+    vectors — every cosine is noise-level): the registry's cheap 2x8
+    config must reach mean recall@10 >= 0.5 with multiprobe=2 and
+    strictly beat its own exact-bucket probing. (The >= 0.8 floors above
+    cover the high-cosine planted regime; measured fixture-wide numbers
+    live in scripts/ann_recall.py: 0.14 mp0 / 0.30 mp1 / 0.64 mp2 at
+    sf0.1.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(1500, 64))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>").localCheckpoint(eager=True)
+    recalls = {0: 0.0, 2: 0.0}
+    queries = [vecs[j].tolist() for j in (11, 222, 333, 444, 555)]
+    for q in queries:
+        exact = {r[0] for r in
+                 brute_force_topk(df, "vec_id", "embedding", q, k=10)
+                 .collect()}
+        for mp in recalls:
+            approx = {r[0] for r in
+                      ann_topk(df, "vec_id", "embedding", q, k=10,
+                               n_tables=2, n_planes=8, multiprobe=mp)
+                      .collect()}
+            recalls[mp] += len(exact & approx) / 10
+    n = len(queries)
+    assert recalls[2] / n >= 0.5, recalls
+    assert recalls[2] > recalls[0], recalls
