@@ -1582,6 +1582,16 @@ def _q_x7_corpus_exact(spark, sf):
     # is cheap narrow work — measured A/B warm at sf0.01: 3.0s without
     # vs 3.4s with (the blocking materialization job costs more than the
     # recompute it saves; same verdict as the minhash/x7 notes above).
+    # Re-A/B'd at sf0.1 for the r5 verdict's "cut x7's job count" ask
+    # (interleaved min-of-3 on a noisy host): 9.2s without vs 9.8s with
+    # — still no win. The other suggested cuts don't apply: the three
+    # gates already fuse into ONE narrow stage (Catalyst pipelines the
+    # chained filters — there is no per-gate job to eliminate), and
+    # x2's checkpointed pair list is over a DIFFERENT input (full docs,
+    # df-capped) so reusing it would change x7's semantics. x7 stays
+    # checkpoint-barrier + CC-round bound: ~0.3s exact-dedup ckpt +
+    # ~3.8s pair-gen/CC + ~6s gates/decontaminate compute, which
+    # amortizes on a cluster (the barriers are fixed job overhead).
     train = repg.filter(F.col("doc_id") % 10 < 8)
     ev = docs.filter(F.col("doc_id") % 10 >= 8)
     out = decontaminate(train, ev, "doc_id", "text", n=5)
