@@ -235,19 +235,28 @@ def ann_topk_indexed(corpus: DataFrame, id_col: str, vec_col: str,
     """X4 probe over a bucket-indexed corpus (see add_sign_lsh_buckets):
     the query's probe buckets per table (own bucket + `multiprobe`-bit
     flips, same recall lift as ann_topk) are computed driver-side and
-    the probe is a plain IN-filter on materialized columns —
-    partition-prunable when the index table is written partitioned by
-    bucket (an In predicate pushes to the scan exactly like EqualTo),
-    and no per-scan projection arithmetic at all."""
+    each table probes as its own IN-filtered scan; the per-table
+    candidate sets union and dedupe by id before scoring.
+
+    The union-of-scans structure is the point (fixed r6, plan-asserted):
+    the natural single-scan form `(lsh_0 IN ...) OR (lsh_1 IN ...)` is a
+    DISJUNCTION across columns, which Spark can push neither to
+    PartitionFilters nor to PushedFilters — the "index" probe was
+    silently a full scan. A per-table conjunctive IN prunes: write the
+    index partitioned by `lsh_0` and arm 0 reads only its probed bucket
+    directories (at 100 TB, store one copy per table partitioned by
+    that table's bucket — T small copies of (id, vec, bucket) — and
+    every arm prunes). The dedup is a shuffle on the candidate set only
+    (bucket contents, tiny by construction)."""
     dim = len(query_vec)
     tables = _plane_sets(dim, n_tables, n_planes, seed)
-    cond = None
+    cand = None
     for t, planes in enumerate(tables):
         probes = _probe_buckets(sign_bits(query_vec, planes), n_planes,
                                 multiprobe)
-        c = F.col(f"{prefix}_{t}").isin(probes)
-        cond = c if cond is None else (cond | c)
-    scored = (corpus.filter(cond)
+        arm = corpus.filter(F.col(f"{prefix}_{t}").isin(probes))
+        cand = arm if cand is None else cand.unionAll(arm)
+    scored = (cand.dropDuplicates([id_col])
               .select(F.col(id_col),
                       F.round(_np_cosine(vec_col, query_vec), 6)
                        .alias("cosine")))

@@ -317,3 +317,31 @@ def test_multiprobe_lifts_random_fixture_recall(spark):
     n = len(queries)
     assert recalls[2] / n >= 0.5, recalls
     assert recalls[2] > recalls[0], recalls
+
+
+def test_indexed_multiprobe_filter_prunes_partitions(spark, tmp_path):
+    """The index-build/probe split's 100 TB claim, plan-asserted: writing
+    the corpus partitioned by a bucket column and probing with
+    ann_topk_indexed must turn the multiprobe IN-filter into partition
+    pruning (PartitionFilters on lsh_0), not a full scan + filter."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(rng.normal(size=(300, 16)))],
+        "vec_id long, embedding array<double>")
+    indexed = add_sign_lsh_buckets(df, "embedding", dim=16, n_tables=2,
+                                   n_planes=4)
+    path = str(tmp_path / "lsh_index")
+    indexed.write.partitionBy("lsh_0").parquet(path)
+    probe = ann_topk_indexed(spark.read.parquet(path), "vec_id",
+                             "embedding", [0.1] * 16, k=5,
+                             n_tables=2, n_planes=4, multiprobe=1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # the lsh_0 probe arm must prune partitions; the OR-across-columns
+    # single-scan form pushed NOTHING (PartitionFilters: []) — the bug
+    # the r6 union-of-scans restructure fixed
+    pruned = [seg.split("PartitionFilters")[1][:400]
+              for seg in plan.split("FileScan")[1:]
+              if "PartitionFilters" in seg]
+    assert any("lsh_0" in pf for pf in pruned), plan
