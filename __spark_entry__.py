@@ -977,27 +977,49 @@ def _q_s_sink_suite(spark, sf):
 
 
 def _q_streaming_ops_suite(spark, sf):
-    """S6 + S7 + ST7 — the buffered/quarantining streaming sink path
+    """S6 + S7 + ST7 + ST2 + ST4 — the streaming sink/discipline paths
     checked END-TO-END (r5 verdict #1: these families were pytest-only
-    because the registry had no free slots): a TRUE readStream over the
-    events fixture runs through start_quarantining_stream's foreachBatch
-    split — rows passing the validity predicate land in the partitioned
-    processed sink (S6, the Firehose buffer contract py:199-213), rows
-    failing it are appended to the errors/ quarantine with a reason (ST7
-    dead-letter routing, py:198 + py:122-137) — then BOTH sinks are read
-    back from disk and unioned. The oracle states the good/bad partition
-    of events directly, so a dropped row, a duplicated batch, a
-    mis-routed row, or type drift through the parquet/JSON sinks all
-    hash-mismatch. (The DLQ bounded-retry arm needs a deterministically
-    FAILING sink; that stays pytest-covered — tests/test_streaming.py.)
+    because the registry had no free slots):
 
-    Fresh uuid working dirs per call (the checkpointed stream must see
-    an empty sink), prior dirs swept age-gated."""
+    - `good`/`quarantined`: a TRUE readStream runs through
+      start_quarantining_stream's foreachBatch split — rows passing the
+      validity predicate land in the partitioned processed sink (S6, the
+      Firehose buffer contract py:199-213), rows failing it are appended
+      to the errors/ quarantine with a reason (ST7 dead-letter routing,
+      py:198 + py:122-137) — then BOTH sinks are read back from disk.
+      The oracle states the good/bad partition of events directly, so a
+      dropped row, duplicated batch, mis-routed row, or type drift
+      through the parquet/JSON sinks all hash-mismatch. (The DLQ
+      bounded-retry arm needs a deterministically FAILING sink; that
+      stays pytest-covered — tests/test_streaming.py.)
+    - `st2` (r6): the NATIVE partitioned streaming sink
+      (start_partitioned_stream — writeStream format parquet, hive
+      year/month/day/hour layout, exactly-once via checkpoint), read
+      back through a day=16 PARTITION-PRUNED scan, so both the sink's
+      row fidelity and its partition-column derivation are
+      value-checked.
+    - `late_window` (r6, ST4): watermark late-data discipline through a
+      real two-run checkpointed streaming aggregation — run 1 drains the
+      fixture through an append-mode 1h-tumbling agg with a 1h
+      watermark; run 2 lands ONE planted late row (min fixture ts, value
+      99999) and resumes from the checkpoint. The watermark persisted at
+      run 1's end (max_ts - 1h) drops the late row; append mode emits
+      exactly the windows whose end <= that watermark. If the drop
+      failed, the stale window's state would re-emit as a duplicate
+      window row with the planted value — a row-count AND hash mismatch.
+      The oracle states the emitted set directly: fixture hour windows
+      with window_start + 2h <= max(ts), fixture values only.
+
+    Fresh uuid working dirs per call (the checkpointed streams must see
+    empty sinks), prior dirs swept age-gated."""
     import tempfile
     import uuid
 
     from serverless_data_pipeline_spark.streaming.sinks import (
-        start_quarantining_stream,
+        start_partitioned_stream, start_quarantining_stream,
+    )
+    from serverless_data_pipeline_spark.streaming.windows import (
+        tumbling_agg,
     )
 
     _prep(spark)
@@ -1021,7 +1043,41 @@ def _q_streaming_ops_suite(spark, sf):
                    "value double")
            .json(base + "/errors")
            .select(F.lit("quarantined").alias("kind"), *cols))
-    return good.unionAll(bad)
+
+    q2 = start_partitioned_stream(
+        _events_readstream(spark, sf), base + "/st2",
+        checkpoint=base + "/ckpt2", trigger={"availableNow": True})
+    q2.awaitTermination(300)
+    st2 = (spark.read.parquet(base + "/st2")
+           .filter(F.col("day") == 16)
+           .select(F.lit("st2").alias("kind"), *cols))
+
+    land, out4, ck4 = base + "/late_land", base + "/late_out", base + "/ck4"
+    evs = _t(spark, sf, "events").select("ts", "value")
+    evs.write.parquet(land)
+    late_schema = spark.read.parquet(land).schema
+
+    def _drain_tumbling():
+        stream = spark.readStream.schema(late_schema).parquet(land)
+        agg = tumbling_agg(stream, keys=(), width="1 hour",
+                           watermark="1 hour")
+        qq = (agg.writeStream.format("parquet").option("path", out4)
+              .option("checkpointLocation", ck4).outputMode("append")
+              .trigger(availableNow=True).start())
+        qq.awaitTermination(300)
+
+    _drain_tumbling()
+    min_ts = evs.agg(F.min("ts")).first()[0]
+    spark.createDataFrame([(min_ts, 99999.0)], late_schema) \
+        .write.mode("append").parquet(land)
+    _drain_tumbling()
+    late = (spark.read.parquet(out4)
+            .select(F.lit("late_window").alias("kind"),
+                    F.unix_timestamp("window_start").alias("event_id"),
+                    F.col("n_events").cast("long").alias("user_id"),
+                    F.lit(None).cast("string").alias("event_type"),
+                    F.col("sum_value").alias("value")))
+    return good.unionAll(bad).unionAll(st2).unionAll(late)
 
 
 def _q_s8_s9_suite(spark, sf):
@@ -1043,7 +1099,11 @@ def _q_s8_s9_suite(spark, sf):
       Each tick appends one aggregate row tagged by the batch's id
       parity — if tick 2 re-read batch 1 (or missed batch 2), the tag
       grouping emits the wrong rows and the oracle (per-parity
-      aggregates of events) hash-mismatches."""
+      aggregates of events) hash-mismatches.
+    - `archive` (r6, S4): the raw-retention archive sink
+      (write_archive, snappy) written and read back whole; oracle =
+      the global aggregate of events, so archive loss/duplication/type
+      drift hash-mismatches."""
     import tempfile
     import uuid
 
@@ -1051,7 +1111,8 @@ def _q_s8_s9_suite(spark, sf):
         scheduled_batch_query,
     )
     from serverless_data_pipeline_spark.sources.writers import (
-        delete_expired_partitions, write_partitioned_parquet,
+        delete_expired_partitions, write_archive,
+        write_partitioned_parquet,
     )
 
     _prep(spark)
@@ -1087,7 +1148,15 @@ def _q_s8_s9_suite(spark, sf):
     tick = (spark.read.parquet(out)
             .select(F.lit("tick").alias("kind"),
                     F.col("a").cast("long").alias("a"), "n_rows", "val"))
-    return retain.unionAll(tick)
+
+    write_archive(ev.select("event_id", "value"), base + "/archive",
+                  mode="overwrite")
+    archive = (spark.read.parquet(base + "/archive")
+               .agg(F.count("*").alias("n_rows"), _msum("value", "val"))
+               .select(F.lit("archive").alias("kind"),
+                       F.lit(None).cast("long").alias("a"),
+                       "n_rows", "val"))
+    return retain.unionAll(tick).unionAll(archive)
 
 
 def _q_st9_stream_dedup(spark, sf):
@@ -2527,7 +2596,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'quarantined' AS kind, CAST(event_id AS BIGINT),
                    CAST(user_id AS BIGINT), event_type, ROUND(value, 6)
-            FROM events WHERE value < 0.05 OR value IS NULL""",
+            FROM events WHERE value < 0.05 OR value IS NULL
+            UNION ALL
+            SELECT 'st2' AS kind, CAST(event_id AS BIGINT),
+                   CAST(user_id AS BIGINT), event_type, ROUND(value, 6)
+            FROM events WHERE day(CAST(ts AS TIMESTAMP)) = 16
+            UNION ALL
+            -- ST4: append-mode emission = windows whose end cleared the
+            -- final watermark (max ts - 1 h); the planted late row is
+            -- dropped, so values are fixture-only.
+            SELECT 'late_window' AS kind,
+                   CAST(floor(epoch(ws)) AS BIGINT) AS event_id,
+                   CAST(COUNT(*) AS BIGINT) AS user_id,
+                   CAST(NULL AS VARCHAR) AS event_type,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4)))
+                              AS DOUBLE), 2) AS value
+            FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
+                         value
+                  FROM events)
+            GROUP BY ws
+            HAVING ws + INTERVAL 2 HOUR <=
+                   (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""",
         "s8_s9_suite": f"""
             SELECT 'retain' AS kind, CAST(day(ts) AS BIGINT) AS a,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -2538,7 +2627,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'tick' AS kind, CAST(event_id % 2 AS BIGINT) AS a,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    {_MSUM_SQL.format(c='value')} AS val
-            FROM events GROUP BY 2""",
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'archive' AS kind, CAST(NULL AS BIGINT) AS a,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   {_MSUM_SQL.format(c='value')} AS val
+            FROM events""",
         "x5_text_signals": f"""
             WITH t AS (SELECT doc_id, text,
                               {_TOKENS_SQL.format(c='lower(text)')} AS toks
