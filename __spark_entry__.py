@@ -1364,7 +1364,7 @@ def _q_x_approx_suite(spark, sf):
       approx value) — G2/G6 approximate aggregates;
     - the four X2 near-dup flavours (minhash/simhash/embedding/semantic)
       carry (NULL, id_a, id_b, flavour score);
-    - the five X4 ANN shapes carry (NULL, query_id, neighbor_id,
+    - the six X4 ANN shapes carry (NULL, query_id, neighbor_id,
       cosine)."""
     ids = [F.lit(None).cast("long").alias("id_a"),
            F.lit(None).cast("long").alias("id_b")]
@@ -1398,7 +1398,7 @@ def _sketch_flavour(spark, sf):
 
 
 def _ann_flavours(spark, sf):
-    """X4 — all five ANN shapes in one tagged union (rows-only: LSH/IVF
+    """X4 — all six ANN shapes in one tagged union (rows-only: LSH/IVF
     pruning isn't SQL-expressible; recall vs the exact X3 result is
     pytest-asserted per flavour in tests/test_similarity.py):
 
@@ -1411,6 +1411,9 @@ def _ann_flavours(spark, sf):
       vectors) — the scale path when the query set can't broadcast;
     - `ivf`: probed top-k with a TRAINED k-means codebook
       (train_ivf_centroids, the real offline index build; query_id = -3);
+    - `ivf_indexed` (r6): the same probe over MATERIALIZED cell ids
+      (assign_ivf_cells) — the inverted-file build/probe split whose
+      single-column IN filter partition-prunes (query_id = -5);
     - `pq_refined`: product-quantization ADC top-50 shortlist from
       trained per-subspace codebooks, exact-cosine re-rank to top-10
       (train_pq_codebooks/pq_topk — the m-bytes-per-vector billion-scale
@@ -1452,6 +1455,13 @@ def _ann_flavours(spark, sf):
     ivf = tag(ivf_topk(e, "vec_id", "embedding", q, k=10, n_probe=4,
                        centroids=cents), "ivf", -3)
     from serverless_data_pipeline_spark.operators.similarity import (
+        assign_ivf_cells, ivf_topk_indexed,
+    )
+    ivf_ix = tag(ivf_topk_indexed(
+        assign_ivf_cells(e, "embedding", cents, dim=64),
+        "vec_id", "embedding", q, k=10, n_probe=4, centroids=cents),
+        "ivf_indexed", -5)
+    from serverless_data_pipeline_spark.operators.similarity import (
         pq_topk, train_pq_codebooks,
     )
     books = train_pq_codebooks(e, "embedding", dim=64, m=8, ksub=16,
@@ -1459,7 +1469,7 @@ def _ann_flavours(spark, sf):
     pq = tag(pq_topk(e, "vec_id", "embedding", q, k=10, codebooks=books,
                      refine=50), "pq_refined", -4)
     return (inline.unionAll(indexed).unionAll(batch).unionAll(ivf)
-            .unionAll(pq))
+            .unionAll(ivf_ix).unionAll(pq))
 
 
 def _lsh_flavours(spark, sf):

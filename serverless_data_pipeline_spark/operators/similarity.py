@@ -43,6 +43,7 @@ from serverless_data_pipeline_spark.operators.util import spread_small_input
 
 __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "ann_topk_join", "ann_topk_indexed", "ivf_topk",
+           "assign_ivf_cells", "ivf_topk_indexed",
            "train_ivf_centroids", "add_sign_lsh_buckets", "group_centroids",
            "train_pq_codebooks", "pq_encode", "pq_topk"]
 
@@ -417,6 +418,58 @@ def pq_topk(corpus: DataFrame, id_col: str, vec_col: str,
             .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
 
 
+def assign_ivf_cells(df: DataFrame, vec_col: str,
+                     centroids: list[list[float]], dim: int,
+                     out_col: str = "ivf_cell") -> DataFrame:
+    """Index build for the IVF path: materialize each vector's nearest-
+    centroid cell id (one narrow Arrow-matmul pass, no shuffle). Write
+    the result partitioned by `out_col` ONCE and every probe is a
+    partition-prunable single-column IN filter (ivf_topk_indexed) — the
+    inverted-file layout: a probe reads n_probe/n_cells of the corpus
+    from disk, not all of it. Same assignment kernel as ivf_topk's
+    inline mode, so indexed == inline results (pytest-pinned)."""
+    return df.withColumn(
+        out_col,
+        argmax_cell_udf([list(map(float, c)) for c in centroids], dim)(
+            F.col(vec_col)))
+
+
+def _probe_cells(query_vec: list[float], cents: list[list[float]],
+                 n_probe: int) -> list[int]:
+    """The n_probe nearest cells to the query by cosine (driver-side —
+    the codebook is a small constant)."""
+    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    qsims = []
+    for ci, c in enumerate(cents):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        qsims.append((sum(a * b for a, b in zip(query_vec, c))
+                      / (qnorm * cn), -ci))
+    return [-nci for _, nci in sorted(qsims, reverse=True)[:n_probe]]
+
+
+def ivf_topk_indexed(corpus: DataFrame, id_col: str, vec_col: str,
+                     query_vec: list[float], k: int = 10,
+                     n_probe: int = 4,
+                     centroids: list[list[float]] | None = None,
+                     cell_col: str = "ivf_cell") -> DataFrame:
+    """X4 probe over a cell-indexed corpus (see assign_ivf_cells): the
+    query's n_probe nearest cells are computed driver-side and the probe
+    is ONE conjunctive IN filter on the materialized cell column —
+    unlike the multi-table LSH probe (which needs a union of per-table
+    scans to prune), a single-codebook IVF probe prunes directly, so an
+    index written `partitionBy(cell_col)` serves each query from
+    n_probe directories."""
+    if centroids is None:
+        raise ValueError("ivf_topk_indexed needs the trained `centroids` "
+                         "the index was built with (train_ivf_centroids)")
+    probe = _probe_cells(query_vec, centroids, n_probe)
+    scored = (corpus.filter(F.col(cell_col).isin(probe))
+              .select(F.col(id_col),
+                      F.round(_np_cosine(vec_col, query_vec), 6)
+                       .alias("cosine")))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,
              query_vec: list[float], k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
@@ -442,13 +495,7 @@ def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,
     assigned = corpus.select(
         F.col(id_col), F.col(vec_col),
         argmax_cell_udf(cents, dim)(F.col(vec_col)).alias("__cell"))
-    qnorm = math.sqrt(sum(x * x for x in query_vec)) or 1.0
-    qsims = []
-    for ci, c in enumerate(cents):
-        cn = math.sqrt(sum(x * x for x in c)) or 1.0
-        qsims.append((sum(a * b for a, b in zip(query_vec, c)) / (qnorm * cn),
-                      -ci))
-    probe = [-nci for _, nci in sorted(qsims, reverse=True)[:n_probe]]
+    probe = _probe_cells(query_vec, cents, n_probe)
 
     scored = (assigned.filter(F.col("__cell").isin(probe))
               .select(F.col(id_col),

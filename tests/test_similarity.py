@@ -345,3 +345,39 @@ def test_indexed_multiprobe_filter_prunes_partitions(spark, tmp_path):
               for seg in plan.split("FileScan")[1:]
               if "PartitionFilters" in seg]
     assert any("lsh_0" in pf for pf in pruned), plan
+
+
+def test_ivf_indexed_matches_inline_and_prunes(spark, tmp_path):
+    """assign_ivf_cells + ivf_topk_indexed: results identical to the
+    inline ivf_topk for the same codebook, and the single-column IN
+    probe partition-prunes when the index is written partitionBy(cell)
+    — the inverted-file layout (each probe reads n_probe/n_cells of the
+    corpus from disk)."""
+    import numpy as np
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        assign_ivf_cells, ivf_topk_indexed, train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(rng.normal(size=(400, 16)))],
+        "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, "embedding", n_cells=8, seed=1,
+                                max_iter=5)
+    q = [0.2] * 16
+    inline = [tuple(r) for r in
+              ivf_topk(df, "vec_id", "embedding", q, k=5, n_probe=3,
+                       centroids=cents).collect()]
+    path = str(tmp_path / "ivf_index")
+    assign_ivf_cells(df, "embedding", cents, dim=16) \
+        .write.partitionBy("ivf_cell").parquet(path)
+    indexed_df = ivf_topk_indexed(spark.read.parquet(path), "vec_id",
+                                  "embedding", q, k=5, n_probe=3,
+                                  centroids=cents)
+    assert [tuple(r) for r in indexed_df.collect()] == inline
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    pruned = [seg.split("PartitionFilters")[1][:300]
+              for seg in plan.split("FileScan")[1:]
+              if "PartitionFilters" in seg]
+    assert any("ivf_cell" in pf for pf in pruned), plan
