@@ -16,9 +16,10 @@ from serverless_data_pipeline_spark.functions.text import (
     shingles_from_tokens, token_count, tokens,
 )
 
-__all__ = ["train_test_split", "vocabulary", "pack_sequences", "corpus_mix",
-           "chunk_documents", "decontaminate", "segment_dedup",
-           "passage_dedup", "passage_rank_choice"]
+__all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
+           "pack_sequences", "corpus_mix", "chunk_documents",
+           "decontaminate", "shingle_bloom", "bloom_decontaminate",
+           "segment_dedup", "passage_dedup", "passage_rank_choice"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -43,6 +44,56 @@ def train_test_split(df: DataFrame, id_col: str,
               .withColumn("split",
                           F.when(F.col("split_id") < train_cutoff, "train")
                            .otherwise("eval")))
+
+
+def leakage_safe_split(df: DataFrame, id_col: str,
+                       text_col: str | None = None,
+                       group_col: str | None = None,
+                       n_splits: int = 10, train_cutoff: int = 8,
+                       hashed: bool = True, seed: int = 42) -> DataFrame:
+    """Train/eval split that assigns by duplicate GROUP, not by row —
+    every member of a group lands in the same split, so a document and
+    its (near-)duplicates can never straddle the train/eval boundary.
+    Splitting a deduplicatable corpus row-wise leaks: the copy in train
+    memorizes the copy in eval, and eval loss under-reports (the
+    failure mode the dedup literature calls out — Lee et al. 2022 §6
+    measure exactly this train/test overlap effect).
+
+    Pass exactly one of:
+    * ``text_col`` — groups are EXACT-duplicate classes (md5 of the
+      text); the group key is the class's canonical ``min(id)``, the
+      same canonical-doc convention X1/X2 use.
+    * ``group_col`` — a caller-supplied numeric group key, e.g.
+      ``component_id`` from ``neardup_components`` (near-dup-safe
+      split) or a url-host/source id (domain-held-out split). The
+      frame already carries the grouping, so this path adds NO
+      shuffle — a narrow projection exactly like ``train_test_split``.
+
+    Split assignment reuses ``train_test_split``'s rule on the group
+    key (xxhash64 when ``hashed``, portable raw modulo otherwise), so
+    membership is deterministic, stable under corpus growth, and
+    engine-portable in the oracle mode. Returns ``df`` plus
+    ``group_key``, ``split_id``, ``split``.
+
+    Scale shape (``text_col`` mode): one fingerprint-grain groupBy (one
+    row per DISTINCT text, map-side combinable min) + one join of the
+    corpus against that canonical map — the same two-shuffle shape as
+    X1 exact dedup, linear in corpus size. No Python in the row path."""
+    if (text_col is None) == (group_col is None):
+        raise ValueError("pass exactly one of text_col / group_col")
+    if group_col is not None:
+        keyed = df.withColumn("group_key", F.col(group_col))
+    else:
+        fp = F.md5(F.col(text_col).cast("binary")).alias("__gfp")
+        canon = (df.select(fp, F.col(id_col))
+                   .groupBy("__gfp")
+                   .agg(F.min(id_col).alias("group_key")))
+        keyed = (df.withColumn("__gfp", fp)
+                   .join(canon, "__gfp").drop("__gfp"))
+    out = train_test_split(keyed, "group_key", n_splits=n_splits,
+                           train_cutoff=train_cutoff, hashed=hashed,
+                           seed=seed)
+    return out
 
 
 def corpus_mix(df: DataFrame, group_col: str, id_col: str,
@@ -183,6 +234,86 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     return (train.join(hits, id_col, "left")
             .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
             .withColumn("contaminated", F.col("n_overlap") >= min_overlap))
+
+
+def shingle_bloom(df: DataFrame, text_col: str, n: int = 5,
+                  m_bits: int = 1 << 28, k_hashes: int = 4) -> DataFrame:
+    """Distributed Bloom bitmap of a corpus's distinct word ``n``-gram
+    set, as a DataFrame of packed 64-bit words ``(word_idx, word)`` —
+    at most ``m_bits / 64`` rows regardless of corpus size. Built
+    entirely engine-side: shingle → ``k_hashes`` positions
+    (``xxhash64(shingle, i) mod m``) → distinct → bit-OR into words.
+    One shuffle keyed on ``word_idx`` (map-side partial ``bit_or``);
+    the bitmap never touches the driver."""
+    sh = df.select(F.explode(F.array_distinct(
+        shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+    pos = sh.select(F.explode(F.array(
+        *[F.pmod(F.xxhash64("__sh", F.lit(i)), F.lit(m_bits))
+          for i in range(k_hashes)])).alias("__pos"))
+    return (pos.groupBy((F.col("__pos") / 64).cast("long")
+                        .alias("word_idx"))
+            .agg(F.expr("bit_or(shiftleft(1L, cast(__pos % 64 as int)))")
+                  .alias("word")))
+
+
+def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
+                        id_col: str, text_col: str,
+                        n: int = 5, min_overlap: int = 1,
+                        m_bits: int = 1 << 28,
+                        k_hashes: int = 4) -> DataFrame:
+    """X10's scale path: Bloom-filter benchmark decontamination, for
+    when the held-out set's raw distinct-shingle frame outgrows a
+    comfortable broadcast. ``decontaminate`` broadcasts the eval
+    shingle STRINGS (~tens of bytes each); this broadcasts a fixed
+    ``m_bits``-bit bitmap (~9.6 bits/element at 1 % FP) — one to two
+    orders of magnitude smaller for the same eval set, and its size is
+    chosen up front, independent of shingle width.
+
+    Same contract as ``decontaminate`` (returns ``train`` +
+    ``n_overlap`` + ``contaminated``) with one-sided error: NO false
+    negatives ever (every truly shared n-gram hashes to set bits), and
+    false-positive shingles at the standard Bloom rate
+    ``(1 - e^(-kn/m))^k`` — a flagged doc may be clean, a clean verdict
+    is always right. That direction is the safe one for
+    decontamination: you over-drop slightly, you never leak eval data
+    into train. Deterministic: fixed seeds (0..k-1), no randomness.
+
+    Scale shape: the bitmap frame (≤ ``m_bits/64`` rows) broadcasts;
+    the probe is ``k_hashes`` chained broadcast hash joins over the
+    train shingle scan — whole-stage-codegen'd, NO shuffle of train
+    data at all (same never-shuffle-train property as the exact path,
+    plan-asserted in tests). The only shuffles key on ``id_col`` for
+    the per-doc overlap count, exactly as in ``decontaminate``."""
+    bloom = shingle_bloom(eval_df, text_col, n=n, m_bits=m_bits,
+                          k_hashes=k_hashes)
+    t_sh = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+    probe = t_sh
+    hit = F.lit(True)
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64("__sh", F.lit(i)), F.lit(m_bits))
+        b = F.broadcast(
+            bloom.select(F.col("word_idx").alias(f"__w{i}"),
+                         F.col("word").alias(f"__word{i}")))
+        probe = (probe
+                 .withColumn(f"__w{i}", (p / 64).cast("long"))
+                 .withColumn(f"__b{i}", F.expr(
+                     f"shiftleft(1L, cast(pmod(xxhash64(__sh, {i}), "
+                     f"{m_bits}) % 64 as int))"))
+                 .join(b, f"__w{i}", "left"))
+        hit = hit & (F.col(f"__word{i}").isNotNull()
+                     & (F.col(f"__word{i}")
+                         .bitwiseAND(F.col(f"__b{i}")) != 0))
+    hits = (probe.filter(hit)
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(F.col("n_overlap") >= min_overlap))
+    return (train.join(hits, id_col, "left")
+            .withColumn("n_overlap", F.coalesce("n_overlap", F.lit(0)))
+            .withColumn("contaminated",
+                        F.col("n_overlap") >= min_overlap))
 
 
 def segment_dedup(df: DataFrame, id_col: str, text_col: str,

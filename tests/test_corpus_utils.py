@@ -310,3 +310,148 @@ def test_passage_rank_auto_picks_minjoin_on_planted_hot_key(spark):
     _, wins_cold = _passage_windows(cold, "doc_id", "text", 8, "md5")
     assert passage_rank_choice(wins_cold, hot_fp_threshold=100,
                                probe_fraction=0.5) == "window"
+
+
+def test_leakage_safe_split_exact_dup_groups_never_straddle(spark):
+    """Every exact-duplicate class must land wholly in one split, keyed
+    by its canonical min(doc_id) — row-wise splitting would leak the
+    train copy's text into eval."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+    # ids chosen so a naive id-modulo row split WOULD separate the dups
+    # (7 -> eval bucket 7? no: cutoff 8 -> ids 8,9,18,19.. are eval).
+    rows = [(i, f"unique text number {i} with filler words") for i in
+            range(20)]
+    rows += [(100 + i, rows[i][1]) for i in (8, 9)]  # dups of eval-ish ids
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df, "doc_id", text_col="text", hashed=False)
+    got = {r.doc_id: (r.group_key, r.split) for r in out.collect()}
+    assert len(got) == 22                       # no rows lost or duplicated
+    # duplicate classes: {8, 108} and {9, 109} share group key + split
+    assert got[8] == got[108] and got[9] == got[109]
+    assert got[8][0] == 8 and got[9][0] == 9    # canonical min id
+    # portable mode: split derives from the GROUP key, not the row id
+    assert all(s == ("train" if g % 10 < 8 else "eval")
+               for g, s in got.values())
+
+
+def test_leakage_safe_split_group_col_mode_and_arg_validation(spark):
+    """group_col mode (e.g. near-dup component ids) is a narrow
+    projection that keys the split on the supplied group."""
+    import pytest
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+    df = spark.createDataFrame(
+        [(i, i % 3, f"t{i}") for i in range(30)],
+        "doc_id long, cid long, text string")
+    out = leakage_safe_split(df, "doc_id", group_col="cid")
+    by_group = {}
+    for r in out.collect():
+        by_group.setdefault(r.cid, set()).add(r.split)
+        assert r.group_key == r.cid
+    assert all(len(s) == 1 for s in by_group.values())
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, "doc_id")
+    with pytest.raises(ValueError):
+        leakage_safe_split(df, "doc_id", text_col="text", group_col="cid")
+
+
+def test_leakage_safe_split_composes_with_neardup_components(spark):
+    """The headline composition: split by x2 near-dup component so
+    near-duplicates (not just exact copies) never straddle train/eval."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+    from serverless_data_pipeline_spark.operators.dedup import (
+        neardup_components, ngram_jaccard_pairs,
+    )
+    base = ("spark engines shuffle data across partitions during joins "
+            "and aggregations every day")
+    rows = [(i, base + f" tail{i}") for i in range(6)]          # near-dups
+    rows += [(10 + i, f"completely different text {i} " +
+              " ".join(f"w{i}_{j}" for j in range(10))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    comp = neardup_components(pairs).withColumnRenamed("id", "doc_id")
+    labeled = df.join(comp, "doc_id", "left").withColumn(
+        "cid", F.coalesce("component_id", F.col("doc_id")))
+    out = leakage_safe_split(labeled, "doc_id", group_col="cid")
+    splits = {r.cid: set() for r in out.collect()}
+    for r in out.collect():
+        splits[r.cid].add(r.split)
+    assert all(len(s) == 1 for s in splits.values())
+    # the 6 near-dup docs share one component hence one split
+    near = {r.split for r in out.collect() if r.doc_id < 6}
+    assert len(near) == 1
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Bloom decontamination must flag every doc the exact path flags
+    (one-sided error), even at an aggressively small bitmap."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        bloom_decontaminate, decontaminate,
+    )
+    train = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(12)))
+         for i in range(30)] +
+        [(100, "the secret eval passage appears verbatim right here ok")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(0, "xx the secret eval passage appears verbatim right here yy")],
+        "doc_id long, text string")
+    exact = {r.doc_id for r in
+             decontaminate(train, ev, "doc_id", "text", n=5)
+             .filter("contaminated").collect()}
+    for m_bits in (1 << 10, 1 << 24):   # tiny bitmap: FPs ok, FNs never
+        bloom = {r.doc_id for r in
+                 bloom_decontaminate(train, ev, "doc_id", "text", n=5,
+                                     m_bits=m_bits)
+                 .filter("contaminated").collect()}
+        assert exact <= bloom, (m_bits, exact - bloom)
+    assert 100 in exact
+
+
+def test_bloom_decontaminate_fp_rate_bounded_and_deterministic(spark):
+    """On disjoint corpora a sanely-sized bitmap yields (near-)zero
+    false positives; repeated runs agree bit-for-bit."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        bloom_decontaminate,
+    )
+    train = spark.createDataFrame(
+        [(i, " ".join(f"train{i}_{j}" for j in range(15)))
+         for i in range(50)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(i, " ".join(f"eval{i}_{j}" for j in range(15)))
+         for i in range(20)],
+        "doc_id long, text string")
+    out = bloom_decontaminate(train, ev, "doc_id", "text", n=5,
+                              m_bits=1 << 24, k_hashes=4)
+    flagged = out.filter("contaminated").count()
+    assert flagged == 0, flagged    # expected FP ~ 1e-18 at this m/k/n
+    a = sorted(map(tuple, out.select("doc_id", "n_overlap").collect()))
+    b = sorted(map(tuple, out.select("doc_id", "n_overlap").collect()))
+    assert a == b
+
+
+def test_shingle_bloom_bitmap_is_bounded_and_partitionable(spark):
+    """The bitmap frame never exceeds m_bits/64 rows and every set bit
+    round-trips through the packed-word representation."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        shingle_bloom,
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(40)],
+        "doc_id long, text string")
+    m_bits, k = 1 << 12, 4
+    rows = shingle_bloom(df, "text", n=5, m_bits=m_bits,
+                         k_hashes=k).collect()
+    assert len(rows) <= m_bits // 64
+    assert all(0 <= r.word_idx < m_bits // 64 for r in rows)
+    n_shingles = (df.select(F.explode(F.expr(
+        "slice(split(text, ' '), 1, 6)"))).count())  # loose sanity floor
+    n_bits = sum(bin(r.word & ((1 << 64) - 1)).count("1") for r in rows)
+    assert 0 < n_bits <= min(m_bits, 40 * 6 * k)
