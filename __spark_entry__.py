@@ -1696,10 +1696,15 @@ def _q_x8_corpus_utils(spark, sf):
     bin_id, NULL); chunk rows carry (chunk_id, chunk_start, chunk_len,
     md5(chunk_text)) so the oracle value-checks the actual chunk
     contents, not just offsets; mix rows carry (sample_rank, NULL, NULL,
-    lang)."""
+    lang); gsplit rows (NEW r6 — `leakage_safe_split`, the
+    duplicate-group-keyed train/eval split that stops a doc and its
+    copies straddling the boundary) carry (group_key, split_id, NULL,
+    split), keyed by the exact-dup class's canonical min doc id in the
+    portable modulo mode (the near-dup component_id mode is
+    pytest-pinned)."""
     from serverless_data_pipeline_spark.operators.corpus import (
-        chunk_documents, corpus_mix, pack_sequences, train_test_split,
-        vocabulary,
+        chunk_documents, corpus_mix, leakage_safe_split, pack_sequences,
+        train_test_split, vocabulary,
     )
     docs = _t(spark, sf, "documents")
     split = train_test_split(docs, "doc_id", hashed=False)
@@ -1732,25 +1737,51 @@ def _q_x8_corpus_utils(spark, sf):
                    F.lit(None).cast("long").alias("b"),
                    F.lit(None).cast("long").alias("c"),
                    F.col("lang").alias("h")))
-    return vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
+    gsplit = (leakage_safe_split(docs, "doc_id", text_col="text",
+                                 hashed=False)
+              .select(F.lit("gsplit").alias("kind"), "doc_id",
+                      F.col("group_key").cast("long").alias("a"),
+                      F.col("split_id").cast("long").alias("b"),
+                      F.lit(None).cast("long").alias("c"),
+                      F.col("split").alias("h")))
+    return (vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
+            .unionAll(gsplit))
 
 
 def _q_x10_decontaminate(spark, sf):
-    """X10 — benchmark decontamination: flag training-split documents
-    sharing >= 1 distinct word 5-gram with any eval-split document
-    (train/eval from the deterministic portable split, X8). The eval
-    shingle set broadcasts; train never shuffles. Oracle: the identical
-    shingle-semi-join in DuckDB."""
+    """X10 — benchmark decontamination, BOTH execution strategies in one
+    tagged union (r6): `exact` broadcasts the eval split's distinct
+    shingle strings and semi-joins (the default when the held-out set
+    broadcasts comfortably); `bloom` broadcasts a fixed 2^28-bit Bloom
+    bitmap instead (`bloom_decontaminate` — the 100 TB shape when the
+    eval shingle frame outgrows a raw broadcast: ~an order of magnitude
+    smaller, size chosen up front). Train never shuffles on either path
+    (plan-asserted). Both flag train-split docs sharing >= 1 distinct
+    word 5-gram with any eval-split doc (train/eval from the portable
+    deterministic split, X8).
+
+    Oracle: ONE DuckDB shingle-semi-join emitted under both tags — the
+    Bloom arm is value-checked against EXACT semantics, which is valid
+    because Bloom error is one-sided (never false-negative) and the
+    false-positive expectation at the registry sizing on the frozen
+    fixtures is ~2e-8 (m=2^28, k=4, ~4e4 eval shingles, ~2e5 probes at
+    sf0.1); verified zero empirically at sf0.001/0.01/0.1, and the
+    fixtures plus fixed hash seeds make that exactness deterministic,
+    not a per-run gamble."""
     from serverless_data_pipeline_spark.operators.corpus import (
-        decontaminate, train_test_split,
+        bloom_decontaminate, decontaminate, train_test_split,
     )
     split = train_test_split(_t(spark, sf, "documents"), "doc_id",
                              hashed=False)
     train = split.filter(F.col("split") == "train")
     ev = split.filter(F.col("split") == "eval")
-    out = decontaminate(train, ev, "doc_id", "text", n=5)
-    return out.select("doc_id", F.col("n_overlap").cast("long"),
-                      "contaminated")
+    cols = ["doc_id", F.col("n_overlap").cast("long").alias("n_overlap"),
+            "contaminated"]
+    exact = (decontaminate(train, ev, "doc_id", "text", n=5)
+             .select(F.lit("exact").alias("tag"), *cols))
+    bloom = (bloom_decontaminate(train, ev, "doc_id", "text", n=5)
+             .select(F.lit("bloom").alias("tag"), *cols))
+    return exact.unionAll(bloom)
 
 
 def _q_x11_text_hygiene(spark, sf):
@@ -2452,7 +2483,14 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents)
                   SELECT doc_id, lang, sample_rank
                   FROM r JOIN wts USING (lang)
-                  WHERE sample_rank <= CEIL(frac * n))""",
+                  WHERE sample_rank <= CEIL(frac * n))
+            UNION ALL
+            SELECT 'gsplit', doc_id, gid, CAST(gid % 10 AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CASE WHEN gid % 10 < 8 THEN 'train' ELSE 'eval' END
+            FROM (SELECT doc_id,
+                         MIN(doc_id) OVER (PARTITION BY md5(text)) AS gid
+                  FROM documents)""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,
@@ -2800,12 +2838,14 @@ def oracle_sql() -> dict[str, str]:
             + ") AS sh FROM et),"
             " esh AS (SELECT DISTINCT sh FROM esh0 WHERE sh <> ''),"
             " hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap"
-            "          FROM tsh2 JOIN esh USING (sh) GROUP BY doc_id)"
-            " SELECT s.doc_id,"
-            "        COALESCE(h.n_overlap, 0) AS n_overlap,"
-            "        COALESCE(h.n_overlap, 0) >= 1 AS contaminated"
-            " FROM s LEFT JOIN hits h USING (doc_id)"
-            " WHERE s.split = 'train'"),
+            "          FROM tsh2 JOIN esh USING (sh) GROUP BY doc_id),"
+            " res AS (SELECT s.doc_id,"
+            "                COALESCE(h.n_overlap, 0) AS n_overlap,"
+            "                COALESCE(h.n_overlap, 0) >= 1 AS contaminated"
+            "         FROM s LEFT JOIN hits h USING (doc_id)"
+            "         WHERE s.split = 'train')"
+            " SELECT 'exact' AS tag, * FROM res"
+            " UNION ALL SELECT 'bloom' AS tag, * FROM res"),
         "x11_text_hygiene": (
             "WITH t AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text")
             + " AS toks FROM documents),"

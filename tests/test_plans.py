@@ -130,14 +130,16 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all four arms exactly three
+    O(top_n) heap (no global sort); across all five arms exactly four
     hash exchanges exist (vocab token groupBy + the per-shard packing
-    window + the mix per-language window) — chunking stays a narrow
-    projection."""
+    window + the mix per-language window + the gsplit fingerprint
+    groupBy) — chunking stays a narrow projection and gsplit's
+    canonical-id map joins back via broadcast, not a corpus shuffle."""
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("Exchange hashpartitioning") == 4
+    assert "SortMergeJoin" not in plan
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
@@ -193,12 +195,16 @@ def test_pivot_single_aggregation_pass(spark):
 
 
 def test_decontaminate_broadcasts_eval_never_shuffles_train(spark):
-    """X10: the eval shingle set must arrive via broadcast and the only
-    hash exchanges key on tiny derived frames (eval-distinct + the
-    contaminated-hit counts) — never a repartition of the train corpus
-    scan itself."""
+    """X10 (both arms of the r6 tagged union): the exact arm's eval
+    shingle set arrives via broadcast (probe + hits join), and the
+    bloom arm's bitmap probes are k_hashes=4 chained broadcast joins
+    plus its hits join — so every join in the row is a broadcast and
+    the only hash exchanges key on tiny derived frames (eval-distinct,
+    bitmap words, per-doc hit counts) — never a repartition of the
+    train corpus scan itself."""
     plan = _plan(spark, "x10_decontaminate")
-    assert plan.count("BroadcastHashJoin") == 2  # shingle probe + hits join
+    # exact: shingle probe + hits join; bloom: 4 bitmap probes + hits.
+    assert plan.count("BroadcastHashJoin") == 7
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
