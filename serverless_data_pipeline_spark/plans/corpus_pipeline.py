@@ -74,6 +74,8 @@ def prepare_training_corpus(docs: DataFrame, *,
                             max_dup_ngram_ratio: float | None = None,
                             eval_docs: DataFrame | None = None,
                             decontam_ngram: int = 5,
+                            decontam_via: str = "broadcast",
+                            decontam_bloom_bits: int = 1 << 28,
                             collect_counts: bool = True) -> CorpusResult:
     """docs(doc_id, text, ...) -> deduped, language- and quality-filtered
     corpus + per-language token statistics.
@@ -102,6 +104,10 @@ def prepare_training_corpus(docs: DataFrame, *,
     `eval_docs` (X10) adds benchmark decontamination as the final stage:
     drop any surviving doc sharing a distinct `decontam_ngram`-gram with
     the eval set (eval shingles broadcast; the corpus never shuffles).
+    `decontam_via="bloom"` swaps in `bloom_decontaminate` with a
+    `decontam_bloom_bits`-bit bitmap — the shape for an eval set whose
+    raw shingle frame outgrows a broadcast; error is one-sided (may
+    over-drop at the Bloom FP rate, never leaks eval data into train).
     Both stages mirror __spark_entry__.py's oracle-checked x7 pipeline."""
     n0 = docs.count() if collect_counts else -1
 
@@ -200,11 +206,19 @@ def prepare_training_corpus(docs: DataFrame, *,
 
     if eval_docs is not None:
         from serverless_data_pipeline_spark.operators.corpus import (
-            decontaminate,
+            bloom_decontaminate, decontaminate,
         )
-        clean = (decontaminate(clean, eval_docs, id_col, text_col,
-                               n=decontam_ngram)
-                 .filter(~F.col("contaminated"))
+        if decontam_via == "bloom":
+            flagged = bloom_decontaminate(clean, eval_docs, id_col,
+                                          text_col, n=decontam_ngram,
+                                          m_bits=decontam_bloom_bits)
+        elif decontam_via == "broadcast":
+            flagged = decontaminate(clean, eval_docs, id_col, text_col,
+                                    n=decontam_ngram)
+        else:
+            raise ValueError(f"decontam_via must be 'broadcast' or "
+                             f"'bloom', got {decontam_via!r}")
+        clean = (flagged.filter(~F.col("contaminated"))
                  .drop("n_overlap", "contaminated"))
 
     stats = token_stats(clean.withColumn("__lang_group", F.lit("corpus")),

@@ -75,6 +75,20 @@ def test_corpus_pipeline_repetition_and_decontamination_stages(spark):
                                    collect_counts=False)
     assert sorted(r.doc_id for r in full.clean.collect()) == [2]
 
+    # the Bloom scale path must drop the same contaminated doc (and at a
+    # sane bitmap size, ONLY that doc — zero false positives here)
+    bloom = prepare_training_corpus(res_docs, languages=("en",),
+                                    min_quality=0.5, jaccard_threshold=0.5,
+                                    max_dup_ngram_ratio=0.5, eval_docs=ev,
+                                    decontam_via="bloom",
+                                    collect_counts=False)
+    assert sorted(r.doc_id for r in bloom.clean.collect()) == [2]
+    import pytest
+    with pytest.raises(ValueError):
+        prepare_training_corpus(res_docs, eval_docs=ev,
+                                decontam_via="nope",
+                                collect_counts=False)
+
 
 def test_corpus_pipeline_passage_and_semantic_stages(spark):
     boiler = " ".join(f"b{i}" for i in range(8))
