@@ -1701,10 +1701,13 @@ def _q_x8_corpus_utils(spark, sf):
     copies straddling the boundary) carry (group_key, split_id, NULL,
     split), keyed by the exact-dup class's canonical min doc id in the
     portable modulo mode (the near-dup component_id mode is
-    pytest-pinned)."""
+    pytest-pinned); tmix rows (NEW r6 — `temperature_mix`, the
+    alpha-sampling mixture rule of mC4/XLM-R: p_g ∝ (n_g/N)^0.3
+    derived from the data instead of corpus_mix's explicit weights)
+    carry (sample_rank, quota, NULL, lang)."""
     from serverless_data_pipeline_spark.operators.corpus import (
         chunk_documents, corpus_mix, leakage_safe_split, pack_sequences,
-        train_test_split, vocabulary,
+        temperature_mix, train_test_split, vocabulary,
     )
     docs = _t(spark, sf, "documents")
     split = train_test_split(docs, "doc_id", hashed=False)
@@ -1744,8 +1747,14 @@ def _q_x8_corpus_utils(spark, sf):
                       F.col("split_id").cast("long").alias("b"),
                       F.lit(None).cast("long").alias("c"),
                       F.col("split").alias("h")))
+    tmix = (temperature_mix(docs, "lang", "doc_id", alpha=0.3)
+            .select(F.lit("tmix").alias("kind"), "doc_id",
+                    F.col("sample_rank").cast("long").alias("a"),
+                    F.col("quota").cast("long").alias("b"),
+                    F.lit(None).cast("long").alias("c"),
+                    F.col("lang").alias("h")))
     return (vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
-            .unionAll(gsplit))
+            .unionAll(gsplit).unionAll(tmix))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -2490,7 +2499,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN gid % 10 < 8 THEN 'train' ELSE 'eval' END
             FROM (SELECT doc_id,
                          MIN(doc_id) OVER (PARTITION BY md5(text)) AS gid
-                  FROM documents)""",
+                  FROM documents)
+            UNION ALL
+            SELECT 'tmix', doc_id, CAST(sample_rank AS BIGINT),
+                   quota, CAST(NULL AS BIGINT), lang
+            FROM (WITH sz AS (SELECT lang, COUNT(*) AS n FROM documents
+                              GROUP BY lang),
+                  q AS (SELECT lang, n,
+                               CAST(LEAST(
+                                   n,
+                                   CEIL(ROUND(
+                                       POW(CAST(n AS DOUBLE), 0.3)
+                                       / SUM(POW(CAST(n AS DOUBLE), 0.3))
+                                             OVER ()
+                                       * SUM(n) OVER (), 6))) AS BIGINT)
+                                   AS quota
+                        FROM sz),
+                  r AS (SELECT doc_id, lang,
+                               ROW_NUMBER() OVER (
+                                   PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id) AS sample_rank
+                        FROM documents)
+                  SELECT doc_id, lang, sample_rank, quota
+                  FROM r JOIN q USING (lang)
+                  WHERE sample_rank <= quota)""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 from serverless_data_pipeline_spark.session import get_spark  # noqa: E402
 from serverless_data_pipeline_spark.operators.corpus import (  # noqa: E402
-    passage_dedup,
+    bloom_decontaminate, passage_dedup,
 )
 from serverless_data_pipeline_spark.operators.dedup import (  # noqa: E402
     dedupe_by_components, minhash_lsh_pairs, ngram_jaccard_pairs,
@@ -133,6 +133,14 @@ def main() -> None:
         r["passage_dedup"] = timed(
             lambda: passage_dedup(d, "doc_id", "text", k=8,
                                   fingerprint="xxhash64").count())
+        # Bloom decontamination: the train side grows with `factor` while
+        # the eval bitmap stays a FIXED 2^28 bits — flat per-row probe
+        # cost at 10x is the evidence the broadcast side is
+        # scale-independent (the property the Bloom path exists for).
+        ev = docs.filter(F.col("doc_id") % 50 == 0)
+        r["bloom_decontam"] = timed(
+            lambda: bloom_decontaminate(d, ev, "doc_id", "text",
+                                        n=5).count())
         # n_clusters scales with the corpus (the SemDeDup contract) so
         # the within-cluster quadratic term stays bounded.
         r["semantic_dedup"] = timed(

@@ -17,9 +17,10 @@ from serverless_data_pipeline_spark.functions.text import (
 )
 
 __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
-           "pack_sequences", "corpus_mix", "chunk_documents",
-           "decontaminate", "shingle_bloom", "bloom_decontaminate",
-           "segment_dedup", "passage_dedup", "passage_rank_choice"]
+           "pack_sequences", "corpus_mix", "temperature_mix",
+           "chunk_documents", "decontaminate", "shingle_bloom",
+           "bloom_decontaminate", "segment_dedup", "passage_dedup",
+           "passage_rank_choice"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -125,6 +126,60 @@ def corpus_mix(df: DataFrame, group_col: str, id_col: str,
                                    * F.count("*").over(w_grp))))
     return (ranked.filter(F.col("sample_rank") <= F.col("__quota"))
                   .drop("__frac", "__quota"))
+
+
+def temperature_mix(df: DataFrame, group_col: str, id_col: str,
+                    alpha: float = 0.3,
+                    target_rows: int | None = None) -> DataFrame:
+    """Temperature-based (alpha-sampling) corpus mixing: rebalance group
+    sizes toward ``p_g ∝ (n_g / N) ^ alpha`` — the standard multilingual
+    pretraining rule (mC4 / XLM-R use alpha ≈ 0.3): ``alpha = 1`` keeps
+    the natural distribution, ``alpha = 0`` flattens to uniform, and
+    values in between upweight rare languages without drowning the head.
+    ``corpus_mix`` takes an EXPLICIT per-group fraction; this derives the
+    fractions from the data itself, capped at keeping a group whole
+    (quota ``min(n_g, ceil(p_g * target))``; ``target_rows`` defaults to
+    the corpus size N, so head groups shrink to fund the renormalized
+    tail).
+
+    Deterministic and engine-portable like ``corpus_mix``: per-group
+    quota from exact counts + the temperature formula (rounded to 6
+    decimals before the ceil so cross-engine pow jitter in the last ulp
+    cannot flip a boundary), membership by md5-ranked ids. Returns the
+    kept rows + ``sample_rank`` and the group ``quota``.
+
+    Scale shape: group sizes are ONE tiny aggregate (|groups| rows —
+    languages/domains number in the hundreds) cross-joined back as a
+    broadcast scalar map; the only corpus-scale shuffle is the per-group
+    ranking window, same as ``corpus_mix``. No Python in the row path."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    # totals via an all-rows window over the tiny sizes frame (|groups|
+    # rows — languages/domains number in the hundreds): no self-join, no
+    # second aggregate job.
+    w_all = Window.partitionBy()
+    wsum = F.sum(F.pow(F.col("__n").cast("double"),
+                       F.lit(float(alpha)))).over(w_all)
+    quota = (sizes
+             .withColumn("__target",
+                         F.lit(target_rows).cast("double")
+                         if target_rows is not None
+                         else F.sum("__n").over(w_all).cast("double"))
+             .withColumn("__p",
+                         F.pow(F.col("__n").cast("double"),
+                               F.lit(float(alpha))) / wsum)
+             .withColumn("quota",
+                         F.least(
+                             F.col("__n"),
+                             F.ceil(F.round(F.col("__p") * F.col("__target"),
+                                            6))).cast("long"))
+             .select(group_col, "quota"))
+    order = F.md5(F.col(id_col).cast("string"))
+    w_rank = Window.partitionBy(group_col).orderBy(order, id_col)
+    return (df.join(F.broadcast(quota), group_col)
+            .withColumn("sample_rank", F.row_number().over(w_rank))
+            .filter(F.col("sample_rank") <= F.col("quota")))
 
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,

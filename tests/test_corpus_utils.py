@@ -455,3 +455,54 @@ def test_shingle_bloom_bitmap_is_bounded_and_partitionable(spark):
         "slice(split(text, ' '), 1, 6)"))).count())  # loose sanity floor
     n_bits = sum(bin(r.word & ((1 << 64) - 1)).count("1") for r in rows)
     assert 0 < n_bits <= min(m_bits, 40 * 6 * k)
+
+
+def test_temperature_mix_alpha_extremes_and_cap(spark):
+    """alpha=1 keeps the natural distribution untouched; alpha=0 flattens
+    toward uniform; intermediate alpha shrinks only the head (tail groups
+    are capped at their full size, never upsampled)."""
+    import pytest
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        temperature_mix,
+    )
+    rows = ([(i, "en") for i in range(800)]
+            + [(1000 + i, "sw") for i in range(8)]
+            + [(2000 + i, "de") for i in range(192)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def kept(alpha, **kw):
+        out = temperature_mix(df, "lang", "doc_id", alpha=alpha, **kw)
+        return {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+
+    assert kept(1.0) == {"en": 800, "sw": 8, "de": 192}
+    flat = kept(0.0)
+    assert flat["sw"] == 8 and flat["de"] == 192      # capped, not upsampled
+    assert flat["en"] == 334                          # ceil(1000/3)
+    mid = kept(0.3)
+    assert flat["en"] < mid["en"] < 800               # monotone in alpha
+    tgt = kept(0.3, target_rows=100)
+    assert tgt["sw"] == 8 and sum(tgt.values()) < 120
+    with pytest.raises(ValueError):
+        temperature_mix(df, "lang", "doc_id", alpha=-0.1)
+
+
+def test_temperature_mix_deterministic_stable_subset(spark):
+    """Same md5-ranked membership rule as corpus_mix: rerun-identical,
+    and a smaller target keeps a SUBSET of the larger target's rows."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        temperature_mix,
+    )
+    rows = [(i, "en" if i % 4 else "fr") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = {r.doc_id for r in
+         temperature_mix(df, "lang", "doc_id", alpha=0.5,
+                         target_rows=120).collect()}
+    b = {r.doc_id for r in
+         temperature_mix(df, "lang", "doc_id", alpha=0.5,
+                         target_rows=120).collect()}
+    big = {r.doc_id for r in
+           temperature_mix(df, "lang", "doc_id", alpha=0.5,
+                           target_rows=300).collect()}
+    assert a == b
+    assert a <= big

@@ -130,15 +130,19 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all five arms exactly four
+    O(top_n) heap (no global sort); across all six arms exactly six
     hash exchanges exist (vocab token groupBy + the per-shard packing
-    window + the mix per-language window + the gsplit fingerprint
-    groupBy) — chunking stays a narrow projection and gsplit's
-    canonical-id map joins back via broadcast, not a corpus shuffle."""
+    window + the mix and tmix per-language ranking windows + the gsplit
+    fingerprint groupBy + the tmix group-sizes groupBy) and one
+    SinglePartition exchange (tmix's all-rows totals window over the
+    |groups|-row sizes frame — tiny by construction). Chunking stays a
+    narrow projection; gsplit's canonical-id map and tmix's quota map
+    join back via broadcast, never a corpus shuffle."""
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 4
+    assert plan.count("Exchange hashpartitioning") == 6
+    assert plan.count("Exchange SinglePartition") == 1
     assert "SortMergeJoin" not in plan
 
 
