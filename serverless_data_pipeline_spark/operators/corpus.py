@@ -85,7 +85,12 @@ def leakage_safe_split(df: DataFrame, id_col: str,
     if group_col is not None:
         keyed = df.withColumn("group_key", F.col(group_col))
     else:
-        fp = F.md5(F.col(text_col).cast("binary")).alias("__gfp")
+        # NULL-text docs get a sentinel fingerprint (one shared group,
+        # distinct from '' whose md5 is d41d8...): md5(NULL) is NULL,
+        # and a NULL join key never equi-matches — without the coalesce
+        # every NULL-text row would silently VANISH from the split.
+        fp = F.coalesce(F.md5(F.col(text_col).cast("binary")),
+                        F.lit("__null_text__")).alias("__gfp")
         canon = (df.select(fp, F.col(id_col))
                    .groupBy("__gfp")
                    .agg(F.min(id_col).alias("group_key")))
@@ -146,7 +151,10 @@ def temperature_mix(df: DataFrame, group_col: str, id_col: str,
     quota from exact counts + the temperature formula (rounded to 6
     decimals before the ceil so cross-engine pow jitter in the last ulp
     cannot flip a boundary), membership by md5-ranked ids. Returns the
-    kept rows + ``sample_rank`` and the group ``quota``.
+    kept rows + ``sample_rank`` and the group ``quota``. Rows whose
+    ``group_col`` is NULL are dropped (no mixture weight is definable
+    for an unlabeled row — same whitelist stance as ``corpus_mix``;
+    coalesce to an explicit "unknown" label first to keep them).
 
     Scale shape: group sizes are ONE tiny aggregate (|groups| rows —
     languages/domains number in the hundreds) cross-joined back as a
@@ -300,6 +308,11 @@ def shingle_bloom(df: DataFrame, text_col: str, n: int = 5,
     (``xxhash64(shingle, i) mod m``) → distinct → bit-OR into words.
     One shuffle keyed on ``word_idx`` (map-side partial ``bit_or``);
     the bitmap never touches the driver."""
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1 (0 hash probes would "
+                         "make every membership test vacuously true)")
+    if m_bits < 64:
+        raise ValueError("m_bits must be >= 64 (one packed word)")
     sh = df.select(F.explode(F.array_distinct(
         shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
     pos = sh.select(F.explode(F.array(

@@ -506,3 +506,36 @@ def test_temperature_mix_deterministic_stable_subset(spark):
                            target_rows=300).collect()}
     assert a == b
     assert a <= big
+
+
+def test_leakage_safe_split_keeps_null_text_docs(spark):
+    """md5(NULL) is NULL and a NULL join key never equi-matches — the
+    sentinel fingerprint must keep NULL-text docs in the split (one
+    shared group, distinct from the empty string's md5 group)."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+    df = spark.createDataFrame(
+        [(1, "some text"), (2, None), (3, None), (4, "")],
+        "doc_id long, text string")
+    out = leakage_safe_split(df, "doc_id", text_col="text", hashed=False)
+    got = {r.doc_id: r.group_key for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}          # nothing vanished
+    assert got[2] == got[3] == 2             # NULLs share one group
+    assert got[4] == 4                       # '' is its own group
+
+
+def test_shingle_bloom_rejects_degenerate_configs(spark):
+    import pytest
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        bloom_decontaminate, shingle_bloom,
+    )
+    df = spark.createDataFrame([(1, "a b c d e f")],
+                               "doc_id long, text string")
+    with pytest.raises(ValueError):
+        shingle_bloom(df, "text", k_hashes=0)
+    with pytest.raises(ValueError):
+        shingle_bloom(df, "text", m_bits=32)
+    with pytest.raises(ValueError):
+        bloom_decontaminate(df, df, "doc_id", "text", k_hashes=0)
