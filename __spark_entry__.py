@@ -2498,7 +2498,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT),
                    CASE WHEN gid % 10 < 8 THEN 'train' ELSE 'eval' END
             FROM (SELECT doc_id,
-                         MIN(doc_id) OVER (PARTITION BY md5(text)) AS gid
+                         MIN(doc_id) OVER (
+                             PARTITION BY md5(lower(regexp_replace(
+                                 trim(text), '\\s+', ' ', 'g')))) AS gid
                   FROM documents)
             UNION ALL
             SELECT 'tmix', doc_id, CAST(sample_rank AS BIGINT),

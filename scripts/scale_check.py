@@ -133,10 +133,12 @@ def main() -> None:
         r["passage_dedup"] = timed(
             lambda: passage_dedup(d, "doc_id", "text", k=8,
                                   fingerprint="xxhash64").count())
-        # Bloom decontamination: the train side grows with `factor` while
-        # the eval bitmap stays a FIXED 2^28 bits — flat per-row probe
-        # cost at 10x is the evidence the broadcast side is
-        # scale-independent (the property the Bloom path exists for).
+        # Bloom decontamination: the train side grows with `factor`
+        # while the eval bitmap stays a FIXED 2^28 bits. At fixture
+        # scale the wall is overhead-dominated (the probe is too cheap
+        # to register) — the structural point is that the broadcast
+        # side is fixed-size by construction, so nothing in the
+        # train-side plan depends on eval size.
         ev = docs.filter(F.col("doc_id") % 50 == 0)
         r["bloom_decontam"] = timed(
             lambda: bloom_decontaminate(d, ev, "doc_id", "text",

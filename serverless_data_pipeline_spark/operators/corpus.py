@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.functions.text import (
-    shingles_from_tokens, token_count, tokens,
+    fingerprint, shingles_from_tokens, token_count, tokens,
 )
 
 __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
@@ -61,14 +61,21 @@ def leakage_safe_split(df: DataFrame, id_col: str,
     measure exactly this train/test overlap effect).
 
     Pass exactly one of:
-    * ``text_col`` — groups are EXACT-duplicate classes (md5 of the
-      text); the group key is the class's canonical ``min(id)``, the
-      same canonical-doc convention X1/X2 use.
-    * ``group_col`` — a caller-supplied numeric group key, e.g.
+    * ``text_col`` — groups are EXACT-duplicate classes under the
+      repo's canonical ``fingerprint()`` (md5 of case/whitespace-
+      normalized text — the SAME dup definition X1/X7 dedup with, so
+      a pair X1 would merge can never straddle the split); the group
+      key is the class's canonical ``min(id)``.
+    * ``group_col`` — a caller-supplied group key, e.g.
       ``component_id`` from ``neardup_components`` (near-dup-safe
-      split) or a url-host/source id (domain-held-out split). The
-      frame already carries the grouping, so this path adds NO
-      shuffle — a narrow projection exactly like ``train_test_split``.
+      split) or a url-host/source id (domain-held-out split). Rows
+      whose group key is NULL — e.g. the non-duplicated majority
+      after a LEFT join of components — fall back to their own
+      ``id_col`` as a singleton group, so they split normally instead
+      of collapsing into one NULL bucket. The frame already carries
+      the grouping, so this path adds NO shuffle — a narrow
+      projection exactly like ``train_test_split`` (portable
+      ``hashed=False`` mode needs a numeric key, as there).
 
     Split assignment reuses ``train_test_split``'s rule on the group
     key (xxhash64 when ``hashed``, portable raw modulo otherwise), so
@@ -83,13 +90,19 @@ def leakage_safe_split(df: DataFrame, id_col: str,
     if (text_col is None) == (group_col is None):
         raise ValueError("pass exactly one of text_col / group_col")
     if group_col is not None:
-        keyed = df.withColumn("group_key", F.col(group_col))
+        # NULL group -> the row is its own singleton group (keyed by
+        # id). Without the fallback, pmod(NULL) sends every ungrouped
+        # row to 'eval' in portable mode, and xxhash64(NULL, seed) is
+        # one constant in hashed mode — either way the split of the
+        # (usually vast) non-duplicated majority would silently break.
+        keyed = df.withColumn(
+            "group_key", F.coalesce(F.col(group_col), F.col(id_col)))
     else:
-        # NULL-text docs get a sentinel fingerprint (one shared group,
-        # distinct from '' whose md5 is d41d8...): md5(NULL) is NULL,
-        # and a NULL join key never equi-matches — without the coalesce
-        # every NULL-text row would silently VANISH from the split.
-        fp = F.coalesce(F.md5(F.col(text_col).cast("binary")),
+        # NULL-text docs get a sentinel fingerprint (one shared group):
+        # fingerprint(NULL) is NULL, and a NULL join key never
+        # equi-matches — without the coalesce every NULL-text row would
+        # silently VANISH from the split.
+        fp = F.coalesce(fingerprint(text_col),
                         F.lit("__null_text__")).alias("__gfp")
         canon = (df.select(fp, F.col(id_col))
                    .groupBy("__gfp")

@@ -315,22 +315,25 @@ def test_passage_rank_auto_picks_minjoin_on_planted_hot_key(spark):
 def test_leakage_safe_split_exact_dup_groups_never_straddle(spark):
     """Every exact-duplicate class must land wholly in one split, keyed
     by its canonical min(doc_id) — row-wise splitting would leak the
-    train copy's text into eval."""
+    train copy's text into eval. The dup ids are chosen so a row-keyed
+    id-modulo split WOULD separate them: id 109 (eval bucket 9) carries
+    doc 1's text (train bucket 1) and must follow its GROUP to train."""
     from serverless_data_pipeline_spark.operators.corpus import (
         leakage_safe_split,
     )
-    # ids chosen so a naive id-modulo row split WOULD separate the dups
-    # (7 -> eval bucket 7? no: cutoff 8 -> ids 8,9,18,19.. are eval).
     rows = [(i, f"unique text number {i} with filler words") for i in
             range(20)]
-    rows += [(100 + i, rows[i][1]) for i in (8, 9)]  # dups of eval-ish ids
+    rows += [(109, rows[1][1]),                  # verbatim dup of doc 1
+             # case/whitespace variant of doc 2: the SAME exact-dup
+             # class under the repo's canonical fingerprint() (X1's dup
+             # definition), so it must also follow doc 2 to train
+             (108, rows[2][1].upper().replace(" ", "  "))]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = leakage_safe_split(df, "doc_id", text_col="text", hashed=False)
     got = {r.doc_id: (r.group_key, r.split) for r in out.collect()}
     assert len(got) == 22                       # no rows lost or duplicated
-    # duplicate classes: {8, 108} and {9, 109} share group key + split
-    assert got[8] == got[108] and got[9] == got[109]
-    assert got[8][0] == 8 and got[9][0] == 9    # canonical min id
+    assert got[109] == (1, "train")             # row split would say eval
+    assert got[108] == (2, "train")             # normalized dup follows too
     # portable mode: split derives from the GROUP key, not the row id
     assert all(s == ("train" if g % 10 < 8 else "eval")
                for g, s in got.values())
@@ -376,16 +379,23 @@ def test_leakage_safe_split_composes_with_neardup_components(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
     comp = neardup_components(pairs).withColumnRenamed("id", "doc_id")
-    labeled = df.join(comp, "doc_id", "left").withColumn(
-        "cid", F.coalesce("component_id", F.col("doc_id")))
-    out = leakage_safe_split(labeled, "doc_id", group_col="cid")
-    splits = {r.cid: set() for r in out.collect()}
-    for r in out.collect():
-        splits[r.cid].add(r.split)
+    # deliberately NO coalesce: non-duplicated docs carry component_id
+    # NULL and must fall back to singleton groups keyed by their own id
+    labeled = df.join(comp, "doc_id", "left")
+    out = leakage_safe_split(labeled, "doc_id", group_col="component_id")
+    rows_out = out.collect()
+    splits = {}
+    for r in rows_out:
+        splits.setdefault(r.group_key, set()).add(r.split)
     assert all(len(s) == 1 for s in splits.values())
     # the 6 near-dup docs share one component hence one split
-    near = {r.split for r in out.collect() if r.doc_id < 6}
+    near = {r.split for r in rows_out if r.doc_id < 6}
     assert len(near) == 1
+    # the NULL-component singletons got their own id as group key and
+    # did NOT collapse into one shared bucket
+    singles = {r.doc_id: r.group_key for r in rows_out if r.doc_id >= 10}
+    assert singles == {i: i for i in singles}
+    assert len({r.split_id for r in rows_out if r.doc_id >= 10}) > 1
 
 
 def test_bloom_decontaminate_no_false_negatives(spark):
@@ -451,8 +461,8 @@ def test_shingle_bloom_bitmap_is_bounded_and_partitionable(spark):
                          k_hashes=k).collect()
     assert len(rows) <= m_bits // 64
     assert all(0 <= r.word_idx < m_bits // 64 for r in rows)
-    n_shingles = (df.select(F.explode(F.expr(
-        "slice(split(text, ' '), 1, 6)"))).count())  # loose sanity floor
+    # 40 docs x 6 distinct 5-gram shingles each x k hashes bounds the
+    # set-bit population from above
     n_bits = sum(bin(r.word & ((1 << 64) - 1)).count("1") for r in rows)
     assert 0 < n_bits <= min(m_bits, 40 * 6 * k)
 
