@@ -246,3 +246,66 @@ def test_passage_dedup_matches_bruteforce_reference(spark, texts, k):
                for r in passage_dedup(df, "doc_id", "text", k=k,
                                       rank_via=rank_via).collect()}
         assert got == _passage_reference(docs, k), (rank_via, docs, k)
+
+
+_wtoks = st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+                  min_size=0, max_size=10)
+
+
+@given(train=st.lists(_wtoks, min_size=1, max_size=8),
+       ev=st.lists(_wtoks, min_size=0, max_size=4),
+       m_bits=st.sampled_from([1 << 6, 1 << 10, 1 << 20]))
+@settings(**SETTINGS)
+def test_bloom_decontaminate_superset_of_exact(spark, train, ev, m_bits):
+    """One-sided error as a universal property: on random short-alphabet
+    corpora at ANY bitmap size (down to a single 64-bit word, where
+    false positives are rampant), the Bloom-flagged set contains the
+    exact-flagged set and per-doc n_overlap never undercounts."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        bloom_decontaminate, decontaminate,
+    )
+    tdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train)],
+        "doc_id long, text string")
+    edf = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(ev)],
+        "doc_id long, text string")
+    exact = {r.doc_id: r.n_overlap for r in
+             decontaminate(tdf, edf, "doc_id", "text", n=3).collect()}
+    bloom = {r.doc_id: r.n_overlap for r in
+             bloom_decontaminate(tdf, edf, "doc_id", "text", n=3,
+                                 m_bits=m_bits, k_hashes=3).collect()}
+    assert set(bloom) == set(exact)          # same rows survive
+    for i, n in exact.items():
+        assert bloom[i] >= n, (i, m_bits)    # never undercounts
+
+
+@given(groups=st.lists(st.tuples(st.sampled_from("abcdef"),
+                                 st.integers(1, 30)),
+                       min_size=1, max_size=5, unique_by=lambda g: g[0]),
+       alpha=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+@settings(**SETTINGS)
+def test_temperature_mix_quota_properties(spark, groups, alpha):
+    """Universal quota laws: every group keeps >= 1 row and <= its full
+    size; alpha=1 is the identity mixture; kept counts equal the
+    closed-form quota computed in Python."""
+    import math
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        temperature_mix,
+    )
+    rows, base = [], 0
+    for g, n in groups:
+        rows += [(base + j, g) for j in range(n)]
+        base += 100
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = {r[0]: r[1] for r in
+            temperature_mix(df, "lang", "doc_id", alpha=alpha)
+            .groupBy("lang").count().collect()}
+    sizes = dict(groups)
+    N = sum(sizes.values())
+    Z = sum(n ** alpha for n in sizes.values())
+    for g, n in sizes.items():
+        expect = min(n, math.ceil(round(n ** alpha / Z * N, 6)))
+        assert kept.get(g, 0) == expect, (g, alpha)
+        assert 1 <= kept[g] <= n
