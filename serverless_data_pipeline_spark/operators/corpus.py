@@ -95,8 +95,14 @@ def leakage_safe_split(df: DataFrame, id_col: str,
         # row to 'eval' in portable mode, and xxhash64(NULL, seed) is
         # one constant in hashed mode — either way the split of the
         # (usually vast) non-duplicated majority would silently break.
+        # The id fallback is cast to the GROUP column's type: a bare
+        # coalesce(string_group, long_id) makes ANSI type coercion cast
+        # the string side to a number, which throws on 'src5'-style keys.
+        gtype = dict(df.dtypes).get(group_col)
+        fallback = (F.col(id_col).cast(gtype) if gtype
+                    else F.col(id_col))
         keyed = df.withColumn(
-            "group_key", F.coalesce(F.col(group_col), F.col(id_col)))
+            "group_key", F.coalesce(F.col(group_col), fallback))
     else:
         # NULL-text docs get a sentinel fingerprint (one shared group):
         # fingerprint(NULL) is NULL, and a NULL join key never

@@ -549,3 +549,22 @@ def test_shingle_bloom_rejects_degenerate_configs(spark):
         shingle_bloom(df, "text", m_bits=32)
     with pytest.raises(ValueError):
         bloom_decontaminate(df, df, "doc_id", "text", k_hashes=0)
+
+
+def test_leakage_safe_split_string_group_source_heldout(spark):
+    """Domain/source-held-out split: a STRING group key works in hashed
+    mode (the documented url-host/source use), every source lands wholly
+    in one split, and the buckets spread (not one collapsed bucket)."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+    rows = [(i, f"src{i % 20}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = leakage_safe_split(df, "doc_id", group_col="source")
+    per_source = {}
+    for r in out.collect():
+        per_source.setdefault(r.source, set()).add(r.split)
+        assert r.group_key == r.source
+    assert len(per_source) == 20
+    assert all(len(s) == 1 for s in per_source.values())
+    assert len({r.split_id for r in out.collect()}) > 3
