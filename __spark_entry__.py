@@ -2510,11 +2510,11 @@ def oracle_sql() -> dict[str, str]:
                   q AS (SELECT lang, n,
                                CAST(LEAST(
                                    n,
-                                   CEIL(ROUND(
+                                   GREATEST(1, CEIL(ROUND(
                                        POW(CAST(n AS DOUBLE), 0.3)
                                        / SUM(POW(CAST(n AS DOUBLE), 0.3))
                                              OVER ()
-                                       * SUM(n) OVER (), 6))) AS BIGINT)
+                                       * SUM(n) OVER (), 6)))) AS BIGINT)
                                    AS quota
                         FROM sz),
                   r AS (SELECT doc_id, lang,

@@ -75,7 +75,15 @@ def leakage_safe_split(df: DataFrame, id_col: str,
       of collapsing into one NULL bucket. The frame already carries
       the grouping, so this path adds NO shuffle — a narrow
       projection exactly like ``train_test_split`` (portable
-      ``hashed=False`` mode needs a numeric key, as there).
+      ``hashed=False`` mode needs a numeric key, as there). In
+      hashed mode the split bucket is derived from a sentinel-tagged
+      basis (``"g:"+group`` vs ``"i:"+id``), so an id that happens to
+      equal a real group's value can never couple the singleton's
+      split to that group. Portable mode has no such tag (the basis
+      must stay numeric for the raw modulo), so it carries the
+      documented precondition that group values and ids do not
+      collide — the returned ``group_key`` column itself always shows
+      the untagged ``coalesce(group, id)`` value either way.
 
     Split assignment reuses ``train_test_split``'s rule on the group
     key (xxhash64 when ``hashed``, portable raw modulo otherwise), so
@@ -103,6 +111,23 @@ def leakage_safe_split(df: DataFrame, id_col: str,
                     else F.col(id_col))
         keyed = df.withColumn(
             "group_key", F.coalesce(F.col(group_col), fallback))
+        if hashed:
+            # Collision-proof split basis (r6 ADVICE): hash a
+            # sentinel-tagged string, not group_key itself, so a doc
+            # id that collides with a real group VALUE (string source
+            # literally named '7' vs doc_id 7, or a narrower numeric
+            # group type truncating the id) cannot silently couple a
+            # singleton's split assignment to that group's.
+            basis = (F.when(F.col(group_col).isNotNull(),
+                            F.concat(F.lit("g:"),
+                                     F.col(group_col).cast("string")))
+                      .otherwise(F.concat(F.lit("i:"),
+                                          F.col(id_col).cast("string"))))
+            out = train_test_split(keyed.withColumn("__basis", basis),
+                                   "__basis", n_splits=n_splits,
+                                   train_cutoff=train_cutoff,
+                                   hashed=True, seed=seed)
+            return out.drop("__basis")
     else:
         # NULL-text docs get a sentinel fingerprint (one shared group):
         # fingerprint(NULL) is NULL, and a NULL join key never
@@ -169,7 +194,10 @@ def temperature_mix(df: DataFrame, group_col: str, id_col: str,
     Deterministic and engine-portable like ``corpus_mix``: per-group
     quota from exact counts + the temperature formula (rounded to 6
     decimals before the ceil so cross-engine pow jitter in the last ulp
-    cannot flip a boundary), membership by md5-ranked ids. Returns the
+    cannot flip a boundary, then floored at 1 so the every-group-keeps-
+    >=1-row law holds even for tiny explicit ``target_rows``, where the
+    rounding guard could otherwise zero a group whose raw quota is
+    below 5e-7), membership by md5-ranked ids. Returns the
     kept rows + ``sample_rank`` and the group ``quota``. Rows whose
     ``group_col`` is NULL are dropped (no mixture weight is definable
     for an unlabeled row — same whitelist stance as ``corpus_mix``;
@@ -199,8 +227,11 @@ def temperature_mix(df: DataFrame, group_col: str, id_col: str,
              .withColumn("quota",
                          F.least(
                              F.col("__n"),
-                             F.ceil(F.round(F.col("__p") * F.col("__target"),
-                                            6))).cast("long"))
+                             F.greatest(
+                                 F.lit(1).cast("long"),
+                                 F.ceil(F.round(F.col("__p")
+                                                * F.col("__target"),
+                                                6)))).cast("long"))
              .select(group_col, "quota"))
     order = F.md5(F.col(id_col).cast("string"))
     w_rank = Window.partitionBy(group_col).orderBy(order, id_col)
@@ -384,11 +415,18 @@ def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
         b = F.broadcast(
             bloom.select(F.col("word_idx").alias(f"__w{i}"),
                          F.col("word").alias(f"__word{i}")))
+        # Word index AND bit mask derive from the SAME materialized
+        # position column `__p{i}` (r6 ADVICE): two independently-built
+        # hash expressions could silently drift apart and break the
+        # no-false-negative guarantee; one shared position column makes
+        # that impossible. (`F.shiftleft` only takes a literal bit
+        # count, hence the one-column `F.expr` for the mask.)
         probe = (probe
-                 .withColumn(f"__w{i}", (p / 64).cast("long"))
+                 .withColumn(f"__p{i}", p)
+                 .withColumn(f"__w{i}", (F.col(f"__p{i}") / 64)
+                             .cast("long"))
                  .withColumn(f"__b{i}", F.expr(
-                     f"shiftleft(1L, cast(pmod(xxhash64(__sh, {i}), "
-                     f"{m_bits}) % 64 as int))"))
+                     f"shiftleft(1L, cast(pmod(__p{i}, 64) as int))"))
                  .join(b, f"__w{i}", "left"))
         hit = hit & (F.col(f"__word{i}").isNotNull()
                      & (F.col(f"__word{i}")
@@ -553,10 +591,15 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
 
     `rank_via` picks the first-occurrence ranking (equivalence-tested;
     all three produce identical output):
-    * "auto" (default, r6 — skew-safe by default, verdict #2): probe the
-      max fingerprint multiplicity on a `probe_fraction` sample of the
-      window stream (one partial-agg job whose SHUFFLE carries only the
-      sample; the narrow tokenize recompute is the probe's local cost)
+    * "auto" (default, r6 — skew-safe by default, verdict #2): NOTE
+      this mode is EAGER — it runs a real Spark sampling job (and a
+      tokenize recompute) at CALL time to estimate skew, unlike
+      "window"/"minjoin" which only build a lazy plan; plan-composition
+      callers that must stay lazy should pass an explicit mode. The
+      probe estimates the max fingerprint multiplicity on a
+      `probe_fraction` sample of the window stream (one partial-agg job
+      whose SHUFFLE carries only the sample; the narrow tokenize
+      recompute is the probe's local cost)
       and pick "minjoin" when the estimate (max sampled count /
       probe_fraction) exceeds `hot_fp_threshold`, else "window". A
       missed modest key only costs sort time, never correctness; a hot

@@ -212,7 +212,12 @@ def delete_expired_partitions(spark, path: str, cutoff_date: str) -> int:
     per day partition), the same inherently-small class as the control
     plane's run listing. Deletes go through the Hadoop FileSystem API
     (path-scheme-agnostic, same as swap_into_place). Returns the number
-    of day partitions deleted."""
+    of day partitions VERIFIABLY deleted (``fs.delete`` returned true);
+    a failed delete — or an on-disk partition directory whose name
+    differs from the reconstructed ``year=/month=/day=`` path, so the
+    expired data silently survives — raises instead of being counted
+    (r6 ADVICE: a retention job must never report data gone that is
+    still on disk)."""
     df = spark.read.parquet(path)
     old = (df.select("year", "month", "day").distinct()
            .filter(F.make_date("year", "month", "day")
@@ -220,9 +225,18 @@ def delete_expired_partitions(spark, path: str, cutoff_date: str) -> int:
            .collect())
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
+    deleted, failed = 0, []
     for r in old:
         part = (f"{path.rstrip('/')}/year={r['year']}"
                 f"/month={r['month']}/day={r['day']}")
         jpath = jvm.org.apache.hadoop.fs.Path(part)
-        jpath.getFileSystem(conf).delete(jpath, True)
-    return len(old)
+        if jpath.getFileSystem(conf).delete(jpath, True):
+            deleted += 1
+        else:
+            failed.append(part)
+    if failed:
+        raise RuntimeError(
+            f"retention delete failed for {len(failed)} partition(s) "
+            f"(missing or undeletable at the reconstructed path — the "
+            f"expired data may still be on disk): {failed}")
+    return deleted

@@ -568,3 +568,46 @@ def test_leakage_safe_split_string_group_source_heldout(spark):
     assert len(per_source) == 20
     assert all(len(s) == 1 for s in per_source.values())
     assert len({r.split_id for r in out.collect()}) > 3
+
+
+def test_leakage_safe_split_hashed_fallback_is_collision_proof(spark):
+    """r6 ADVICE: a singleton's id that equals a real group's VALUE
+    (string source literally named '7' vs doc_id 7) must not couple the
+    singleton's hashed split to that group's — the split basis is
+    sentinel-tagged ('g:' vs 'i:') even though group_key still shows
+    the untagged coalesce(group, id) value."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+    rows = ([(100 + i, str(i), f"grouped {i}") for i in range(20)]
+            + [(i, None, f"singleton {i}") for i in range(20)])
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, text string")
+    out = {(r.doc_id): (r.group_key, r.split_id)
+           for r in leakage_safe_split(df, "doc_id",
+                                       group_col="source").collect()}
+    # group_key display is unchanged: untagged coalesce(group, id)
+    assert all(out[100 + i][0] == str(i) for i in range(20))
+    assert all(out[i][0] == str(i) for i in range(20))
+    # but the split assignment must NOT be coupled: with 20 colliding
+    # (group '7', id 7) pairs, all-equal split_ids has odds ~1e-20
+    assert any(out[i][1] != out[100 + i][1] for i in range(20))
+
+
+def test_temperature_mix_tiny_target_keeps_every_group(spark):
+    """r6 ADVICE: the round-before-ceil jitter guard must not zero a
+    group whose p_g * target rounds below 5e-7 — the quota floors at 1,
+    so the every-group-keeps->=1-row law holds at ANY explicit
+    target_rows, not just the default."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        temperature_mix,
+    )
+    rows = [(g * 1000 + j, f"lang{g}")
+            for g in range(6) for j in range(1 + g * 10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = {r[0]: r[1] for r in
+            temperature_mix(df, "lang", "doc_id", alpha=0.3,
+                            target_rows=2)
+            .groupBy("lang").count().collect()}
+    assert set(kept) == {f"lang{g}" for g in range(6)}
+    assert all(n >= 1 for n in kept.values())

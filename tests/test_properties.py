@@ -306,6 +306,6 @@ def test_temperature_mix_quota_properties(spark, groups, alpha):
     N = sum(sizes.values())
     Z = sum(n ** alpha for n in sizes.values())
     for g, n in sizes.items():
-        expect = min(n, math.ceil(round(n ** alpha / Z * N, 6)))
+        expect = min(n, max(1, math.ceil(round(n ** alpha / Z * N, 6))))
         assert kept.get(g, 0) == expect, (g, alpha)
         assert 1 <= kept[g] <= n
