@@ -1,0 +1,153 @@
+"""Incremental corpus maintenance: staged-semantics correctness, the
+exact-stage full-recompute law, index-only probing (never rescanning
+corpus text — the whole point of the operator), and idempotent
+re-delivery."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.operators.incremental import (
+    bootstrap_corpus, build_corpus_index, commit_batch, corpus_index,
+    incremental_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _verdicts(df):
+    return {r.doc_id: r.drop_reason for r in df.collect()}
+
+
+BASE = ("spark engines shuffle data across partitions during wide "
+        "joins and aggregations every single day of the week")
+
+
+def test_exact_stage_equals_full_recompute_first_batch_wins(spark):
+    """With near-dup disabled, incremental(b2 | index(b1)) must equal a
+    full recompute over the union whose keep rule is (batch, id) — the
+    arrival-order semantics of a landing pipeline."""
+    b1 = _docs(spark, [(1, "alpha one"), (2, "beta two"),
+                       (3, "alpha one"),          # within-b1 dup of 1
+                       (4, "gamma four")])
+    b2 = _docs(spark, [(10, "ALPHA   one"),       # normalized dup of 1
+                       (11, "delta eleven"),
+                       (12, "delta eleven"),      # within-b2 dup of 11
+                       (13, "beta two")])         # dup of 2
+    v1 = _verdicts(incremental_dedup(b1, None, threshold=None))
+    assert v1 == {1: None, 2: None, 3: "exact_batch", 4: None}
+    idx = corpus_index(
+        _docs(spark, [(1, "alpha one"), (2, "beta two"),
+                      (4, "gamma four")]))
+    v2 = _verdicts(incremental_dedup(b2, idx, threshold=None))
+    assert v2 == {10: "exact_index", 11: None, 12: "exact_batch",
+                  13: "exact_index"}
+    # full recompute with ROW_NUMBER over (batch, id): identical kept set
+    kept = ({i for i, r in v1.items() if r is None}
+            | {i for i, r in v2.items() if r is None})
+    assert kept == {1, 2, 4, 11}
+
+
+@pytest.mark.parametrize("probe", ["exact", "minhash"])
+def test_neardup_probe_drops_cross_batch_copies(spark, probe):
+    """A batch-2 doc near-identical to an indexed doc is dropped as
+    neardup_index on BOTH probe paths; unrelated docs survive; a
+    within-batch near-dup pair keeps its min id."""
+    b1 = _docs(spark, [(1, BASE + " tail one"),
+                       (2, "totally unrelated text about cooking pasta "
+                           "with garlic and fresh basil leaves tonight")])
+    b2 = _docs(spark, [(10, BASE + " tail two"),       # near-dup of 1
+                       (11, "brand new content on mountain weather "
+                            "patterns and alpine climbing routes today"),
+                       (12, "brand new content on mountain weather "
+                            "patterns and alpine climbing routes "
+                            "yesterday")])             # near-dup of 11
+    idx = corpus_index(b1)
+    v = _verdicts(incremental_dedup(b2, idx, probe=probe, threshold=0.5))
+    assert v[10] == "neardup_index"
+    assert v[11] is None
+    assert v[12] == "neardup_batch"
+
+
+def test_probe_reads_index_only_never_corpus_text(spark, tmp_path):
+    """THE scale contract: the probe plan scans the batch and the INDEX
+    parquet — the corpus parquet (the 100 TB of text) appears nowhere in
+    the plan."""
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    b1 = _docs(spark, [(i, f"{BASE} tail {i}") for i in range(5)])
+    b1.write.parquet(corpus_dir)
+    build_corpus_index(spark.read.parquet(corpus_dir), index_dir)
+    b2 = _docs(spark, [(10, BASE + " tail 99"), (11, "other text here")])
+    out = incremental_dedup(b2, spark.read.parquet(index_dir))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "index" in plan
+    assert "corpus" not in plan, "probe rescanned corpus text"
+    # and the verdicts are still right
+    v = _verdicts(out)
+    assert v[10] == "neardup_index" and v[11] is None
+
+
+def test_commit_then_redeliver_is_idempotent(spark, tmp_path):
+    """After commit_batch, the index contains the survivors — re-probing
+    the SAME batch drops every row as exact_index (redelivery safety,
+    py:133-137), and the merged corpus equals bootstrap + survivors."""
+    corpus_dir = str(tmp_path / "c")
+    index_dir = str(tmp_path / "i")
+    b1 = _docs(spark, [(1, "alpha one two three"),
+                       (2, "beta four five six")])
+    bootstrap_corpus(spark, b1, corpus_dir, index_dir, threshold=None)
+    n_idx_before = spark.read.parquet(index_dir).count()
+    b2 = _docs(spark, [(10, "gamma seven eight nine"),
+                       (11, "alpha one two three")])   # dup of corpus 1
+    v2 = incremental_dedup(b2, spark.read.parquet(index_dir),
+                           threshold=None)
+    assert _verdicts(v2) == {10: None, 11: "exact_index"}
+    n = commit_batch(spark, v2, corpus_dir, index_dir)
+    assert n == 3
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(corpus_dir).collect()) == [1, 2, 10]
+    assert spark.read.parquet(index_dir).count() == n_idx_before + 1
+    # redelivery of the full batch: everything now exact-dups the corpus
+    v3 = _verdicts(incremental_dedup(
+        b2, spark.read.parquet(index_dir), threshold=None))
+    assert v3 == {10: "exact_index", 11: "exact_index"}
+
+
+def test_index_validation_and_store_options(spark):
+    df = _docs(spark, [(1, "a b c d e f g h")])
+    with pytest.raises(ValueError):
+        corpus_index(df, store=())
+    with pytest.raises(ValueError):
+        corpus_index(df, store=("bogus",))
+    mh_only = corpus_index(df, store=("minhash",))
+    assert set(mh_only.columns) == {"doc_id", "fp", "sig"}
+    with pytest.raises(ValueError):
+        # exact probe needs shset/sz
+        incremental_dedup(df, mh_only, probe="exact").collect()
+    sh_only = corpus_index(df, store=("shingles",))
+    assert set(sh_only.columns) == {"doc_id", "fp", "shset", "sz"}
+    with pytest.raises(ValueError):
+        incremental_dedup(df, sh_only, probe="minhash").collect()
+    with pytest.raises(ValueError):
+        incremental_dedup(df, None, probe="cosine")
+
+
+def test_minhash_and_exact_probe_agree_on_planted_fixture(spark):
+    """On clearly-separated data (near-identical vs disjoint docs) the
+    cheap signature probe and the exact-Jaccard probe reach identical
+    verdicts."""
+    b1 = _docs(spark, [(i, f"{BASE} variant {i}") for i in range(4)])
+    idx = corpus_index(b1)
+    b2 = _docs(spark, [(10, BASE + " variant 99")] +
+               [(20 + i, f"doc {i} " +
+                 " ".join(f"tok{i}_{j}" for j in range(15)))
+                for i in range(4)])
+    ve = _verdicts(incremental_dedup(b2, idx, probe="exact"))
+    vm = _verdicts(incremental_dedup(b2, idx, probe="minhash"))
+    assert ve == vm
+    assert ve[10] == "neardup_index"
+    assert all(ve[20 + i] is None for i in range(4))
