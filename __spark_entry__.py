@@ -1547,6 +1547,9 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda spark, sf: _clusters_flavour(spark, sf, "auto"),
         "x12_segment_dedup.segment": _x12_flavour_segment,
         "x12_segment_dedup.passage": _x12_flavour_passage,
+        # r7: x7 split — one-shot pipeline vs incremental maintenance
+        "x7_corpus_exact.full": _x7_flavour_full,
+        "x7_corpus_exact.incr": _x7_flavour_incr,
     }
 
 
@@ -1618,16 +1621,33 @@ def _clusters_flavour(spark, sf, algorithm):
 
 
 def _q_x7_corpus_exact(spark, sf):
-    """X7 — fully oracle-checked training-corpus pipeline, the complete
-    modern pretraining prep: exact dedup (md5 fingerprint, keep min doc
-    id) → near-dup removal (exact n-gram Jaccard pair graph → connected
-    components, keep component min) → English-language gate → quality
-    gate → repetition gate (duplicate-trigram ratio, X11) → train-split
-    restriction + benchmark decontamination vs the eval split (X10, drop
-    any train doc sharing a 5-gram with eval). Every stage is
-    SQL-expressible, so the whole composition is value-checked against
-    one DuckDB statement (the MinHash variant stays rows-only because
-    LSH sketches aren't)."""
+    """X7 — fully oracle-checked training-corpus pipeline, now a tagged
+    union of the ONE-SHOT prep and its INCREMENTAL-MAINTENANCE sibling
+    (r7 verdict #1):
+
+    - `full`: the complete modern pretraining prep — exact dedup (md5
+      fingerprint, keep min doc id) → near-dup removal (exact n-gram
+      Jaccard pair graph → connected components, keep component min) →
+      English-language gate → quality gate → repetition gate
+      (duplicate-trigram ratio, X11) → train-split restriction +
+      benchmark decontamination vs the eval split (X10).
+    - `incr_b1`/`incr_b2`/`incr_corpus`: the daily-operations path —
+      batch 1 bootstraps a deduped corpus + persisted per-doc index,
+      batch 2 is deduped AGAINST THAT INDEX (never rescanning batch-1
+      text; plan-asserted in tests/test_incremental.py), survivors are
+      merge_upserted and their index rows appended; every doc's staged
+      verdict plus the merged corpus membership (read back from disk)
+      is value-checked.
+
+    Every stage of both arms is SQL-expressible, so the whole
+    composition is value-checked against one DuckDB statement (the
+    MinHash probe/variant stays pytest-pinned because LSH sketches
+    aren't)."""
+    return _x7_flavour_full(spark, sf).unionAll(_x7_flavour_incr(spark, sf))
+
+
+def _x7_flavour_full(spark, sf):
+    """The one-shot pipeline arm of x7 (benched as x7_corpus_exact.full)."""
     from serverless_data_pipeline_spark.operators.corpus import decontaminate
     from serverless_data_pipeline_spark.operators.text import language_id
     docs = _t(spark, sf, "documents")
@@ -1675,7 +1695,71 @@ def _q_x7_corpus_exact(spark, sf):
     ev = docs.filter(F.col("doc_id") % 10 >= 8)
     out = decontaminate(train, ev, "doc_id", "text", n=5)
     return (out.filter(~F.col("contaminated"))
-            .select("doc_id", "q_score"))
+            .select(F.lit("full").alias("tag"), "doc_id", "q_score",
+                    F.lit(None).cast("string").alias("reason")))
+
+
+def _x7_flavour_incr(spark, sf):
+    """The incremental-maintenance arms of x7 (benched as
+    x7_corpus_exact.incr): the daily-operations sibling of the one-shot
+    pipeline. The corpus is built in TWO landings: batch 1 bootstraps —
+    internal exact dedup (within_batch="exact"; the within-batch
+    pair-graph+CC stage is pytest-pinned and reuses x2's
+    driver-verified machinery) — and is written with its persisted
+    index (fp + shingle-hash sets; the MinHash signal is pytest-pinned,
+    tests/test_incremental.py); batch 2 probes THAT index (exact
+    fingerprint hits, then exact-Jaccard near-dup hits vs indexed docs
+    — corpus text never rescanned, plan-asserted in pytest), dedups
+    internally at exact grain, and commit_batch merge_upserts the
+    survivors + appends their index rows. Emitted: a verdict row per
+    doc of each batch (reason or 'kept') and the final merged-corpus
+    membership READ BACK FROM DISK, so a wrong stage verdict, a broken
+    merge, or an index append that changed existing rows all
+    hash-mismatch. The oracle states the staged semantics directly
+    (first-batch-wins; each stage sees the prior stage's survivors) —
+    the arrival-order contract of a landing pipeline (reference
+    py:634-666: event-driven incremental, never full-recompute)."""
+    import tempfile
+    import uuid
+
+    from serverless_data_pipeline_spark.operators.incremental import (
+        bootstrap_corpus, commit_batch, incremental_dedup,
+    )
+    _sweep_aged_tmp("sdp_incr_")
+    base = tempfile.gettempdir() + f"/sdp_incr_{uuid.uuid4().hex[:8]}"
+    # The incr arms run on the doc_id % 10 < 3 subset (30 % of the
+    # corpus): the staged-semantics check needs two landings and every
+    # stage verdict, not corpus bulk — and the row already pays for the
+    # full-corpus one-shot arm above.
+    docs = _t(spark, sf, "documents")
+    b1 = docs.filter(F.col("doc_id") % 10 < 2)
+    b2 = docs.filter(F.col("doc_id") % 10 == 2)
+    # within_batch="exact": the driver arm verifies the NEW machinery —
+    # the persisted-index probes (exact_index + neardup_index) and the
+    # commit/merge/append path. The within-batch pair-graph + CC stage
+    # (neardup_batch) reuses x2's driver-verified components machinery
+    # and is pytest-pinned here (tests/test_incremental.py) — running it
+    # per-arm would double the row's cost re-verifying what x2/x7-full
+    # already verify on this same corpus every round.
+    v1 = bootstrap_corpus(spark, b1, base + "/corpus", base + "/index",
+                          probe="exact", threshold=0.5,
+                          within_batch="exact", store=("shingles",))
+    idx = spark.read.parquet(base + "/index")
+    v2 = incremental_dedup(b2, idx, probe="exact", threshold=0.5,
+                           within_batch="exact")
+    commit_batch(spark, v2, base + "/corpus", base + "/index",
+                 store=("shingles",))
+    nq = F.lit(None).cast("double").alias("q_score")
+    incr1 = v1.select(F.lit("incr_b1").alias("tag"), "doc_id", nq,
+                      F.coalesce("drop_reason", F.lit("kept"))
+                       .alias("reason"))
+    incr2 = v2.select(F.lit("incr_b2").alias("tag"), "doc_id", nq,
+                      F.coalesce("drop_reason", F.lit("kept"))
+                       .alias("reason"))
+    merged = (spark.read.parquet(base + "/corpus")
+              .select(F.lit("incr_corpus").alias("tag"), "doc_id", nq,
+                      F.lit(None).cast("string").alias("reason")))
+    return incr1.unionAll(incr2).unionAll(merged)
 
 
 def _q_x8_corpus_utils(spark, sf):
@@ -2443,9 +2527,77 @@ def oracle_sql() -> dict[str, str]:
                                 unnest({_SHINGLE5_SQL.format(t='toks')})
                                     AS sh FROM tr)
                     WHERE sh <> ''),
-            hits AS (SELECT DISTINCT doc_id FROM tsh JOIN esh USING (sh))
-            SELECT doc_id, q_score FROM tr
-            WHERE doc_id NOT IN (SELECT doc_id FROM hits)""",
+            hits AS (SELECT DISTINCT doc_id FROM tsh JOIN esh USING (sh)),
+            -- ==== incr arms: staged incremental semantics ====
+            ib AS (SELECT doc_id,
+                          CASE WHEN doc_id % 10 = 2 THEN 2 ELSE 1 END
+                              AS batch,
+                          md5(lower(regexp_replace(trim(text), '\\s+',
+                                                   ' ', 'g'))) AS fp,
+                          {_TOKENS_SQL.format(c='text')} AS itoks
+                   FROM documents WHERE doc_id % 10 < 3),
+            ish AS MATERIALIZED (SELECT doc_id, sh FROM
+                        (SELECT doc_id, unnest(list_distinct(
+                            CASE WHEN len(itoks) < 3
+                                 THEN [array_to_string(itoks, ' ')]
+                                 ELSE list_transform(
+                                     range(1, len(itoks) - 1),
+                                     i -> array_to_string(itoks[i:i+2],
+                                                          ' '))
+                            END)) AS sh FROM ib)
+                    WHERE sh <> ''),
+            isz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM ish
+                    GROUP BY doc_id),
+            b1r AS MATERIALIZED (SELECT doc_id, fp,
+                           ROW_NUMBER() OVER (PARTITION BY fp
+                                              ORDER BY doc_id) AS rn
+                    FROM ib WHERE batch = 1),
+            b1v AS MATERIALIZED (SELECT doc_id,
+                           CASE WHEN rn > 1 THEN 'exact_batch'
+                                ELSE 'kept' END AS reason
+                    FROM b1r),
+            b1k AS MATERIALIZED (SELECT doc_id FROM b1v WHERE reason = 'kept'),
+            b1fp AS MATERIALIZED (SELECT DISTINCT fp FROM ib
+                     WHERE doc_id IN (SELECT doc_id FROM b1k)),
+            b2r AS MATERIALIZED (SELECT doc_id, fp,
+                           ROW_NUMBER() OVER (PARTITION BY fp
+                                              ORDER BY doc_id) AS rn
+                    FROM ib WHERE batch = 2),
+            b2x AS MATERIALIZED (SELECT doc_id FROM b2r
+                    WHERE fp NOT IN (SELECT fp FROM b1fp) AND rn = 1),
+            ci AS (SELECT a.doc_id AS bid, b.doc_id AS iid,
+                          COUNT(*) AS c
+                   FROM ish a JOIN ish b USING (sh)
+                   WHERE a.doc_id IN (SELECT doc_id FROM b2x)
+                     AND b.doc_id IN (SELECT doc_id FROM b1k)
+                   GROUP BY 1, 2),
+            ni AS MATERIALIZED (SELECT DISTINCT bid AS doc_id FROM ci
+                   JOIN isz sa ON sa.doc_id = bid
+                   JOIN isz sb ON sb.doc_id = iid
+                   WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+            b2v AS MATERIALIZED (SELECT doc_id,
+                           CASE WHEN fp IN (SELECT fp FROM b1fp)
+                                     THEN 'exact_index'
+                                WHEN rn > 1 THEN 'exact_batch'
+                                WHEN doc_id IN (SELECT doc_id FROM ni)
+                                     THEN 'neardup_index'
+                                ELSE 'kept' END AS reason
+                    FROM b2r)
+            SELECT 'full' AS tag, doc_id, q_score,
+                   CAST(NULL AS VARCHAR) AS reason FROM tr
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+            UNION ALL
+            SELECT 'incr_b1', doc_id, CAST(NULL AS DOUBLE), reason
+            FROM b1v
+            UNION ALL
+            SELECT 'incr_b2', doc_id, CAST(NULL AS DOUBLE), reason
+            FROM b2v
+            UNION ALL
+            SELECT 'incr_corpus', doc_id, CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR)
+            FROM (SELECT doc_id FROM b1k
+                  UNION ALL
+                  SELECT doc_id FROM b2v WHERE reason = 'kept')""",
         "x8_corpus_utils": f"""
             SELECT 'vocab' AS kind, CAST(NULL AS BIGINT) AS doc_id,
                    n AS a, CAST(NULL AS BIGINT) AS b,

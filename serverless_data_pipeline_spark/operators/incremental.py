@@ -187,7 +187,7 @@ def incremental_dedup(batch: DataFrame, index: DataFrame | None,
                       probe: str = "exact", threshold: float | None = 0.5,
                       shingle_n: int = 3, num_hashes: int = 32,
                       bands: int = 8,
-                      within_batch: bool = True) -> DataFrame:
+                      within_batch: bool | str = "full") -> DataFrame:
     """Dedup a NEW batch against a PERSISTED corpus index without
     rescanning the corpus. Returns ``batch`` + ``drop_reason`` (NULL for
     survivors), with stages applied in this fixed order — each stage only
@@ -204,8 +204,12 @@ def incremental_dedup(batch: DataFrame, index: DataFrame | None,
 
     ``index=None`` bootstraps (stages 2 and 4 only — day-1 of a corpus).
     ``threshold=None`` disables both near-dup stages (exact-only mode).
-    ``within_batch=False`` disables stages 2 and 4 (probe-only mode, for
-    a batch already deduped upstream).
+    ``within_batch`` selects the internal-dedup depth: ``"full"`` (both
+    stages 2 and 4), ``"exact"`` (stage 2 only — skip the within-batch
+    pair graph + CC when the batch's internal near-dups are handled by
+    a separate X2 pass, or when probe-vs-index latency matters more),
+    ``"none"`` (probe-only, for a batch already deduped upstream).
+    Booleans alias "full"/"none" for compatibility.
 
     The survivors are exactly the docs ``commit_batch`` should merge.
     Idempotent re-delivery: re-probing an already-committed batch drops
@@ -214,6 +218,13 @@ def incremental_dedup(batch: DataFrame, index: DataFrame | None,
     if probe not in ("exact", "minhash"):
         raise ValueError(f"probe must be 'exact' or 'minhash', got "
                          f"{probe!r}")
+    if isinstance(within_batch, bool):
+        within_batch = "full" if within_batch else "none"
+    if within_batch not in ("full", "exact", "none"):
+        raise ValueError(f"within_batch must be 'full', 'exact' or "
+                         f"'none', got {within_batch!r}")
+    wb_exact = within_batch in ("full", "exact")
+    wb_neardup = within_batch == "full"
     if index is not None:
         missing = {"fp"} - set(index.columns)
         if probe == "exact" and threshold is not None:
@@ -235,12 +246,12 @@ def incremental_dedup(batch: DataFrame, index: DataFrame | None,
         idx_fp = index.select(F.col("fp").alias("__fp"))
         _drop(cur.join(idx_fp, "__fp", "left_semi"), "exact_index")
         cur = cur.join(idx_fp, "__fp", "left_anti")
-    if within_batch:
+    if wb_exact:
         keep = cur.groupBy("__fp").agg(F.min(id_col).alias(id_col))
         _drop(cur.join(keep.select(id_col), id_col, "left_anti"),
               "exact_batch")
         cur = cur.join(keep.select(id_col), id_col, "left_semi")
-    if threshold is not None and (index is not None or within_batch):
+    if threshold is not None and (index is not None or wb_neardup):
         # The exact-survivor frame feeds every remaining consumer (the
         # index probe, the pair generator's index/verify sides, and two
         # anti-joins); checkpoint once so they all read a compact leaf
@@ -254,7 +265,7 @@ def incremental_dedup(batch: DataFrame, index: DataFrame | None,
                                num_hashes, bands, threshold))
         _drop(hits, "neardup_index")
         cur = cur.join(hits, id_col, "left_anti")
-    if within_batch and threshold is not None:
+    if wb_neardup and threshold is not None:
         pairs = (ngram_jaccard_pairs(cur, id_col, text_col, n=shingle_n,
                                      threshold=threshold)
                  if probe == "exact" else
@@ -279,6 +290,7 @@ def bootstrap_corpus(spark, batch: DataFrame, corpus_path: str,
                      text_col: str = "text", *, probe: str = "exact",
                      threshold: float | None = 0.5, shingle_n: int = 3,
                      num_hashes: int = 32, bands: int = 8,
+                     within_batch: bool | str = "full",
                      store: tuple[str, ...] = ("minhash", "shingles"),
                      ) -> DataFrame:
     """Day-1: dedup the first batch internally, write it as the corpus,
@@ -286,7 +298,8 @@ def bootstrap_corpus(spark, batch: DataFrame, corpus_path: str,
     verdicts = incremental_dedup(batch, None, id_col, text_col,
                                  probe=probe, threshold=threshold,
                                  shingle_n=shingle_n,
-                                 num_hashes=num_hashes, bands=bands)
+                                 num_hashes=num_hashes, bands=bands,
+                                 within_batch=within_batch)
     survivors = verdicts.filter(F.col("drop_reason").isNull()) \
         .drop("drop_reason")
     survivors.write.mode("overwrite").parquet(corpus_path)
