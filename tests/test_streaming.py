@@ -260,3 +260,42 @@ def test_stream_dedup_equals_batch_on_redelivery(spark, tmp_path):
                          ["event_id"])
     assert sorted(r.event_id for r in batch.select("event_id").collect()) \
         == list(range(20))
+
+
+def test_redelivery_stream_bounded_retry_and_dlq(spark, tmp_path):
+    """S7 bounded-retry contract (SQS redrive, py:133-137) at row grain:
+    a transient-poison row fails deliveries 1-2 and lands in the good
+    sink with attempts=3; a permanent-poison row exhausts all 3
+    deliveries and lands in the DLQ with attempts=3 and a reason;
+    healthy rows land with attempts=1. Nothing is lost or duplicated."""
+    from serverless_data_pipeline_spark.streaming.sinks import (
+        start_redelivery_stream,
+    )
+    src = str(tmp_path / "src")
+    _write_drips(spark, src)                       # event_id 0..39
+    stream = read_stream_files(spark, src, SCHEMA, max_files_per_trigger=2)
+
+    def succeeds_at(attempt):
+        transient = (F.col("event_id") % 10 == 3) & (F.lit(attempt) < 3)
+        permanent = F.col("event_id") % 10 == 7
+        return ~transient & ~permanent
+
+    q = start_redelivery_stream(
+        stream, good_path=str(tmp_path / "good"),
+        dlq_path=str(tmp_path / "dlq"),
+        checkpoint=str(tmp_path / "ckpt"),
+        succeeds_at=succeeds_at, max_receive_count=3,
+        trigger={"availableNow": True})
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(str(tmp_path / "good"))
+    assert good.count() == 36                      # 4 permanent-poison out
+    att = {r.event_id: r.attempts for r in good.collect()}
+    assert all(att[i] == 3 for i in att if i % 10 == 3)
+    assert all(att[i] == 1 for i in att if i % 10 not in (3, 7))
+    assert not any(i % 10 == 7 for i in att)
+    dlq = spark.read.json(str(tmp_path / "dlq"))
+    assert sorted(r.event_id for r in dlq.collect()) == [7, 17, 27, 37]
+    assert dlq.filter("attempts = 3").count() == 4
+    assert dlq.filter(
+        "_error_reason = 'failed_after_3_deliveries'").count() == 4
