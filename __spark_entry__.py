@@ -1432,7 +1432,7 @@ def _sketch_flavour(spark, sf):
 
 
 def _ann_flavours(spark, sf):
-    """X4 — all six ANN shapes in one tagged union (rows-only: LSH/IVF
+    """X4 — all seven ANN shapes in one tagged union (rows-only: LSH/IVF
     pruning isn't SQL-expressible; recall vs the exact X3 result is
     pytest-asserted per flavour in tests/test_similarity.py):
 
@@ -1451,7 +1451,11 @@ def _ann_flavours(spark, sf):
     - `pq_refined`: product-quantization ADC top-50 shortlist from
       trained per-subspace codebooks, exact-cosine re-rank to top-10
       (train_pq_codebooks/pq_topk — the m-bytes-per-vector billion-scale
-      index shape; query_id = -4).
+      index shape; query_id = -4);
+    - `ivfpq` (r7): the COMPOSED IVFADC layout (Jégou et al. TPAMI'11 /
+      FAISS IVFPQ) — build_ivfpq_index's codes-only (id, cell, code)
+      frame probed by cell pruning + ADC + exact re-rank on a broadcast
+      shortlist join (query_id = -6).
     """
     from serverless_data_pipeline_spark.operators.similarity import (
         add_sign_lsh_buckets, ann_topk_indexed, ann_topk_join,
@@ -1502,8 +1506,23 @@ def _ann_flavours(spark, sf):
                                seed=42, sample_n=2048)
     pq = tag(pq_topk(e, "vec_id", "embedding", q, k=10, codebooks=books,
                      refine=50), "pq_refined", -4)
+    from serverless_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_index, ivfpq_topk,
+    )
+    # 7th shape (r7, verdict #3): the COMPOSED IVF-PQ index — coarse
+    # cell pruning over a codes-only (id, cell, code) frame + ADC
+    # shortlist + exact re-rank via a broadcast id join back to the raw
+    # vectors. Reuses the cells/codebooks trained above, so the arm's
+    # added cost is the probe itself; the written-partitionBy(cell)
+    # form's pruning + codes-only ReadSchema are plan-asserted in
+    # tests/test_similarity.py.
+    ivfpq_index = build_ivfpq_index(e, "vec_id", "embedding", 64,
+                                    centroids=cents, codebooks=books)
+    ivfpq = tag(ivfpq_topk(ivfpq_index, e, "vec_id", "embedding", q,
+                           k=10, centroids=cents, codebooks=books,
+                           n_probe=4, refine=50), "ivfpq", -6)
     return (inline.unionAll(indexed).unionAll(batch).unionAll(ivf)
-            .unionAll(ivf_ix).unionAll(pq))
+            .unionAll(ivf_ix).unionAll(pq).unionAll(ivfpq))
 
 
 def _lsh_flavours(spark, sf):

@@ -45,7 +45,8 @@ __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "ann_topk_join", "ann_topk_indexed", "ivf_topk",
            "assign_ivf_cells", "ivf_topk_indexed",
            "train_ivf_centroids", "add_sign_lsh_buckets", "group_centroids",
-           "train_pq_codebooks", "pq_encode", "pq_topk"]
+           "train_pq_codebooks", "pq_encode", "pq_topk",
+           "build_ivfpq_index", "ivfpq_topk"]
 
 
 def _lit_vec(vec: list[float]):
@@ -502,3 +503,75 @@ def ivf_topk(corpus: DataFrame, id_col: str, vec_col: str,
                       F.round(_np_cosine(vec_col, query_vec), 6)
                        .alias("cosine")))
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def build_ivfpq_index(corpus: DataFrame, id_col: str, vec_col: str,
+                      dim: int, *, centroids: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      cell_col: str = "ivf_cell",
+                      code_col: str = "pq_code") -> DataFrame:
+    """X4 composed index build — the IVF-PQ (FAISS IVFADC-family) layout:
+    every vector gets its nearest-centroid CELL id (the inverted-file
+    coarse quantizer, assign_ivf_cells) and its m-byte PQ CODE
+    (pq_encode), and the returned frame is CODES-ONLY (id, cell, code) —
+    the raw embedding is deliberately dropped, so persisting this frame
+    ``partitionBy(cell_col)`` gives the billion-scale shape: ~m bytes +
+    one int per vector in hot storage, probes that read n_probe/n_cells
+    of THAT, and raw vectors touched only by the final re-rank
+    (ivfpq_topk). Both assignments are one narrow Arrow-matmul pass
+    each, no shuffle.
+
+    Quantization is GLOBAL (codes encode the raw vector), not per-cell
+    residual: FAISS's IVFPQ(by_residual=False) / ScaNN-style layout. The
+    residual variant re-centers codes per cell for tighter quantization
+    error, but its query LUTs must be rebuilt PER PROBED CELL (n_probe x
+    m x ksub dot products per query) and codes can't be compared across
+    cells; the global variant computes ONE LUT per query and keeps the
+    ADC column expression cell-independent — the right trade here, where
+    the exact re-rank (not ADC precision) sets final quality."""
+    assigned = assign_ivf_cells(corpus, vec_col, centroids, dim,
+                                out_col=cell_col)
+    return (pq_encode(assigned, vec_col, codebooks, dim, out_col=code_col)
+            .select(F.col(id_col), F.col(cell_col), F.col(code_col)))
+
+
+def ivfpq_topk(index: DataFrame, vectors: DataFrame | None,
+               id_col: str, vec_col: str, query_vec: list[float],
+               k: int = 10, *, centroids: list[list[float]],
+               codebooks: list[list[list[float]]], n_probe: int = 4,
+               refine: int = 50, cell_col: str = "ivf_cell",
+               code_col: str = "pq_code") -> DataFrame:
+    """X4 composed probe over a build_ivfpq_index frame — the full IVFADC
+    query path (Jégou et al. TPAMI'11): (1) the query's n_probe nearest
+    cells are picked driver-side against the small centroid codebook;
+    (2) the CODES-ONLY index is filtered to those cells (a single-column
+    IN — partition-prunable, plan-asserted in tests) and scored by
+    asymmetric-distance cosine, two LUT gathers per row, raw vectors
+    never read; (3) the top-`refine` ADC shortlist is re-ranked with
+    exact cosine by joining ONLY those ids back to the raw `vectors`
+    frame (a broadcast semi-join of a k-sized id list — with vectors
+    clustered/bloom-indexed on id, point-lookup cheap at any scale).
+    ``refine=0`` skips (3) and returns ADC estimates (``vectors`` may be
+    None). Returns (id, cosine)."""
+    probe = _probe_cells(query_vec, centroids, n_probe)
+    cand = index.filter(F.col(cell_col).isin(probe))
+    adc = pq_adc_cosine_udf(codebooks, query_vec)(F.col(code_col))
+    scored = cand.select(
+        F.col(id_col), F.nanvl(adc, F.lit(None).cast("double"))
+        .alias("__adc"))
+    if not refine:
+        return (scored.select(F.col(id_col),
+                              F.round("__adc", 6).alias("cosine"))
+                .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+    if vectors is None:
+        raise ValueError("ivfpq_topk(refine>0) needs the raw `vectors` "
+                         "frame for the exact re-rank — pass refine=0 "
+                         "for a codes-only ADC probe")
+    shortlist = (scored.orderBy(F.col("__adc").desc(), F.col(id_col))
+                 .limit(max(refine, k)).select(id_col))
+    rer = (vectors.select(F.col(id_col), F.col(vec_col))
+           .join(F.broadcast(shortlist), id_col, "left_semi"))
+    return (rer.select(F.col(id_col),
+                       F.round(_np_cosine(vec_col, query_vec), 6)
+                        .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))

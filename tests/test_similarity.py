@@ -381,3 +381,68 @@ def test_ivf_indexed_matches_inline_and_prunes(spark, tmp_path):
               for seg in plan.split("FileScan")[1:]
               if "PartitionFilters" in seg]
     assert any("ivf_cell" in pf for pf in pruned), plan
+
+
+def test_ivfpq_composed_recall_and_codes_only_probe(spark, tmp_path):
+    """The composed IVF-PQ index (r7 verdict #3): recall@10 floor vs the
+    exact baseline on a planted-neighbor fixture, the probe's cell
+    filter partition-prunes, the probed index scan reads CODES ONLY (no
+    embedding column anywhere before the re-rank), and the re-rank
+    touches raw vectors only through the broadcast shortlist join."""
+    import numpy as np
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_index, ivfpq_topk, train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(600, 32))
+    q = base[17] / np.linalg.norm(base[17])
+    # plant 8 true neighbors near q (high-cosine regime)
+    for j in range(8):
+        base[100 + j] = q * 5 + rng.normal(scale=0.15, size=32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>").localCheckpoint(eager=True)
+    cents = train_ivf_centroids(df, "embedding", n_cells=8, seed=3,
+                                max_iter=5)
+    books = train_pq_codebooks(df, "embedding", dim=32, m=8, ksub=16,
+                               seed=3, sample_n=600)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(df, "vec_id", "embedding", 32,
+                      centroids=cents, codebooks=books) \
+        .write.partitionBy("ivf_cell").parquet(path)
+    index = spark.read.parquet(path)
+    assert "embedding" not in index.columns          # codes-only on disk
+
+    exact = {r[0] for r in
+             brute_force_topk(df, "vec_id", "embedding", q.tolist(), k=10)
+             .collect()}
+    got_df = ivfpq_topk(index, df, "vec_id", "embedding", q.tolist(),
+                        k=10, centroids=cents, codebooks=books,
+                        n_probe=4, refine=50)
+    got = {r[0] for r in got_df.collect()}
+    assert len(exact & got) / 10 >= 0.8, (exact, got)
+
+    # plan asserts: cell partition-pruning + codes-only index scan
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.split("FileScan")[1:]
+    idx_scans = [s for s in scans if "ivfpq" in s.split("Location")[-1][:400]]
+    assert idx_scans, plan
+    for s in idx_scans:
+        rs = s.split("ReadSchema:")[-1][:300]
+        assert "embedding" not in rs, rs               # codes only
+        pf = s.split("PartitionFilters")[-1][:300]
+        assert "ivf_cell" in pf, pf                    # pruned probe
+
+    # ADC-only mode needs no raw vectors at all
+    adc_only = ivfpq_topk(index, None, "vec_id", "embedding", q.tolist(),
+                          k=10, centroids=cents, codebooks=books,
+                          n_probe=4, refine=0)
+    assert adc_only.count() == 10
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivfpq_topk(index, None, "vec_id", "embedding", q.tolist(),
+                   centroids=cents, codebooks=books, refine=50).collect()
