@@ -72,9 +72,40 @@ def _calibrate_ms(reps: int = 40) -> float:
     return round(best, 2)
 
 
+# Idle-host calibration reference (r7 verdict #4): min-of-3 calib_ms on
+# the README's idle-host re-measure runs (63.4-64.1 ms, r6). A capture
+# whose calib exceeds this by >5 % (or whose 1-min loadavg says another
+# workload holds multiple cores) is retried once after a cooldown; if
+# still hot, the artifact is recorded with "contended": true so a
+# loaded-host number can never again be argued as a code regression.
+CALIB_REF_MS = float(os.environ.get("SPARK_GRAFT_CALIB_REF_MS", "64.0"))
+CALIB_SLACK = 1.05
+LOADAVG_MAX = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "2.0"))
+COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_S", "60"))
+
+
+def _host_state() -> tuple[float, list[float] | None, bool]:
+    calib = _calibrate_ms()
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
+    hot = calib > CALIB_REF_MS * CALIB_SLACK or (
+        loadavg is not None and loadavg[0] > LOADAVG_MAX)
+    return calib, loadavg, hot
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
     from serverless_data_pipeline_spark.session import get_spark
+
+    calib, loadavg, contended = _host_state()
+    if contended:
+        print(f"# host contended (calib_ms={calib} ref={CALIB_REF_MS}, "
+              f"loadavg={loadavg}) — cooling down {COOLDOWN_S}s and "
+              f"retrying once", file=sys.stderr)
+        time.sleep(COOLDOWN_S)
+        calib, loadavg, contended = _host_state()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -110,10 +141,9 @@ def main() -> None:
         sub[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    try:
-        loadavg = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
-        loadavg = None
+    # Re-measure AFTER the run too: contention that arrived mid-run
+    # must also flag the artifact.
+    calib_end, loadavg_end, hot_end = _host_state()
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -121,8 +151,10 @@ def main() -> None:
         "queries": times,
         "subqueries": sub,
         "cold_total_sec": round(sum(cold.values()), 3),
-        "calib_ms": _calibrate_ms(),
-        "loadavg": loadavg,
+        "calib_ms": min(calib, calib_end),
+        "calib_ref_ms": CALIB_REF_MS,
+        "loadavg": loadavg_end if loadavg is None else loadavg,
+        "contended": bool(contended or hot_end),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
