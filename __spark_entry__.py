@@ -1959,12 +1959,34 @@ def _q_x11_text_hygiene(spark, sf):
 
 
 def _q_x13_lm_score(spark, sf):
-    """X13 — CCNet-style LM quality scoring: add-k bigram LM trained on
-    the corpus itself, each doc scored by the quantized mean log2
-    P(w_i | w_{i-1}). Low scorers are the gibberish/boilerplate
-    candidates a pretraining pipeline filters."""
-    from serverless_data_pipeline_spark.operators.text import lm_score
-    return lm_score(_t(spark, sf, "documents"), "doc_id", "text")
+    """X13 + X14 — both model-based quality scores in one tagged union:
+
+    - `lm`: CCNet-style statistical LM scoring — add-k bigram LM trained
+      on the corpus itself, each doc scored by the quantized mean log2
+      P(w_i | w_{i-1}); low scorers are gibberish/boilerplate candidates
+      (n = bigram count; docs with < 2 tokens have no bigram evidence).
+    - `fasttext` (r7, verdict #5): learned-classifier scoring — a
+      fastText-style linear model over hashed bag-of-token features
+      with FIXED committed weights (default_quality_weights),
+      p = sigmoid(mean token-bucket weight). One narrow projection, no
+      shuffle; the logit accumulates in exact micro-unit integers so
+      the score is bit-identical in the DuckDB oracle (n = token
+      count; every doc scores, empty docs score sigmoid(bias))."""
+    from serverless_data_pipeline_spark.operators.text import (
+        classifier_quality_score, default_quality_weights, lm_score,
+    )
+    docs = _t(spark, sf, "documents")
+    lm = (lm_score(docs, "doc_id", "text")
+          .select(F.lit("lm").alias("tag"), "doc_id",
+                  F.col("n_bigrams").cast("long").alias("n"),
+                  F.col("lm_logp").alias("score")))
+    ft = (classifier_quality_score(
+              docs, "doc_id", "text",
+              weights=default_quality_weights())
+          .select(F.lit("fasttext").alias("tag"), "doc_id",
+                  F.col("n_tokens").alias("n"),
+                  F.col("q_prob").alias("score")))
+    return lm.unionAll(ft)
 
 
 def _q_x12_segment_dedup(spark, sf):
@@ -2022,6 +2044,17 @@ _SHINGLE5_SQL = (
     " END)")
 _STOPWORDS_SQL = "['the','a','an','of','to','in','and','is','it','for']"
 _BPE_SQL = "regexp_extract_all({c}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')"
+
+# X14 classifier constants: the SAME committed weight vector the Spark
+# operator folds into its plan, as a DuckDB BIGINT[] literal in 1e-6
+# micro-units (exact integer logit accumulation in both engines).
+from serverless_data_pipeline_spark.operators.text import (  # noqa: E402
+    default_quality_weights as _dqw,
+)
+
+_QW_B = 512
+_QW_SQL = ("[" + ",".join(str(int(round(w * 1e6))) for w in _dqw(_QW_B))
+           + "]::BIGINT[]")
 
 
 _CLUSTERS_ORACLE = f"""
@@ -2812,10 +2845,24 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN c12 USING (w1, w2)
                    LEFT JOIN c1 USING (w1)
                    CROSS JOIN v)
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+            SELECT 'lm' AS tag, doc_id, CAST(COUNT(*) AS BIGINT) AS n,
                    (CAST(SUM(CAST(round(lp * 1000000) AS BIGINT)) AS DOUBLE)
-                    / (COUNT(*) * 1000000.0)) AS lm_logp
-            FROM lp GROUP BY doc_id""",
+                    / (COUNT(*) * 1000000.0)) AS score
+            FROM lp GROUP BY doc_id
+            UNION ALL
+            -- X14: fastText-style hashed linear classifier, committed
+            -- weights in 1e-6 micro-units, exact integer logit sum.
+            SELECT 'fasttext' AS tag, doc_id,
+                   CAST(len(t) AS BIGINT) AS n,
+                   round(1.0 / (1.0 + exp(-(CASE WHEN len(t) > 0
+                       THEN CAST(list_aggregate(list_transform(t,
+                            tok -> ({_QW_SQL})[
+                                CAST(CAST(concat('0x',
+                                         substr(md5(tok), 1, 8))
+                                     AS UBIGINT) % {_QW_B} AS INT) + 1]),
+                            'sum') AS DOUBLE) / (len(t) * 1000000.0)
+                       ELSE 0.0 END))), 6) AS score
+            FROM toks""",
         "x12_segment_dedup": f"""
             WITH toks AS (SELECT doc_id,
                                  {_TOKENS_SQL.format(c='text')} AS t

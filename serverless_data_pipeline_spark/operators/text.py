@@ -225,3 +225,66 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
             .agg(F.count("*").alias("n_bigrams"),
                  (F.sum(F.round(F.col("__lp") * 1000000).cast("long"))
                   / (F.count("*") * F.lit(1000000.0))).alias("lm_logp")))
+
+
+def default_quality_weights(n_buckets: int = 512,
+                            seed: int = 1234) -> list[float]:
+    """The committed stand-in weight vector for classifier_quality_score:
+    a deterministic LCG fill in [-1, 1] at 6-decimal resolution. A real
+    deployment trains these offline (logistic regression / fastText on
+    labeled quality data) and ships them as exactly this kind of frozen
+    constant — the ENGINE contract (fixed broadcast weights, one narrow
+    scoring pass, bit-reproducible scores) is what this module provides,
+    and it is independent of where the numbers came from."""
+    w, state = [], seed & 0x7FFFFFFF
+    for _ in range(n_buckets):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        w.append((state % 2000001 - 1000000) / 1e6)
+    return w
+
+
+def classifier_quality_score(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", *,
+                             weights: list[float],
+                             bias: float = 0.0,
+                             out_col: str = "q_prob") -> DataFrame:
+    """X14 — model-based quality scoring: a fastText-style linear text
+    classifier (Joulin et al., "Bag of Tricks for Efficient Text
+    Classification", 2017 — the public recipe behind the CCNet/LLaMA
+    quality filters) over hashed bag-of-token features:
+
+        p(quality) = sigmoid(bias + mean_t w[h(t) mod B])
+
+    with ``B = len(weights)`` hash buckets. The weight vector is a FIXED
+    constant folded into the plan (the broadcast-scalar shape of a
+    deployed classifier — training happens offline), so scoring is ONE
+    narrow projection: no shuffle, no joins, no Python; a 100 TB corpus
+    scores at scan speed, composable with the other gates as one more
+    columnar signal.
+
+    Engine-portable determinism: the token hash is the first 8 hex
+    digits of md5 (identical in Spark and DuckDB RE2/md5 — xxhash64
+    would not be oracle-checkable), and weights are quantized to 1e-6
+    micro-units summed in EXACT integer arithmetic (the _msum
+    discipline: |w_int| <= 1e6, so even 2^40 tokens stay under 2^53),
+    making the pre-sigmoid logit bit-identical across engines and
+    partition orders. Empty docs score sigmoid(bias). Returns
+    (id, n_tokens, ``out_col``)."""
+    b = len(weights)
+    if b < 1:
+        raise ValueError("weights must be non-empty")
+    w_int = F.array(*[F.lit(int(round(float(x) * 1e6))).cast("long")
+                      for x in weights])
+    toks = tokens(text_col)
+    tw = F.transform(toks, lambda t: F.element_at(
+        w_int, (F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(b)) + 1).cast("int")))
+    s = F.aggregate(tw, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    n = F.size(toks)
+    z = (F.lit(float(bias))
+         + F.when(n > 0, s / (n.cast("double") * F.lit(1e6)))
+            .otherwise(F.lit(0.0)))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.select(F.col(id_col), n.cast("long").alias("n_tokens"),
+                     F.round(prob, 6).alias(out_col))

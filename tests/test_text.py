@@ -162,3 +162,45 @@ def test_lm_score_separate_reference_corpus(spark):
     row = lm_score(docs, ref=ref).collect()[0]
     # V=2 ('a','b'); unseen history: (0+0.5)/(0+0.5*2) = 0.5
     assert abs(row.lm_logp - round(math.log2(0.5), 6)) < 1e-9
+
+
+def test_classifier_quality_score_fixed_weights(spark):
+    """X14 fastText-style classifier: deterministic, bounded to (0,1),
+    empty docs score sigmoid(bias), and a doc made of positive-weight
+    tokens must outscore a doc of negative-weight tokens (weights looked
+    up via the same md5-bucket rule in pure Python)."""
+    import hashlib
+    import math
+
+    from serverless_data_pipeline_spark.operators.text import (
+        classifier_quality_score, default_quality_weights,
+    )
+    w = default_quality_weights()
+    assert len(w) == 512 and all(-1.0 <= x <= 1.0 for x in w)
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 512
+
+    cands = [f"tok{i}" for i in range(200)]
+    pos = max(cands, key=lambda t: w[bucket(t)])
+    neg = min(cands, key=lambda t: w[bucket(t)])
+    assert w[bucket(pos)] > 0 > w[bucket(neg)]
+    df = spark.createDataFrame(
+        [(1, " ".join([pos] * 8)), (2, " ".join([neg] * 8)), (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.q_prob) for r in
+           classifier_quality_score(df, weights=w).collect()}
+    assert out[3] == (0, 0.5)                       # sigmoid(0)
+    assert out[1][0] == 8 and out[2][0] == 8
+    assert out[1][1] > 0.5 > out[2][1]
+    # closed form: sigmoid(mean of the quantized token weights)
+    exp1 = 1.0 / (1.0 + math.exp(-round(w[bucket(pos)], 6)))
+    assert abs(out[1][1] - exp1) < 1e-6
+    out2 = {r.doc_id: r.q_prob for r in
+            classifier_quality_score(df, weights=w).collect()}
+    assert out2 == {k: v[1] for k, v in out.items()}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        classifier_quality_score(df, weights=[])
