@@ -144,7 +144,15 @@ def _q_t_etl_suite(spark, sf):
       partitions the batch;
     - T3 batch transform (clean trim/lower, convert year/month/day/hour
       partition derivation py:197) + T6 realtime event_hour (py:287-298;
-      processed_ts dropped — wall-clock, not oracle-checkable)."""
+      processed_ts dropped — wall-clock, not oracle-checkable);
+    - T4 chunked parallel transform (r7, verdict #6 — the last
+      convertible pytest-only family): the SAME T3+T6 transform run
+      THROUGH chunked_transform's fixed fan-out (sfn.Parallel
+      py:373-390, chunk_id tagged mid-plan then dropped — its value
+      reflects partition layout, deliberately not part of the
+      contract); the `t4` rows must hash-match the plain transform of
+      the same valid half, proving the chunk fan-out is semantically
+      transparent."""
     ing = stages.ingest(_t(spark, sf, "events"), source="s3",
                         data_type="json", priority="normal", batch_id="b1")
     res = stages.validate(
@@ -162,15 +170,21 @@ def _q_t_etl_suite(spark, sf):
     # T3/T6 transforms are narrow and deterministic, so
     # transform(valid) ∪ transform(invalid) ≡ transform(valid ∪ invalid)
     # — and validate()'s split is still what partitions the batch.
-    def _half(df, flag):
-        out = stages.realtime_transform(stages.transform(df, ts_col="ts"))
+    def _sel(out, flag, kind):
         return out.select(
+            F.lit(kind).alias("kind"),
             "event_id", "source", "data_type", "priority", "batch_id",
             F.col("event_type").alias("clean_type"),
             "year", "month", "day", "hour", "event_hour", "value",
             F.lit(flag).alias("is_valid"))
 
-    return _half(res.valid, True).unionAll(_half(res.invalid, False))
+    def _fn(df):
+        return stages.realtime_transform(stages.transform(df, ts_col="ts"))
+
+    t4 = _sel(stages.chunked_transform(res.valid, _fn), True, "t4")
+    return (_sel(_fn(res.valid), True, "etl")
+            .unionAll(_sel(_fn(res.invalid), False, "etl"))
+            .unionAll(t4))
 
 
 def _q_t5_quality_score(spark, sf):
@@ -2120,6 +2134,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
         "t_etl_suite": """
+            WITH etl AS (
             SELECT event_id, 's3' AS source, 'json' AS data_type,
                    'normal' AS priority, 'b1' AS batch_id,
                    lower(trim(event_type)) AS clean_type,
@@ -2131,7 +2146,11 @@ def oracle_sql() -> dict[str, str]:
                    value,
                    COALESCE(event_id IS NOT NULL AND ts IS NOT NULL
                             AND value >= 0.05, FALSE) AS is_valid
-            FROM events""",
+            FROM events)
+            SELECT 'etl' AS kind, * FROM etl
+            UNION ALL
+            -- T4 parity: the chunked fan-out is semantically transparent
+            SELECT 't4' AS kind, * FROM etl WHERE is_valid""",
         "t5_quality_score": """
             SELECT ROUND((5.0 + AVG(CASE WHEN n_chars >= 200 THEN 1.0
                                          ELSE 0.0 END)) / 6.0, 6) AS score
