@@ -1617,7 +1617,20 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7: x7 split — one-shot pipeline vs incremental maintenance
         "x7_corpus_exact.full": _x7_flavour_full,
         "x7_corpus_exact.incr": _x7_flavour_incr,
+        # r7: x10 gained the report (audit) arm — attribute it
+        "x10_decontaminate.report": _x10_flavour_report,
     }
+
+
+def _x10_flavour_report(spark, sf):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        contamination_report, train_test_split,
+    )
+    split = train_test_split(_t(spark, sf, "documents"), "doc_id",
+                             hashed=False)
+    return contamination_report(split.filter(F.col("split") == "train"),
+                                split.filter(F.col("split") == "eval"),
+                                "doc_id", "text", n=5)
 
 
 def _x12_flavour_segment(spark, sf):
@@ -1855,10 +1868,15 @@ def _q_x8_corpus_utils(spark, sf):
     pytest-pinned); tmix rows (NEW r6 — `temperature_mix`, the
     alpha-sampling mixture rule of mC4/XLM-R: p_g ∝ (n_g/N)^0.3
     derived from the data instead of corpus_mix's explicit weights)
-    carry (sample_rank, quota, NULL, lang)."""
+    carry (sample_rank, quota, NULL, lang); shuf rows (NEW r7 —
+    `global_shuffle`, the seeded training-order shuffle + shard
+    layout: md5 sort key, hex-prefix shard assignment via the SAME
+    `hex_prefix_long_sql` expression the oracle runs, per-shard
+    row_number position — no global single-partition sort) carry
+    (shard, pos, NULL, sort_key)."""
     from serverless_data_pipeline_spark.operators.corpus import (
-        chunk_documents, corpus_mix, leakage_safe_split, pack_sequences,
-        temperature_mix, train_test_split, vocabulary,
+        chunk_documents, corpus_mix, global_shuffle, leakage_safe_split,
+        pack_sequences, temperature_mix, train_test_split, vocabulary,
     )
     docs = _t(spark, sf, "documents")
     split = train_test_split(docs, "doc_id", hashed=False)
@@ -1904,8 +1922,14 @@ def _q_x8_corpus_utils(spark, sf):
                     F.col("quota").cast("long").alias("b"),
                     F.lit(None).cast("long").alias("c"),
                     F.col("lang").alias("h")))
+    shuf = (global_shuffle(docs, "doc_id", seed=0, num_shards=8)
+            .select(F.lit("shuf").alias("kind"), "doc_id",
+                    F.col("shard").cast("long").alias("a"),
+                    F.col("pos").cast("long").alias("b"),
+                    F.lit(None).cast("long").alias("c"),
+                    F.col("sort_key").alias("h")))
     return (vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
-            .unionAll(gsplit).unionAll(tmix))
+            .unionAll(gsplit).unionAll(tmix).unionAll(shuf))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -1920,6 +1944,15 @@ def _q_x10_decontaminate(spark, sf):
     word 5-gram with any eval-split doc (train/eval from the portable
     deterministic split, X8).
 
+    Third arm `report` (r7): `contamination_report` — the audit sibling
+    (GPT-3 appendix-C-style overlap study): for every contaminated doc,
+    the overlap FRACTION (n_overlap / distinct n-grams in the doc) and
+    the attribution (top_eval_id = the eval doc sharing the most
+    distinct n-grams, ties -> smallest id, with that pairwise count) —
+    the columns a data curator uses to pick flag-vs-drop thresholds
+    and trace leaks to their benchmark source. The gate tags carry
+    NULLs in the report-only columns.
+
     Oracle: ONE DuckDB shingle-semi-join emitted under both tags — the
     Bloom arm is value-checked against EXACT semantics, which is valid
     because Bloom error is one-sided (never false-negative) and the
@@ -1929,7 +1962,8 @@ def _q_x10_decontaminate(spark, sf):
     fixtures plus fixed hash seeds make that exactness deterministic,
     not a per-run gamble."""
     from serverless_data_pipeline_spark.operators.corpus import (
-        bloom_decontaminate, decontaminate, train_test_split,
+        bloom_decontaminate, contamination_report, decontaminate,
+        train_test_split,
     )
     split = train_test_split(_t(spark, sf, "documents"), "doc_id",
                              hashed=False)
@@ -1937,11 +1971,24 @@ def _q_x10_decontaminate(spark, sf):
     ev = split.filter(F.col("split") == "eval")
     cols = ["doc_id", F.col("n_overlap").cast("long").alias("n_overlap"),
             "contaminated"]
+    # report-only columns, NULL under the gate tags
+    nul = [F.lit(None).cast("long").alias("n_total"),
+           F.lit(None).cast("double").alias("frac_overlap"),
+           F.lit(None).cast("long").alias("top_eval_id"),
+           F.lit(None).cast("long").alias("top_eval_overlap")]
     exact = (decontaminate(train, ev, "doc_id", "text", n=5)
-             .select(F.lit("exact").alias("tag"), *cols))
+             .select(F.lit("exact").alias("tag"), *cols, *nul))
     bloom = (bloom_decontaminate(train, ev, "doc_id", "text", n=5)
-             .select(F.lit("bloom").alias("tag"), *cols))
-    return exact.unionAll(bloom)
+             .select(F.lit("bloom").alias("tag"), *cols, *nul))
+    report = (contamination_report(train, ev, "doc_id", "text", n=5)
+              .select(F.lit("report").alias("tag"), "doc_id",
+                      F.col("n_overlap").cast("long"),
+                      F.lit(True).alias("contaminated"),
+                      F.col("n_total").cast("long"),
+                      "frac_overlap",
+                      F.col("top_eval_id").cast("long"),
+                      F.col("top_eval_overlap").cast("long")))
+    return exact.unionAll(bloom).unionAll(report)
 
 
 def _q_x11_text_hygiene(spark, sf):
@@ -2057,6 +2104,14 @@ _SHINGLE5_SQL = (
     "              i -> array_to_string({t}[i:i+4], ' '))"
     " END)")
 _STOPWORDS_SQL = "['the','a','an','of','to','in','and','is','it','for']"
+
+# x8 shuf arm: the shard expression is the SAME SQL string the Spark
+# operator evaluates (hex_prefix_long_sql), so shard assignment parity
+# is by construction, not by re-derivation.
+from serverless_data_pipeline_spark.operators.corpus import (  # noqa: E402
+    hex_prefix_long_sql as _hexlong,
+)
+_SHUF_SHARD_SQL = _hexlong("k", 8)
 _BPE_SQL = "regexp_extract_all({c}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')"
 
 # X14 classifier constants: the SAME committed weight vector the Spark
@@ -2782,7 +2837,18 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents)
                   SELECT doc_id, lang, sample_rank, quota
                   FROM r JOIN q USING (lang)
-                  WHERE sample_rank <= quota)""",
+                  WHERE sample_rank <= quota)
+            UNION ALL
+            SELECT 'shuf', doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                           ORDER BY k, doc_id)
+                        AS BIGINT),
+                   CAST(NULL AS BIGINT), k
+            FROM (SELECT doc_id, k,
+                         CAST({_SHUF_SHARD_SQL} % 8 AS BIGINT) AS shard
+                  FROM (SELECT doc_id,
+                               md5('0:' || CAST(doc_id AS VARCHAR)) AS k
+                        FROM documents))""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,
@@ -3166,9 +3232,39 @@ def oracle_sql() -> dict[str, str]:
             "                COALESCE(h.n_overlap, 0) AS n_overlap,"
             "                COALESCE(h.n_overlap, 0) >= 1 AS contaminated"
             "         FROM s LEFT JOIN hits h USING (doc_id)"
-            "         WHERE s.split = 'train')"
-            " SELECT 'exact' AS tag, * FROM res"
-            " UNION ALL SELECT 'bloom' AS tag, * FROM res"),
+            "         WHERE s.split = 'train'),"
+            " eshd AS (SELECT doc_id AS eval_id, unnest("
+            + _SHINGLE5_SQL.format(t="toks") + ") AS sh FROM et),"
+            " eshd2 AS (SELECT eval_id, sh FROM eshd WHERE sh <> ''),"
+            " pair AS (SELECT t.doc_id, e.eval_id,"
+            "                 CAST(COUNT(*) AS BIGINT) AS pov"
+            "          FROM tsh2 t JOIN eshd2 e USING (sh)"
+            "          GROUP BY t.doc_id, e.eval_id),"
+            " top AS (SELECT doc_id, eval_id, pov FROM"
+            "           (SELECT doc_id, eval_id, pov, ROW_NUMBER() OVER ("
+            "                PARTITION BY doc_id"
+            "                ORDER BY pov DESC, eval_id) AS rn FROM pair)"
+            "         WHERE rn = 1),"
+            " tot AS (SELECT doc_id, CAST(len(list_filter("
+            + _SHINGLE5_SQL.format(t="toks")
+            + ", x -> x <> '')) AS BIGINT) AS n_total FROM tt)"
+            " SELECT 'exact' AS tag, *,"
+            "        CAST(NULL AS BIGINT) AS n_total,"
+            "        CAST(NULL AS DOUBLE) AS frac_overlap,"
+            "        CAST(NULL AS BIGINT) AS top_eval_id,"
+            "        CAST(NULL AS BIGINT) AS top_eval_overlap FROM res"
+            " UNION ALL SELECT 'bloom' AS tag, *,"
+            "        CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),"
+            "        CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM res"
+            " UNION ALL"
+            " SELECT 'report' AS tag, h.doc_id, h.n_overlap,"
+            "        TRUE AS contaminated, tot.n_total,"
+            "        ROUND(CAST(h.n_overlap AS DOUBLE) / tot.n_total, 6)"
+            "            AS frac_overlap,"
+            "        top.eval_id AS top_eval_id,"
+            "        top.pov AS top_eval_overlap"
+            " FROM hits h JOIN top USING (doc_id)"
+            "        JOIN tot USING (doc_id)"),
         "x11_text_hygiene": (
             "WITH t AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text")
             + " AS toks FROM documents),"

@@ -18,9 +18,10 @@ from serverless_data_pipeline_spark.functions.text import (
 
 __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
            "pack_sequences", "corpus_mix", "temperature_mix",
-           "chunk_documents", "decontaminate", "shingle_bloom",
-           "bloom_decontaminate", "segment_dedup", "passage_dedup",
-           "passage_rank_choice"]
+           "chunk_documents", "decontaminate", "contamination_report",
+           "shingle_bloom", "bloom_decontaminate", "segment_dedup",
+           "passage_dedup", "passage_rank_choice", "global_shuffle",
+           "hex_prefix_long_sql"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -676,3 +677,130 @@ def passage_dedup(df: DataFrame, id_col: str, text_col: str,
                     "n_tokens",
                     (F.col("n_tokens") - F.size("__keep"))
                     .cast("int").alias("n_removed")))
+
+
+def hex_prefix_long_sql(expr: str, nchars: int = 8) -> str:
+    """SQL expression string turning the first ``nchars`` hex chars of
+    ``expr`` (an md5 hex column) into a non-negative BIGINT — using only
+    ``instr``/``substr`` arithmetic that parses and evaluates IDENTICALLY
+    in Spark SQL and DuckDB (neither ``conv`` nor hex casts are portable
+    across the two). Shared between the engine and its oracle so shard
+    assignment is value-checked by construction."""
+    terms = []
+    for i in range(1, nchars + 1):
+        mult = 16 ** (nchars - i)
+        # BIGINT per term: 15 * 16^7 overflows INT32 under ANSI mode
+        terms.append("CAST(instr('0123456789abcdef', "
+                     f"substr({expr}, {i}, 1)) - 1 AS BIGINT) * {mult}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def global_shuffle(df: DataFrame, id_col: str, *, seed: int = 0,
+                   num_shards: int = 8, key_col: str = "sort_key",
+                   shard_col: str = "shard",
+                   pos_col: str = "pos") -> DataFrame:
+    """Deterministic seeded corpus shuffle + shard layout — the
+    training-order reproducibility primitive (charter extension; the
+    fixed-shuffled-shards convention of T5/GPT-style pretraining runs:
+    shuffle ONCE at prep time with a recorded seed, then stream shards
+    sequentially; a new epoch order is a new seed, not a runtime RNG).
+
+    Every row gets:
+    - ``key_col``   md5(seed ':' id) — the portable shuffle key (md5 hex
+                    is identical across Spark and DuckDB, the same
+                    portability contract as ``corpus_mix``),
+    - ``shard_col`` first-8-hex-chars of the key parsed to BIGINT
+                    (``hex_prefix_long_sql``) mod ``num_shards`` —
+                    uniform, seed-stable shard assignment,
+    - ``pos_col``   1-based read position WITHIN the shard
+                    (row_number over key, id).
+
+    A training data loader that reads shard files in ``pos`` order
+    reproduces the exact global order (shard-major) for that seed, on
+    any engine, any partitioning, any run.
+
+    Scale shape (100 TB): one narrow projection (key + shard) and ONE
+    hash exchange on ``shard_col`` followed by ``num_shards``
+    independent in-partition sorts — there is NO single global sort
+    (the classic `ORDER BY rand()` anti-pattern serializes the corpus
+    through one partition). md5 keys are uniform so shards are balanced
+    by construction; choose ``num_shards`` >= cluster parallelism so
+    every executor sorts ~corpus/num_shards bytes. The epoch-reshuffle
+    cost is a re-run with a new seed — same one-exchange plan.
+    Reference anchor: deterministic batch layout contract (py:233-241,
+    fixed object layout per processed batch)."""
+    key = F.md5(F.concat_ws(
+        ":", F.lit(str(seed)),
+        F.col(id_col).cast("string")).cast("binary"))
+    out = df.withColumn(key_col, key)
+    shard_sql = (f"CAST({hex_prefix_long_sql(key_col)} % {num_shards} "
+                 "AS INT)")
+    out = out.withColumn(shard_col, F.expr(shard_sql))
+    w = Window.partitionBy(shard_col).orderBy(key_col, id_col)
+    return out.withColumn(pos_col, F.row_number().over(w))
+
+
+def contamination_report(train: DataFrame, eval_df: DataFrame,
+                         id_col: str, text_col: str, n: int = 5,
+                         broadcast_eval: bool = True) -> DataFrame:
+    """Contamination AUDIT (the report sibling of ``decontaminate``,
+    after the GPT-3 appendix-C / PaLM overlap studies): for every
+    contaminated training document, not just THAT it overlaps the eval
+    set but HOW MUCH and WITH WHOM:
+
+    - ``n_overlap``      distinct word n-grams shared with ANY eval doc
+    - ``n_total``        distinct word n-grams in the train doc
+    - ``frac_overlap``   n_overlap / n_total (the "dirtiness" used to
+                         pick flag-vs-drop thresholds; a 0.9 is a
+                         verbatim benchmark copy, a 0.02 is a quoted
+                         sentence)
+    - ``top_eval_id``    the eval document sharing the MOST distinct
+                         n-grams (ties -> smallest eval id)
+    - ``top_eval_overlap`` that pairwise shared-n-gram count
+
+    Only contaminated docs are returned (the report is an audit
+    artifact, not a gate — compose with ``decontaminate`` for the
+    drop).
+
+    Scale shape: same as ``decontaminate`` — the eval side is tiny and
+    broadcast, the train shingle scan is map-side semi-joined, so train
+    never shuffles; every aggregation after the join keys only on the
+    CONTAMINATED subset (a tiny fraction of a 100 TB corpus). n_total
+    is a narrow per-row projection (no shuffle), joined onto the hit
+    set only."""
+    t_tok = train.select(
+        F.col(id_col),
+        F.array_distinct(
+            shingles_from_tokens(tokens(text_col), n)).alias("__shs"))
+    t_sh = t_tok.select(id_col, F.explode("__shs").alias("__sh"))
+    e_sh = eval_df.select(
+        F.col(id_col).alias("__eval_id"),
+        F.explode(F.array_distinct(
+            shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+    if broadcast_eval:
+        e_sh = F.broadcast(e_sh)
+    joined = t_sh.join(e_sh, "__sh")
+    per_doc = (joined.groupBy(id_col)
+               .agg(F.countDistinct("__sh").alias("n_overlap")))
+    per_pair = (joined.groupBy(id_col, "__eval_id")
+                .agg(F.count("*").alias("top_eval_overlap")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("top_eval_overlap"), F.asc("__eval_id"))
+    top = (per_pair.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1)
+           .select(id_col, F.col("__eval_id").alias("top_eval_id"),
+                   "top_eval_overlap"))
+    totals = t_tok.select(id_col, F.size("__shs").alias("n_total"))
+    # tiny ⋈ tiny first, then broadcast the contaminated set INTO the
+    # train-sized totals projection — train stays map-side on every
+    # join in this operator (the x10 never-shuffle-train contract; a
+    # plain 3-way join on id would sort-merge-shuffle totals).
+    rep = F.broadcast(per_doc.join(F.broadcast(top), id_col))
+    return (totals.join(rep, id_col)
+            .select(id_col,
+                    F.col("n_overlap").cast("long"),
+                    F.col("n_total").cast("long"),
+                    F.round(F.col("n_overlap")
+                            / F.col("n_total"), 6).alias("frac_overlap"),
+                    F.col("top_eval_id"),
+                    F.col("top_eval_overlap").cast("long")))

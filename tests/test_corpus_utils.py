@@ -611,3 +611,104 @@ def test_temperature_mix_tiny_target_keeps_every_group(spark):
             .groupBy("lang").count().collect()}
     assert set(kept) == {f"lang{g}" for g in range(6)}
     assert all(n >= 1 for n in kept.values())
+
+
+def test_global_shuffle_deterministic_and_complete(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        global_shuffle,
+    )
+    df = spark.range(0, 1200).withColumnRenamed("id", "doc_id")
+    a = global_shuffle(df, "doc_id", seed=0, num_shards=8)
+    rows = a.collect()
+    # complete: every input row exactly once, shards in range
+    assert sorted(r.doc_id for r in rows) == list(range(1200))
+    assert all(0 <= r.shard < 8 for r in rows)
+    # deterministic: a second invocation is byte-identical
+    again = global_shuffle(df, "doc_id", seed=0, num_shards=8).collect()
+    key = lambda r: (r.shard, r.pos, r.doc_id, r.sort_key)
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    # per-shard positions are contiguous 1..count (a data loader can
+    # stream each shard file sequentially with no gaps)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    # md5 keys are uniform -> shards balanced (mean 150, ±4 sigma ~= 46;
+    # the fixture is deterministic so this can never flake)
+    sizes = [len(ps) for ps in by_shard.values()]
+    assert len(sizes) == 8 and min(sizes) > 100 and max(sizes) < 200, sizes
+
+
+def test_global_shuffle_seed_changes_order_not_membership(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        global_shuffle,
+    )
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id): (r.shard, r.pos)
+         for r in global_shuffle(df, "doc_id", seed=0).collect()}
+    b = {(r.doc_id): (r.shard, r.pos)
+         for r in global_shuffle(df, "doc_id", seed=1).collect()}
+    assert a.keys() == b.keys()
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 400, moved  # a new seed is a genuinely new order
+
+
+def test_global_shuffle_plan_has_no_global_sort(spark):
+    # The scale contract: ONE hash exchange on shard + per-shard window
+    # sort; never a single-partition global ORDER BY.
+    from serverless_data_pipeline_spark.operators.corpus import (
+        global_shuffle,
+    )
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = global_shuffle(df, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_contamination_report_attribution_and_fraction(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        contamination_report, decontaminate,
+    )
+    # e1/e2 share 3-grams with t1; t1 shares MORE with e2 than e1.
+    # t2 is clean. t3 is a verbatim copy of e1 (frac == 1.0).
+    e1 = "alpha beta gamma delta epsilon zeta"
+    e2 = "one two three four five six seven eight"
+    ev = spark.createDataFrame(
+        [(101, e1), (102, e2)], ["doc_id", "text"])
+    t1 = "one two three four five xx alpha beta gamma yy"
+    train = spark.createDataFrame(
+        [(1, t1), (2, "totally clean words nothing shared here"),
+         (3, e1)], ["doc_id", "text"])
+    rep = {r.doc_id: r for r in contamination_report(
+        train, ev, "doc_id", "text", n=3).collect()}
+    assert set(rep) == {1, 3}
+    # t1: 8 distinct 3-grams total; shares 3 with e2 (one two three /
+    # two three four / three four five) and 1 with e1 (alpha beta gamma)
+    r1 = rep[1]
+    assert r1.n_total == 8 and r1.n_overlap == 4
+    assert r1.top_eval_id == 102 and r1.top_eval_overlap == 3
+    assert abs(r1.frac_overlap - 0.5) < 1e-9
+    # verbatim copy: all 4 of its 3-grams contaminated, attributed to e1
+    r3 = rep[3]
+    assert r3.n_total == 4 and r3.n_overlap == 4
+    assert r3.frac_overlap == 1.0 and r3.top_eval_id == 101
+    # n_overlap agrees with the decontaminate gate on the same input
+    gate = {r.doc_id: r.n_overlap for r in decontaminate(
+        train, ev, "doc_id", "text", n=3).collect() if r.contaminated}
+    assert gate == {d: r.n_overlap for d, r in rep.items()}
+
+
+def test_contamination_report_tie_breaks_to_smallest_eval_id(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        contamination_report,
+    )
+    # both eval docs share exactly the same single 3-gram with train
+    ev = spark.createDataFrame(
+        [(202, "alpha beta gamma pp qq"), (201, "alpha beta gamma rr ss")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "xx alpha beta gamma yy")], ["doc_id", "text"])
+    r = contamination_report(train, ev, "doc_id", "text", n=3).collect()
+    assert len(r) == 1
+    assert r[0].top_eval_id == 201 and r[0].top_eval_overlap == 1

@@ -130,18 +130,21 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all six arms exactly six
+    O(top_n) heap (no global sort); across all seven arms exactly seven
     hash exchanges exist (vocab token groupBy + the per-shard packing
     window + the mix and tmix per-language ranking windows + the gsplit
-    fingerprint groupBy + the tmix group-sizes groupBy) and one
-    SinglePartition exchange (tmix's all-rows totals window over the
-    |groups|-row sizes frame — tiny by construction). Chunking stays a
-    narrow projection; gsplit's canonical-id map and tmix's quota map
-    join back via broadcast, never a corpus shuffle."""
+    fingerprint groupBy + the tmix group-sizes groupBy + the shuf
+    per-shard position window — r7) and one SinglePartition exchange
+    (tmix's all-rows totals window over the |groups|-row sizes frame —
+    tiny by construction; the shuf arm specifically must NOT add one,
+    that would be the ORDER BY rand() global-sort anti-pattern its
+    operator exists to avoid). Chunking stays a narrow projection;
+    gsplit's canonical-id map and tmix's quota map join back via
+    broadcast, never a corpus shuffle."""
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 6
+    assert plan.count("Exchange hashpartitioning") == 7
     assert plan.count("Exchange SinglePartition") == 1
     assert "SortMergeJoin" not in plan
 
@@ -199,16 +202,20 @@ def test_pivot_single_aggregation_pass(spark):
 
 
 def test_decontaminate_broadcasts_eval_never_shuffles_train(spark):
-    """X10 (both arms of the r6 tagged union): the exact arm's eval
-    shingle set arrives via broadcast (probe + hits join), and the
-    bloom arm's bitmap probes are k_hashes=4 chained broadcast joins
-    plus its hits join — so every join in the row is a broadcast and
-    the only hash exchanges key on tiny derived frames (eval-distinct,
-    bitmap words, per-doc hit counts) — never a repartition of the
-    train corpus scan itself."""
+    """X10 (all three arms of the tagged union): the exact arm's eval
+    shingle set arrives via broadcast (probe + hits join), the bloom
+    arm's bitmap probes are k_hashes=4 chained broadcast joins plus its
+    hits join, and the report arm (r7) broadcasts the eval shingle+id
+    frame for its probe and then the tiny contaminated set (per-doc ⋈
+    top-attribution) INTO the train-sized n_total projection — so every
+    join in the row is a broadcast and the only hash exchanges key on
+    tiny derived frames (eval-distinct, bitmap words, per-doc hit
+    counts, per-pair attribution) — never a repartition of the train
+    corpus scan itself."""
     plan = _plan(spark, "x10_decontaminate")
-    # exact: shingle probe + hits join; bloom: 4 bitmap probes + hits.
-    assert plan.count("BroadcastHashJoin") == 7
+    # exact: shingle probe + hits join; bloom: 4 bitmap probes + hits;
+    # report: eval-id probe + per-pair top join + totals join + final.
+    assert plan.count("BroadcastHashJoin") == 11
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
