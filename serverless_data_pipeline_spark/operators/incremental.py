@@ -47,7 +47,7 @@ from serverless_data_pipeline_spark.operators.dedup import (
 )
 
 __all__ = ["corpus_index", "build_corpus_index", "incremental_dedup",
-           "bootstrap_corpus", "commit_batch"]
+           "bootstrap_corpus", "commit_batch", "maintenance_stream"]
 
 DROP_REASONS = ("exact_index", "exact_batch", "neardup_index",
                 "neardup_batch")
@@ -327,3 +327,88 @@ def commit_batch(spark, verdicts: DataFrame, corpus_path: str,
                  num_hashes=num_hashes, store=store) \
         .write.mode("append").parquet(index_path)
     return n
+
+
+def maintenance_stream(spark, landing_path: str, schema,
+                       corpus_path: str, index_path: str,
+                       checkpoint: str, *, fmt: str = "json",
+                       id_col: str = "doc_id", text_col: str = "text",
+                       probe: str = "exact",
+                       threshold: float | None = 0.5,
+                       shingle_n: int = 3, num_hashes: int = 32,
+                       bands: int = 8,
+                       within_batch: bool | str = "full",
+                       store: tuple[str, ...] = ("minhash", "shingles"),
+                       verdict_path: str | None = None,
+                       available_now: bool = True,
+                       interval_s: float = 3600.0,
+                       max_files_per_tick: int | None = None):
+    """The daily-operations loop as ONE streaming query: S9's scheduled
+    incremental tick driving the incremental-dedup commit protocol.
+
+    Each tick's micro-batch is exactly the files landed since the last
+    tick (checkpointed file source — restart-safe, never re-reads old
+    landings). The first-ever tick bootstraps the corpus + index
+    (`bootstrap_corpus`); every later tick probes the PERSISTED index
+    (corpus text is never rescanned), drops duplicates, merges the
+    survivors (`commit_batch` — merge_upsert keyed on ``id_col``, so
+    the at-least-once foreachBatch contract is safe: a re-delivered
+    tick re-drops everything as `exact_index` and merges nothing new),
+    and appends the survivors' index rows. Optionally appends a
+    per-tick verdict audit log (id, drop_reason, tick_id) to
+    ``verdict_path`` — the ops trail of WHY each landed doc was kept or
+    dropped.
+
+    `available_now=True` drains the current backlog in bounded ticks
+    and stops (backfill / test mode); `False` keeps firing on the
+    EventBridge-style fixed-rate grid (`interval_s`) until `.stop()` —
+    the engine-native form of the reference's hourly rule (py:658-666)
+    composed with its event-driven object processing (py:634-666).
+
+    Scale: everything inside a tick is batch-side (the operators above
+    carry their own 100 TB shapes); the stream layer adds only file
+    tracking. Bound a backlogged landing zone with
+    ``max_files_per_tick`` so one giant catch-up batch cannot land in
+    a single tick."""
+    from serverless_data_pipeline_spark.plans.scheduler import (
+        scheduled_batch_query,
+    )
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _exists(path: str) -> bool:
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(conf).exists(jpath)
+
+    def _tick(batch_df, tick_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not _exists(index_path):
+            verdicts = bootstrap_corpus(
+                spark, batch_df, corpus_path, index_path, id_col,
+                text_col, probe=probe, threshold=threshold,
+                shingle_n=shingle_n, num_hashes=num_hashes,
+                bands=bands, within_batch=within_batch, store=store)
+        else:
+            idx = spark.read.parquet(index_path)
+            verdicts = incremental_dedup(
+                batch_df, idx, id_col, text_col, probe=probe,
+                threshold=threshold, shingle_n=shingle_n,
+                num_hashes=num_hashes, bands=bands,
+                within_batch=within_batch)
+            # audit log must see the same verdicts commit acts on, not
+            # recompute them against a by-then-mutated index
+            verdicts = verdicts.localCheckpoint(eager=True)
+            commit_batch(spark, verdicts, corpus_path, index_path,
+                         id_col, text_col, shingle_n=shingle_n,
+                         num_hashes=num_hashes, store=store)
+        if verdict_path is not None:
+            (verdicts.select(F.col(id_col), F.col("drop_reason"),
+                             F.lit(tick_id).alias("tick_id"))
+             .write.mode("append").parquet(verdict_path))
+
+    return scheduled_batch_query(
+        spark, landing_path, schema, _tick, checkpoint,
+        interval_s=interval_s, fmt=fmt, available_now=available_now,
+        max_files_per_tick=max_files_per_tick)

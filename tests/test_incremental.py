@@ -151,3 +151,69 @@ def test_minhash_and_exact_probe_agree_on_planted_fixture(spark):
     assert ve == vm
     assert ve[10] == "neardup_index"
     assert all(ve[20 + i] is None for i in range(4))
+
+
+def test_maintenance_stream_bootstrap_probe_and_audit(spark, tmp_path):
+    """The composed daily-ops loop: tick 1 bootstraps the corpus+index
+    from landing batch 1; tick 2 sees ONLY batch 2 (checkpointed file
+    source), probes the persisted index, merges survivors, and appends
+    the audit trail. End state equals the staged-semantics expectation
+    of the batch-side operators it composes."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from serverless_data_pipeline_spark.operators.incremental import (
+        maintenance_stream,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    paths = {"corpus": str(tmp_path / "corpus"),
+             "index": str(tmp_path / "index"),
+             "chk": str(tmp_path / "chk"),
+             "verdicts": str(tmp_path / "verdicts")}
+
+    def _run():
+        q = maintenance_stream(
+            spark, str(land), schema, paths["corpus"], paths["index"],
+            paths["chk"], threshold=None, verdict_path=paths["verdicts"])
+        q.awaitTermination(120)
+
+    def _land(name, rows):
+        (land / name).write_text(
+            "\n".join(json.dumps(r) for r in rows))
+
+    _land("b1.json", [
+        {"doc_id": 1, "text": "alpha one"},
+        {"doc_id": 2, "text": "beta two"},
+        {"doc_id": 3, "text": "alpha one"},      # within-b1 dup of 1
+    ])
+    _run()
+    corpus1 = {r.doc_id for r in
+               spark.read.parquet(paths["corpus"]).collect()}
+    assert corpus1 == {1, 2}
+
+    _land("b2.json", [
+        {"doc_id": 10, "text": "ALPHA   one"},   # normalized dup of 1
+        {"doc_id": 11, "text": "delta eleven"},
+        {"doc_id": 12, "text": "delta eleven"},  # within-b2 dup of 11
+    ])
+    _run()
+    corpus2 = {r.doc_id for r in
+               spark.read.parquet(paths["corpus"]).collect()}
+    assert corpus2 == {1, 2, 11}
+    # index grew by exactly the surviving batch (append-only)
+    idx = spark.read.parquet(paths["index"])
+    assert {r.doc_id for r in idx.collect()} == {1, 2, 11}
+    # audit trail: tick-tagged verdicts for every landed doc
+    v = {(r.doc_id): (r.drop_reason, r.tick_id)
+         for r in spark.read.parquet(paths["verdicts"]).collect()}
+    assert v[3][0] == "exact_batch" and v[10][0] == "exact_index"
+    assert v[12][0] == "exact_batch"
+    assert {d for d, (reason, _) in v.items() if reason is None} \
+        == {1, 2, 11}
+    # batch-2 verdicts all carry a LATER tick than batch-1's
+    assert {v[d][1] for d in (10, 11, 12)} != {v[d][1] for d in (1, 2, 3)}
