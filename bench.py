@@ -142,8 +142,13 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     # Re-measure AFTER the run too: contention that arrived mid-run
-    # must also flag the artifact.
-    calib_end, loadavg_end, hot_end = _host_state()
+    # must also flag the artifact. Calib-only here — the 1-min loadavg
+    # at this point reports the bench's OWN just-finished local[32]
+    # work, so using it would flag every single run as contended; the
+    # single-threaded md5 loop only slows when another workload is
+    # actually holding the cores now.
+    calib_end, loadavg_end, _ = _host_state()
+    hot_end = calib_end > CALIB_REF_MS * CALIB_SLACK
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
