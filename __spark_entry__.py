@@ -188,10 +188,36 @@ def _q_t_etl_suite(spark, sf):
 
 
 def _q_t5_quality_score(spark, sf):
-    """T5 — per-batch scalar quality score (py:273-284, py:411-418)."""
+    """T5 — per-batch scalar quality score (py:273-284, py:411-418),
+    plus the r7 `profile` arm: `profile_columns`, the Deequ/TFDV-style
+    single-pass column profile a production pipeline runs on every
+    landed batch BEFORE the gate (one aggregation job — counts, null
+    fraction, exact distincts, numeric min/max/mean, string min/max;
+    date/timestamp columns profile counts+distinct only so no
+    engine-specific string rendering transits the compare). Columns
+    harmonized to (kind, col_name, n_rows, n_null, null_frac,
+    n_distinct, vmin, vmax, vavg, smin, smax, score); the score arm
+    carries NULL stats, profile rows carry NULL score."""
     score = stages.quality_score(_t(spark, sf, "documents"),
                                  rules=[F.col("n_chars") >= 200])
-    return spark.createDataFrame([(round(score, 6),)], "score double")
+    nulld = F.lit(None).cast("double")
+    nulls = F.lit(None).cast("string")
+    nulll = F.lit(None).cast("long")
+    srow = (spark.createDataFrame([(round(score, 6),)], "score double")
+            .select(F.lit("score").alias("kind"),
+                    nulls.alias("col_name"), nulll.alias("n_rows"),
+                    nulll.alias("n_null"), nulld.alias("null_frac"),
+                    nulll.alias("n_distinct"), nulld.alias("vmin"),
+                    nulld.alias("vmax"), nulld.alias("vavg"),
+                    nulls.alias("smin"), nulls.alias("smax"), "score"))
+    prof = (stages.profile_columns(
+                _t(spark, sf, "events"),
+                ["event_id", "user_id", "event_type", "value", "ts"])
+            .select(F.lit("profile").alias("kind"),
+                    F.col("column").alias("col_name"), "n_rows",
+                    "n_null", "null_frac", "n_distinct", "vmin", "vmax",
+                    "vavg", "smin", "smax", nulld.alias("score")))
+    return srow.unionAll(prof)
 
 
 def _q_t7_filter_project(spark, sf):
@@ -2207,9 +2233,70 @@ def oracle_sql() -> dict[str, str]:
             -- T4 parity: the chunked fan-out is semantically transparent
             SELECT 't4' AS kind, * FROM etl WHERE is_valid""",
         "t5_quality_score": """
-            SELECT ROUND((5.0 + AVG(CASE WHEN n_chars >= 200 THEN 1.0
+            SELECT 'score' AS kind, CAST(NULL AS VARCHAR) AS col_name,
+                   CAST(NULL AS BIGINT) AS n_rows,
+                   CAST(NULL AS BIGINT) AS n_null,
+                   CAST(NULL AS DOUBLE) AS null_frac,
+                   CAST(NULL AS BIGINT) AS n_distinct,
+                   CAST(NULL AS DOUBLE) AS vmin,
+                   CAST(NULL AS DOUBLE) AS vmax,
+                   CAST(NULL AS DOUBLE) AS vavg,
+                   CAST(NULL AS VARCHAR) AS smin,
+                   CAST(NULL AS VARCHAR) AS smax,
+                   ROUND((5.0 + AVG(CASE WHEN n_chars >= 200 THEN 1.0
                                          ELSE 0.0 END)) / 6.0, 6) AS score
-            FROM documents""",
+            FROM documents
+            UNION ALL
+            SELECT 'profile', 'event_id', COUNT(*),
+                   COUNT(*) - COUNT(event_id),
+                   ROUND((COUNT(*) - COUNT(event_id)) * 1.0 / COUNT(*), 6),
+                   COUNT(DISTINCT event_id),
+                   CAST(MIN(event_id) AS DOUBLE),
+                   CAST(MAX(event_id) AS DOUBLE),
+                   ROUND(AVG(event_id), 6),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'profile', 'user_id', COUNT(*),
+                   COUNT(*) - COUNT(user_id),
+                   ROUND((COUNT(*) - COUNT(user_id)) * 1.0 / COUNT(*), 6),
+                   COUNT(DISTINCT user_id),
+                   CAST(MIN(user_id) AS DOUBLE),
+                   CAST(MAX(user_id) AS DOUBLE),
+                   ROUND(AVG(user_id), 6),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'profile', 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   ROUND((COUNT(*) - COUNT(value)) * 1.0 / COUNT(*), 6),
+                   COUNT(DISTINCT value),
+                   CAST(MIN(value) AS DOUBLE),
+                   CAST(MAX(value) AS DOUBLE), ROUND(AVG(value), 6),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'profile', 'event_type', COUNT(*),
+                   COUNT(*) - COUNT(event_type),
+                   ROUND((COUNT(*) - COUNT(event_type)) * 1.0
+                         / COUNT(*), 6),
+                   COUNT(DISTINCT event_type),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   MIN(event_type), MAX(event_type),
+                   CAST(NULL AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'profile', 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+                   ROUND((COUNT(*) - COUNT(ts)) * 1.0 / COUNT(*), 6),
+                   COUNT(DISTINCT ts),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM events""",
         "t7_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    l_extendedprice * (1 - l_discount) AS net_price,

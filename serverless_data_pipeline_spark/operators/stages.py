@@ -149,3 +149,77 @@ def realtime_transform(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     if ts_col in df.columns:
         out = out.withColumn("event_hour", F.date_trunc("hour", F.col(ts_col)))
     return out
+
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double",
+                     "float", "decimal")
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None, *,
+                    approx_distinct: bool = False,
+                    rsd: float = 0.05) -> DataFrame:
+    """Data-quality column profile (Deequ/TFDV-style; the audit sibling
+    of T2 validation and the T5 quality gate, py:243-255 + py:273-284 —
+    a production pipeline profiles every landed batch BEFORE gating it,
+    so a schema drift, a null surge, or a cardinality collapse is a
+    report line, not a silent downstream corruption).
+
+    One row per profiled column:
+    - ``n_rows``, ``n_null``, ``null_frac`` (round 6)
+    - ``n_distinct`` — exact by default; ``approx_distinct=True``
+      switches to HyperLogLog++ (`approx_count_distinct`, relative
+      error ``rsd``) — the 100 TB path: exact multi-column distincts
+      expand the scan once per column, the sketch path is one pass
+      with constant memory
+    - ``vmin``/``vmax``/``vavg`` (doubles) for numeric columns
+    - ``smin``/``smax`` (strings) for string columns
+    Date/timestamp/complex columns profile counts + distinct only —
+    their min/max stay NULL rather than transiting an engine-specific
+    string rendering.
+
+    Scale shape: ONE aggregation job over one scan — every statistic is
+    a map-side-combinable aggregate collapsed to a single row, then
+    exploded to the per-column report (a |columns|-row frame). No
+    window, no join, no second scan. The exact-distinct mode plans one
+    Expand over the scan (the standard multi-distinct rewrite);
+    `approx_distinct` removes even that."""
+    cols = columns if columns is not None else df.columns
+    dtypes = dict(df.dtypes)
+    unknown = [c for c in cols if c not in dtypes]
+    if unknown:
+        raise ValueError(f"no such columns: {unknown}")
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        dt = dtypes[c]
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append((F.approx_count_distinct(c, rsd) if approx_distinct
+                     else F.countDistinct(c)).alias(f"__nd_{c}"))
+        if dt.startswith(_NUMERIC_PREFIXES):
+            aggs.append(F.min(c).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__mx_{c}"))
+            aggs.append(F.round(F.avg(c), 6).alias(f"__av_{c}"))
+        elif dt == "string":
+            aggs.append(F.min(c).alias(f"__smn_{c}"))
+            aggs.append(F.max(c).alias(f"__smx_{c}"))
+    one = df.agg(*aggs)
+    nulld = F.lit(None).cast("double")
+    nulls = F.lit(None).cast("string")
+    rows = []
+    for c in cols:
+        dt = dtypes[c]
+        num, s = dt.startswith(_NUMERIC_PREFIXES), dt == "string"
+        rows.append(F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").cast("long").alias("n_rows"),
+            (F.col("__n") - F.col(f"__nn_{c}")).cast("long")
+            .alias("n_null"),
+            F.round((F.col("__n") - F.col(f"__nn_{c}"))
+                    / F.col("__n"), 6).alias("null_frac"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+            (F.col(f"__mn_{c}") if num else nulld).alias("vmin"),
+            (F.col(f"__mx_{c}") if num else nulld).alias("vmax"),
+            (F.col(f"__av_{c}") if num else nulld).alias("vavg"),
+            (F.col(f"__smn_{c}") if s else nulls).alias("smin"),
+            (F.col(f"__smx_{c}") if s else nulls).alias("smax")))
+    return (one.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.*"))

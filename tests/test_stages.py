@@ -85,3 +85,51 @@ def test_quality_gate_thresholds():
     assert stages.quality_gate(0.9)
     assert not stages.quality_gate(0.85)  # strict > 0.85
     assert not stages.quality_gate(0.2)
+
+
+def test_profile_columns_stats_and_null_handling(spark):
+    from serverless_data_pipeline_spark.operators.stages import (
+        profile_columns,
+    )
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", None), (3, None, 8.0), (4, "b", 2.0)],
+        "id long, s string, v double")
+    p = {r.column: r for r in profile_columns(df).collect()}
+    assert p["id"].n_rows == 4 and p["id"].n_null == 0
+    assert p["id"].n_distinct == 4
+    assert (p["id"].vmin, p["id"].vmax, p["id"].vavg) == (1.0, 4.0, 2.5)
+    assert p["id"].smin is None
+    assert p["s"].n_null == 1 and abs(p["s"].null_frac - 0.25) < 1e-9
+    assert p["s"].n_distinct == 2            # NULL not a distinct value
+    assert (p["s"].smin, p["s"].smax) == ("a", "b")
+    assert p["s"].vmin is None
+    assert p["v"].n_null == 1 and p["v"].n_distinct == 2
+    assert (p["v"].vmin, p["v"].vmax, p["v"].vavg) == (2.0, 8.0, 4.0)
+
+
+def test_profile_columns_single_scan_and_validation(spark):
+    from serverless_data_pipeline_spark.operators.stages import (
+        profile_columns,
+    )
+    from serverless_data_pipeline_spark.schemas import load_table
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plan = profile_columns(ev, ["event_id", "value", "event_type"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1       # every stat from ONE scan
+    import pytest
+    with pytest.raises(ValueError, match="no such columns"):
+        profile_columns(ev, ["nope"])
+
+
+def test_profile_columns_approx_distinct_within_rsd(spark):
+    from serverless_data_pipeline_spark.operators.stages import (
+        profile_columns,
+    )
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    r = profile_columns(df, ["k"], approx_distinct=True, rsd=0.05) \
+        .collect()[0]
+    assert abs(r.n_distinct - 20_000) / 20_000 < 0.15
+    # and the approx plan must NOT contain the multi-distinct Expand
+    plan = profile_columns(df, ["k"], approx_distinct=True) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
