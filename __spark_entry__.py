@@ -1894,7 +1894,12 @@ def _q_x8_corpus_utils(spark, sf):
     pytest-pinned); tmix rows (NEW r6 — `temperature_mix`, the
     alpha-sampling mixture rule of mC4/XLM-R: p_g ∝ (n_g/N)^0.3
     derived from the data instead of corpus_mix's explicit weights)
-    carry (sample_rank, quota, NULL, lang); shuf rows (NEW r7 —
+    carry (sample_rank, quota, NULL, lang); wmix rows (NEW r7 —
+    `token_budget_mix`, temperature mixing in WEIGHT space: the quota
+    is a token/char budget, not a doc count, so long-document groups
+    can't be over-sampled mean-length-fold; first-fit-with-overshoot
+    membership over exact integer running sums) carry (sample_rank,
+    cum_weight, n_chars, lang); shuf rows (NEW r7 —
     `global_shuffle`, the seeded training-order shuffle + shard
     layout: md5 sort key, hex-prefix shard assignment via the SAME
     `hex_prefix_long_sql` expression the oracle runs, per-shard
@@ -1902,7 +1907,8 @@ def _q_x8_corpus_utils(spark, sf):
     (shard, pos, NULL, sort_key)."""
     from serverless_data_pipeline_spark.operators.corpus import (
         chunk_documents, corpus_mix, global_shuffle, leakage_safe_split,
-        pack_sequences, temperature_mix, train_test_split, vocabulary,
+        pack_sequences, temperature_mix, token_budget_mix,
+        train_test_split, vocabulary,
     )
     docs = _t(spark, sf, "documents")
     split = train_test_split(docs, "doc_id", hashed=False)
@@ -1954,8 +1960,16 @@ def _q_x8_corpus_utils(spark, sf):
                     F.col("pos").cast("long").alias("b"),
                     F.lit(None).cast("long").alias("c"),
                     F.col("sort_key").alias("h")))
+    wmix = (token_budget_mix(docs, "lang", "doc_id", "n_chars",
+                             alpha=0.3)
+            .select(F.lit("wmix").alias("kind"), "doc_id",
+                    F.col("sample_rank").cast("long").alias("a"),
+                    F.col("cum_weight").cast("long").alias("b"),
+                    F.col("n_chars").cast("long").alias("c"),
+                    F.col("lang").alias("h")))
     return (vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
-            .unionAll(gsplit).unionAll(tmix).unionAll(shuf))
+            .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
+            .unionAll(wmix))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -2925,6 +2939,31 @@ def oracle_sql() -> dict[str, str]:
                   SELECT doc_id, lang, sample_rank, quota
                   FROM r JOIN q USING (lang)
                   WHERE sample_rank <= quota)
+            UNION ALL
+            SELECT 'wmix', doc_id, CAST(sample_rank AS BIGINT),
+                   CAST(cum_w AS BIGINT), CAST(n_chars AS BIGINT), lang
+            FROM (WITH sz AS (SELECT lang,
+                                     CAST(SUM(n_chars) AS DOUBLE) AS w
+                              FROM documents GROUP BY lang),
+                  q AS (SELECT lang,
+                               ROUND(POW(w, 0.3)
+                                     / SUM(POW(w, 0.3)) OVER ()
+                                     * SUM(w) OVER (), 6) AS quota_w
+                        FROM sz),
+                  r AS (SELECT doc_id, lang, n_chars,
+                               ROW_NUMBER() OVER (
+                                   PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id) AS sample_rank,
+                               SUM(n_chars) OVER (
+                                   PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_w
+                        FROM documents)
+                  SELECT doc_id, lang, n_chars, sample_rank, cum_w
+                  FROM r JOIN q USING (lang)
+                  WHERE cum_w - n_chars < quota_w)
             UNION ALL
             SELECT 'shuf', doc_id, shard,
                    CAST(ROW_NUMBER() OVER (PARTITION BY shard

@@ -21,7 +21,7 @@ __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
            "chunk_documents", "decontaminate", "contamination_report",
            "shingle_bloom", "bloom_decontaminate", "segment_dedup",
            "passage_dedup", "passage_rank_choice", "global_shuffle",
-           "hex_prefix_long_sql"]
+           "hex_prefix_long_sql", "token_budget_mix"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -804,3 +804,63 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
                             / F.col("n_total"), 6).alias("frac_overlap"),
                     F.col("top_eval_id"),
                     F.col("top_eval_overlap").cast("long")))
+
+
+def token_budget_mix(df: DataFrame, group_col: str, id_col: str,
+                     weight_col: str, *, alpha: float = 0.3,
+                     target_weight: float | None = None) -> DataFrame:
+    """Temperature mixing in WEIGHT space (tokens/chars/bytes), not doc
+    counts — the higher-fidelity form of ``temperature_mix``: real
+    mixture specs are stated in token budgets ("α-sample to 1T tokens"),
+    and doc-count quotas mis-serve them whenever document length varies
+    by group (a group of long documents would be over-sampled ~mean-
+    length-fold). Same α rule, applied to group weight totals:
+    ``p_g ∝ (w_g / W) ^ alpha`` with ``w_g = Σ weight_col`` over the
+    group, quota_g = p_g · target (rounded to 6 before use — the same
+    cross-engine pow-jitter guard as ``temperature_mix``).
+
+    Membership: docs are taken in md5-ranked order while the running
+    weight BEFORE the doc is inside the quota (first-fit with one
+    overshoot — the last kept doc may cross the budget, which is the
+    convention that guarantees every group keeps >= 1 document and
+    never requires splitting a document). Cumulative weights are exact
+    integer arithmetic when ``weight_col`` is integral, so membership
+    is engine-portable. NULL groups are dropped (as in
+    ``temperature_mix``); NULL weights count as 0.
+
+    Returns kept rows + ``sample_rank``, ``cum_weight`` (inclusive) and
+    the group ``quota_w``.
+
+    Scale shape: identical to ``temperature_mix`` — one tiny |groups|
+    aggregate broadcast back, ONE corpus-scale ranking window (the
+    running sum shares the rank window's exchange and sort). No Python
+    in the row path."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    wcol = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
+    sizes = df.groupBy(group_col).agg(F.sum(wcol).alias("__w"))
+    w_all = Window.partitionBy()
+    wsum = F.sum(F.pow(F.col("__w"), F.lit(float(alpha)))).over(w_all)
+    quota = (sizes
+             .withColumn("__target",
+                         F.lit(target_weight).cast("double")
+                         if target_weight is not None
+                         else F.sum("__w").over(w_all))
+             .withColumn("__p", F.pow(F.col("__w"),
+                                      F.lit(float(alpha))) / wsum)
+             .withColumn("quota_w",
+                         F.round(F.col("__p") * F.col("__target"), 6))
+             .select(group_col, "quota_w"))
+    order = F.md5(F.col(id_col).cast("string"))
+    w_rank = (Window.partitionBy(group_col).orderBy(order, id_col)
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow))
+    w_rn = Window.partitionBy(group_col).orderBy(order, id_col)
+    return (df.join(F.broadcast(quota), group_col)
+            .withColumn("sample_rank", F.row_number().over(w_rn))
+            .withColumn("cum_weight",
+                        F.sum(F.coalesce(F.col(weight_col),
+                                         F.lit(0))).over(w_rank))
+            .filter((F.col("cum_weight")
+                     - F.coalesce(F.col(weight_col), F.lit(0)))
+                    < F.col("quota_w")))

@@ -712,3 +712,59 @@ def test_contamination_report_tie_breaks_to_smallest_eval_id(spark):
     r = contamination_report(train, ev, "doc_id", "text", n=3).collect()
     assert len(r) == 1
     assert r[0].top_eval_id == 201 and r[0].top_eval_overlap == 1
+
+
+def test_token_budget_mix_quota_in_weight_space(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        token_budget_mix,
+    )
+    # two groups, SAME doc count but 10x different doc lengths: a
+    # doc-count quota would treat them identically; the weight-space
+    # quota must budget by tokens.
+    rows = ([(i, "long", 1000) for i in range(20)]
+            + [(100 + i, "short", 100) for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = token_budget_mix(df, "lang", "doc_id", "n", alpha=0.0,
+                           target_weight=4000.0)
+    kept = {r.lang: [r for r in out.collect() if r.lang == r.lang]
+            for r in out.collect()}
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.lang, []).append(r)
+    # alpha=0 -> uniform p of 0.5 each -> 2000 weight per group:
+    # 'long' affords 2 docs (first-fit, second crosses the budget),
+    # 'short' affords 20*100=2000 exactly -> all 20 docs
+    assert len(by["long"]) == 2
+    assert len(by["short"]) == 20
+    # cum_weight is the inclusive running sum in md5-rank order
+    for g, rs in by.items():
+        rs = sorted(rs, key=lambda r: r.sample_rank)
+        cum = 0
+        for r in rs:
+            cum += r.n
+            assert r.cum_weight == cum
+
+
+def test_token_budget_mix_keeps_every_group_and_is_deterministic(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        token_budget_mix,
+    )
+    import pytest
+    rows = [(i, f"g{i % 7}", 50 + (i % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    # tiny target: first-fit-with-overshoot still keeps >= 1 doc/group
+    out = token_budget_mix(df, "lang", "doc_id", "n", alpha=0.3,
+                           target_weight=10.0)
+    per = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    assert set(per) == {f"g{i}" for i in range(7)}
+    assert all(c == 1 for c in per.values())
+    # deterministic: two runs identical; alpha=1 natural -> keeps all
+    a = sorted((r.doc_id, r.sample_rank) for r in out.collect())
+    b = sorted((r.doc_id, r.sample_rank) for r in token_budget_mix(
+        df, "lang", "doc_id", "n", alpha=0.3,
+        target_weight=10.0).collect())
+    assert a == b
+    assert token_budget_mix(df, "lang", "doc_id", "n",
+                            alpha=1.0).count() == 300
+    with pytest.raises(ValueError):
+        token_budget_mix(df, "lang", "doc_id", "n", alpha=-0.1)

@@ -130,22 +130,24 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all seven arms exactly seven
+    O(top_n) heap (no global sort); across all eight arms exactly nine
     hash exchanges exist (vocab token groupBy + the per-shard packing
-    window + the mix and tmix per-language ranking windows + the gsplit
-    fingerprint groupBy + the tmix group-sizes groupBy + the shuf
-    per-shard position window — r7) and one SinglePartition exchange
-    (tmix's all-rows totals window over the |groups|-row sizes frame —
-    tiny by construction; the shuf arm specifically must NOT add one,
-    that would be the ORDER BY rand() global-sort anti-pattern its
-    operator exists to avoid). Chunking stays a narrow projection;
-    gsplit's canonical-id map and tmix's quota map join back via
+    window + the mix/tmix/wmix per-language ranking windows — wmix's
+    rank and running-sum windows share ONE exchange+sort, same
+    partition and order — + the gsplit fingerprint groupBy + the tmix
+    and wmix group-sizes groupBys + the shuf per-shard position window)
+    and two SinglePartition exchanges (the tmix and wmix all-rows
+    totals windows over their |groups|-row sizes frames — tiny by
+    construction; the shuf arm specifically must NOT add one, that
+    would be the ORDER BY rand() global-sort anti-pattern its operator
+    exists to avoid). Chunking stays a narrow projection; gsplit's
+    canonical-id map and the tmix/wmix quota maps join back via
     broadcast, never a corpus shuffle."""
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 7
-    assert plan.count("Exchange SinglePartition") == 1
+    assert plan.count("Exchange hashpartitioning") == 9
+    assert plan.count("Exchange SinglePartition") == 2
     assert "SortMergeJoin" not in plan
 
 
