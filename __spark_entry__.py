@@ -2072,12 +2072,24 @@ def _q_x13_lm_score(spark, sf):
       p = sigmoid(mean token-bucket weight). One narrow projection, no
       shuffle; the logit accumulates in exact micro-unit integers so
       the score is bit-identical in the DuckDB oracle (n = token
-      count; every doc scores, empty docs score sigmoid(bias))."""
+      count; every doc scores, empty docs score sigmoid(bias)).
+    - `bucket_*` (r7): `quantile_buckets` — the CCNet head/middle/tail
+      cut applied IN-PLAN to the lm scores (bottom quartile tail, top
+      quartile head): exact interpolated quartiles computed as ONE
+      aggregate row broadcast back onto the corpus — no driver
+      approxQuantile round trip, no global ntile window. Thresholds
+      rounded to 6 decimals (round_scale) so the classification is
+      engine-portable; the bucket rides the tag (`bucket_tail` /
+      `bucket_middle` / `bucket_head`)."""
+    from serverless_data_pipeline_spark.operators.stages import (
+        quantile_buckets,
+    )
     from serverless_data_pipeline_spark.operators.text import (
         classifier_quality_score, default_quality_weights, lm_score,
     )
     docs = _t(spark, sf, "documents")
-    lm = (lm_score(docs, "doc_id", "text")
+    scored = lm_score(docs, "doc_id", "text")
+    lm = (scored
           .select(F.lit("lm").alias("tag"), "doc_id",
                   F.col("n_bigrams").cast("long").alias("n"),
                   F.col("lm_logp").alias("score")))
@@ -2087,7 +2099,12 @@ def _q_x13_lm_score(spark, sf):
           .select(F.lit("fasttext").alias("tag"), "doc_id",
                   F.col("n_tokens").alias("n"),
                   F.col("q_prob").alias("score")))
-    return lm.unionAll(ft)
+    bk = (quantile_buckets(scored, "lm_logp", round_scale=6)
+          .select(F.concat(F.lit("bucket_"), F.col("bucket"))
+                  .alias("tag"), "doc_id",
+                  F.lit(None).cast("long").alias("n"),
+                  F.col("lm_logp").alias("score")))
+    return lm.unionAll(ft).unionAll(bk)
 
 
 def _q_x12_segment_dedup(spark, sf):
@@ -3056,10 +3073,21 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN c12 USING (w1, w2)
                    LEFT JOIN c1 USING (w1)
                    CROSS JOIN v)
-            SELECT 'lm' AS tag, doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+            , lmsc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
                    (CAST(SUM(CAST(round(lp * 1000000) AS BIGINT)) AS DOUBLE)
                     / (COUNT(*) * 1000000.0)) AS score
-            FROM lp GROUP BY doc_id
+                   FROM lp GROUP BY doc_id),
+            qth AS (SELECT round(quantile_cont(score, 0.25), 6) AS q1,
+                           round(quantile_cont(score, 0.75), 6) AS q2
+                    FROM lmsc)
+            SELECT 'lm' AS tag, doc_id, n, score FROM lmsc
+            UNION ALL
+            SELECT concat('bucket_',
+                          CASE WHEN score < q1 THEN 'tail'
+                               WHEN score < q2 THEN 'middle'
+                               ELSE 'head' END) AS tag,
+                   doc_id, CAST(NULL AS BIGINT) AS n, score
+            FROM lmsc CROSS JOIN qth
             UNION ALL
             -- X14: fastText-style hashed linear classifier, committed
             -- weights in 1e-6 micro-units, exact integer logit sum.

@@ -223,3 +223,55 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, *,
             (F.col(f"__smx_{c}") if s else nulls).alias("smax")))
     return (one.select(F.explode(F.array(*rows)).alias("p"))
             .select("p.*"))
+
+
+def quantile_buckets(df: DataFrame, score_col: str,
+                     cuts: tuple[float, ...] = (0.25, 0.75),
+                     labels: tuple[str, ...] = ("tail", "middle",
+                                                "head"), *,
+                     exact: bool = True, accuracy: int = 10_000,
+                     round_scale: int | None = None,
+                     bucket_col: str = "bucket") -> DataFrame:
+    """Quantile bucketing IN-PLAN — the CCNet head/middle/tail cut
+    (docs ranked by LM score, corpus split at fixed quantiles) without
+    the driver-side approxQuantile round trip: thresholds are ONE
+    aggregate row broadcast back onto the corpus, so the whole thing
+    stays a lazy, composable plan (and specifically NOT a global ntile
+    window, whose single sort partition would serialize a 100 TB
+    corpus).
+
+    Bucket rule: ``labels[i]`` for ``score < quantile(cuts[i])`` (first
+    match), last label otherwise — so with the defaults, the bottom
+    quartile is "tail", the top quartile "head".
+
+    ``exact=True`` (default) computes exact interpolated percentiles —
+    deterministic and oracle-checkable (DuckDB ``quantile_cont`` uses
+    the same linear interpolation), but the aggregate buffers values
+    per merge: fine to ~10^8 rows. ``exact=False`` switches to
+    ``approx_percentile`` (bounded-memory sketch, ``accuracy``
+    parameter) — the 100 TB path, same plan shape.
+
+    ``round_scale`` (optional) rounds the thresholds to that many
+    decimals before comparing — pin it when the result must be
+    engine-portable (interpolated percentiles can differ across
+    engines in the last ulp, and a score sitting exactly on an
+    unrounded threshold would then classify differently)."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly len(cuts) + 1 labels")
+    if list(cuts) != sorted(cuts) or len(set(cuts)) != len(cuts):
+        raise ValueError("cuts must be strictly increasing")
+    fn = "percentile" if exact else "approx_percentile"
+    arr = ", ".join(repr(float(c)) for c in cuts)
+    extra = "" if exact else f", {accuracy}"
+    qs = F.expr(f"{fn}({score_col}, array({arr}){extra})")
+    if round_scale is not None:
+        qs = F.transform(qs, lambda x: F.round(x, round_scale))
+    th = df.agg(qs.alias("__qs"))
+    out = df.crossJoin(F.broadcast(th))
+    expr = F.when(F.col(score_col) < F.element_at("__qs", 1),
+                  F.lit(labels[0]))
+    for i in range(1, len(cuts)):
+        expr = expr.when(F.col(score_col) < F.element_at("__qs", i + 1),
+                        F.lit(labels[i]))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return out.withColumn(bucket_col, expr).drop("__qs")

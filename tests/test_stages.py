@@ -133,3 +133,42 @@ def test_profile_columns_approx_distinct_within_rsd(spark):
     plan = profile_columns(df, ["k"], approx_distinct=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_quantile_buckets_cuts_and_boundaries(spark):
+    from serverless_data_pipeline_spark.operators.stages import (
+        quantile_buckets,
+    )
+    # scores 1..100: exact quartiles q1=25.75, q3=75.25 (linear
+    # interpolation at p*(n-1)) -> tail=1..25, head=76..100
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)],
+                               "doc_id long, s double")
+    out = {r.doc_id: r.bucket
+           for r in quantile_buckets(df, "s").collect()}
+    assert all(out[i] == "tail" for i in range(1, 26))
+    assert all(out[i] == "middle" for i in range(26, 76))
+    assert all(out[i] == "head" for i in range(76, 101))
+    import pytest
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "s", cuts=(0.5,), labels=("a",))
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "s", cuts=(0.7, 0.2))
+
+
+def test_quantile_buckets_approx_mode_and_plan(spark):
+    from serverless_data_pipeline_spark.operators.stages import (
+        quantile_buckets,
+    )
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 997).cast("double")
+        .alias("s"))
+    exact = quantile_buckets(df, "s")
+    approx = quantile_buckets(df, "s", exact=False)
+    ce = {r[0]: r[1] for r in exact.groupBy("bucket").count().collect()}
+    ca = {r[0]: r[1] for r in approx.groupBy("bucket").count().collect()}
+    for b in ("tail", "middle", "head"):
+        assert abs(ce[b] - ca[b]) / ce[b] < 0.05, (b, ce, ca)
+    # thresholds ride a 1-row broadcast, never a global sort window
+    plan = exact._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar join
