@@ -1899,7 +1899,12 @@ def _q_x8_corpus_utils(spark, sf):
     is a token/char budget, not a doc count, so long-document groups
     can't be over-sampled mean-length-fold; first-fit-with-overshoot
     membership over exact integer running sums) carry (sample_rank,
-    cum_weight, n_chars, lang); shuf rows (NEW r7 —
+    cum_weight, n_chars, lang); rep rows (NEW r7 —
+    `repeat_by_epochs`, quality-weighted epoch repetition: the
+    "head×3, middle×2, tail×1" upsampling convention with fractional
+    epochs as md5-ranked deterministic membership — the registry map
+    uses .5 fractions so frac·n stays float-exact cross-engine) carry
+    (epoch, n_epochs, sample_rank, lang); shuf rows (NEW r7 —
     `global_shuffle`, the seeded training-order shuffle + shard
     layout: md5 sort key, hex-prefix shard assignment via the SAME
     `hex_prefix_long_sql` expression the oracle runs, per-shard
@@ -1907,8 +1912,8 @@ def _q_x8_corpus_utils(spark, sf):
     (shard, pos, NULL, sort_key)."""
     from serverless_data_pipeline_spark.operators.corpus import (
         chunk_documents, corpus_mix, global_shuffle, leakage_safe_split,
-        pack_sequences, temperature_mix, token_budget_mix,
-        train_test_split, vocabulary,
+        pack_sequences, repeat_by_epochs, temperature_mix,
+        token_budget_mix, train_test_split, vocabulary,
     )
     docs = _t(spark, sf, "documents")
     split = train_test_split(docs, "doc_id", hashed=False)
@@ -1967,9 +1972,16 @@ def _q_x8_corpus_utils(spark, sf):
                     F.col("cum_weight").cast("long").alias("b"),
                     F.col("n_chars").cast("long").alias("c"),
                     F.col("lang").alias("h")))
+    rep = (repeat_by_epochs(docs, "lang", "doc_id",
+                            {"en": 1.5, "de": 2.0, "zh": 0.0})
+           .select(F.lit("rep").alias("kind"), "doc_id",
+                   F.col("epoch").cast("long").alias("a"),
+                   F.col("n_epochs").cast("long").alias("b"),
+                   F.col("sample_rank").cast("long").alias("c"),
+                   F.col("lang").alias("h")))
     return (vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
-            .unionAll(wmix))
+            .unionAll(wmix).unionAll(rep))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -2956,6 +2968,30 @@ def oracle_sql() -> dict[str, str]:
                   SELECT doc_id, lang, sample_rank, quota
                   FROM r JOIN q USING (lang)
                   WHERE sample_rank <= quota)
+            UNION ALL
+            SELECT 'rep', doc_id,
+                   CAST(unnest(range(0, n_epochs)) AS BIGINT),
+                   n_epochs, sample_rank, lang
+            FROM (WITH em(lang, e) AS (VALUES ('en', 1.5), ('de', 2.0),
+                                              ('zh', 0.0)),
+                  r AS (SELECT doc_id, lang,
+                               ROW_NUMBER() OVER (
+                                   PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                            doc_id) AS sample_rank,
+                               COUNT(*) OVER (PARTITION BY lang) AS n
+                        FROM documents)
+                  SELECT doc_id, lang, CAST(sample_rank AS BIGINT)
+                             AS sample_rank,
+                         CAST(FLOOR(COALESCE(e, 1.0))
+                              + CASE WHEN sample_rank <=
+                                       ROUND(ROUND(COALESCE(e, 1.0)
+                                             - FLOOR(COALESCE(e, 1.0)),
+                                             6) * n, 0)
+                                     THEN 1 ELSE 0 END
+                              AS BIGINT) AS n_epochs
+                  FROM r LEFT JOIN em USING (lang))
+            WHERE n_epochs > 0
             UNION ALL
             SELECT 'wmix', doc_id, CAST(sample_rank AS BIGINT),
                    CAST(cum_w AS BIGINT), CAST(n_chars AS BIGINT), lang

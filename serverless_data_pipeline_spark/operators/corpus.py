@@ -21,7 +21,8 @@ __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
            "chunk_documents", "decontaminate", "contamination_report",
            "shingle_bloom", "bloom_decontaminate", "segment_dedup",
            "passage_dedup", "passage_rank_choice", "global_shuffle",
-           "hex_prefix_long_sql", "token_budget_mix"]
+           "hex_prefix_long_sql", "token_budget_mix",
+           "repeat_by_epochs"]
 
 
 def train_test_split(df: DataFrame, id_col: str,
@@ -864,3 +865,64 @@ def token_budget_mix(df: DataFrame, group_col: str, id_col: str,
             .filter((F.col("cum_weight")
                      - F.coalesce(F.col(weight_col), F.lit(0)))
                     < F.col("quota_w")))
+
+
+def repeat_by_epochs(df: DataFrame, group_col: str, id_col: str,
+                     epochs: dict[str, float], *,
+                     default_epochs: float = 1.0) -> DataFrame:
+    """Quality-weighted epoch repetition — the upsampling half of a
+    mixture recipe (the "head×3, middle×2, tail×1" convention: docs in
+    better buckets are seen more times per training pass; the
+    complement of down-sampling via ``corpus_mix``/``temperature_mix``).
+
+    ``epochs`` maps group values (e.g. the X13 ``ppl_bucket``) to a
+    possibly-FRACTIONAL epoch count: ``2.5`` repeats every doc twice
+    and the md5-ranked top half of the group a third time — the
+    deterministic form of "sample 50% for the extra epoch" (same
+    quota machinery as ``corpus_mix``, so membership is stable and
+    engine-portable). Groups absent from the map get
+    ``default_epochs``; ``0`` drops a group.
+
+    Output: one row per (doc, repetition) with ``epoch`` (0-based),
+    ``n_epochs`` (this doc's total), and ``sample_rank`` (the md5 rank
+    that decided fractional membership) — a downstream shuffle/pack
+    step treats each repetition as an independent row.
+
+    Scale shape: one broadcast of the |groups|-row epochs map, ONE
+    per-group ranking window (shared with a window count for the
+    group size), then an in-row ``sequence`` explode — output size is
+    exactly ``Σ_g n_g · e_g`` rows, and nothing else shuffles."""
+    if any(e < 0 for e in epochs.values()) or default_epochs < 0:
+        raise ValueError("epoch counts must be >= 0")
+    emap = (df.sparkSession
+            .createDataFrame([(k, float(v))
+                              for k, v in sorted(epochs.items())],
+                             f"{group_col} string, __e double"))
+    joined = (df.join(F.broadcast(emap), group_col, "left")
+              .withColumn("__e", F.coalesce(
+                  "__e", F.lit(float(default_epochs)))))
+    order = F.md5(F.col(id_col).cast("string"))
+    w_rank = Window.partitionBy(group_col).orderBy(order, id_col)
+    w_grp = Window.partitionBy(group_col)
+    out = (joined
+           .withColumn("sample_rank", F.row_number().over(w_rank))
+           .withColumn("__n", F.count(F.lit(1)).over(w_grp))
+           .withColumn("__base", F.floor("__e").cast("long"))
+           # fractional epoch -> md5-top round(frac * n) rows get one
+           # extra pass (round-6 first: cross-engine float jitter in
+           # frac*n must not flip a quota boundary)
+           .withColumn("__extra",
+                       (F.col("sample_rank")
+                        <= F.round(F.round((F.col("__e")
+                                            - F.col("__base")), 6)
+                                   * F.col("__n"), 0)).cast("long"))
+           .withColumn("n_epochs",
+                       (F.col("__base") + F.col("__extra"))
+                       .cast("long"))
+           .filter(F.col("n_epochs") > 0))
+    return (out.withColumn(
+                "epoch",
+                F.explode(F.sequence(F.lit(0),
+                                     (F.col("n_epochs") - 1)
+                                     .cast("int"))))
+            .drop("__e", "__n", "__base", "__extra"))

@@ -768,3 +768,55 @@ def test_token_budget_mix_keeps_every_group_and_is_deterministic(spark):
                             alpha=1.0).count() == 300
     with pytest.raises(ValueError):
         token_budget_mix(df, "lang", "doc_id", "n", alpha=-0.1)
+
+
+def test_repeat_by_epochs_integer_and_fractional(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        repeat_by_epochs,
+    )
+    rows = ([(i, "head") for i in range(10)]
+            + [(100 + i, "middle") for i in range(10)]
+            + [(200 + i, "tail") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+    out = repeat_by_epochs(df, "bucket", "doc_id",
+                           {"head": 2.5, "middle": 1.0, "tail": 0.0})
+    by = {}
+    for r in out.collect():
+        by.setdefault(r.bucket, []).append(r)
+    # tail dropped entirely; middle exactly once with epoch 0
+    assert "tail" not in by
+    assert len(by["middle"]) == 10
+    assert all(r.epoch == 0 and r.n_epochs == 1 for r in by["middle"])
+    # head: 10 docs x 2 + md5-top 5 docs x 1 = 25 repetitions
+    assert len(by["head"]) == 25
+    per_doc = {}
+    for r in by["head"]:
+        per_doc.setdefault(r.doc_id, set()).add(r.epoch)
+    assert sum(1 for v in per_doc.values() if len(v) == 3) == 5
+    assert sum(1 for v in per_doc.values() if len(v) == 2) == 5
+    # epochs are contiguous 0..k-1 per doc
+    assert all(v == set(range(len(v))) for v in per_doc.values())
+    # the extra-epoch docs are exactly the md5-rank top half
+    extra = {d for d, v in per_doc.items() if len(v) == 3}
+    ranks = {r.doc_id: r.sample_rank for r in by["head"]}
+    assert extra == {d for d, rk in ranks.items() if rk <= 5}
+
+
+def test_repeat_by_epochs_default_and_determinism(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        repeat_by_epochs,
+    )
+    import pytest
+    df = spark.createDataFrame([(i, f"g{i % 3}") for i in range(30)],
+                               "doc_id long, bucket string")
+    # groups not in the map get default_epochs
+    out = repeat_by_epochs(df, "bucket", "doc_id", {"g0": 3.0},
+                           default_epochs=1.0)
+    per = {r[0]: r[1] for r in out.groupBy("bucket").count().collect()}
+    assert per == {"g0": 30, "g1": 10, "g2": 10}
+    a = sorted((r.doc_id, r.epoch) for r in out.collect())
+    b = sorted((r.doc_id, r.epoch) for r in repeat_by_epochs(
+        df, "bucket", "doc_id", {"g0": 3.0}).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        repeat_by_epochs(df, "bucket", "doc_id", {"g0": -1.0})

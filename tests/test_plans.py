@@ -130,23 +130,24 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all eight arms exactly nine
+    O(top_n) heap (no global sort); across all nine arms exactly ten
     hash exchanges exist (vocab token groupBy + the per-shard packing
-    window + the mix/tmix/wmix per-language ranking windows — wmix's
-    rank and running-sum windows share ONE exchange+sort, same
-    partition and order — + the gsplit fingerprint groupBy + the tmix
-    and wmix group-sizes groupBys + the shuf per-shard position window)
-    and two SinglePartition exchanges (the tmix and wmix all-rows
-    totals windows over their |groups|-row sizes frames — tiny by
+    window + the mix/tmix/wmix/rep per-language ranking windows —
+    wmix's rank and running-sum windows share ONE exchange+sort, and
+    rep's rank and group-count windows share one exchange too — + the
+    gsplit fingerprint groupBy + the tmix and wmix group-sizes
+    groupBys + the shuf per-shard position window) and two
+    SinglePartition exchanges (the tmix and wmix all-rows totals
+    windows over their |groups|-row sizes frames — tiny by
     construction; the shuf arm specifically must NOT add one, that
     would be the ORDER BY rand() global-sort anti-pattern its operator
     exists to avoid). Chunking stays a narrow projection; gsplit's
-    canonical-id map and the tmix/wmix quota maps join back via
-    broadcast, never a corpus shuffle."""
+    canonical-id map, the tmix/wmix quota maps and rep's epoch map
+    join back via broadcast, never a corpus shuffle."""
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 9
+    assert plan.count("Exchange hashpartitioning") == 10
     assert plan.count("Exchange SinglePartition") == 2
     assert "SortMergeJoin" not in plan
 
