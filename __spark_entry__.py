@@ -1645,7 +1645,19 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_corpus_exact.incr": _x7_flavour_incr,
         # r7: x10 gained the report (audit) arm — attribute it
         "x10_decontaminate.report": _x10_flavour_report,
+        # r7: x13 gained the quantile-bucket arm — attribute it
+        "x13_lm_score.bucket": _x13_flavour_bucket,
     }
+
+
+def _x13_flavour_bucket(spark, sf):
+    from serverless_data_pipeline_spark.operators.stages import (
+        quantile_buckets,
+    )
+    from serverless_data_pipeline_spark.operators.text import lm_score
+    return quantile_buckets(
+        lm_score(_t(spark, sf, "documents"), "doc_id", "text"),
+        "lm_logp", round_scale=6)
 
 
 def _x10_flavour_report(spark, sf):
