@@ -309,3 +309,102 @@ def test_temperature_mix_quota_properties(spark, groups, alpha):
         expect = min(n, max(1, math.ceil(round(n ** alpha / Z * N, 6))))
         assert kept.get(g, 0) == expect, (g, alpha)
         assert 1 <= kept[g] <= n
+
+
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40,
+                    unique=True),
+       seed=st.integers(0, 5),
+       num_shards=st.integers(1, 6))
+@settings(**SETTINGS)
+def test_global_shuffle_is_a_permutation_with_dense_positions(
+        spark, ids, seed, num_shards):
+    """global_shuffle laws on arbitrary id sets: output ids are exactly
+    the input ids (a permutation, never a sample or duplication), every
+    shard is in range, and positions within each shard are exactly
+    1..count with no gaps — regardless of seed or shard count."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        global_shuffle,
+    )
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = global_shuffle(df, "doc_id", seed=seed,
+                          num_shards=num_shards).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(ids)
+    assert all(0 <= r.shard < num_shards for r in rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r.shard, []).append(r.pos)
+    assert all(sorted(ps) == list(range(1, len(ps) + 1))
+               for ps in by.values())
+
+
+@given(groups=st.lists(st.tuples(st.sampled_from("abcd"),
+                                 st.integers(1, 40)),
+                       min_size=1, max_size=25),
+       alpha=st.sampled_from([0.0, 0.3, 0.7, 1.0]))
+@settings(**SETTINGS)
+def test_token_budget_mix_budget_laws(spark, groups, alpha):
+    """token_budget_mix laws: every group keeps >= 1 doc; the kept
+    prefix is exactly the md5-rank order (no doc skipped before a kept
+    one); the running weight before each kept doc is inside the quota
+    (first-fit-with-overshoot — at most the LAST kept doc crosses);
+    alpha=1 with the default target keeps everything."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        token_budget_mix,
+    )
+    rows = [(i, g, w) for i, (g, w) in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = token_budget_mix(df, "lang", "doc_id", "n", alpha=alpha)
+    got = out.collect()
+    langs_in = {g for g, _ in groups}
+    by = {}
+    for r in got:
+        by.setdefault(r.lang, []).append(r)
+    assert set(by) == langs_in
+    for g, rs in by.items():
+        rs = sorted(rs, key=lambda r: r.sample_rank)
+        # ranks are a dense prefix 1..k (md5 order, no skips)
+        assert [r.sample_rank for r in rs] == list(range(1, len(rs) + 1))
+        # first-fit: weight BEFORE each kept doc is below the quota
+        for r in rs:
+            assert r.cum_weight - r.n < r.quota_w + 1e-9
+    if alpha == 1.0:
+        assert len(got) == len(rows)
+
+
+@given(groups=st.lists(st.tuples(st.sampled_from("abc"),
+                                 st.sampled_from([0.0, 0.5, 1.0, 1.5,
+                                                  2.0, 2.5, 3.0])),
+                       min_size=1, max_size=6),
+       n_per=st.integers(1, 8))
+@settings(**SETTINGS)
+def test_repeat_by_epochs_total_count_law(spark, groups, n_per):
+    """repeat_by_epochs law: for a group of n docs at e epochs, the
+    total repetitions are exactly n*floor(e) + round(frac(e)*n), every
+    doc appears floor(e) or floor(e)+1 times, and epoch indices are
+    dense 0..k-1."""
+    import math
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        repeat_by_epochs,
+    )
+    emap = dict(groups)  # later duplicates win, like the operator's map
+    rows = [(gi * 1000 + i, g)
+            for gi, g in enumerate(sorted(emap))
+            for i in range(n_per)]
+    df = spark.createDataFrame(rows, "doc_id long, bucket string")
+    out = repeat_by_epochs(df, "bucket", "doc_id", emap).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.bucket, []).append(r)
+    for g in sorted(emap):
+        e = emap[g]
+        base = math.floor(e)
+        extra = round(round(e - base, 6) * n_per)
+        expect = n_per * base + extra
+        got = by.get(g, [])
+        assert len(got) == expect, (g, e, len(got), expect)
+        per = {}
+        for r in got:
+            per.setdefault(r.doc_id, set()).add(r.epoch)
+        assert all(v == set(range(len(v))) for v in per.values())
+        assert all(len(v) in (base, base + 1) for v in per.values())
