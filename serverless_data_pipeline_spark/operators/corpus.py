@@ -687,6 +687,9 @@ def hex_prefix_long_sql(expr: str, nchars: int = 8) -> str:
     in Spark SQL and DuckDB (neither ``conv`` nor hex casts are portable
     across the two). Shared between the engine and its oracle so shard
     assignment is value-checked by construction."""
+    if not 1 <= nchars <= 15:
+        # 15 hex digits still fit a signed 64-bit long; 16 do not
+        raise ValueError("nchars must be in [1, 15]")
     terms = []
     for i in range(1, nchars + 1):
         mult = 16 ** (nchars - i)
@@ -730,6 +733,8 @@ def global_shuffle(df: DataFrame, id_col: str, *, seed: int = 0,
     cost is a re-run with a new seed — same one-exchange plan.
     Reference anchor: deterministic batch layout contract (py:233-241,
     fixed object layout per processed batch)."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
     key = F.md5(F.concat_ws(
         ":", F.lit(str(seed)),
         F.col(id_col).cast("string")).cast("binary"))
@@ -838,6 +843,11 @@ def token_budget_mix(df: DataFrame, group_col: str, id_col: str,
     in the row path."""
     if alpha < 0:
         raise ValueError("alpha must be >= 0")
+    if target_weight is not None and target_weight <= 0:
+        # a non-positive budget would silently drop EVERY group (the
+        # first-fit test `0 < quota` fails even for the first doc),
+        # breaking the documented every-group-keeps->=1 law
+        raise ValueError("target_weight must be > 0")
     wcol = F.coalesce(F.col(weight_col).cast("double"), F.lit(0.0))
     sizes = df.groupBy(group_col).agg(F.sum(wcol).alias("__w"))
     w_all = Window.partitionBy()
@@ -894,10 +904,14 @@ def repeat_by_epochs(df: DataFrame, group_col: str, id_col: str,
     exactly ``Σ_g n_g · e_g`` rows, and nothing else shuffles."""
     if any(e < 0 for e in epochs.values()) or default_epochs < 0:
         raise ValueError("epoch counts must be >= 0")
+    # the map's key column takes the FRAME's group type (a bucket can
+    # be an int id as well as a label; a hardcoded string key would
+    # make the equi-join cast or fail under ANSI)
+    gtype = dict(df.dtypes).get(group_col, "string")
     emap = (df.sparkSession
             .createDataFrame([(k, float(v))
                               for k, v in sorted(epochs.items())],
-                             f"{group_col} string, __e double"))
+                             f"{group_col} {gtype}, __e double"))
     joined = (df.join(F.broadcast(emap), group_col, "left")
               .withColumn("__e", F.coalesce(
                   "__e", F.lit(float(default_epochs)))))

@@ -213,8 +213,11 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, *,
             F.col("__n").cast("long").alias("n_rows"),
             (F.col("__n") - F.col(f"__nn_{c}")).cast("long")
             .alias("n_null"),
-            F.round((F.col("__n") - F.col(f"__nn_{c}"))
-                    / F.col("__n"), 6).alias("null_frac"),
+            # empty input: 0/0 raises under ANSI mode — report NULL
+            F.when(F.col("__n") > 0,
+                   F.round((F.col("__n") - F.col(f"__nn_{c}"))
+                           / F.col("__n"), 6))
+            .alias("null_frac"),
             F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
             (F.col(f"__mn_{c}") if num else nulld).alias("vmin"),
             (F.col(f"__mx_{c}") if num else nulld).alias("vmax"),
@@ -268,8 +271,13 @@ def quantile_buckets(df: DataFrame, score_col: str,
         qs = F.transform(qs, lambda x: F.round(x, round_scale))
     th = df.agg(qs.alias("__qs"))
     out = df.crossJoin(F.broadcast(th))
-    expr = F.when(F.col(score_col) < F.element_at("__qs", 1),
-                  F.lit(labels[0]))
+    # a NULL score gets a NULL bucket — every `<` comparison is
+    # null-false, so without the guard NULLs would silently land in
+    # the TOP label
+    expr = F.when(F.col(score_col).isNull(),
+                  F.lit(None).cast("string"))
+    expr = expr.when(F.col(score_col) < F.element_at("__qs", 1),
+                     F.lit(labels[0]))
     for i in range(1, len(cuts)):
         expr = expr.when(F.col(score_col) < F.element_at("__qs", i + 1),
                         F.lit(labels[i]))

@@ -820,3 +820,26 @@ def test_repeat_by_epochs_default_and_determinism(spark):
     assert a == b
     with pytest.raises(ValueError):
         repeat_by_epochs(df, "bucket", "doc_id", {"g0": -1.0})
+
+
+def test_new_operator_argument_validation(spark):
+    import pytest
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        global_shuffle, hex_prefix_long_sql, repeat_by_epochs,
+        token_budget_mix,
+    )
+    df = spark.createDataFrame([(1, "a", 5)],
+                               "doc_id long, lang string, n long")
+    with pytest.raises(ValueError, match="num_shards"):
+        global_shuffle(df, "doc_id", num_shards=0)
+    with pytest.raises(ValueError, match="nchars"):
+        hex_prefix_long_sql("k", 16)
+    with pytest.raises(ValueError, match="target_weight"):
+        token_budget_mix(df, "lang", "doc_id", "n", target_weight=0.0)
+    # numeric group keys: the epochs map takes the FRAME's group type
+    ndf = spark.createDataFrame([(i, i % 2) for i in range(10)],
+                                "doc_id long, bucket bigint")
+    out = repeat_by_epochs(ndf, "bucket", "doc_id", {0: 2.0, 1: 1.0})
+    per = {r[0]: r[1] for r in out.groupBy("bucket").count().collect()}
+    assert per == {0: 10, 1: 5}

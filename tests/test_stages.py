@@ -172,3 +172,19 @@ def test_quantile_buckets_approx_mode_and_plan(spark):
     plan = exact._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar join
+
+
+def test_profile_columns_empty_input_and_quantile_null_scores(spark):
+    from serverless_data_pipeline_spark.operators.stages import (
+        profile_columns, quantile_buckets,
+    )
+    # empty frame: no ANSI divide-by-zero; counts 0, fractions NULL
+    empty = spark.createDataFrame([], "id long, s string")
+    rows = {r.column: r for r in profile_columns(empty).collect()}
+    assert rows["id"].n_rows == 0 and rows["id"].null_frac is None
+    # NULL scores must get a NULL bucket, not silently land in 'head'
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, None)],
+        "doc_id long, s double")
+    b = {r.doc_id: r.bucket for r in quantile_buckets(df, "s").collect()}
+    assert b[5] is None and b[4] == "head"
