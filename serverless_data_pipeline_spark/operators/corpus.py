@@ -800,8 +800,15 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
     # tiny ⋈ tiny first, then broadcast the contaminated set INTO the
     # train-sized totals projection — train stays map-side on every
     # join in this operator (the x10 never-shuffle-train contract; a
-    # plain 3-way join on id would sort-merge-shuffle totals).
-    rep = F.broadcast(per_doc.join(F.broadcast(top), id_col))
+    # plain 3-way join on id would sort-merge-shuffle totals). The
+    # hints follow broadcast_eval: with a huge eval set the
+    # contaminated set is unbounded too, and a forced broadcast of it
+    # would be the driver-OOM variant of the same mistake — there the
+    # plan degrades to shuffled joins gracefully, like decontaminate.
+    rep = per_doc.join(F.broadcast(top) if broadcast_eval else top,
+                       id_col)
+    if broadcast_eval:
+        rep = F.broadcast(rep)
     return (totals.join(rep, id_col)
             .select(id_col,
                     F.col("n_overlap").cast("long"),
