@@ -47,7 +47,8 @@ from serverless_data_pipeline_spark.operators.dedup import (
 )
 
 __all__ = ["corpus_index", "build_corpus_index", "incremental_dedup",
-           "bootstrap_corpus", "commit_batch", "maintenance_stream"]
+           "bootstrap_corpus", "commit_batch", "maintenance_stream",
+           "incremental_semantic_dedup"]
 
 DROP_REASONS = ("exact_index", "exact_batch", "neardup_index",
                 "neardup_batch")
@@ -412,3 +413,60 @@ def maintenance_stream(spark, landing_path: str, schema,
         spark, landing_path, schema, _tick, checkpoint,
         interval_s=interval_s, fmt=fmt, available_now=available_now,
         max_files_per_tick=max_files_per_tick)
+
+
+def incremental_semantic_dedup(batch: DataFrame, index: DataFrame,
+                               id_col: str, vec_col: str,
+                               centroids: list[list[float]], dim: int,
+                               *, threshold: float = 0.9,
+                               cell_col: str = "ivf_cell") -> DataFrame:
+    """The embedding-side sibling of ``incremental_dedup``: drop new
+    vectors that SEMANTICALLY duplicate the existing corpus (cosine vs
+    any indexed vector >= ``threshold``) by probing a PERSISTED IVF
+    cell index — the daily-landing form of SemDeDup, where the
+    expensive k-means codebook is trained once offline and each
+    arriving batch only pays one cell assignment + one cell-equality
+    join.
+
+    ``index`` is the materialized ``assign_ivf_cells`` output
+    (``id_col``, ``vec_col``, ``cell_col``) — written
+    ``partitionBy(cell_col)``, the join's cell filter partition-prunes
+    exactly like ``ivf_topk_indexed``. Candidate generation is top-1
+    cell equality: a true near-duplicate (cosine ~1) shares its
+    nearest centroid except on cell boundaries, the same probe/recall
+    trade every IVF deployment makes — raise the codebook's
+    ``n_cells`` training sample or run a second pass with perturbed
+    centroids if boundary misses matter. Verification is the exact
+    pairwise cosine (Arrow-batched BLAS, no per-row Python).
+
+    Returns ``batch`` + ``drop_reason`` (``semdup_index`` or NULL),
+    matching ``incremental_dedup``'s verdict shape; compose with
+    ``semantic_dedup`` on the survivors for within-batch semantic
+    dedup, and append survivors' (id, vec, cell) rows to the index to
+    commit. Scale: batch-sized cell assignment (narrow), one
+    equi-join keyed on the cell id whose index side reads n_cells'
+    worth of candidate CELLS, not the whole corpus."""
+    from serverless_data_pipeline_spark.functions.vectors_np import (
+        pair_cosine_udf,
+    )
+    from serverless_data_pipeline_spark.operators.similarity import (
+        assign_ivf_cells,
+    )
+    missing = {cell_col, vec_col} - set(index.columns)
+    if missing:
+        raise ValueError(f"index lacks columns {sorted(missing)} — "
+                         "materialize assign_ivf_cells output")
+    b = assign_ivf_cells(batch.select(F.col(id_col), F.col(vec_col)),
+                         vec_col, centroids, dim, out_col="__bc")
+    cand = (b.select(F.col(id_col).alias("__bid"),
+                     F.col(vec_col).alias("__bv"), "__bc")
+            .join(index.select(F.col(cell_col).alias("__bc"),
+                               F.col(vec_col).alias("__iv")), "__bc"))
+    hits = (cand
+            .withColumn("__s", pair_cosine_udf(dim)(F.col("__bv"),
+                                                    F.col("__iv")))
+            .filter(F.col("__s") >= threshold)
+            .select(F.col("__bid").alias(id_col)).distinct())
+    return batch.join(
+        hits.withColumn("drop_reason", F.lit("semdup_index")),
+        id_col, "left")
