@@ -1265,12 +1265,35 @@ def _q_st5_session(spark, sf):
 # =========================================================== X-ops (X)
 
 def _q_x3_topk_similarity(spark, sf):
-    """X3 — exact cosine top-10 neighbors for 5 query vectors."""
+    """X3 — exact top-k retrieval, BOTH modalities in one tagged union:
+    `cosine` = exact cosine top-10 neighbors for 5 query vectors
+    (embeddings), `bm25` (r7) = Okapi BM25 ranked keyword search top-10
+    for two fixed text queries (`bm25_topk` — per-term tf/dl integer
+    array ops, ONE broadcast stats row, idf quantized to 6 decimals
+    before the score so cross-engine ln jitter can't propagate, term
+    sum in sorted order; TakeOrderedAndProject heap, never a global
+    sort). Columns harmonized to (mode, query_id, neighbor_id,
+    score)."""
+    from serverless_data_pipeline_spark.operators.text import bm25_topk
     e = _t(spark, sf, "embeddings")
     queries_df = e.filter(F.col("vec_id") < 5)
-    out = brute_force_topk_join(queries_df, e, "vec_id", "embedding",
-                                "vec_id", "embedding", k=10)
-    return out.select("query_id", "neighbor_id", "cosine")
+    cos = (brute_force_topk_join(queries_df, e, "vec_id", "embedding",
+                                 "vec_id", "embedding", k=10)
+           .select(F.lit("cosine").alias("mode"), "query_id",
+                   F.col("neighbor_id").cast("long"),
+                   F.col("cosine").alias("score")))
+    docs = _t(spark, sf, "documents")
+    bm = None
+    for qid, q in enumerate(("spark join order window",
+                             "merge sort key table scan")):
+        arm = (bm25_topk(docs, "doc_id", "text", q, k=10)
+               .select(F.lit("bm25").alias("mode"),
+                       F.lit(qid).cast("long").alias("query_id"),
+                       F.col("doc_id").cast("long")
+                       .alias("neighbor_id"),
+                       F.round("bm25", 6).alias("score")))
+        bm = arm if bm is None else bm.unionAll(arm)
+    return cos.unionAll(bm)
 
 
 def _q_x5_text_signals(spark, sf):
@@ -2193,6 +2216,40 @@ from serverless_data_pipeline_spark.operators.corpus import (  # noqa: E402
     hex_prefix_long_sql as _hexlong,
 )
 _SHUF_SHARD_SQL = _hexlong("k", 8)
+
+
+def _bm25_oracle_sql(qid: int, query: str) -> str:
+    """DuckDB BM25 for one query, mirroring bm25_topk's expression
+    STRUCTURE exactly (same parenthesization, same sorted-term sum
+    order, idf rounded to 6 before use, k1+1 written as the SUM
+    `(1.2 + 1.0)` so both engines compute the same double) — float
+    arithmetic then agrees bit-for-bit, not just approximately."""
+    terms = sorted({t for t in query.lower().split() if t})
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms)))
+    term_sum = " + ".join(
+        f"(round(ln(1 + (N - df{i} + 0.5) / (df{i} + 0.5)), 6)"
+        f" * (tf{i} * (1.2 + 1.0)))"
+        f" / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl"
+        f" / (CAST(sumdl AS DOUBLE) / N)))"
+        for i in range(len(terms)))
+    toks = _TOKENS_SQL.format(c="lower(text)")
+    return f"""
+        SELECT 'bm25' AS mode, CAST({qid} AS BIGINT) AS query_id,
+               doc_id AS neighbor_id, ROUND(score, 6) AS score
+        FROM (WITH p AS (SELECT doc_id, len(tk) AS dl, {tf_cols}
+                         FROM (SELECT doc_id, {toks} AS tk
+                               FROM documents)),
+              s AS (SELECT COUNT(*) AS N, SUM(dl) AS sumdl, {df_cols}
+                    FROM p)
+              SELECT doc_id, 0.0 + {term_sum} AS score
+              FROM p CROSS JOIN s)
+        WHERE score > 0
+        ORDER BY score DESC, neighbor_id LIMIT 10"""
 _BPE_SQL = "regexp_extract_all({c}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')"
 
 # X14 classifier constants: the SAME committed weight vector the Spark
@@ -2720,10 +2777,15 @@ def oracle_sql() -> dict[str, str]:
                                      CAST(c.embedding AS DOUBLE[])))
                                  * sqrt(list_dot_product(qv, qv))) AS cos
                        FROM embeddings c CROSS JOIN q)
-            SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine
+            SELECT 'cosine' AS mode, query_id, neighbor_id,
+                   ROUND(cos, 6) AS score
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, neighbor_id) <= 10""",
+                                       ORDER BY cos DESC, neighbor_id) <= 10
+            UNION ALL ("""
+            + _bm25_oracle_sql(0, "spark join order window")
+            + ") UNION ALL ("
+            + _bm25_oracle_sql(1, "merge sort key table scan") + ")",
         "x2_dedup_clusters": _CLUSTERS_ORACLE,
         "x7_corpus_exact": f"""
             WITH RECURSIVE

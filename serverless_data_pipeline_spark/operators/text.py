@@ -288,3 +288,67 @@ def classifier_quality_score(df: DataFrame, id_col: str = "doc_id",
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return df.select(F.col(id_col), n.cast("long").alias("n_tokens"),
                      F.round(prob, 6).alias(out_col))
+
+
+def bm25_topk(df: DataFrame, id_col: str, text_col: str, query: str, *,
+              k1: float = 1.2, b: float = 0.75, k: int = 10,
+              score_col: str = "bm25") -> DataFrame:
+    """Ranked keyword search — Okapi BM25 top-k over the corpus (the
+    lexical retrieval surface beside X3's vector top-k; Robertson &
+    Spärck Jones' probabilistic weighting in its standard form):
+
+        score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1-b+b·dl/avgdl))
+        idf_t    = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+
+    over the DISTINCT lower-cased whitespace terms of ``query``. Only
+    docs matching >= 1 term are returned, ranked ``score desc, id`` and
+    limited to ``k`` (TakeOrderedAndProject — an O(k)-per-task heap,
+    never a global sort).
+
+    Engine-portable by construction: per-term tf and dl are exact
+    integer array ops; the corpus statistics (N, Σdl, per-term df) are
+    ONE aggregate row broadcast back; idf is quantized to 6 decimals
+    BEFORE entering the score so a last-ulp ``ln`` difference across
+    engines cannot propagate, and the term sum is built in sorted term
+    order so float addition associates identically.
+
+    Scale shape: one narrow tf/dl projection over one scan + one tiny
+    all-column aggregate (the stats row) + the top-k heap. No shuffle
+    except the O(k) ordered collect; no Python in the row path."""
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    # arity-1 closure per term: a 2-arg lambda (`lambda x, t=t`) would
+    # make F.filter pass the ELEMENT INDEX as the second argument,
+    # silently comparing tokens against positions
+    def _eq(term: str):
+        return lambda x: x == term
+
+    proj = base.select(
+        id_col, F.size("__toks").alias("__dl"),
+        *[F.size(F.filter("__toks", _eq(t)))
+          .alias(f"__tf_{i}") for i, t in enumerate(terms)])
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("__N"),
+        F.sum("__dl").alias("__sumdl"),
+        *[F.sum((F.col(f"__tf_{i}") > 0).cast("long"))
+          .alias(f"__df_{i}") for i in range(len(terms))])
+    scored = proj.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__sumdl") / F.col("__N")
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.round(F.log(
+            F.lit(1.0) + (F.col("__N") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5)), 6)
+        tf = F.col(f"__tf_{i}").cast("double")
+        score = score + idf * (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b * F.col("__dl") / avgdl))
+    return (scored
+            .withColumn(score_col, score)
+            .filter(F.col(score_col) > 0)
+            .select(id_col, score_col)
+            .orderBy(F.col(score_col).desc(), F.col(id_col))
+            .limit(k))

@@ -204,3 +204,58 @@ def test_classifier_quality_score_fixed_weights(spark):
 
     with pytest.raises(ValueError):
         classifier_quality_score(df, weights=[])
+
+
+def test_bm25_topk_hand_computed_ranking(spark):
+    import math
+
+    from serverless_data_pipeline_spark.operators.text import bm25_topk
+    docs = spark.createDataFrame(
+        [(1, "cat cat cat dog"),        # tf(cat)=3, dl=4
+         (2, "cat mouse mouse mouse"),  # tf(cat)=1, dl=4
+         (3, "dog dog bird bird"),      # no match
+         (4, "CAT")],                   # tf=1, dl=1 (case-folded)
+        "doc_id long, text string")
+    out = bm25_topk(docs, "doc_id", "text", "cat", k=10).collect()
+    got = {r.doc_id: r.bm25 for r in out}
+    assert set(got) == {1, 2, 4}                  # doc 3 never matches
+    # hand BM25: N=4, df=3, idf=round(ln(1+(4-3+.5)/(3+.5)),6);
+    # avgdl=13/4
+    idf = round(math.log(1 + 1.5 / 3.5), 6)
+    avgdl = 13 / 4
+
+    def s(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (1 - .75 + .75 * dl
+                                               / avgdl))
+    for d, tf, dl in ((1, 3, 4), (2, 1, 4), (4, 1, 1)):
+        assert abs(got[d] - s(tf, dl)) < 1e-9, d
+    # ranking: high-tf doc first, then the short doc (dl boost), then
+    # the long single-hit doc
+    ranked = [r.doc_id for r in out]
+    assert ranked == sorted(got, key=lambda d: (-got[d], d))
+    assert got[1] > got[4] > got[2]
+
+
+def test_bm25_topk_multi_term_and_validation(spark):
+    import pytest
+
+    from serverless_data_pipeline_spark.operators.text import bm25_topk
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta " if i % 2 == 0 else "beta gamma ") * (i + 1))
+         for i in range(20)], "doc_id long, text string")
+    # k bounds the output; scores are monotone in the ranking order
+    out = bm25_topk(docs, "doc_id", "text", "alpha gamma", k=5).collect()
+    assert len(out) == 5
+    scores = [r.bm25 for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # duplicate query terms collapse; empty rejects
+    a = bm25_topk(docs, "doc_id", "text", "alpha alpha", k=3).collect()
+    b = bm25_topk(docs, "doc_id", "text", "alpha", k=3).collect()
+    assert [(r.doc_id, r.bm25) for r in a] == \
+        [(r.doc_id, r.bm25) for r in b]
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "doc_id", "text", "   ")
+    # top-k plans as a heap, not a global sort
+    plan = bm25_topk(docs, "doc_id", "text", "alpha") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
