@@ -1304,10 +1304,17 @@ def _q_x5_text_signals(spark, sf):
 
     ALL doc-grain signals come from ONE projection over one scan (they
     are narrow column expressions; codegen subexpression elimination
-    shares the repeated tokenizations) — no doc_id shuffle joins at all.
-    The two aggregates join back on their own grain: dup counts on fp,
-    lang stats via broadcast. Measured sf0.1: 7.5s cold / 2.5s warm for
-    the 4-frame join form -> 4.3 / 2.0 single-pass."""
+    shares the repeated tokenizations) — no doc_id shuffle joins at all
+    for the signal half. The aggregates join back on their own grain:
+    dup counts on fp, lang stats via broadcast. r7 adds `top_terms`
+    (`top_tfidf_terms` — per-doc top-3 TF-IDF keywords as one ranked
+    comma-joined string; keyword extraction inherently keys a shuffle
+    on (doc, term), the one doc-grain join in the row). Measured sf0.1:
+    7.5s cold / 2.5s warm for the 4-frame join form -> 4.3 / 2.0
+    single-pass (pre-r7)."""
+    from serverless_data_pipeline_spark.operators.text import (
+        top_tfidf_terms,
+    )
     docs = _t(spark, sf, "documents")
     base = quality_features(language_id(docs)).select(
         "doc_id", "lang", "predicted_lang", "q_chars", "q_tokens",
@@ -1316,12 +1323,15 @@ def _q_x5_text_signals(spark, sf):
     dupc = base.groupBy("fp").agg(F.count("*").alias("dup_count"))
     stats = token_stats(docs).select(
         "lang", "total_tokens", "total_bpe_tokens", "vocab")
+    kw = top_tfidf_terms(docs, "doc_id", "text", top_n=3)
     return (base.join(dupc, "fp")
             .join(F.broadcast(stats), "lang").drop("lang")
+            .join(kw, "doc_id", "left")
+            .withColumn("top_terms", F.coalesce("top_terms", F.lit("")))
             .select("doc_id", "predicted_lang", "q_chars", "q_tokens",
                     "q_punct_ratio", "q_stopword_ratio", "q_score",
                     "fp", "dup_count", "total_tokens", "total_bpe_tokens",
-                    "vocab"))
+                    "vocab", "top_terms"))
 
 
 def _q_x6_multimodal(spark, sf):
@@ -3412,17 +3422,35 @@ def oracle_sql() -> dict[str, str]:
                    FROM (SELECT lang, unnest(toks) AS tok FROM pd)
                    GROUP BY lang),
             st AS (SELECT a1.lang, total_tokens, total_bpe_tokens, vocab
-                   FROM a1 JOIN a2 USING (lang))
+                   FROM a1 JOIN a2 USING (lang)),
+            tfm AS (SELECT doc_id, tok,
+                           CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                    GROUP BY doc_id, tok),
+            idfm AS (SELECT tok,
+                            ROUND(ln(((SELECT COUNT(*) FROM documents)
+                                      + 1.0)
+                                     / (COUNT(*) + 1.0)), 6) AS idf
+                     FROM tfm GROUP BY tok),
+            kwr AS (SELECT doc_id, tok, tf * idf AS s,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tf * idf DESC, tok) AS rn
+                    FROM tfm JOIN idfm USING (tok)),
+            kw AS (SELECT doc_id,
+                          string_agg(tok, ',' ORDER BY rn) AS top_terms
+                   FROM kwr WHERE rn <= 3 GROUP BY doc_id)
             SELECT d.doc_id, lid.predicted_lang,
                    qf.q_chars, qf.q_tokens, qf.q_punct_ratio,
                    qf.q_stopword_ratio, qf.q_score,
                    fpc.fp, fpc.dup_count,
-                   st.total_tokens, st.total_bpe_tokens, st.vocab
+                   st.total_tokens, st.total_bpe_tokens, st.vocab,
+                   COALESCE(kw.top_terms, '') AS top_terms
             FROM documents d
             JOIN lid USING (doc_id)
             JOIN qf USING (doc_id)
             JOIN fpc USING (doc_id)
-            JOIN st ON d.lang = st.lang""",
+            JOIN st ON d.lang = st.lang
+            LEFT JOIN kw ON d.doc_id = kw.doc_id""",
         "x6_multimodal": """
             SELECT 'media' AS kind,
                    'application/octet-stream|' || source || '#'

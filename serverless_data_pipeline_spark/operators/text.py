@@ -8,7 +8,7 @@ table. Each operator is a single narrow pass of built-in functions
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.operators.util import spread_small_input
@@ -352,3 +352,49 @@ def bm25_topk(df: DataFrame, id_col: str, text_col: str, query: str, *,
             .select(id_col, score_col)
             .orderBy(F.col(score_col).desc(), F.col(id_col))
             .limit(k))
+
+
+def top_tfidf_terms(df: DataFrame, id_col: str, text_col: str, *,
+                    top_n: int = 3,
+                    out_col: str = "top_terms") -> DataFrame:
+    """Per-document keyword extraction: the ``top_n`` terms by TF-IDF
+    (tf · smoothed idf, sklearn-style ``ln((1+N)/(1+df))``), returned
+    as one comma-joined string column in rank order — the standard
+    "what is this document about" signal beside X5's statistical
+    quality features.
+
+    Deterministic and engine-portable: idf is quantized to 6 decimals
+    before the product (a last-ulp ``ln`` difference across engines
+    cannot reorder terms), and ties break ``score desc, term asc``.
+
+    Scale shape: one (doc, term) explode + count (the shuffle keyed on
+    (doc, term)), one |vocab|-row document-frequency aggregate joined
+    back on the term key (shuffled hash join — vocabulary at corpus
+    scale outgrows a broadcast), one per-doc top-n window, one
+    groupBy(doc) reassembly. All counts exact; no Python in the row
+    path. Docs with no tokens are absent from the output (LEFT-join
+    and coalesce at the call site if every doc needs a row)."""
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    tf = (df.select(F.col(id_col),
+                    F.explode(tokens(F.lower(F.col(text_col))))
+                    .alias("__t"))
+          .groupBy(id_col, "__t").agg(F.count("*").alias("__tf")))
+    n_docs = df.select(F.count(F.lit(1)).alias("__N"))
+    dfreq = (tf.groupBy("__t")
+             .agg(F.count("*").alias("__df"))
+             .crossJoin(F.broadcast(n_docs))
+             .withColumn("__idf",
+                         F.round(F.log((F.col("__N") + 1.0)
+                                       / (F.col("__df") + 1.0)), 6))
+             .select("__t", "__idf"))
+    scored = (tf.join(dfreq, "__t")
+              .withColumn("__s", F.col("__tf") * F.col("__idf")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("__t"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= top_n)
+            .groupBy(id_col)
+            .agg(F.concat_ws(
+                ",", F.array_sort(F.collect_list(
+                    F.struct("__rn", "__t"))).getField("__t"))
+                .alias(out_col)))

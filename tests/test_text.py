@@ -259,3 +259,28 @@ def test_bm25_topk_multi_term_and_validation(spark):
     plan = bm25_topk(docs, "doc_id", "text", "alpha") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_top_tfidf_terms_ranking_and_ties(spark):
+    from serverless_data_pipeline_spark.operators.text import (
+        top_tfidf_terms,
+    )
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common common common"),
+         (2, "banana cherry common common"),
+         (3, "apple cherry date common"),
+         (4, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.top_terms for r in
+           top_tfidf_terms(docs, "doc_id", "text", top_n=2).collect()}
+    # hand-check (N=4 incl. the empty doc): doc1 apple tf2·ln(5/3)
+    # beats common tf3·ln(5/4) beats banana tf1·ln(5/3); doc2's
+    # banana/cherry tie breaks alphabetically; doc3's df=1 'date'
+    # outranks the apple/cherry tie
+    assert got[1] == "apple,common"
+    assert got[2] == "banana,cherry"
+    assert got[3] == "date,apple"
+    assert 4 not in got          # token-less docs are absent by contract
+    import pytest
+    with pytest.raises(ValueError):
+        top_tfidf_terms(docs, "doc_id", "text", top_n=0)
