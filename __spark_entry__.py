@@ -2092,14 +2092,27 @@ def _q_x11_text_hygiene(spark, sf):
     """X11 — corpus hygiene in one doc-grain pass: intra-document
     repetition signals (duplicate-token / duplicate-3-gram ratios, the
     Gopher-style boilerplate filters) joined with PII-style redaction
-    counts + the md5 of the redacted text. The redaction runs on a
-    deterministic PII-bearing column derived from fixture data (the
-    fixtures themselves contain no emails/digit runs), built identically
-    in the oracle, so match counts and the redacted output are
-    value-checked."""
+    counts + the md5 of the redacted text, plus (r7) BOTH canonical
+    public page-cleaning recipes over a derived multi-line page:
+
+    - `c4_*`: C4 line-level cleaning (Raffel et al. 2020 §2.2) — kept/
+      dropped line counts, the lorem-ipsum/curly-brace doc drop, and
+      the md5 of the cleaned page;
+    - `g_*`: the Gopher rule gate (Rae et al. 2021 §A1.1) — word-count
+      / mean-word-length / symbol-ratio / bullet-line / ellipsis-line /
+      alpha-word / stop-word rules and the AND-of-all keep decision.
+
+    The redaction runs on a deterministic PII-bearing column and the
+    page recipes on a deterministic multi-line page (kept line, a
+    javascript warning, a too-short line, a bullet line, an ellipsis
+    line, plus lorem-ipsum / code lines keyed on doc_id % 7 / % 11) —
+    the fixtures themselves contain no emails, newlines or braces.
+    Both derived columns are built identically in the oracle, so every
+    count, ratio, gate and output fingerprint is value-checked."""
     from serverless_data_pipeline_spark.operators.text import (
-        redact_pii, repetition_signals,
+        c4_clean, gopher_rules, redact_pii, repetition_signals,
     )
+    from serverless_data_pipeline_spark.functions.text import tokens
     docs = _t(spark, sf, "documents")
     rep = repetition_signals(docs, "doc_id", "text", ngram_n=3)
     pii_text = F.concat(
@@ -2113,7 +2126,30 @@ def _q_x11_text_hygiene(spark, sf):
                      F.col("n_redactions").cast("long"),
                      F.md5(F.col("redacted_text").cast("binary"))
                       .alias("redacted_fp"))
-    return rep.join(red, "doc_id")
+    toks = tokens("text")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.array_join(F.slice(toks, 1, 8), " "), F.lit(".")),
+        F.lit("please enable javascript to view this page."),
+        F.array_join(F.slice(toks, 3, 3), " "),
+        F.concat(F.lit("* "), F.array_join(F.slice(toks, 2, 6), " "),
+                 F.lit("!")),
+        F.concat(F.array_join(F.slice(toks, 5, 4), " "), F.lit("...")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("lorem ipsum dolor sit amet.")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("var f = function() { return 1; }")))
+    pages = docs.select("doc_id", page.alias("text"))
+    c4 = c4_clean(pages, min_words_per_line=4).select(
+        "doc_id",
+        F.col("n_lines").alias("c4_n_lines"),
+        F.col("kept_lines").alias("c4_kept_lines"),
+        F.col("dropped_lines").alias("c4_dropped_lines"),
+        F.col("doc_dropped").alias("c4_doc_dropped"),
+        F.md5(F.col("clean_text").cast("binary")).alias("c4_fp"))
+    gop = gopher_rules(pages, min_words=25, min_stop_hits=2)
+    return (rep.join(red, "doc_id").join(c4, "doc_id")
+               .join(gop, "doc_id"))
 
 
 def _q_x13_lm_score(spark, sf):
@@ -3596,11 +3632,90 @@ def oracle_sql() -> dict[str, str]:
             "          AS BIGINT) AS n_digit_run,"
             "     regexp_replace(t1, '" + _DIGIT_RE + "',"
             "                    '[REDACTED]', 'g') AS t2"
-            "     FROM e1)"
+            "     FROM e1),"
+            " pg AS (SELECT d.doc_id, concat_ws(chr(10),"
+            "     array_to_string(t.toks[1:8], ' ') || '.',"
+            "     'please enable javascript to view this page.',"
+            "     array_to_string(t.toks[3:5], ' '),"
+            "     '* ' || array_to_string(t.toks[2:7], ' ') || '!',"
+            "     array_to_string(t.toks[5:8], ' ') || '...',"
+            "     CASE WHEN d.doc_id % 7 = 0"
+            "          THEN 'lorem ipsum dolor sit amet.' END,"
+            "     CASE WHEN d.doc_id % 11 = 0"
+            "          THEN 'var f = function() { return 1; }' END"
+            "     ) AS page FROM documents d JOIN t USING (doc_id)),"
+            " pl AS (SELECT doc_id, page,"
+            "     list_filter(string_split(page, chr(10)),"
+            "                 l -> trim(l) <> '') AS lines,"
+            "     " + _TOKENS_SQL.format(c="page") + " AS w,"
+            "     list_distinct(" + _TOKENS_SQL.format(c="lower(page)")
+            + "     ) AS lw FROM pg),"
+            " c4 AS (SELECT doc_id,"
+            "     CAST(len(lines) AS BIGINT) AS c4_n_lines,"
+            "     (contains(lower(page), 'lorem ipsum')"
+            "      OR contains(lower(page), '{')) AS dropped,"
+            "     list_filter(lines, l ->"
+            "         right(trim(l), 1) IN ('.', '!', '?', '\"')"
+            "         AND len(list_filter(regexp_split_to_array("
+            "                 trim(l), '\\s+'), x -> x <> '')) >= 4"
+            "         AND NOT contains(lower(trim(l)), 'javascript')"
+            "         AND NOT contains(lower(trim(l)), '{')) AS kept"
+            "     FROM pl),"
+            " c4o AS (SELECT doc_id, c4_n_lines,"
+            "     CAST(CASE WHEN dropped THEN 0 ELSE len(kept) END"
+            "          AS BIGINT) AS c4_kept_lines,"
+            "     CAST(CASE WHEN dropped THEN c4_n_lines"
+            "          ELSE c4_n_lines - len(kept) END"
+            "          AS BIGINT) AS c4_dropped_lines,"
+            "     CAST(dropped AS INT) AS c4_doc_dropped,"
+            "     md5(CASE WHEN dropped THEN ''"
+            "         ELSE array_to_string(kept, chr(10)) END) AS c4_fp"
+            "     FROM c4),"
+            " gp AS (SELECT doc_id,"
+            "     len(w) AS nw, len(lines) AS nl,"
+            "     CAST(list_sum(list_transform(w, x -> length(x)))"
+            "          AS DOUBLE) / len(w) AS mean_len,"
+            "     CAST(len(regexp_extract_all(page, '#'))"
+            "          + len(regexp_extract_all(page, '\\.\\.\\.'))"
+            "          AS DOUBLE) / len(w) AS sym_ratio,"
+            "     CAST(len(list_filter(lines, l ->"
+            "          starts_with(trim(l), '- ')"
+            "          OR starts_with(trim(l), '* '))) AS DOUBLE)"
+            "          / len(lines) AS bullet_frac,"
+            "     CAST(len(list_filter(lines, l ->"
+            "          ends_with(trim(l), '...'))) AS DOUBLE)"
+            "          / len(lines) AS ellipsis_frac,"
+            "     CAST(len(list_filter(w, x ->"
+            "          regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)"
+            "          / len(w) AS alpha_frac,"
+            "     len(list_filter(lw, x -> x IN ('the', 'be', 'to',"
+            "          'of', 'and', 'that', 'have', 'with')))"
+            "          AS stop_hits FROM pl),"
+            " gpo AS (SELECT doc_id,"
+            "     CAST(nw AS BIGINT) AS g_n_words,"
+            "     ROUND(mean_len, 6) AS g_mean_word_len,"
+            "     ROUND(sym_ratio, 6) AS g_symbol_ratio,"
+            "     ROUND(bullet_frac, 6) AS g_bullet_frac,"
+            "     ROUND(ellipsis_frac, 6) AS g_ellipsis_frac,"
+            "     ROUND(alpha_frac, 6) AS g_alpha_frac,"
+            "     CAST(stop_hits AS BIGINT) AS g_stop_hits,"
+            "     CAST((nw >= 25 AND nw <= 100000"
+            "           AND mean_len >= 3.0 AND mean_len <= 10.0"
+            "           AND sym_ratio <= 0.1 AND bullet_frac <= 0.9"
+            "           AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8"
+            "           AND stop_hits >= 2) AS INT) AS g_keep"
+            "     FROM gp)"
             " SELECT r.doc_id, r.tok_total, r.tok_distinct,"
             "        r.dup_token_ratio, r.ngram_total, r.ngram_distinct,"
             "        r.dup_ngram_ratio, e2.n_email, e2.n_digit_run,"
             "        e2.n_email + e2.n_digit_run AS n_redactions,"
-            "        md5(e2.t2) AS redacted_fp"
-            " FROM rep r JOIN e2 USING (doc_id)"),
+            "        md5(e2.t2) AS redacted_fp,"
+            "        c4o.c4_n_lines, c4o.c4_kept_lines,"
+            "        c4o.c4_dropped_lines, c4o.c4_doc_dropped, c4o.c4_fp,"
+            "        gpo.g_n_words, gpo.g_mean_word_len,"
+            "        gpo.g_symbol_ratio, gpo.g_bullet_frac,"
+            "        gpo.g_ellipsis_frac, gpo.g_alpha_frac,"
+            "        gpo.g_stop_hits, gpo.g_keep"
+            " FROM rep r JOIN e2 USING (doc_id)"
+            " JOIN c4o USING (doc_id) JOIN gpo USING (doc_id)"),
     }

@@ -398,3 +398,164 @@ def top_tfidf_terms(df: DataFrame, id_col: str, text_col: str, *,
                 ",", F.array_sort(F.collect_list(
                     F.struct("__rn", "__t"))).getField("__t"))
                 .alias(out_col)))
+
+
+# C4's doc-level drop phrases and line-level drop tokens (Raffel et al.
+# 2020 §2.2, public recipe). Tiny and inlineable into oracle SQL.
+C4_POLICY_PHRASES: tuple[str, ...] = ("lorem ipsum", "{")
+C4_LINE_DROP_TOKENS: tuple[str, ...] = ("javascript", "{")
+_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_clean(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", *,
+             min_words_per_line: int = 5,
+             policy_phrases: tuple[str, ...] = C4_POLICY_PHRASES,
+             line_drop_tokens: tuple[str, ...] = C4_LINE_DROP_TOKENS,
+             ) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning", §2.2 — the public recipe behind
+    the C4 corpus):
+
+    - split the page on newlines; keep only lines that (a) end in a
+      terminal punctuation mark (``. ! ? "``), (b) contain at least
+      ``min_words_per_line`` words, and (c) contain none of
+      ``line_drop_tokens`` (case-insensitive; C4 drops "javascript"
+      warnings and code-ish ``{`` lines);
+    - drop the ENTIRE document when it contains any of
+      ``policy_phrases`` (C4 drops "lorem ipsum" placeholder pages and
+      any page with a curly brace).
+
+    Returns (id, n_lines, kept_lines, dropped_lines, doc_dropped,
+    clean_text) where ``clean_text`` is the newline-rejoin of the kept
+    lines ('' when the document is dropped) and ``doc_dropped`` is an
+    int 0/1 (oracle-portable). The C4 recipe's remaining step — the
+    cross-document three-sentence-span dedup — is ``passage_dedup``
+    (operators/corpus.py), which composes downstream.
+
+    Scale shape: one narrow projection of higher-order functions over
+    the line array — no explode, no shuffle, no Python; runs at scan
+    speed on a 100 TB corpus and composes with the quality gate."""
+    df = spread_small_input(df)
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda l: F.trim(l) != "")
+
+    def _line_kept(l: Column) -> Column:
+        t = F.trim(l)
+        ends_ok = F.right(t, F.lit(1)).isin(*_TERMINAL_PUNCT)
+        words_ok = (F.size(F.filter(F.split(t, r"\s+"),
+                                    lambda w: w != ""))
+                    >= min_words_per_line)
+        keep = ends_ok & words_ok
+        for tok in line_drop_tokens:
+            keep = keep & ~F.contains(F.lower(t), F.lit(tok.lower()))
+        return keep
+
+    kept = F.filter(lines, _line_kept)
+    doc_dropped = F.lit(False)
+    for ph in policy_phrases:
+        doc_dropped = doc_dropped | F.contains(F.lower(F.col(text_col)),
+                                               F.lit(ph.lower()))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.when(doc_dropped, F.lit(0)).otherwise(F.size(kept))
+         .cast("long").alias("kept_lines"),
+        F.when(doc_dropped, F.size(lines))
+         .otherwise(F.size(lines) - F.size(kept))
+         .cast("long").alias("dropped_lines"),
+        doc_dropped.cast("int").alias("doc_dropped"),
+        F.when(doc_dropped, F.lit(""))
+         .otherwise(F.array_join(kept, "\n")).alias("clean_text"))
+
+
+# Gopher's required "stop word" presence list (Rae et al. 2021, §A1.1).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2,
+                 stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+                 ) -> DataFrame:
+    """Gopher document-quality rule gate (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", §A1.1 — the standard public rule-based
+    corpus filter beside C4's):
+
+    - word count in [min_words, max_words];
+    - mean word length in [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (``#`` and ``...`` occurrences / words)
+      <= max_symbol_ratio;
+    - fraction of lines starting with a bullet (``-``/``*``)
+      <= max_bullet_frac;
+    - fraction of lines ending with an ellipsis <= max_ellipsis_frac;
+    - fraction of words containing at least one alphabetic character
+      >= min_alpha_frac;
+    - at least ``min_stop_hits`` distinct words from ``stopwords``
+      present (the Gopher "2 of 8 stop words" rule).
+
+    Returns (id, g_n_words, g_mean_word_len, g_symbol_ratio,
+    g_bullet_frac, g_ellipsis_frac, g_alpha_frac, g_stop_hits, g_keep)
+    — the signal values (round-6 doubles, engine-portable) plus the
+    AND-of-all-rules keep decision as int 0/1. The intra-document
+    repetition half of Gopher's filters is ``repetition_signals``.
+
+    Scale shape: one narrow projection — token and line arrays measured
+    in-expression, no explode, no shuffle, no Python; scan-speed at
+    100 TB."""
+    df = spread_small_input(df)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    mean_len = F.when(n_words > 0,
+                      F.aggregate(toks, F.lit(0).cast("long"),
+                                  lambda acc, t: acc + F.length(t))
+                      .cast("double") / n_words.cast("double")
+                      ).otherwise(F.lit(0.0))
+    n_sym = (F.regexp_count(F.col(text_col), F.lit("#"))
+             + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")))
+    symbol_ratio = F.when(n_words > 0,
+                          n_sym.cast("double") / n_words.cast("double")
+                          ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullets = F.size(F.filter(
+        lines, lambda l: F.trim(l).startswith("- ")
+        | F.trim(l).startswith("* ")))
+    ellipses = F.size(F.filter(
+        lines, lambda l: F.trim(l).endswith("...")))
+    frac = lambda num, den: F.when(
+        den > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_frac = frac(alpha_words, n_words)
+    low_toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
+    stop_hits = F.size(F.filter(low_toks, lambda t: t.isin(*stopwords)))
+    bullet_frac = frac(bullets, n_lines)
+    ellipsis_frac = frac(ellipses, n_lines)
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (bullet_frac <= max_bullet_frac)
+            & (ellipsis_frac <= max_ellipsis_frac)
+            & (alpha_frac >= min_alpha_frac)
+            & (stop_hits >= min_stop_hits))
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("g_n_words"),
+        F.round(mean_len, 6).alias("g_mean_word_len"),
+        F.round(symbol_ratio, 6).alias("g_symbol_ratio"),
+        F.round(bullet_frac, 6).alias("g_bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("g_ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("g_alpha_frac"),
+        stop_hits.cast("long").alias("g_stop_hits"),
+        keep.cast("int").alias("g_keep"))

@@ -284,3 +284,88 @@ def test_top_tfidf_terms_ranking_and_ties(spark):
     import pytest
     with pytest.raises(ValueError):
         top_tfidf_terms(docs, "doc_id", "text", top_n=0)
+
+
+# ---------------------------------------------------------------- C4 / Gopher
+
+def test_c4_clean_line_rules(spark):
+    from serverless_data_pipeline_spark.operators.text import c4_clean
+    df = spark.createDataFrame(
+        [(1, "Alpha beta gamma delta epsilon.\n"      # kept
+             "please enable javascript here now.\n"   # token drop
+             "too short.\n"                           # < 5 words
+             "no terminal punctuation on this line\n" # no punct
+             "Did this question line make it in?")],  # kept
+        ["doc_id", "text"])
+    row = c4_clean(df).collect()[0]
+    assert (row.n_lines, row.kept_lines, row.dropped_lines) == (5, 2, 3)
+    assert row.doc_dropped == 0
+    assert row.clean_text == ("Alpha beta gamma delta epsilon.\n"
+                              "Did this question line make it in?")
+
+
+def test_c4_clean_doc_level_drop(spark):
+    from serverless_data_pipeline_spark.operators.text import c4_clean
+    df = spark.createDataFrame(
+        [(1, "Perfectly good first line right here.\n"
+             "this page is lorem ipsum filler."),
+         (2, "A fine line with enough words here.\nif (x) { y(); }"),
+         (3, "A fine line with enough words here.")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert out[1].doc_dropped == 1 and out[1].kept_lines == 0
+    assert out[1].dropped_lines == out[1].n_lines == 2
+    assert out[1].clean_text == ""
+    assert out[2].doc_dropped == 1          # curly brace anywhere
+    assert out[3].doc_dropped == 0 and out[3].kept_lines == 1
+
+
+def test_c4_clean_empty_and_no_newline(spark):
+    from serverless_data_pipeline_spark.operators.text import c4_clean
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one single kept line with words.")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    assert (out[1].n_lines, out[1].kept_lines, out[1].clean_text) == (0, 0, "")
+    assert (out[2].n_lines, out[2].kept_lines) == (1, 1)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from serverless_data_pipeline_spark.operators.text import gopher_rules
+    good = ("the cat sat and the dog ran with joy over all of that "
+            "green field near the old barn door today again happily")
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "tiny words only here"),                 # word count
+        (3, "### " * 30 + good),                     # symbol ratio
+        (4, "\n".join(["- bullet line"] * 10) + "\n" + good),  # bullets
+        (5, "\n".join(["trailing dots..."] * 10) + "\n" + good),  # ellipsis
+        (6, " ".join(str(i) for i in range(30)) + " " + good),  # alpha frac
+        (7, good.replace("the", "xx").replace("and", "yy")
+            .replace("of", "zz").replace("with", "ww")),  # stop words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           gopher_rules(df, min_words=20, max_bullet_frac=0.5,
+                        max_ellipsis_frac=0.3).collect()}
+    assert out[1].g_keep == 1
+    assert out[2].g_keep == 0 and out[2].g_n_words == 4
+    assert out[3].g_keep == 0 and out[3].g_symbol_ratio > 0.1
+    assert out[4].g_keep == 0 and out[4].g_bullet_frac > 0.5
+    assert out[5].g_keep == 0 and out[5].g_ellipsis_frac > 0.3
+    assert out[6].g_keep == 0 and out[6].g_alpha_frac < 0.8
+    assert out[7].g_keep == 0 and out[7].g_stop_hits < 2
+    assert out[1].g_stop_hits >= 4
+
+
+def test_gopher_rules_mean_word_len_and_empty(spark):
+    from serverless_data_pipeline_spark.operators.text import gopher_rules
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+         (2, ""),
+         (3, " ".join(["supercalifragilistic"] * 25))],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=5).collect()}
+    assert out[1].g_mean_word_len == 1.0 and out[1].g_keep == 0
+    assert out[2].g_n_words == 0 and out[2].g_keep == 0
+    assert out[3].g_mean_word_len == 20.0 and out[3].g_keep == 0
