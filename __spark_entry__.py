@@ -1064,7 +1064,7 @@ def _q_streaming_ops_suite(spark, sf):
         start_redelivery_stream,
     )
     from serverless_data_pipeline_spark.streaming.windows import (
-        tumbling_agg,
+        stream_static_enrich, tumbling_agg,
     )
 
     _prep(spark)
@@ -1125,6 +1125,31 @@ def _q_streaming_ops_suite(spark, sf):
            .filter(F.col("day") == 16)
            .select(F.lit("st2").alias("kind"), *cols, natt))
 
+    # enrich arm (r7): native STREAM-STATIC join — each micro-batch
+    # broadcast-joins a static 5-row dimension on event_type; the dim's
+    # weight rides out in event_type ('click#2'), value (value*w) and
+    # attempts (w), so a dropped/duplicated match, a weight mix-up, or
+    # a join that didn't actually consult the dim all hash-mismatch.
+    dimw = spark.createDataFrame(
+        [("click", 2), ("error", 7), ("purchase", 11),
+         ("signup", 3), ("view", 5)], "event_type string, weight int")
+    q5 = (stream_static_enrich(_events_readstream(spark, sf), dimw,
+                               "event_type")
+          .writeStream.format("parquet").option("path", base + "/enrich")
+          .option("checkpointLocation", base + "/ck5")
+          .trigger(availableNow=True).start())
+    q5.awaitTermination(300)
+    enrich = (spark.read.parquet(base + "/enrich")
+              .select(F.lit("enrich").alias("kind"),
+                      F.col("event_id").cast("long").alias("event_id"),
+                      F.col("user_id").cast("long").alias("user_id"),
+                      F.concat("event_type", F.lit("#"),
+                               F.col("weight").cast("string"))
+                       .alias("event_type"),
+                      F.round(F.col("value") * F.col("weight"), 6)
+                       .alias("value"),
+                      F.col("weight").cast("long").alias("attempts")))
+
     land, out4, ck4 = base + "/late_land", base + "/late_out", base + "/ck4"
     evs = _t(spark, sf, "events").select("ts", "value")
     evs.write.parquet(land)
@@ -1151,7 +1176,7 @@ def _q_streaming_ops_suite(spark, sf):
                     F.lit(None).cast("string").alias("event_type"),
                     F.col("sum_value").alias("value"), natt))
     return (good.unionAll(bad).unionAll(st2).unionAll(late)
-            .unionAll(dgood).unionAll(ddead))
+            .unionAll(dgood).unionAll(ddead).unionAll(enrich))
 
 
 def _q_s8_s9_suite(spark, sf):
@@ -3363,7 +3388,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'dlq_dead' AS kind, CAST(event_id AS BIGINT),
                    CAST(user_id AS BIGINT), event_type, ROUND(value, 6),
                    CAST(3 AS BIGINT)
-            FROM events WHERE event_id % 50 = 7""",
+            FROM events WHERE event_id % 50 = 7
+            UNION ALL
+            -- stream-static enrichment: the dim weight must ride out in
+            -- all three derived columns.
+            SELECT 'enrich' AS kind, CAST(event_id AS BIGINT),
+                   CAST(user_id AS BIGINT),
+                   event_type || '#' || CAST(w AS VARCHAR),
+                   ROUND(value * w, 6), CAST(w AS BIGINT)
+            FROM events JOIN (VALUES ('click', 2), ('error', 7),
+                   ('purchase', 11), ('signup', 3), ('view', 5))
+                 AS dim(et, w) ON event_type = et""",
         "s8_s9_suite": f"""
             SELECT 'retain' AS kind, CAST(day(ts) AS BIGINT) AS a,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -113,3 +113,26 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str = "ts",
         return df.dropDuplicates(keys)
     return (df.withWatermark(ts_col, watermark)
               .dropDuplicatesWithinWatermark(keys))
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame,
+                         key: str, how: str = "left",
+                         broadcast_dim: bool = True) -> DataFrame:
+    """ST — stream-static enrichment join: each micro-batch of the
+    stream equi-joins a STATIC dimension frame (the lookup-enrichment
+    the reference's processor does per record against its config table,
+    py:273-284, re-expressed as Spark's native stream-static join).
+
+    Stream-static joins are stateless — Spark re-evaluates the static
+    side per micro-batch, so no state store grows with the stream, and
+    with ``broadcast_dim`` the dimension ships once per executor and
+    the join never shuffles the stream (the correct 100 TB/day shape:
+    a micro-batch map-side hash join against a small dim). Inner and
+    left joins are supported by Structured Streaming; right/full
+    (which would need to observe the stream's completion) are not, and
+    Spark itself rejects them.
+
+    Works identically on batch frames, so tests and oracles can check
+    stream == batch."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, key, how)

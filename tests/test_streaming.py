@@ -299,3 +299,37 @@ def test_redelivery_stream_bounded_retry_and_dlq(spark, tmp_path):
     assert dlq.filter("attempts = 3").count() == 4
     assert dlq.filter(
         "_error_reason = 'failed_after_3_deliveries'").count() == 4
+
+
+def test_stream_static_enrich_batch_parity(spark, tmp_path):
+    """Stream-static join: the streamed result must equal the plain
+    batch join, the dim must broadcast, and left-join semantics must
+    keep unmatched stream rows with NULL dim columns."""
+    from serverless_data_pipeline_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+    rows = [(i, "click" if i % 3 == 0 else
+             ("view" if i % 3 == 1 else "mystery")) for i in range(30)]
+    batch = spark.createDataFrame(rows, "event_id int, event_type string")
+    batch.write.parquet(str(tmp_path / "land"))
+    dim = spark.createDataFrame(
+        [("click", 2), ("view", 5)], "event_type string, weight int")
+
+    enriched_batch = stream_static_enrich(batch, dim, "event_type")
+    assert "BroadcastHashJoin" in enriched_batch._jdf.queryExecution() \
+        .executedPlan().toString()
+    got_batch = {(r.event_id, r.weight) for r in enriched_batch.collect()}
+    assert (0, 2) in got_batch and (1, 5) in got_batch
+    assert (2, None) in got_batch            # left join keeps unmatched
+
+    stream = spark.readStream.schema(batch.schema).parquet(
+        str(tmp_path / "land"))
+    q = (stream_static_enrich(stream, dim, "event_type")
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_stream = {(r.event_id, r.weight)
+                  for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got_stream == got_batch
