@@ -1979,11 +1979,16 @@ def _q_x8_corpus_utils(spark, sf):
     layout: md5 sort key, hex-prefix shard assignment via the SAME
     `hex_prefix_long_sql` expression the oracle runs, per-shard
     row_number position — no global single-partition sort) carry
-    (shard, pos, NULL, sort_key)."""
+    (shard, pos, NULL, sort_key); sheet/sheet2 rows (NEW r7 —
+    `corpus_datasheet`, the per-group dataset-card summary) carry one
+    row-pair per language: sheet = (n_docs, total_tokens, mean-quality
+    micro-units) and sheet2 = (n_distinct_fp, total_chars, exact-median
+    token count micro-units), the mean accumulated in EXACT integer
+    signal units so the value is partition-order-stable."""
     from serverless_data_pipeline_spark.operators.corpus import (
-        chunk_documents, corpus_mix, global_shuffle, leakage_safe_split,
-        pack_sequences, repeat_by_epochs, temperature_mix,
-        token_budget_mix, train_test_split, vocabulary,
+        chunk_documents, corpus_datasheet, corpus_mix, global_shuffle,
+        leakage_safe_split, pack_sequences, repeat_by_epochs,
+        temperature_mix, token_budget_mix, train_test_split, vocabulary,
     )
     docs = _t(spark, sf, "documents")
     split = train_test_split(docs, "doc_id", hashed=False)
@@ -2049,9 +2054,29 @@ def _q_x8_corpus_utils(spark, sf):
                    F.col("n_epochs").cast("long").alias("b"),
                    F.col("sample_rank").cast("long").alias("c"),
                    F.col("lang").alias("h")))
+    # sheet arms (r7): corpus_datasheet — the per-group dataset-card
+    # summary (volume, redundancy, median length, mean quality), split
+    # over two tagged rows per language to fit the union schema:
+    # sheet  -> (a=n_docs, b=total_tokens, c=mean_quality micro-units)
+    # sheet2 -> (a=n_distinct_fp, b=total_chars, c=p50_tokens micro)
+    sheet_raw = corpus_datasheet(docs, "lang")
+    nd = F.lit(None).cast("long").alias("doc_id")
+    sheet = sheet_raw.select(
+        F.lit("sheet").alias("kind"), nd,
+        F.col("n_docs").cast("long").alias("a"),
+        F.col("total_tokens").cast("long").alias("b"),
+        F.round(F.col("mean_quality") * 1e6).cast("long").alias("c"),
+        F.col("lang").alias("h"))
+    sheet2 = sheet_raw.select(
+        F.lit("sheet2").alias("kind"), nd,
+        F.col("n_distinct_fp").cast("long").alias("a"),
+        F.col("total_chars").cast("long").alias("b"),
+        F.round(F.col("p50_tokens") * 1e6).cast("long").alias("c"),
+        F.col("lang").alias("h"))
     return (vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
-            .unionAll(wmix).unionAll(rep))
+            .unionAll(wmix).unionAll(rep).unionAll(sheet)
+            .unionAll(sheet2))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -3172,7 +3197,46 @@ def oracle_sql() -> dict[str, str]:
                          CAST({_SHUF_SHARD_SQL} % 8 AS BIGINT) AS shard
                   FROM (SELECT doc_id,
                                md5('0:' || CAST(doc_id AS VARCHAR)) AS k
-                        FROM documents))""",
+                        FROM documents))
+            UNION ALL
+            SELECT kind, CAST(NULL AS BIGINT), a, b, c, h
+            FROM (WITH pd AS (
+                    SELECT lang,
+                           CAST(len({_TOKENS_SQL.format(c='text')})
+                                AS BIGINT) AS tok,
+                           CAST(length(text) AS BIGINT) AS nch,
+                           md5(lower(regexp_replace(trim(text), '\\s+',
+                                                    ' ', 'g'))) AS fp,
+                           (CASE WHEN length(text) BETWEEN 20 AND 100000
+                                 THEN 1 ELSE 0 END
+                            + CASE WHEN length(regexp_replace(
+                                       text, '\\s', '', 'g')) = 0 THEN 1
+                                   WHEN CAST(length(regexp_replace(text,
+                                            '[a-zA-Z0-9\\s]', '', 'g'))
+                                            AS DOUBLE)
+                                        / length(regexp_replace(
+                                              text, '\\s', '', 'g'))
+                                        <= 0.3 THEN 1 ELSE 0 END
+                            + CASE WHEN len({_TOKENS_SQL.format(c='text')})
+                                        >= 5
+                                   THEN 1 ELSE 0 END) AS q3
+                    FROM documents)
+                  SELECT 'sheet' AS kind,
+                         CAST(COUNT(*) AS BIGINT) AS a,
+                         CAST(SUM(tok) AS BIGINT) AS b,
+                         CAST(ROUND(ROUND(SUM(q3)
+                                   / (3.0 * COUNT(*)), 6) * 1e6)
+                              AS BIGINT) AS c,
+                         lang AS h
+                  FROM pd GROUP BY lang
+                  UNION ALL
+                  SELECT 'sheet2',
+                         CAST(COUNT(DISTINCT fp) AS BIGINT),
+                         CAST(SUM(nch) AS BIGINT),
+                         CAST(ROUND(ROUND(quantile_cont(tok, 0.5), 6)
+                                    * 1e6) AS BIGINT),
+                         lang
+                  FROM pd GROUP BY lang)""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,

@@ -106,14 +106,26 @@ def stopword_ratio(col: Column | str) -> Column:
     return F.when(n > 0, sw.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
+def quality_signal_count(col: Column | str,
+                         min_len: int = 20,
+                         max_len: int = 100_000) -> Column:
+    """Integer count (0-3) of passing quality signals — length-in-range,
+    low punctuation, whitespace structure. The integer form exists so
+    aggregates over quality (corpus_datasheet's mean) can accumulate
+    EXACT integers: a double sum's last-ulp value depends on partition
+    order, an integer sum never does."""
+    c = _c(col)
+    len_ok = F.when((F.length(c) >= min_len) & (F.length(c) <= max_len), 1).otherwise(0)
+    punct_ok = F.when(punct_ratio(c) <= 0.3, 1).otherwise(0)
+    struct_ok = F.when(token_count(c) >= 5, 1).otherwise(0)
+    return (len_ok + punct_ok + struct_ok).cast("long")
+
+
 def quality_score_expr(col: Column | str,
                        min_len: int = 20, max_len: int = 100_000) -> Column:
     """Heuristic document-quality score in [0,1]: mean of three signals —
     length-in-range, low punctuation, whitespace structure (has spaces).
     Mirrors the reference's quality-scoring stage contract (py:273-284):
     a numeric score later thresholded (py:413, 0.85 md:202)."""
-    c = _c(col)
-    len_ok = F.when((F.length(c) >= min_len) & (F.length(c) <= max_len), 1.0).otherwise(0.0)
-    punct_ok = F.when(punct_ratio(c) <= 0.3, 1.0).otherwise(0.0)
-    struct_ok = F.when(token_count(c) >= 5, 1.0).otherwise(0.0)
-    return (len_ok + punct_ok + struct_ok) / F.lit(3.0)
+    return (quality_signal_count(col, min_len, max_len).cast("double")
+            / F.lit(3.0))

@@ -17,6 +17,7 @@ from serverless_data_pipeline_spark.functions.text import (
 )
 
 __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
+           "corpus_datasheet",
            "pack_sequences", "corpus_mix", "temperature_mix",
            "chunk_documents", "decontaminate", "contamination_report",
            "shingle_bloom", "bloom_decontaminate", "segment_dedup",
@@ -947,3 +948,50 @@ def repeat_by_epochs(df: DataFrame, group_col: str, id_col: str,
                                      (F.col("n_epochs") - 1)
                                      .cast("int"))))
             .drop("__e", "__n", "__base", "__extra"))
+
+
+def corpus_datasheet(df: DataFrame, group_col: str = "source",
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-group corpus datasheet (the "Datasheets for Datasets" /
+    dataset-card summary a training-data release ships with): one row
+    per ``group_col`` value carrying
+
+    - ``n_docs``, ``total_tokens``, ``total_chars`` — volume;
+    - ``n_distinct_fp`` and ``exact_dup_rate`` (1 - distinct
+      fingerprints / docs, round-6) — redundancy, via the X1 canonical
+      md5 fingerprint;
+    - ``p50_tokens`` — the exact interpolated median document length;
+    - ``mean_quality`` (round-6) — the X5 heuristic quality score.
+
+    Scale shape: ONE narrow doc-grain projection (token count, length,
+    fingerprint, quality are in-expression; no explode) followed by ONE
+    groupBy on the group key — count_distinct gets Spark's two-phase
+    partial_count treatment, and group cardinality (sources/languages)
+    is tiny, so the shuffle moves one row per (partition, group). Runs
+    at scan speed on 100 TB and composes with profile_columns (column-
+    grain) and contamination_report (eval-grain) as the reporting
+    family."""
+    from serverless_data_pipeline_spark.functions.text import (
+        quality_signal_count,
+    )
+    per_doc = df.select(
+        F.col(group_col).alias("grp"),
+        token_count(text_col).alias("__tok"),
+        F.length(text_col).cast("long").alias("__len"),
+        fingerprint(text_col).alias("__fp"),
+        quality_signal_count(text_col).alias("__q3"))
+    return (per_doc.groupBy("grp")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("__tok").alias("total_tokens"),
+                 F.sum("__len").alias("total_chars"),
+                 F.count_distinct("__fp").alias("n_distinct_fp"),
+                 F.round(1.0 - F.count_distinct("__fp").cast("double")
+                         / F.count("*"), 6).alias("exact_dup_rate"),
+                 F.round(F.expr("percentile(__tok, 0.5)"), 6)
+                  .alias("p50_tokens"),
+                 # exact integer accumulation (signal units / 3n) — a
+                 # double avg's last ulp depends on partition order
+                 F.round(F.sum("__q3").cast("double")
+                         / (3.0 * F.count("*")), 6).alias("mean_quality"))
+            .withColumnRenamed("grp", group_col))

@@ -26,7 +26,7 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "embedding_neardup_pairs", "semantic_dedup", "neardup_components",
-    "dedupe_by_components",
+    "dedupe_by_components", "lsh_plan",
 ]
 
 
@@ -873,3 +873,48 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str, *,
             F.col(vec_col)).alias("__cell"))
     return (assigned.groupBy("__cell")
             .applyInPandas(_cluster_dedup, out_schema))
+
+
+def lsh_plan(threshold: float, max_hashes: int = 256,
+             fn_weight: float = 1.0) -> dict:
+    """Choose MinHash-LSH parameters (bands b, rows-per-band r) for a
+    target Jaccard ``threshold`` — the standard S-curve planner (Leskovec
+    et al., "Mining of Massive Datasets" §3.4.3): a pair with similarity
+    s collides with probability ``1 - (1 - s^r)^b``, and the curve's
+    steepest point sits near ``(1/b)^(1/r)``.
+
+    Searches every (b, r) with ``b*r <= max_hashes`` and minimizes
+    ``fn_weight * P(miss at s=threshold) + P(hit at s=threshold/2)`` —
+    false negatives at the threshold traded against false positives at
+    half the threshold (candidate pairs cost one verification join each;
+    misses are silent, hence ``fn_weight`` defaults them equal). Returns
+    ``{bands, rows_per_band, num_hashes, s_half_power, p_collision_at_t,
+    p_collision_at_half}`` ready to pass to ``minhash_lsh_pairs``.
+
+    Driver-side pure arithmetic over at most ``max_hashes * sqrt(max_
+    hashes)`` candidates — nothing touches the cluster; call once when
+    configuring a 100 TB dedup run."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if max_hashes < 2:
+        raise ValueError("max_hashes must be >= 2")
+    best = None
+    for r in range(1, max_hashes + 1):
+        for b in range(1, max_hashes // r + 1):
+            if b * r < 2:
+                continue
+            p_t = 1.0 - (1.0 - threshold ** r) ** b
+            p_half = 1.0 - (1.0 - (threshold / 2.0) ** r) ** b
+            cost = fn_weight * (1.0 - p_t) + p_half
+            key = (cost, b * r)      # fewer hashes tie-breaks cheaper
+            if best is None or key < best[0]:
+                best = (key, b, r, p_t, p_half)
+    _, b, r, p_t, p_half = best
+    return {
+        "bands": b,
+        "rows_per_band": r,
+        "num_hashes": b * r,
+        "s_half_power": (1.0 / b) ** (1.0 / r),
+        "p_collision_at_t": p_t,
+        "p_collision_at_half": p_half,
+    }

@@ -843,3 +843,25 @@ def test_new_operator_argument_validation(spark):
     out = repeat_by_epochs(ndf, "bucket", "doc_id", {0: 2.0, 1: 1.0})
     per = {r[0]: r[1] for r in out.groupBy("bucket").count().collect()}
     assert per == {0: 10, 1: 5}
+
+
+def test_corpus_datasheet_closed_form(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        corpus_datasheet,
+    )
+    rows = [
+        (1, "a", "the quick brown fox jumps over the lazy dog today"),
+        (2, "a", "the quick brown fox jumps over the lazy dog today"),
+        (3, "a", "tiny"),
+        (4, "b", "one two three four five six seven"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in corpus_datasheet(df, "source").collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_docs, a.n_distinct_fp) == (3, 2)
+    assert a.exact_dup_rate == round(1 - 2 / 3, 6)
+    assert a.total_tokens == 10 + 10 + 1 and a.p50_tokens == 10.0
+    # doc 3: len 4 (<20) fails length, <5 tokens fails structure -> 1/3
+    assert a.mean_quality == round((3 + 3 + 1) / 9, 6)
+    assert (b.n_docs, b.total_tokens, b.exact_dup_rate) == (1, 7, 0.0)
+    assert b.total_chars == len(rows[3][2])

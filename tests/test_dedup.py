@@ -369,3 +369,29 @@ def test_semantic_dedup_empty_input_short_circuits(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "vec_id", "cluster_id", "centroid_sim", "keep", "dup_of", "dup_sim"]
+
+
+def test_lsh_plan_scurve_properties():
+    from serverless_data_pipeline_spark.operators.dedup import lsh_plan
+    import pytest
+    for t in (0.5, 0.8, 0.9):
+        p = lsh_plan(t, max_hashes=64)
+        assert p["bands"] * p["rows_per_band"] == p["num_hashes"] <= 64
+        # threshold sits above the curve's midpoint, half-threshold below
+        assert p["p_collision_at_t"] > 0.85
+        assert p["p_collision_at_half"] < 0.3
+        assert p["p_collision_at_t"] > p["p_collision_at_half"]
+    # low thresholds separate worse at fixed hash budget, but the curve
+    # must still order correctly
+    p3 = lsh_plan(0.3, max_hashes=64)
+    assert p3["p_collision_at_t"] > p3["p_collision_at_half"]
+    # tighter threshold -> more rows per band (steeper curve)
+    assert (lsh_plan(0.9, 64)["rows_per_band"]
+            > lsh_plan(0.4, 64)["rows_per_band"])
+    # weighting false negatives harder must not lower collision at t
+    assert (lsh_plan(0.8, 64, fn_weight=5.0)["p_collision_at_t"]
+            >= lsh_plan(0.8, 64, fn_weight=1.0)["p_collision_at_t"])
+    with pytest.raises(ValueError):
+        lsh_plan(0.0)
+    with pytest.raises(ValueError):
+        lsh_plan(0.5, max_hashes=1)

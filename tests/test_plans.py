@@ -136,9 +136,12 @@ def test_corpus_utils_plan_shape(spark):
     wmix's rank and running-sum windows share ONE exchange+sort, and
     rep's rank and group-count windows share one exchange too — + the
     gsplit fingerprint groupBy + the tmix and wmix group-sizes
-    groupBys + the shuf per-shard position window) and two
-    SinglePartition exchanges (the tmix and wmix all-rows totals
-    windows over their |groups|-row sizes frames — tiny by
+    groupBys + the shuf per-shard position window, + the r7 sheet
+    arms' datasheet aggregation: count_distinct expands to a
+    (lang, fp) partial then a lang final — both sheet rows re-plan the
+    shared subtree, and the exact-median percentile keys the third)
+    and two SinglePartition exchanges (the tmix and wmix all-rows
+    totals windows over their |groups|-row sizes frames — tiny by
     construction; the shuf arm specifically must NOT add one, that
     would be the ORDER BY rand() global-sort anti-pattern its operator
     exists to avoid). Chunking stays a narrow projection; gsplit's
@@ -147,7 +150,7 @@ def test_corpus_utils_plan_shape(spark):
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 10
+    assert plan.count("Exchange hashpartitioning") == 13
     assert plan.count("Exchange SinglePartition") == 2
     assert "SortMergeJoin" not in plan
 
