@@ -1497,7 +1497,17 @@ def _q_x_approx_suite(spark, sf):
     - the four X2 near-dup flavours (minhash/simhash/embedding/semantic)
       carry (NULL, id_a, id_b, flavour score);
     - the six X4 ANN shapes carry (NULL, query_id, neighbor_id,
-      cosine)."""
+      cosine);
+    - `sketch_cms` rows (NEW r7 — Count-Min point-frequency sketch,
+      the third standard sketch beside HLL and KLL: depth×width bounded
+      cell table, one-sided estimates) carry (token, NULL, NULL,
+      estimated corpus frequency) for five fixed probe tokens; the
+      one-sided/merge/error-bound laws are pytest-pinned
+      (tests/test_sketches.py)."""
+    from serverless_data_pipeline_spark.functions.text import tokens
+    from serverless_data_pipeline_spark.operators.sketches import (
+        cms_build, cms_estimate,
+    )
     ids = [F.lit(None).cast("long").alias("id_a"),
            F.lit(None).cast("long").alias("id_b")]
     sk = (_t(spark, sf, "orders").groupBy("o_orderstatus")
@@ -1510,6 +1520,16 @@ def _q_x_approx_suite(spark, sf):
     p50 = sk.select(F.lit("sketch_p50").alias("method"),
                     F.col("o_orderstatus").alias("key"), *ids,
                     F.col("approx_median_price").alias("metric"))
+    tok = (_t(spark, sf, "documents")
+           .select(F.explode(tokens("text")).alias("t")))
+    cms = cms_build(tok, "t", depth=4, width=4096)
+    probe = tok.sparkSession.createDataFrame(
+        [("table",), ("spark",), ("data",), ("vector",), ("window",)],
+        "t string")
+    cmse = (cms_estimate(cms, probe, "t", depth=4, width=4096)
+            .select(F.lit("sketch_cms").alias("method"),
+                    F.col("t").alias("key"), *ids,
+                    F.col("est").cast("double").alias("metric")))
     nkey = F.lit(None).cast("string").alias("key")
     lsh = _lsh_flavours(spark, sf).select(
         "method", nkey, "id_a", "id_b", "metric")
@@ -1518,7 +1538,8 @@ def _q_x_approx_suite(spark, sf):
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
         F.col("cosine").alias("metric"))
-    return hll.unionAll(p50).unionAll(lsh).unionAll(ann)
+    return (hll.unionAll(p50).unionAll(cmse)
+            .unionAll(lsh).unionAll(ann))
 
 
 def _sketch_flavour(spark, sf):

@@ -1,0 +1,86 @@
+"""Frequency-sketch operators (charter extension, approx family).
+
+Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+stream summary: the count-min sketch and its applications") as plain
+DataFrame aggregation — the point-frequency sibling of the HLL
+(distinct-count) and KLL (quantile) sketches already in the approx
+suite. Complements them with one-sided-error frequency estimates:
+``estimate >= true count`` always, and the overestimate is bounded by
+``e * N / width`` with probability ``1 - e^-depth``.
+
+Scale shape: the build is one explode (depth rows per token) into one
+bounded groupBy — the sketch has at most ``depth * width`` cells no
+matter the corpus size, so partial aggregation crushes the shuffle to
+executor-count * cells; the result broadcasts anywhere. Estimation
+probes are broadcast joins against that tiny cell frame. This is the
+standard mergeable-summary pattern for 100 TB frequency stats: sketches
+from independent batches merge by cell-wise addition (``cms_merge``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_build", "cms_estimate", "cms_merge"]
+
+
+def _cell(value_col, k: int, width: int, seed: int):
+    """Row-k cell index for a value: seeded xxhash64 pmod width."""
+    return F.pmod(F.xxhash64(value_col, F.lit(seed + k)),
+                  F.lit(width)).cast("int")
+
+
+def cms_build(df: DataFrame, col: str, *, depth: int = 4,
+              width: int = 1024, seed: int = 0) -> DataFrame:
+    """Build a Count-Min sketch over a value column. Returns the sketch
+    as a DataFrame of occupied cells ``(row, col, cnt)`` — at most
+    ``depth * width`` rows regardless of input size (absent cells are
+    zero). Weighted builds can pre-aggregate and pass repeated rows."""
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    v = F.col(col)
+    cells = F.array(*[
+        F.struct(F.lit(k).alias("row"),
+                 _cell(v, k, width, seed).alias("col"))
+        for k in range(depth)])
+    return (df.where(v.isNotNull())
+            .select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.row").alias("row"),
+                     F.col("c.col").alias("col"))
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_estimate(cms: DataFrame, items: DataFrame, col: str, *,
+                 depth: int = 4, width: int = 1024,
+                 seed: int = 0) -> DataFrame:
+    """Point-frequency estimates for ``items[col]`` against a built
+    sketch: min over the depth row counters (0 when a probed cell is
+    empty). depth/width/seed MUST match the build. Returns the items
+    frame with an ``est`` column (long, one-sided: ``est >= true``).
+
+    The sketch side is tiny (<= depth*width cells) and broadcasts, so
+    probing any number of items never shuffles them."""
+    v = F.col(col)
+    probes = (items.where(v.isNotNull())
+              .select("*", F.explode(F.array(*[
+                  F.struct(F.lit(k).alias("row"),
+                           _cell(v, k, width, seed).alias("col"))
+                  for k in range(depth)])).alias("c"))
+              .select("*", F.col("c.row").alias("row"),
+                      F.col("c.col").alias("col")).drop("c"))
+    joined = probes.join(F.broadcast(cms), ["row", "col"], "left")
+    keys = [c for c in items.columns]
+    return (joined.groupBy(*keys)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("est")))
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with identical (depth, width, seed):
+    cell-wise counter addition — the property that makes CMS usable
+    across incrementally-landed batches (build per batch, merge, probe
+    the union without rescanning old batches)."""
+    return (a.unionByName(b)
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))

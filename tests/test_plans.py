@@ -171,8 +171,11 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
     # Deliberate broadcast nested-loops: j56 (the cross-join op itself +
     # the tiny interval set), x3 (exact top-k = broadcast query batch x
     # one corpus pass — the intended scale plan for an exact baseline),
-    # x13 (1-row vocab-size scalar broadcast onto every bigram).
-    bnlj_ok = {"j56_cross_range", "x3_topk_similarity", "x13_lm_score"}
+    # x13 (1-row vocab-size scalar broadcast onto every bigram),
+    # x5 (top_tfidf_terms' 1-row corpus-count scalar broadcast onto the
+    # |vocab|-row document-frequency aggregate).
+    bnlj_ok = {"j56_cross_range", "x3_topk_similarity", "x13_lm_score",
+               "x5_text_signals"}
     for name in entry_mod.queries():
         if name in skip:
             continue

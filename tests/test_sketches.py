@@ -1,0 +1,80 @@
+"""Count-Min sketch laws: one-sided error, exactness at width >> n,
+bounded overestimate at narrow width, and batch mergeability."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.operators.sketches import (
+    cms_build, cms_estimate, cms_merge,
+)
+
+
+def _freqs(spark, counts: dict[str, int]):
+    rows = [(t,) for t, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "t string")
+
+
+def test_cms_one_sided_and_exact_when_wide(spark):
+    counts = {f"tok{i}": (i % 7) + 1 for i in range(40)}
+    df = _freqs(spark, counts)
+    sk = cms_build(df, "t", depth=4, width=4096)
+    items = spark.createDataFrame(
+        [(t,) for t in list(counts) + ["never_seen"]], "t string")
+    est = {r.t: r.est for r in
+           cms_estimate(sk, items, "t", depth=4, width=4096).collect()}
+    assert all(est[t] >= n for t, n in counts.items())   # one-sided, always
+    # width 4096 >> 40 distinct: collisions are ~impossible at depth 4
+    assert est == {**counts, "never_seen": 0}
+
+
+def test_cms_overestimate_bounded_when_narrow(spark):
+    counts = {f"tok{i}": 5 for i in range(200)}
+    n_total = sum(counts.values())
+    df = _freqs(spark, counts)
+    width = 64
+    sk = cms_build(df, "t", depth=5, width=width)
+    items = spark.createDataFrame([(t,) for t in counts], "t string")
+    est = {r.t: r.est for r in
+           cms_estimate(sk, items, "t", depth=5, width=width).collect()}
+    assert all(est[t] >= 5 for t in counts)
+    # CM guarantee: err <= e*N/width w.p. 1-e^-depth; assert the mean
+    # err is within the bound and no est exceeds the trivial max
+    errs = [est[t] - 5 for t in counts]
+    assert sum(errs) / len(errs) <= 2.718281828 * n_total / width
+    assert max(est.values()) <= n_total
+
+
+def test_cms_merge_equals_union_build(spark):
+    a = _freqs(spark, {"x": 3, "y": 2})
+    b = _freqs(spark, {"x": 4, "z": 1})
+    kw = dict(depth=4, width=256)
+    merged = cms_merge(cms_build(a, "t", **kw), cms_build(b, "t", **kw))
+    direct = cms_build(a.unionAll(b), "t", **kw)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
+    items = spark.createDataFrame([("x",), ("y",), ("z",)], "t string")
+    est = {r.t: r.est for r in
+           cms_estimate(merged, items, "t", **kw).collect()}
+    assert est == {"x": 7, "y": 2, "z": 1}
+
+
+def test_cms_bounded_cells_and_validation(spark):
+    df = _freqs(spark, {f"tok{i}": 2 for i in range(500)})
+    sk = cms_build(df, "t", depth=3, width=32)
+    assert sk.count() <= 3 * 32
+    assert sk.agg(F.sum("cnt")).first()[0] == 3 * 1000  # depth copies
+    with pytest.raises(ValueError):
+        cms_build(df, "t", depth=0)
+    with pytest.raises(ValueError):
+        cms_build(df, "t", width=1)
+
+
+def test_cms_null_values_ignored(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",)], "t string")
+    sk = cms_build(df, "t", depth=2, width=64)
+    assert sk.agg(F.sum("cnt")).first()[0] == 2 * 2
+    items = spark.createDataFrame([("a",)], "t string")
+    est = cms_estimate(sk, items, "t", depth=2, width=64).collect()
+    assert est[0].est == 2
