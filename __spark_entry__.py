@@ -1508,6 +1508,9 @@ def _q_x_approx_suite(spark, sf):
     from serverless_data_pipeline_spark.operators.sketches import (
         cms_build, cms_estimate,
     )
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_small_input,
+    )
     ids = [F.lit(None).cast("long").alias("id_a"),
            F.lit(None).cast("long").alias("id_b")]
     sk = (_t(spark, sf, "orders").groupBy("o_orderstatus")
@@ -1520,7 +1523,7 @@ def _q_x_approx_suite(spark, sf):
     p50 = sk.select(F.lit("sketch_p50").alias("method"),
                     F.col("o_orderstatus").alias("key"), *ids,
                     F.col("approx_median_price").alias("metric"))
-    tok = (_t(spark, sf, "documents")
+    tok = (spread_small_input(_t(spark, sf, "documents"))
            .select(F.explode(tokens("text")).alias("t")))
     cms = cms_build(tok, "t", depth=4, width=4096)
     probe = tok.sparkSession.createDataFrame(
@@ -1726,7 +1729,33 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_decontaminate.report": _x10_flavour_report,
         # r7: x13 gained the quantile-bucket arm — attribute it
         "x13_lm_score.bucket": _x13_flavour_bucket,
+        # r7 session 4: x11 gained the C4 + Gopher page recipes and
+        # x_approx the Count-Min arm — attribute both
+        "x11_text_hygiene.c4gopher": _x11_flavour_c4gopher,
+        "x_approx_suite.cms": _approx_flavour_cms,
     }
+
+
+def _x11_flavour_c4gopher(spark, sf):
+    c4, gop = _x11_page_recipes(_t(spark, sf, "documents"))
+    return c4.join(gop, "doc_id")
+
+
+def _approx_flavour_cms(spark, sf):
+    from serverless_data_pipeline_spark.functions.text import tokens
+    from serverless_data_pipeline_spark.operators.sketches import (
+        cms_build, cms_estimate,
+    )
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_small_input,
+    )
+    tok = (spread_small_input(_t(spark, sf, "documents"))
+           .select(F.explode(tokens("text")).alias("t")))
+    cms = cms_build(tok, "t", depth=4, width=4096)
+    probe = spark.createDataFrame(
+        [("table",), ("spark",), ("data",), ("vector",), ("window",)],
+        "t string")
+    return cms_estimate(cms, probe, "t", depth=4, width=4096)
 
 
 def _x13_flavour_bucket(spark, sf):
@@ -2181,9 +2210,8 @@ def _q_x11_text_hygiene(spark, sf):
     Both derived columns are built identically in the oracle, so every
     count, ratio, gate and output fingerprint is value-checked."""
     from serverless_data_pipeline_spark.operators.text import (
-        c4_clean, gopher_rules, redact_pii, repetition_signals,
+        redact_pii, repetition_signals,
     )
-    from serverless_data_pipeline_spark.functions.text import tokens
     docs = _t(spark, sf, "documents")
     rep = repetition_signals(docs, "doc_id", "text", ngram_n=3)
     pii_text = F.concat(
@@ -2197,6 +2225,18 @@ def _q_x11_text_hygiene(spark, sf):
                      F.col("n_redactions").cast("long"),
                      F.md5(F.col("redacted_text").cast("binary"))
                       .alias("redacted_fp"))
+    c4, gop = _x11_page_recipes(docs)
+    return (rep.join(red, "doc_id").join(c4, "doc_id")
+               .join(gop, "doc_id"))
+
+
+def _x11_page_recipes(docs):
+    """The C4 + Gopher halves of x11 over the derived deterministic
+    multi-line page (also a bench attribution flavour)."""
+    from serverless_data_pipeline_spark.operators.text import (
+        c4_clean, gopher_rules,
+    )
+    from serverless_data_pipeline_spark.functions.text import tokens
     toks = tokens("text")
     page = F.concat_ws(
         "\n",
@@ -2219,8 +2259,7 @@ def _q_x11_text_hygiene(spark, sf):
         F.col("doc_dropped").alias("c4_doc_dropped"),
         F.md5(F.col("clean_text").cast("binary")).alias("c4_fp"))
     gop = gopher_rules(pages, min_words=25, min_stop_hits=2)
-    return (rep.join(red, "doc_id").join(c4, "doc_id")
-               .join(gop, "doc_id"))
+    return c4, gop
 
 
 def _q_x13_lm_score(spark, sf):

@@ -26,8 +26,12 @@ from pyspark.sql import functions as F  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 from serverless_data_pipeline_spark.session import get_spark  # noqa: E402
 from serverless_data_pipeline_spark.operators.corpus import (  # noqa: E402
-    bloom_decontaminate, global_shuffle, passage_dedup,
+    bloom_decontaminate, corpus_datasheet, global_shuffle, passage_dedup,
 )
+from serverless_data_pipeline_spark.operators.sketches import (  # noqa: E402
+    cms_build,
+)
+from serverless_data_pipeline_spark.functions.text import tokens  # noqa: E402
 from serverless_data_pipeline_spark.operators.incremental import (  # noqa: E402
     corpus_index, incremental_dedup,
 )
@@ -179,6 +183,25 @@ def main() -> None:
         r["global_shuffle"] = timed(
             lambda: global_shuffle(d, "doc_id", num_shards=32)
             .agg(F.max("pos")).count())
+        # Count-Min sketch (r7): input tokens grow 10x but the sketch
+        # stays <= depth*width CELLS at any corpus size — wall grows
+        # ~linearly in the scan, the shuffle is fixed-size.
+        cms = None
+
+        def _cms():
+            nonlocal cms
+            cms = cms_build(
+                d.select(F.explode(tokens("text")).alias("t")),
+                "t", depth=4, width=4096).localCheckpoint(eager=True)
+        r["cms_build"] = timed(_cms)
+        r["cms_cells"] = cms.count()      # bounded: <= 4 * 4096 at 10x
+        # Datasheet (r7): one scan + one tiny-key aggregate — flat
+        # per-row cost, output stays |groups| rows.
+        r["datasheet"] = timed(
+            lambda: corpus_datasheet(
+                d.withColumn("source",
+                             (F.col("doc_id") % 20).cast("string")),
+                "source").count())
 
         # Relational flagships at amplified fact density (r5 verdict #7):
         # same plan shapes as __spark_entry__ q3/q5/q10 (dimension

@@ -399,7 +399,9 @@ def test_repeat_by_epochs_total_count_law(spark, groups, n_per):
     for g in sorted(emap):
         e = emap[g]
         base = math.floor(e)
-        extra = round(round(e - base, 6) * n_per)
+        # HALF-UP like Spark/DuckDB ROUND — Python's round() is
+        # banker's and disagrees exactly at .5 quota ties
+        extra = math.floor(round(e - base, 6) * n_per + 0.5)
         expect = n_per * base + extra
         got = by.get(g, [])
         assert len(got) == expect, (g, e, len(got), expect)
