@@ -559,3 +559,62 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
         F.round(alpha_frac, 6).alias("g_alpha_frac"),
         stop_hits.cast("long").alias("g_stop_hits"),
         keep.cast("int").alias("g_keep"))
+
+
+def train_quality_classifier(df: DataFrame, text_col: str,
+                             label_col: str, *,
+                             n_buckets: int = 512,
+                             max_iter: int = 50,
+                             reg_param: float = 0.0,
+                             ) -> tuple[list[float], float]:
+    """Train the X14 quality classifier IN-ENGINE: logistic regression
+    (MLlib LBFGS) over exactly the hashed mean bag-of-token features
+    `classifier_quality_score` evaluates — same md5-hex bucket hash,
+    same mean normalization — so the returned ``(weights, bias)`` drop
+    straight into the scorer and the deployed model is bit-reproducible
+    at scan speed while training stays an offline job (the fastText
+    recipe: train once on labels, ship frozen weights).
+
+    ``df`` needs ``text_col`` and a 0/1 ``label_col`` (curated
+    good/bad examples — e.g. reference pages vs crawl noise, the CCNet
+    construction). Returns (weights[n_buckets], bias).
+
+    Scale shape: one explode + (doc, bucket) count aggregation builds
+    sparse mean-frequency vectors (one shuffle, bounded by n_buckets
+    features per doc); LBFGS then runs MLlib's treeAggregate passes
+    over the |labeled| training set — which is curated-small by
+    construction, orders of magnitude below corpus scale."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    toks = tokens(text_col)
+    per = (df.select(F.monotonically_increasing_id().alias("__rid"),
+                     F.col(label_col).cast("double").alias("label"),
+                     toks.alias("__toks"))
+           .where(F.size("__toks") > 0))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 8), 16, 10)
+         .cast("long"), F.lit(n_buckets)).cast("int")
+    counts = (per.select("__rid", "label",
+                         F.size("__toks").alias("__n"),
+                         F.explode("__toks").alias("__t"))
+              .groupBy("__rid", "label", "__n", bucket.alias("__b"))
+              .agg(F.count("*").alias("__c"))
+              .groupBy("__rid", "label", "__n")
+              .agg(F.collect_list(F.struct("__b", "__c")).alias("__bc")))
+
+    @F.udf(VectorUDT())
+    def _vec(n, bc):
+        pairs = sorted((r["__b"], r["__c"] / n) for r in bc)
+        return Vectors.sparse(n_buckets, [p[0] for p in pairs],
+                              [p[1] for p in pairs])
+
+    train = counts.select(
+        F.col("label"), _vec("__n", "__bc").alias("features"))
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param,
+                            standardization=False)
+    model = lr.fit(train)
+    return ([float(x) for x in model.coefficients.toArray()],
+            float(model.intercept))
