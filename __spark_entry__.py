@@ -2123,10 +2123,27 @@ def _q_x8_corpus_utils(spark, sf):
         F.col("total_chars").cast("long").alias("b"),
         F.round(F.col("p50_tokens") * 1e6).cast("long").alias("c"),
         F.col("lang").alias("h"))
+    # jac arm (r7): corpus-level EXACT resemblance between the even-id
+    # and odd-id halves (corpus_jaccard — the dataset-versioning /
+    # crawl-diff statistic): (a=|A∩B|, b=|A∪B|, c=jaccard micro-units,
+    # h='|A|:|B|'). The MinHash estimate sibling is pytest-pinned
+    # (corpus_jaccard_minhash — scan-only, the 100 TB path).
+    from serverless_data_pipeline_spark.operators.dedup import (
+        corpus_jaccard,
+    )
+    jac = corpus_jaccard(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1), "text").select(
+        F.lit("jac").alias("kind"), nd,
+        F.col("n_intersection").cast("long").alias("a"),
+        F.col("n_union").cast("long").alias("b"),
+        F.round(F.col("jaccard") * 1e6).cast("long").alias("c"),
+        F.concat(F.col("n_a").cast("string"), F.lit(":"),
+                 F.col("n_b").cast("string")).alias("h"))
     return (vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
-            .unionAll(sheet2))
+            .unionAll(sheet2).unionAll(jac))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -3296,7 +3313,46 @@ def oracle_sql() -> dict[str, str]:
                          CAST(ROUND(ROUND(quantile_cont(tok, 0.5), 6)
                                     * 1e6) AS BIGINT),
                          lang
-                  FROM pd GROUP BY lang)""",
+                  FROM pd GROUP BY lang)
+            UNION ALL
+            SELECT 'jac', CAST(NULL AS BIGINT),
+                   CAST(n_int AS BIGINT), CAST(n_uni AS BIGINT),
+                   CAST(ROUND(ROUND(CAST(n_int AS DOUBLE) / n_uni, 6)
+                              * 1e6) AS BIGINT),
+                   CAST(n_a AS VARCHAR) || ':' || CAST(n_b AS VARCHAR)
+            FROM (SELECT COUNT(*) FILTER (m = 3) AS n_int,
+                         COUNT(*) AS n_uni,
+                         COUNT(*) FILTER (m <> 2) AS n_a,
+                         COUNT(*) FILTER (m <> 1) AS n_b
+                  FROM (SELECT s, SUM(t) AS m
+                        FROM (SELECT DISTINCT s, 1 AS t FROM
+                               (SELECT unnest(list_filter(
+                                  CASE WHEN len(toks) < 3
+                                       THEN [array_to_string(toks, ' ')]
+                                       ELSE list_transform(
+                                           range(1, len(toks) - 1),
+                                           i -> array_to_string(
+                                               toks[i:i+2], ' '))
+                                  END, x -> x <> '')) AS s
+                                FROM (SELECT
+                                        {_TOKENS_SQL.format(c='text')}
+                                        AS toks FROM documents
+                                      WHERE doc_id % 2 = 0))
+                              UNION ALL
+                              SELECT DISTINCT s, 2 AS t FROM
+                               (SELECT unnest(list_filter(
+                                  CASE WHEN len(toks) < 3
+                                       THEN [array_to_string(toks, ' ')]
+                                       ELSE list_transform(
+                                           range(1, len(toks) - 1),
+                                           i -> array_to_string(
+                                               toks[i:i+2], ' '))
+                                  END, x -> x <> '')) AS s
+                                FROM (SELECT
+                                        {_TOKENS_SQL.format(c='text')}
+                                        AS toks FROM documents
+                                      WHERE doc_id % 2 = 1)))
+                        GROUP BY s))""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,

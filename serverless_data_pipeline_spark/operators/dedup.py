@@ -26,7 +26,8 @@ __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "embedding_neardup_pairs", "semantic_dedup", "neardup_components",
-    "dedupe_by_components", "lsh_plan",
+    "dedupe_by_components", "lsh_plan", "corpus_jaccard",
+    "corpus_jaccard_minhash",
 ]
 
 
@@ -918,3 +919,66 @@ def lsh_plan(threshold: float, max_hashes: int = 256,
         "p_collision_at_t": p_t,
         "p_collision_at_half": p_half,
     }
+
+
+def corpus_jaccard(a: DataFrame, b: DataFrame, text_col: str = "text",
+                   shingle_n: int = 3) -> DataFrame:
+    """EXACT corpus-level resemblance (Broder 1997's set resemblance at
+    dataset grain): the Jaccard similarity of two corpora's distinct
+    word-shingle sets — the dataset-versioning / crawl-diff statistic
+    ("how much of snapshot B is already in snapshot A?"). Returns one
+    row: (n_a, n_b, n_intersection, n_union, jaccard, containment_a_in_b,
+    containment_b_in_a), containments being |A∩B|/|A| and /|B|.
+
+    Scale shape: one distinct-shingle aggregation per corpus (the
+    shuffles), one tagged union + re-aggregation keyed on the shingle
+    hash — set sizes via exact counts, no pairwise work. For 100 TB
+    snapshots where even distinct shingles are huge, use
+    ``corpus_jaccard_minhash`` (one scan per corpus, NO shuffle beyond
+    a scalar aggregate)."""
+    def sides(df, tag):
+        tagged = df.select(F.lit(tag).alias("__cid"),
+                           F.col(text_col))
+        return (_shingled(tagged, "__cid", text_col, shingle_n)
+                .select(F.xxhash64("__sh").alias("__h")).distinct()
+                .select("__h", F.lit(tag).alias("__t")))
+    both = sides(a, 1).unionAll(sides(b, 2))
+    per = (both.groupBy("__h")
+           .agg(F.sum("__t").alias("__m")))   # 1=A only, 2=B only, 3=both
+    return (per.agg(
+        F.count(F.when(F.col("__m") != 2, 1)).alias("n_a"),
+        F.count(F.when(F.col("__m") != 1, 1)).alias("n_b"),
+        F.count(F.when(F.col("__m") == 3, 1)).alias("n_intersection"),
+        F.count(F.lit(1)).alias("n_union"))
+        .select("n_a", "n_b", "n_intersection", "n_union",
+                F.round(F.col("n_intersection")
+                        / F.col("n_union"), 6).alias("jaccard"),
+                F.round(F.col("n_intersection")
+                        / F.col("n_a"), 6).alias("containment_a_in_b"),
+                F.round(F.col("n_intersection")
+                        / F.col("n_b"), 6).alias("containment_b_in_a")))
+
+
+def corpus_jaccard_minhash(a: DataFrame, b: DataFrame,
+                           text_col: str = "text", *,
+                           num_hashes: int = 128,
+                           shingle_n: int = 3) -> float:
+    """MinHash ESTIMATE of corpus-level Jaccard: each corpus reduces to
+    one num_hashes-long signature of GLOBAL minimums (one narrow scan +
+    one scalar aggregate per corpus — nothing shuffles on shingles),
+    and the estimate is the fraction of agreeing components — Broder's
+    resemblance estimator with standard error ~1/sqrt(num_hashes).
+    This is the 100 TB path: cost is a scan, state is num_hashes longs.
+
+    Returns the scalar estimate (driver-side: the two signatures are
+    num_hashes values each — control-plane sized)."""
+    def sig(df):
+        tagged = df.select(F.lit(0).alias("__cid"), F.col(text_col))
+        h0 = (_shingled(tagged, "__cid", text_col, shingle_n)
+              .select(F.xxhash64("__sh").alias("__h0")))
+        row = h0.agg(*[F.min(F.xxhash64(F.col("__h0"), F.lit(i)))
+                       .alias(f"m{i}")
+                       for i in range(num_hashes)]).first()
+        return [row[f"m{i}"] for i in range(num_hashes)]
+    sa, sb = sig(a), sig(b)
+    return sum(1 for x, y in zip(sa, sb) if x == y) / float(num_hashes)

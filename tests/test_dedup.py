@@ -395,3 +395,39 @@ def test_lsh_plan_scurve_properties():
         lsh_plan(0.0)
     with pytest.raises(ValueError):
         lsh_plan(0.5, max_hashes=1)
+
+
+def test_corpus_jaccard_exact(spark):
+    from serverless_data_pipeline_spark.operators.dedup import (
+        corpus_jaccard,
+    )
+    a = spark.createDataFrame(
+        [("one two three four five",), ("alpha beta gamma delta",)],
+        "text string")
+    b = spark.createDataFrame(
+        [("one two three four five",), ("x y z w v",)], "text string")
+    # A: {one two three, two three four, three four five,
+    #     alpha beta gamma, beta gamma delta}; B shares the first 3
+    r = corpus_jaccard(a, b).first()
+    assert (r.n_a, r.n_b, r.n_intersection, r.n_union) == (5, 6, 3, 8)
+    assert r.jaccard == 0.375
+    assert r.containment_a_in_b == 0.6 and r.containment_b_in_a == 0.5
+    ident = corpus_jaccard(a, a).first()
+    assert ident.jaccard == 1.0 and ident.containment_a_in_b == 1.0
+    disjoint = corpus_jaccard(a, spark.createDataFrame(
+        [("p q r s t",)], "text string")).first()
+    assert disjoint.jaccard == 0.0 and disjoint.n_intersection == 0
+
+
+def test_corpus_jaccard_minhash_estimate(spark):
+    from serverless_data_pipeline_spark.operators.dedup import (
+        corpus_jaccard, corpus_jaccard_minhash,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.filter("doc_id % 2 = 0")
+    b = docs.filter("doc_id % 2 = 1")
+    exact = corpus_jaccard(a, b).first().jaccard
+    est = corpus_jaccard_minhash(a, b, num_hashes=256)
+    # Broder estimator: se ~ 1/sqrt(256) = 0.0625; allow 4 se
+    assert abs(est - exact) < 0.25
+    assert corpus_jaccard_minhash(a, a, num_hashes=64) == 1.0

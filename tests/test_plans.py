@@ -139,19 +139,21 @@ def test_corpus_utils_plan_shape(spark):
     groupBys + the shuf per-shard position window, + the r7 sheet
     arms' datasheet aggregation: count_distinct expands to a
     (lang, fp) partial then a lang final — both sheet rows re-plan the
-    shared subtree, and the exact-median percentile keys the third)
-    and two SinglePartition exchanges (the tmix and wmix all-rows
-    totals windows over their |groups|-row sizes frames — tiny by
-    construction; the shuf arm specifically must NOT add one, that
-    would be the ORDER BY rand() global-sort anti-pattern its operator
-    exists to avoid). Chunking stays a narrow projection; gsplit's
-    canonical-id map, the tmix/wmix quota maps and rep's epoch map
-    join back via broadcast, never a corpus shuffle."""
+    shared subtree, and the exact-median percentile keys the third,
+    + the r7 jac arm's two per-corpus distinct-shingle aggregations)
+    and three SinglePartition exchanges (the tmix and wmix all-rows
+    totals windows over their |groups|-row sizes frames and jac's
+    final one-row set-size aggregate — all tiny by construction; the
+    shuf arm specifically must NOT add one, that would be the ORDER BY
+    rand() global-sort anti-pattern its operator exists to avoid).
+    Chunking stays a narrow projection; gsplit's canonical-id map, the
+    tmix/wmix quota maps and rep's epoch map join back via broadcast,
+    never a corpus shuffle."""
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 13
-    assert plan.count("Exchange SinglePartition") == 2
+    assert plan.count("Exchange hashpartitioning") == 15
+    assert plan.count("Exchange SinglePartition") == 3
     assert "SortMergeJoin" not in plan
 
 
