@@ -217,7 +217,26 @@ def _q_t5_quality_score(spark, sf):
                     F.col("column").alias("col_name"), "n_rows",
                     "n_null", "null_frac", "n_distinct", "vmin", "vmax",
                     "vavg", "smin", "smax", nulld.alias("score")))
-    return srow.unionAll(prof)
+    # anomaly arm (r7): flag_outliers — per-event-type z>3 outlier
+    # monitoring with exact decimal-accumulated stats; rows carry
+    # (n_rows, n_null=flagged count, null_frac=flagged rate,
+    # n_distinct=non-null count) per event_type
+    an = (stages.flag_outliers(_t(spark, sf, "events"),
+                               "event_type", "value")
+          .groupBy("event_type")
+          .agg(F.count("*").alias("__n"),
+               F.sum(F.col("is_outlier").cast("long")).alias("__o"),
+               F.max("n_g").alias("__g")))
+    arow = an.select(
+        F.lit("anomaly").alias("kind"),
+        F.col("event_type").alias("col_name"),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("__o").cast("long").alias("n_null"),
+        F.round(F.col("__o") / F.col("__n"), 6).alias("null_frac"),
+        F.col("__g").cast("long").alias("n_distinct"),
+        nulld.alias("vmin"), nulld.alias("vmax"), nulld.alias("vavg"),
+        nulls.alias("smin"), nulls.alias("smax"), nulld.alias("score"))
+    return srow.unionAll(prof).unionAll(arow)
 
 
 def _q_t7_filter_project(spark, sf):
@@ -2581,7 +2600,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE),
                    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                    CAST(NULL AS DOUBLE)
-            FROM events""",
+            FROM events
+            UNION ALL
+            -- z>3 outlier monitoring; the flag condition mirrors the
+            -- operator's parenthesization verbatim over exact
+            -- decimal-accumulated micro-unit stats
+            SELECT 'anomaly', event_type, CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN o THEN 1 ELSE 0 END) AS BIGINT),
+                   ROUND(SUM(CASE WHEN o THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6),
+                   CAST(MAX(n) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS DOUBLE)
+            FROM (
+              WITH av AS (SELECT event_type,
+                                 CAST(ROUND(value * 1000000)
+                                      AS DECIMAL(19,0)) AS v
+                          FROM events),
+                   ast AS (SELECT event_type, COUNT(v) AS n,
+                                  CAST(SUM(v) AS DOUBLE) AS s,
+                                  CAST(SUM(v * v) AS DOUBLE) AS q
+                           FROM av GROUP BY event_type)
+              SELECT av.event_type, ast.n,
+                     CASE WHEN v IS NULL THEN FALSE
+                          ELSE ((CAST(v AS DOUBLE) * CAST(n AS DOUBLE)
+                                 - s)
+                                * (CAST(v AS DOUBLE) * CAST(n AS DOUBLE)
+                                   - s))
+                               > (9.0 * (CAST(n AS DOUBLE) * q - s * s))
+                     END AS o
+              FROM av JOIN ast USING (event_type))
+            GROUP BY event_type""",
         "t7_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    l_extendedprice * (1 - l_discount) AS net_price,

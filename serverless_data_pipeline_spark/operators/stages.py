@@ -283,3 +283,49 @@ def quantile_buckets(df: DataFrame, score_col: str,
                         F.lit(labels[i]))
     expr = expr.otherwise(F.lit(labels[-1]))
     return out.withColumn(bucket_col, expr).drop("__qs")
+
+
+def flag_outliers(df: DataFrame, key_col: str, value_col: str, *,
+                  z: int = 3, scale: int = 1_000_000,
+                  out_col: str = "is_outlier") -> DataFrame:
+    """Per-group z-score outlier flagging (the monitoring rule behind
+    the reference's CloudWatch data-quality alarms, here as a columnar
+    operator): a row is an outlier when |v - mean_g| > z * stddev_g
+    within its ``key_col`` group.
+
+    Engine-portable determinism: the condition is evaluated as
+    (v*n - S)^2 > z^2 * (n*Q - S^2) (population variance, cleared of
+    divisions) over micro-unit integers (v scaled by ``scale``), with
+    S = sum v and Q = sum v^2 accumulated EXACTLY in DECIMAL(38,0) —
+    so the aggregates are partition-order-independent — then the
+    comparison runs in doubles with this exact parenthesization,
+    mirrored verbatim in the oracle SQL (identical IEEE op sequence on
+    identical inputs → identical flags; a float mean/stddev pipeline
+    would order its reductions differently per engine). ``z`` is an
+    integer multiplier for the same reason.
+
+    One groupBy over the key (tiny cardinality) broadcast back onto
+    the rows — no second shuffle; adds ``out_col`` plus the group's
+    non-null count ``n_g`` for downstream rate reporting. NULL values
+    are never outliers."""
+    if z < 1 or scale < 1:
+        raise ValueError("z and scale must be >= 1")
+    v_int = F.round(F.col(value_col) * scale).cast("decimal(19,0)")
+    per = df.withColumn("__v", v_int)
+    stats = (per.groupBy(key_col)
+             .agg(F.count("__v").alias("__n"),
+                  F.sum("__v").cast("double").alias("__s"),
+                  F.sum(F.col("__v") * F.col("__v")).cast("double")
+                   .alias("__q")))
+    j = per.join(F.broadcast(stats), key_col)
+    vd = F.col("__v").cast("double")
+    nd = F.col("__n").cast("double")
+    lhs = vd * nd - F.col("__s")
+    rhs = F.lit(float(z * z)) * (nd * F.col("__q")
+                                 - F.col("__s") * F.col("__s"))
+    return (j.withColumn(
+                out_col,
+                F.when(F.col("__v").isNull(), F.lit(False))
+                 .otherwise((lhs * lhs) > rhs))
+            .withColumnRenamed("__n", "n_g")
+            .drop("__v", "__s", "__q"))

@@ -188,3 +188,42 @@ def test_profile_columns_empty_input_and_quantile_null_scores(spark):
         "doc_id long, s double")
     b = {r.doc_id: r.bucket for r in quantile_buckets(df, "s").collect()}
     assert b[5] is None and b[4] == "head"
+
+
+def test_flag_outliers_behavior(spark):
+    from serverless_data_pipeline_spark.operators.stages import (
+        flag_outliers,
+    )
+    import pytest
+    rows = ([("a", 1.0 + (i % 7) * 0.01) for i in range(40)]
+            + [("a", 50.0), ("a", None), ("b", 2.0), ("b", 2.1)])
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = flag_outliers(df, "k", "v")
+    flagged = out.filter("is_outlier").collect()
+    assert [(r.k, r.v) for r in flagged] == [("a", 50.0)]
+    # NULLs are never outliers, and n_g counts non-null values only
+    nulls = out.filter("v is null").collect()
+    assert len(nulls) == 1 and not nulls[0].is_outlier
+    assert nulls[0].n_g == 41
+    # a 2-row group has zero z-range: nothing flagged
+    assert out.filter("k = 'b' and is_outlier").count() == 0
+    with pytest.raises(ValueError):
+        flag_outliers(df, "k", "v", z=0)
+
+
+def test_flag_outliers_partition_order_independent(spark):
+    """Decimal accumulation + mirrored double comparison: the flag set
+    must not depend on how rows are partitioned (a naive float stddev
+    would reduce in partition order)."""
+    from serverless_data_pipeline_spark.operators.stages import (
+        flag_outliers,
+    )
+    rows = [("k", 0.1 + (i * 37 % 101) * 0.013) for i in range(400)]
+    rows += [("k", 9.5), ("k", -7.25)]
+    df1 = spark.createDataFrame(rows, "k string, v double").repartition(1)
+    df2 = spark.createDataFrame(rows, "k string, v double").repartition(13)
+    f1 = sorted(r.v for r in flag_outliers(df1, "k", "v")
+                .filter("is_outlier").collect())
+    f2 = sorted(r.v for r in flag_outliers(df2, "k", "v")
+                .filter("is_outlier").collect())
+    assert f1 == f2 and len(f1) >= 1
