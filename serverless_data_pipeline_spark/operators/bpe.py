@@ -26,6 +26,8 @@ Scale design — the shape that survives 100 TB:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -149,8 +151,14 @@ def bpe_encode(df: DataFrame, text_col: str,
             if text is None:
                 return []
             toks: list[str] = []
-            for w in text.lower().split():
-                toks.extend(enc_word(w))
+            # split on ASCII whitespace only — the exact Java-regex \s+
+            # class tokens() trained the merges over; Python's
+            # str.split() is Unicode-aware and would diverge on e.g.
+            # non-breaking spaces, producing word boundaries the
+            # learned statistics never saw
+            for w in re.split(r"[ \t\n\x0b\f\r]+", text.lower()):
+                if w:
+                    toks.extend(enc_word(w))
             return toks
 
         return pd.Series([enc(t) for t in texts])

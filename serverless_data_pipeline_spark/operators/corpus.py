@@ -951,7 +951,6 @@ def repeat_by_epochs(df: DataFrame, group_col: str, id_col: str,
 
 
 def corpus_datasheet(df: DataFrame, group_col: str = "source",
-                     id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Per-group corpus datasheet (the "Datasheets for Datasets" /
     dataset-card summary a training-data release ships with): one row

@@ -971,7 +971,11 @@ def corpus_jaccard_minhash(a: DataFrame, b: DataFrame,
     This is the 100 TB path: cost is a scan, state is num_hashes longs.
 
     Returns the scalar estimate (driver-side: the two signatures are
-    num_hashes values each — control-plane sized)."""
+    num_hashes values each — control-plane sized). When BOTH corpora
+    have an empty shingle set, resemblance is undefined and ``None``
+    is returned — matching the exact ``corpus_jaccard``'s NULL at
+    n_union = 0 (a naive component-agreement count would see all-NULL
+    signatures agree and report a spurious 1.0)."""
     def sig(df):
         tagged = df.select(F.lit(0).alias("__cid"), F.col(text_col))
         h0 = (_shingled(tagged, "__cid", text_col, shingle_n)
@@ -981,4 +985,7 @@ def corpus_jaccard_minhash(a: DataFrame, b: DataFrame,
                        for i in range(num_hashes)]).first()
         return [row[f"m{i}"] for i in range(num_hashes)]
     sa, sb = sig(a), sig(b)
-    return sum(1 for x, y in zip(sa, sb) if x == y) / float(num_hashes)
+    if sa[0] is None and sb[0] is None:
+        return None
+    return sum(1 for x, y in zip(sa, sb)
+               if x == y and x is not None) / float(num_hashes)

@@ -60,9 +60,14 @@ def cms_estimate(cms: DataFrame, items: DataFrame, col: str, *,
     frame with an ``est`` column (long, one-sided: ``est >= true``).
 
     The sketch side is tiny (<= depth*width cells) and broadcasts, so
-    probing any number of items never shuffles them."""
+    probing any number of items never shuffles them. Row-preserving:
+    every input row comes back exactly once (duplicates each keep
+    their own row — a per-row unique regroup key, whose values never
+    reach the output, carries multiplicity through the probe explode);
+    a NULL probe value gets ``est`` NULL (the sketch never counted
+    NULLs, so its frequency is undefined, not 0)."""
     v = F.col(col)
-    probes = (items.where(v.isNotNull())
+    probes = (items.withColumn("__rid", F.monotonically_increasing_id())
               .select("*", F.explode(F.array(*[
                   F.struct(F.lit(k).alias("row"),
                            _cell(v, k, width, seed).alias("col"))
@@ -71,9 +76,12 @@ def cms_estimate(cms: DataFrame, items: DataFrame, col: str, *,
                       F.col("c.col").alias("col")).drop("c"))
     joined = probes.join(F.broadcast(cms), ["row", "col"], "left")
     keys = [c for c in items.columns]
-    return (joined.groupBy(*keys)
-            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
-                 .cast("long").alias("est")))
+    return (joined.groupBy("__rid", *keys)
+            .agg(F.when(F.first(v, ignorenulls=False).isNull(),
+                        F.lit(None))
+                 .otherwise(F.min(F.coalesce(F.col("cnt"), F.lit(0))))
+                 .cast("long").alias("est"))
+            .drop("__rid"))
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:

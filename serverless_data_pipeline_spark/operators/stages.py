@@ -307,17 +307,29 @@ def flag_outliers(df: DataFrame, key_col: str, value_col: str, *,
     One groupBy over the key (tiny cardinality) broadcast back onto
     the rows — no second shuffle; adds ``out_col`` plus the group's
     non-null count ``n_g`` for downstream rate reporting. NULL values
-    are never outliers."""
+    are never outliers. NULL keys form their own group (null-safe
+    join — the row-preserving contract holds for them too). Values
+    whose micro-unit integer exceeds 1e15 (|v| > 1e9 at the default
+    scale — beyond it the DECIMAL(38,0) sum-of-squares could overflow,
+    which under ANSI mode would kill the job) can't be accumulated
+    exactly; they are flagged unconditionally (a monitor must not
+    report the most extreme row as normal, and must not crash on it)
+    and excluded from the group stats."""
     if z < 1 or scale < 1:
         raise ValueError("z and scale must be >= 1")
-    v_int = F.round(F.col(value_col) * scale).cast("decimal(19,0)")
+    v_try = F.round(F.col(value_col) * scale).try_cast("decimal(19,0)")
+    v_int = F.when(F.abs(v_try) > F.lit(10 ** 15).cast("decimal(19,0)"),
+                   F.lit(None)).otherwise(v_try)
     per = df.withColumn("__v", v_int)
     stats = (per.groupBy(key_col)
              .agg(F.count("__v").alias("__n"),
                   F.sum("__v").cast("double").alias("__s"),
                   F.sum(F.col("__v") * F.col("__v")).cast("double")
-                   .alias("__q")))
-    j = per.join(F.broadcast(stats), key_col)
+                   .alias("__q"))
+             .withColumnRenamed(key_col, "__k"))
+    j = (per.join(F.broadcast(stats),
+                  F.col(key_col).eqNullSafe(F.col("__k")))
+         .drop("__k"))
     vd = F.col("__v").cast("double")
     nd = F.col("__n").cast("double")
     lhs = vd * nd - F.col("__s")
@@ -325,7 +337,8 @@ def flag_outliers(df: DataFrame, key_col: str, value_col: str, *,
                                  - F.col("__s") * F.col("__s"))
     return (j.withColumn(
                 out_col,
-                F.when(F.col("__v").isNull(), F.lit(False))
+                F.when(F.col(value_col).isNull(), F.lit(False))
+                 .when(F.col("__v").isNull(), F.lit(True))
                  .otherwise((lhs * lhs) > rhs))
             .withColumnRenamed("__n", "n_g")
             .drop("__v", "__s", "__q"))

@@ -72,3 +72,15 @@ def test_bpe_encode_on_fixture_corpus(spark):
     txt = (docs.filter(docs.doc_id == r0.doc_id)
            .first().text.lower().split())
     assert "".join(r0.bpe_tokens).split(END)[:-1] == txt
+
+
+def test_bpe_encode_ascii_whitespace_parity(spark):
+    """bpe_encode splits words with the same ASCII \\s+ class the
+    Java-regex tokens() helper trains over — a non-breaking space is
+    NOT a word boundary, so the encoded stream matches the statistics
+    the merges were learned from."""
+    m = train_bpe(_classic(spark), "text", n_merges=10)
+    df = spark.createDataFrame([(1, "low low")],
+                               "id int, text string")
+    out = bpe_encode(df, "text", m).first().bpe_tokens
+    assert out == ["low", " ", "low" + END]

@@ -431,3 +431,16 @@ def test_corpus_jaccard_minhash_estimate(spark):
     # Broder estimator: se ~ 1/sqrt(256) = 0.0625; allow 4 se
     assert abs(est - exact) < 0.25
     assert corpus_jaccard_minhash(a, a, num_hashes=64) == 1.0
+
+
+def test_corpus_jaccard_minhash_empty_inputs(spark):
+    """Both-empty resemblance is undefined (None), matching the exact
+    operator's NULL at n_union = 0 — all-NULL signatures must not be
+    counted as agreement; one-sided empty is genuinely 0.0."""
+    from serverless_data_pipeline_spark.operators.dedup import (
+        corpus_jaccard_minhash,
+    )
+    empty = spark.createDataFrame([], "text string")
+    one = spark.createDataFrame([("one two three four",)], "text string")
+    assert corpus_jaccard_minhash(empty, empty, num_hashes=16) is None
+    assert corpus_jaccard_minhash(empty, one, num_hashes=16) == 0.0

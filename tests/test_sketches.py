@@ -78,3 +78,16 @@ def test_cms_null_values_ignored(spark):
     items = spark.createDataFrame([("a",)], "t string")
     est = cms_estimate(sk, items, "t", depth=2, width=64).collect()
     assert est[0].est == 2
+
+
+def test_cms_estimate_row_preserving(spark):
+    """Every probe row comes back exactly once: duplicates keep their
+    own row, and a NULL probe gets est NULL (undefined, not 0)."""
+    df = spark.createDataFrame([("a",), ("a",), ("a",)], "t string")
+    sk = cms_build(df, "t", depth=2, width=64)
+    items = spark.createDataFrame([("a",), (None,), ("a",)], "t string")
+    rows = cms_estimate(sk, items, "t", depth=2, width=64).collect()
+    assert len(rows) == 3
+    assert sorted((-1 if r.est is None else r.est) for r in rows) \
+        == [-1, 3, 3]
+    assert [r.est for r in rows if r.t is None] == [None]

@@ -227,3 +227,23 @@ def test_flag_outliers_partition_order_independent(spark):
     f2 = sorted(r.v for r in flag_outliers(df2, "k", "v")
                 .filter("is_outlier").collect())
     assert f1 == f2 and len(f1) >= 1
+
+
+def test_flag_outliers_null_key_and_overflow(spark):
+    """Row-preserving for NULL keys (null-safe join gives them their
+    own group) and overflow-safe: a value whose micro-unit integer
+    exceeds DECIMAL(19,0) is flagged unconditionally, never silently
+    reported normal."""
+    from serverless_data_pipeline_spark.operators.stages import (
+        flag_outliers,
+    )
+    rows = [("a", 1.0), ("a", 1.1), ("a", 1.05), ("a", 1e13),
+            (None, 5.0), (None, 5.2)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = flag_outliers(df, "k", "v")
+    assert out.count() == 6
+    assert [r.v for r in out.filter("is_outlier").collect()] == [1e13]
+    nk = out.filter("k is null").collect()
+    assert len(nk) == 2 and all(not r.is_outlier for r in nk)
+    # the overflow row is excluded from the exact accumulators
+    assert out.filter("k = 'a'").first().n_g == 3
