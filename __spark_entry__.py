@@ -2056,7 +2056,7 @@ def _q_x8_corpus_utils(spark, sf):
     signal units so the value is partition-order-stable."""
     from serverless_data_pipeline_spark.operators.corpus import (
         chunk_documents, corpus_datasheet, corpus_mix, global_shuffle,
-        leakage_safe_split, pack_sequences, repeat_by_epochs,
+        leakage_safe_split, pack_bins, pack_sequences, repeat_by_epochs,
         temperature_mix, token_budget_mix, train_test_split, vocabulary,
     )
     docs = _t(spark, sf, "documents")
@@ -2071,6 +2071,17 @@ def _q_x8_corpus_utils(spark, sf):
                      F.col("token").alias("h")))
     pack = (pack_sequences(docs, "doc_id", "text", budget=512, n_shards=8)
             .select(F.lit("pack").alias("kind"), "doc_id",
+                    F.col("n_tokens").cast("long").alias("a"),
+                    F.col("shard").cast("long").alias("b"),
+                    F.col("bin_id").cast("long").alias("c"),
+                    F.lit(None).cast("string").alias("h")))
+    # bins arm (r7): pack_bins next_fit — document-boundary-preserving
+    # (SFT-style) packing; the whole per-shard sequential bin assignment
+    # is value-checked against a DuckDB recursive-CTE replay of the same
+    # linear recursion (the FFD strategy is pytest-pinned: bin-capacity /
+    # completeness / never-more-bins-than-next-fit laws)
+    bins = (pack_bins(docs, "doc_id", "text", budget=512, n_shards=8)
+            .select(F.lit("bins").alias("kind"), "doc_id",
                     F.col("n_tokens").cast("long").alias("a"),
                     F.col("shard").cast("long").alias("b"),
                     F.col("bin_id").cast("long").alias("c"),
@@ -2159,7 +2170,8 @@ def _q_x8_corpus_utils(spark, sf):
         F.round(F.col("jaccard") * 1e6).cast("long").alias("c"),
         F.concat(F.col("n_a").cast("string"), F.lit(":"),
                  F.col("n_b").cast("string")).alias("h"))
-    return (vocab.unionAll(pack).unionAll(chunk).unionAll(mix)
+    return (vocab.unionAll(pack).unionAll(bins).unionAll(chunk)
+            .unionAll(mix)
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
             .unionAll(sheet2).unionAll(jac))
@@ -3208,6 +3220,35 @@ def oracle_sql() -> dict[str, str]:
                                     AS BIGINT) AS n_tokens,
                                CAST(doc_id % 8 AS BIGINT) AS shard
                         FROM documents))
+            UNION ALL
+            SELECT 'bins' AS kind, doc_id, n_tokens AS a, shard AS b,
+                   bin_id AS c, CAST(NULL AS VARCHAR) AS h
+            FROM (WITH RECURSIVE nfbase AS (
+                    SELECT doc_id, n_tokens, shard,
+                           ROW_NUMBER() OVER (PARTITION BY shard
+                                              ORDER BY doc_id) AS rn
+                    FROM (SELECT doc_id,
+                                 CAST(len({_TOKENS_SQL.format(c='text')})
+                                      AS BIGINT) AS n_tokens,
+                                 CAST(doc_id % 8 AS BIGINT) AS shard
+                          FROM documents)),
+                  nf AS (
+                    SELECT shard, rn, doc_id, n_tokens,
+                           CAST(0 AS BIGINT) AS bin_id,
+                           n_tokens AS fill
+                    FROM nfbase WHERE rn = 1
+                    UNION ALL
+                    SELECT nb.shard, nb.rn, nb.doc_id, nb.n_tokens,
+                           CASE WHEN nf.fill > 0
+                                     AND nf.fill + nb.n_tokens > 512
+                                THEN nf.bin_id + 1 ELSE nf.bin_id END,
+                           CASE WHEN nf.fill > 0
+                                     AND nf.fill + nb.n_tokens > 512
+                                THEN nb.n_tokens
+                                ELSE nf.fill + nb.n_tokens END
+                    FROM nf JOIN nfbase nb
+                      ON nb.shard = nf.shard AND nb.rn = nf.rn + 1)
+                  SELECT doc_id, n_tokens, shard, bin_id FROM nf)
             UNION ALL
             SELECT 'chunk', doc_id, CAST((s - 1) // 448 AS BIGINT),
                    CAST(s AS BIGINT),

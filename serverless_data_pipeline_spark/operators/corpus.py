@@ -310,6 +310,84 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                        .alias("bin_id")))
 
 
+def pack_bins(df: DataFrame, id_col: str, text_col: str,
+              budget: int = 2048, n_shards: int = 8,
+              strategy: str = "next_fit") -> DataFrame:
+    """Document-boundary-preserving sequence packing (the SFT/finetune
+    regime: unlike ``pack_sequences``' concat-then-chunk, a document
+    NEVER splits across training sequences, so each bin is padded up to
+    ``budget`` and the packer's job is to minimize that padding).
+    Returns (id, n_tokens, shard, bin_id); bin ids are per-shard.
+
+    Strategies:
+
+    - ``next_fit`` (default): documents in id order per shard; close
+      the bin when the next document would overflow. Deterministic
+      LINEAR-RECURSION semantics — exactly expressible as an ordered
+      recursive CTE, so the whole assignment is cross-engine
+      value-checkable (the x8 registry arm runs it against DuckDB).
+    - ``first_fit_dec``: classic First-Fit-Decreasing (sort by
+      (n_tokens desc, id), place each doc in the lowest-indexed bin
+      with room) — within 11/9·OPT + 6/9 bins of optimal (Dósa 2007),
+      the padding-minimizing choice when training order is free.
+
+    A document longer than ``budget`` ends up in a bin of its own under
+    both strategies (nothing else fits beside it) — callers route those
+    to truncation or ``chunk_documents`` rather than the packer failing.
+
+    Scale shape: packing is inherently sequential state, so the honest
+    implementation is one per-shard pass — ``groupBy(shard)
+    .applyInPandas`` (Arrow-batched, one hash exchange on the shard
+    key), with ``n_shards`` the same memory lever as pack_sequences:
+    size shards so one shard's (id, n_tokens) frame — two longs per
+    doc, NOT the text — fits an executor. The FFD inner loop is
+    O(docs x open bins) per shard; at sane budgets open bins stay
+    proportional to docs/bin-capacity."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    if strategy not in ("next_fit", "first_fit_dec"):
+        raise ValueError("strategy must be next_fit or first_fit_dec")
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        token_count(text_col).alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"))
+    b, ffd = budget, strategy == "first_fit_dec"
+
+    def pack(pdf):
+        if ffd:
+            pdf = pdf.sort_values(["n_tokens", "id"],
+                                  ascending=[False, True])
+            fills: list[int] = []
+            out = []
+            for n in pdf["n_tokens"]:
+                placed = -1
+                for i, f in enumerate(fills):
+                    if f + n <= b:
+                        placed = i
+                        fills[i] += n
+                        break
+                if placed < 0:
+                    fills.append(int(n))
+                    placed = len(fills) - 1
+                out.append(placed)
+        else:
+            pdf = pdf.sort_values("id")
+            cur, fill = 0, 0
+            out = []
+            for n in pdf["n_tokens"]:
+                if fill > 0 and fill + n > b:
+                    cur, fill = cur + 1, 0
+                fill += int(n)
+                out.append(cur)
+        return pdf.assign(bin_id=out)[
+            ["id", "n_tokens", "shard", "bin_id"]]
+
+    return (base.groupBy("shard")
+            .applyInPandas(pack, "id long, n_tokens long, shard int, "
+                                 "bin_id long")
+            .withColumnRenamed("id", id_col))
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   id_col: str, text_col: str,
                   n: int = 5, min_overlap: int = 1,

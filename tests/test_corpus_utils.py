@@ -865,3 +865,67 @@ def test_corpus_datasheet_closed_form(spark):
     assert a.mean_quality == round((3 + 3 + 1) / 9, 6)
     assert (b.n_docs, b.total_tokens, b.exact_dup_rate) == (1, 7, 0.0)
     assert b.total_chars == len(rows[3][2])
+
+
+def _pack_fixture(spark, counts, n_shards=1):
+    rows = [(i, "w " * c) for i, c in enumerate(counts)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_bins_next_fit_hand_checked(spark):
+    """Pins the exact linear-recursion semantics the DuckDB oracle
+    replays: id order, close the bin when the next doc would overflow,
+    oversize docs land alone."""
+    from serverless_data_pipeline_spark.operators.corpus import pack_bins
+    df = _pack_fixture(spark, [4, 5, 3, 10, 2, 12, 1])
+    out = {r.doc_id: r.bin_id
+           for r in pack_bins(df, "doc_id", "text", budget=10,
+                              n_shards=1).collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+
+
+def test_pack_bins_ffd_hand_checked_and_fewer_bins(spark):
+    from serverless_data_pipeline_spark.operators.corpus import pack_bins
+    df = _pack_fixture(spark, [4, 5, 3, 10, 2, 12, 1])
+    out = {r.doc_id: r.bin_id
+           for r in pack_bins(df, "doc_id", "text", budget=10,
+                              n_shards=1,
+                              strategy="first_fit_dec").collect()}
+    # sorted desc: 12->bin0, 10->bin1, 5->bin2, 4->bin2(9), 3->bin3,
+    # 2->bin3(5), 1->bin2(10)
+    assert out == {5: 0, 3: 1, 1: 2, 0: 2, 2: 3, 4: 3, 6: 2}
+    assert len(set(out.values())) == 4          # < next_fit's 6
+
+
+def test_pack_bins_laws_on_fixture(spark):
+    """Capacity, completeness and determinism over the real corpus at a
+    small budget, both strategies."""
+    from serverless_data_pipeline_spark.operators.corpus import pack_bins
+    from collections import defaultdict
+    import pytest
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    bins_by_strategy = {}
+    for strat in ("next_fit", "first_fit_dec"):
+        out = pack_bins(docs, "doc_id", "text", budget=64, n_shards=4,
+                        strategy=strat).collect()
+        assert len(out) == n
+        assert len({r.doc_id for r in out}) == n
+        fills = defaultdict(list)
+        for r in out:
+            fills[(r.shard, r.bin_id)].append(r.n_tokens)
+        for v in fills.values():
+            assert sum(v) <= 64 or any(x > 64 for x in v)
+        bins_by_strategy[strat] = fills
+        # determinism: identical assignment from a different layout
+        again = pack_bins(docs.repartition(13), "doc_id", "text",
+                          budget=64, n_shards=4, strategy=strat)
+        assert sorted((r.doc_id, r.shard, r.bin_id)
+                      for r in again.collect()) \
+            == sorted((r.doc_id, r.shard, r.bin_id) for r in out)
+    assert len(bins_by_strategy["first_fit_dec"]) \
+        <= len(bins_by_strategy["next_fit"])
+    with pytest.raises(ValueError):
+        pack_bins(docs, "doc_id", "text", budget=0)
+    with pytest.raises(ValueError):
+        pack_bins(docs, "doc_id", "text", strategy="worst_fit")
