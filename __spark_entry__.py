@@ -1752,7 +1752,15 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # x_approx the Count-Min arm — attribute both
         "x11_text_hygiene.c4gopher": _x11_flavour_c4gopher,
         "x_approx_suite.cms": _approx_flavour_cms,
+        # r7 session 5: x8 gained the no-split bin-packing arm
+        "x8_corpus_utils.bins": _x8_flavour_bins,
     }
+
+
+def _x8_flavour_bins(spark, sf):
+    from serverless_data_pipeline_spark.operators.corpus import pack_bins
+    return pack_bins(_t(spark, sf, "documents"), "doc_id", "text",
+                     budget=512, n_shards=8)
 
 
 def _x11_flavour_c4gopher(spark, sf):

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
 from serverless_data_pipeline_spark.session import get_spark  # noqa: E402
 from serverless_data_pipeline_spark.operators.corpus import (  # noqa: E402
-    bloom_decontaminate, corpus_datasheet, global_shuffle, passage_dedup,
+    bloom_decontaminate, corpus_datasheet, global_shuffle, pack_bins,
+    passage_dedup,
 )
 from serverless_data_pipeline_spark.operators.sketches import (  # noqa: E402
     cms_build,
@@ -202,6 +203,14 @@ def main() -> None:
                 d.withColumn("source",
                              (F.col("doc_id") % 20).cast("string")),
                 "source").count())
+
+        # Bin packing (r7): the only shuffle moves (id, n_tokens) —
+        # two longs per doc, never text — so wall tracks the token-count
+        # scan; the per-shard sequential loop is O(shard size).
+        r["pack_bins"] = timed(
+            lambda: pack_bins(d, "doc_id", "text",
+                              budget=512, n_shards=32)
+            .groupBy("shard").agg(F.max("bin_id")).count())
 
         # Relational flagships at amplified fact density (r5 verdict #7):
         # same plan shapes as __spark_entry__ q3/q5/q10 (dimension

@@ -130,9 +130,9 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all nine arms exactly ten
-    hash exchanges exist (vocab token groupBy + the per-shard packing
-    window + the mix/tmix/wmix/rep per-language ranking windows —
+    O(top_n) heap (no global sort); across all thirteen arms exactly
+    sixteen hash exchanges exist (vocab token groupBy + the per-shard
+    packing window + the mix/tmix/wmix/rep per-language ranking windows —
     wmix's rank and running-sum windows share ONE exchange+sort, and
     rep's rank and group-count windows share one exchange too — + the
     gsplit fingerprint groupBy + the tmix and wmix group-sizes
