@@ -2577,7 +2577,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT event_id),
                    CAST(MIN(event_id) AS DOUBLE),
                    CAST(MAX(event_id) AS DOUBLE),
-                   ROUND(AVG(event_id), 6),
+                   ROUND(CAST(SUM(CAST(ROUND(event_id * 1000000) AS DECIMAL(38,0))) AS DOUBLE) / (CAST(COUNT(event_id) AS DOUBLE) * 1e6), 6),
                    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                    CAST(NULL AS DOUBLE)
             FROM events
@@ -2588,7 +2588,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id),
                    CAST(MIN(user_id) AS DOUBLE),
                    CAST(MAX(user_id) AS DOUBLE),
-                   ROUND(AVG(user_id), 6),
+                   ROUND(CAST(SUM(CAST(ROUND(user_id * 1000000) AS DECIMAL(38,0))) AS DOUBLE) / (CAST(COUNT(user_id) AS DOUBLE) * 1e6), 6),
                    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                    CAST(NULL AS DOUBLE)
             FROM events
@@ -2597,7 +2597,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((COUNT(*) - COUNT(value)) * 1.0 / COUNT(*), 6),
                    COUNT(DISTINCT value),
                    CAST(MIN(value) AS DOUBLE),
-                   CAST(MAX(value) AS DOUBLE), ROUND(AVG(value), 6),
+                   CAST(MAX(value) AS DOUBLE), ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS DECIMAL(38,0))) AS DOUBLE) / (CAST(COUNT(value) AS DOUBLE) * 1e6), 6),
                    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                    CAST(NULL AS DOUBLE)
             FROM events
@@ -3363,7 +3363,7 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents)
                   SELECT doc_id, lang, n_chars, sample_rank, cum_w
                   FROM r JOIN q USING (lang)
-                  WHERE cum_w - n_chars < quota_w)
+                  WHERE cum_w - n_chars < quota_w OR sample_rank = 1)
             UNION ALL
             SELECT 'shuf', doc_id, shard,
                    CAST(ROW_NUMBER() OVER (PARTITION BY shard
@@ -3865,7 +3865,7 @@ def oracle_sql() -> dict[str, str]:
             + " AS toks FROM s WHERE split = 'eval'),"
             " tsh AS (SELECT doc_id, unnest("
             + _SHINGLE5_SQL.format(t="toks") + ") AS sh FROM tt),"
-            " tsh2 AS (SELECT doc_id, sh FROM tsh WHERE sh <> ''),"
+            " tsh2 AS (SELECT DISTINCT doc_id, sh FROM tsh WHERE sh <> ''),"
             " esh0 AS (SELECT unnest(" + _SHINGLE5_SQL.format(t="toks")
             + ") AS sh FROM et),"
             " esh AS (SELECT DISTINCT sh FROM esh0 WHERE sh <> ''),"
@@ -3878,7 +3878,7 @@ def oracle_sql() -> dict[str, str]:
             "         WHERE s.split = 'train'),"
             " eshd AS (SELECT doc_id AS eval_id, unnest("
             + _SHINGLE5_SQL.format(t="toks") + ") AS sh FROM et),"
-            " eshd2 AS (SELECT eval_id, sh FROM eshd WHERE sh <> ''),"
+            " eshd2 AS (SELECT DISTINCT eval_id, sh FROM eshd WHERE sh <> ''),"
             " pair AS (SELECT t.doc_id, e.eval_id,"
             "                 CAST(COUNT(*) AS BIGINT) AS pov"
             "          FROM tsh2 t JOIN eshd2 e USING (sh)"
@@ -3888,9 +3888,9 @@ def oracle_sql() -> dict[str, str]:
             "                PARTITION BY doc_id"
             "                ORDER BY pov DESC, eval_id) AS rn FROM pair)"
             "         WHERE rn = 1),"
-            " tot AS (SELECT doc_id, CAST(len(list_filter("
+            " tot AS (SELECT doc_id, CAST(len(list_distinct(list_filter("
             + _SHINGLE5_SQL.format(t="toks")
-            + ", x -> x <> '')) AS BIGINT) AS n_total FROM tt)"
+            + ", x -> x <> ''))) AS BIGINT) AS n_total FROM tt)"
             " SELECT 'exact' AS tag, *,"
             "        CAST(NULL AS BIGINT) AS n_total,"
             "        CAST(NULL AS DOUBLE) AS frac_overlap,"

@@ -181,9 +181,12 @@ def main() -> None:
         # exchange + per-shard window sorts — wall must grow ~linearly
         # in rows (flat rows/s), never superlinearly (a global
         # single-partition sort would).
+        # .first() (NOT .count()) so max(pos) is actually computed —
+        # count-of-one-aggregate-row lets the optimizer prune the
+        # window, exchange and md5 projection to an empty plan
         r["global_shuffle"] = timed(
             lambda: global_shuffle(d, "doc_id", num_shards=32)
-            .agg(F.max("pos")).count())
+            .agg(F.max("pos")).first())
         # Count-Min sketch (r7): input tokens grow 10x but the sketch
         # stays <= depth*width CELLS at any corpus size — wall grows
         # ~linearly in the scan, the shuffle is fixed-size.

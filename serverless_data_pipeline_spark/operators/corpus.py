@@ -943,8 +943,11 @@ def token_budget_mix(df: DataFrame, group_col: str, id_col: str,
                          F.lit(target_weight).cast("double")
                          if target_weight is not None
                          else F.sum("__w").over(w_all))
-             .withColumn("__p", F.pow(F.col("__w"),
-                                      F.lit(float(alpha))) / wsum)
+             # try_divide: with EVERY group zero-weight wsum is 0 and
+             # ANSI plain division would kill the job; NULL quotas fall
+             # through to the rank-1 keep below
+             .withColumn("__p", F.try_divide(
+                 F.pow(F.col("__w"), F.lit(float(alpha))), wsum))
              .withColumn("quota_w",
                          F.round(F.col("__p") * F.col("__target"), 6))
              .select(group_col, "quota_w"))
@@ -958,9 +961,17 @@ def token_budget_mix(df: DataFrame, group_col: str, id_col: str,
             .withColumn("cum_weight",
                         F.sum(F.coalesce(F.col(weight_col),
                                          F.lit(0))).over(w_rank))
-            .filter((F.col("cum_weight")
-                     - F.coalesce(F.col(weight_col), F.lit(0)))
-                    < F.col("quota_w")))
+            .filter(((F.col("cum_weight")
+                      - F.coalesce(F.col(weight_col), F.lit(0)))
+                     < F.col("quota_w"))
+                    # a zero-weight group has quota_w 0 (and with ALL
+                    # groups zero-weight, 0/0 -> NULL quotas): the
+                    # first-fit test alone would silently drop the
+                    # whole group — keep rank 1 unconditionally so the
+                    # documented every-group-keeps->=1 law holds (for
+                    # any positive quota rank 1 already passes, so
+                    # this changes nothing else)
+                    | (F.col("sample_rank") == 1)))
 
 
 def repeat_by_epochs(df: DataFrame, group_col: str, id_col: str,

@@ -301,6 +301,12 @@ def bootstrap_corpus(spark, batch: DataFrame, corpus_path: str,
                                  shingle_n=shingle_n,
                                  num_hashes=num_hashes, bands=bands,
                                  within_batch=within_batch)
+    # compute ONCE: the survivors write below and whatever the caller
+    # does with the returned frame (maintenance_stream writes the
+    # verdict audit log) must share one execution of the within-batch
+    # dedup — un-checkpointed, the pair graph + CC would re-run per
+    # consumer (the non-bootstrap tick checkpoints for the same reason)
+    verdicts = verdicts.localCheckpoint(eager=True)
     survivors = verdicts.filter(F.col("drop_reason").isNull()) \
         .drop("drop_reason")
     survivors.write.mode("overwrite").parquet(corpus_path)

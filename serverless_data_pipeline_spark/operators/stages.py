@@ -155,6 +155,12 @@ _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double",
                      "float", "decimal")
 
 
+def _is_numeric_dtype(dt: str) -> bool:
+    # "interval day" startswith "int" — intervals are not castable to
+    # double and must not take the numeric min/max/avg path
+    return dt.startswith(_NUMERIC_PREFIXES) and not dt.startswith("interval")
+
+
 def profile_columns(df: DataFrame, columns: list[str] | None = None, *,
                     approx_distinct: bool = False,
                     rsd: float = 0.05) -> DataFrame:
@@ -171,7 +177,12 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, *,
       error ``rsd``) — the 100 TB path: exact multi-column distincts
       expand the scan once per column, the sketch path is one pass
       with constant memory
-    - ``vmin``/``vmax``/``vavg`` (doubles) for numeric columns
+    - ``vmin``/``vmax``/``vavg`` (doubles) for numeric columns —
+      ``vavg`` is quantized to micro-units and accumulated exactly in
+      DECIMAL(38,0), so it is partition-order-independent (a plain
+      double avg can flip its round-6 at a tie depending on merge
+      order); values beyond the decimal's micro-unit range drop out of
+      the mean deterministically
     - ``smin``/``smax`` (strings) for string columns
     Date/timestamp/complex columns profile counts + distinct only —
     their min/max stay NULL rather than transiting an engine-specific
@@ -194,10 +205,19 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, *,
         aggs.append(F.count(c).alias(f"__nn_{c}"))
         aggs.append((F.approx_count_distinct(c, rsd) if approx_distinct
                      else F.countDistinct(c)).alias(f"__nd_{c}"))
-        if dt.startswith(_NUMERIC_PREFIXES):
+        if _is_numeric_dtype(dt):
             aggs.append(F.min(c).cast("double").alias(f"__mn_{c}"))
             aggs.append(F.max(c).cast("double").alias(f"__mx_{c}"))
-            aggs.append(F.round(F.avg(c), 6).alias(f"__av_{c}"))
+            # vavg: micro-unit integers accumulated EXACTLY (a plain
+            # double avg's last ulp depends on partition merge order,
+            # which can flip the round-6 at a tie — the same discipline
+            # as flag_outliers/lm_score); values beyond DECIMAL(38,0)
+            # micro-units drop out of the mean deterministically
+            aggs.append(F.round(
+                F.sum(F.round(F.col(c) * 1_000_000)
+                      .try_cast("decimal(38,0)")).cast("double")
+                / (F.count(c).cast("double") * 1e6), 6)
+                .alias(f"__av_{c}"))
         elif dt == "string":
             aggs.append(F.min(c).alias(f"__smn_{c}"))
             aggs.append(F.max(c).alias(f"__smx_{c}"))
@@ -207,7 +227,7 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None, *,
     rows = []
     for c in cols:
         dt = dtypes[c]
-        num, s = dt.startswith(_NUMERIC_PREFIXES), dt == "string"
+        num, s = _is_numeric_dtype(dt), dt == "string"
         rows.append(F.struct(
             F.lit(c).alias("column"),
             F.col("__n").cast("long").alias("n_rows"),

@@ -929,3 +929,23 @@ def test_pack_bins_laws_on_fixture(spark):
         pack_bins(docs, "doc_id", "text", budget=0)
     with pytest.raises(ValueError):
         pack_bins(docs, "doc_id", "text", strategy="worst_fit")
+
+
+def test_token_budget_mix_zero_weight_group_keeps_one(spark):
+    """The every-group-keeps->=1 law survives zero-weight groups: a
+    group whose weights are all 0/NULL gets quota 0 (and with ALL
+    groups zeroed, NULL) — rank 1 must still be kept."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        token_budget_mix,
+    )
+    rows = [("a", 1, 100), ("a", 2, 100), ("z", 3, 0), ("z", 4, None)]
+    df = spark.createDataFrame(rows, "g string, doc_id long, w long")
+    out = token_budget_mix(df, "g", "doc_id", "w", alpha=0.3)
+    kept = {r.g for r in out.collect()}
+    assert "z" in kept and "a" in kept
+    assert out.filter("g = 'z'").count() >= 1
+    # all-zero corpus: quotas are NULL, rank 1 per group still kept
+    allz = spark.createDataFrame(
+        [("a", 1, 0), ("b", 2, 0)], "g string, doc_id long, w long")
+    out2 = token_budget_mix(allz, "g", "doc_id", "w", alpha=0.3)
+    assert {r.g for r in out2.collect()} == {"a", "b"}

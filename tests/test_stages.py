@@ -247,3 +247,24 @@ def test_flag_outliers_null_key_and_overflow(spark):
     assert len(nk) == 2 and all(not r.is_outlier for r in nk)
     # the overflow row is excluded from the exact accumulators
     assert out.filter("k = 'a'").first().n_g == 3
+
+
+def test_profile_columns_interval_and_exact_avg(spark):
+    """'interval day to second' startswith 'int' but must NOT take the
+    numeric min/max/avg path (the cast to double would fail); vavg is
+    micro-unit exact so it can't flip at a round-6 tie with partition
+    order."""
+    from serverless_data_pipeline_spark.operators.stages import (
+        profile_columns,
+    )
+    df = (spark.range(7)
+          .withColumn("ts", F.current_timestamp())
+          .withColumn("gap", F.col("ts") - F.col("ts"))
+          .withColumn("v", F.col("id") * 0.5))
+    out = {r.column: r for r in profile_columns(df).collect()}
+    assert out["gap"].vavg is None and out["gap"].vmin is None
+    assert out["v"].vavg == 1.5        # exact: (0+.5+...+3)/7
+    # partition-order independence of the exact accumulation
+    out13 = {r.column: r.vavg
+             for r in profile_columns(df.repartition(13)).collect()}
+    assert out13["v"] == out["v"].vavg
