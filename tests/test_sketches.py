@@ -91,3 +91,47 @@ def test_cms_estimate_row_preserving(spark):
     assert sorted((-1 if r.est is None else r.est) for r in rows) \
         == [-1, 3, 3]
     assert [r.est for r in rows if r.t is None] == [None]
+
+
+def test_cms_streaming_merge_equals_batch(spark, tmp_path):
+    """The mergeable-summary contract under REAL streaming execution:
+    each micro-batch builds its own CMS via foreachBatch and appends
+    the cells; the n-way merge of the per-batch sketches (groupBy-sum,
+    the associative form of cms_merge) must equal the sketch built in
+    one batch pass over the same data — so a 100 TB corpus's frequency
+    stats can be maintained per-landing without rescanning history."""
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("t", T.StringType())])
+    src = str(tmp_path / "src")
+    sk_dir = str(tmp_path / "sk")
+    rows = [(f"tok{i % 17}",) for i in range(300)]
+    df = spark.createDataFrame(rows, schema)
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    kw = dict(depth=3, width=256)
+
+    n_batches = []
+
+    def _tick(batch_df, bid):
+        n_batches.append(bid)
+        cms_build(batch_df, "t", **kw).write.mode("append").parquet(sk_dir)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(_tick)
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2          # genuinely incremental merge
+    merged = (spark.read.parquet(sk_dir)
+              .groupBy("row", "col")
+              .agg(F.sum("cnt").cast("long").alias("cnt")))
+    direct = cms_build(spark.read.parquet(src), "t", **kw)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, direct.collect()))
+    items = spark.createDataFrame([(f"tok{i}",) for i in range(17)],
+                                  schema)
+    est = {r.t: r.est for r in cms_estimate(merged, items, "t",
+                                            **kw).collect()}
+    true = {f"tok{i}": len([1 for j in range(300) if j % 17 == i])
+            for i in range(17)}
+    assert all(est[k] >= v for k, v in true.items())
