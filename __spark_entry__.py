@@ -2363,7 +2363,21 @@ def _q_x13_lm_score(spark, sf):
                   .alias("tag"), "doc_id",
                   F.lit(None).cast("long").alias("n"),
                   F.col("lm_logp").alias("score")))
-    return lm.unionAll(ft).unionAll(bk)
+    # dsir arm (r7 session 5): DSIR domain-targeted selection — weight =
+    # log-ratio of the en-subcorpus-trained LM vs the self-trained LM,
+    # keep = top keep_frac by in-plan percentile threshold; the WHOLE
+    # decision (weight + kept flag, riding the tag) is value-checked
+    from serverless_data_pipeline_spark.operators.text import dsir_select
+    dsir = (dsir_select(docs, docs.filter(F.col("lang") == "en"),
+                        "doc_id", "text", keep_frac=0.25)
+            .filter(F.col("dsir_weight").isNotNull())
+            .select(F.concat(F.lit("dsir_"),
+                             F.when(F.col("dsir_kept"), F.lit("keep"))
+                             .otherwise(F.lit("drop"))).alias("tag"),
+                    "doc_id",
+                    F.lit(None).cast("long").alias("n"),
+                    F.col("dsir_weight").alias("score")))
+    return lm.unionAll(ft).unionAll(bk).unionAll(dsir)
 
 
 def _q_x12_segment_dedup(spark, sf):
@@ -3540,7 +3554,36 @@ def oracle_sql() -> dict[str, str]:
                    FROM lp GROUP BY doc_id),
             qth AS (SELECT round(quantile_cont(score, 0.25), 6) AS q1,
                            round(quantile_cont(score, 0.75), 6) AS q2
-                    FROM lmsc)
+                    FROM lmsc),
+            -- DSIR arm: a SECOND bigram LM trained on the en
+            -- sub-corpus only, scoring ALL docs; weight = log-ratio
+            -- vs the self-model, keep = top 25% by exact percentile
+            en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            tc12 AS (SELECT w1, w2, COUNT(*) AS c12
+                     FROM flat JOIN en USING (doc_id)
+                     GROUP BY w1, w2),
+            tc1 AS (SELECT w1, COUNT(*) AS c1
+                    FROM flat JOIN en USING (doc_id) GROUP BY w1),
+            tv AS (SELECT COUNT(DISTINCT w) AS v
+                   FROM (SELECT unnest(t) AS w
+                         FROM toks JOIN en USING (doc_id))),
+            tlp AS (SELECT f.doc_id,
+                           round(log2((COALESCE(tc12.c12, 0) + 0.5)
+                                      / (COALESCE(tc1.c1, 0)
+                                         + 0.5 * tv.v)), 6) AS lp
+                    FROM flat f
+                    LEFT JOIN tc12 USING (w1, w2)
+                    LEFT JOIN tc1 USING (w1)
+                    CROSS JOIN tv),
+            tsc AS (SELECT doc_id,
+                   (CAST(SUM(CAST(round(lp * 1000000) AS BIGINT)) AS DOUBLE)
+                    / (COUNT(*) * 1000000.0)) AS tscore
+                    FROM tlp GROUP BY doc_id),
+            wts AS (SELECT l.doc_id,
+                           round(t.tscore - l.score, 6) AS w
+                    FROM lmsc l JOIN tsc t USING (doc_id)),
+            wth AS (SELECT round(quantile_cont(w, 0.75), 6) AS th
+                    FROM wts)
             SELECT 'lm' AS tag, doc_id, n, score FROM lmsc
             UNION ALL
             SELECT concat('bucket_',
@@ -3562,7 +3605,12 @@ def oracle_sql() -> dict[str, str]:
                                      AS UBIGINT) % {_QW_B} AS INT) + 1]),
                             'sum') AS DOUBLE) / (len(t) * 1000000.0)
                        ELSE 0.0 END))), 6) AS score
-            FROM toks""",
+            FROM toks
+            UNION ALL
+            SELECT concat('dsir_', CASE WHEN w >= th THEN 'keep'
+                                        ELSE 'drop' END) AS tag,
+                   doc_id, CAST(NULL AS BIGINT) AS n, w AS score
+            FROM wts CROSS JOIN wth""",
         "x12_segment_dedup": f"""
             WITH toks AS (SELECT doc_id,
                                  {_TOKENS_SQL.format(c='text')} AS t

@@ -227,6 +227,58 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
                   / (F.count("*") * F.lit(1000000.0))).alias("lm_logp")))
 
 
+def dsir_select(df: DataFrame, target: DataFrame,
+                id_col: str = "doc_id", text_col: str = "text", *,
+                keep_frac: float = 0.25, add_k: float = 0.5,
+                exact: bool = True) -> DataFrame:
+    """DSIR-style domain-targeted data selection (Xie et al., NeurIPS
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): pick raw documents whose n-gram distribution looks
+    like a TARGET domain. Each doc's importance weight is the
+    log-likelihood ratio ``log2 P_target(doc) - log2 P_raw(doc)`` under
+    two add-k bigram LMs (the same ``lm_score`` model, trained once on
+    the target corpus and once on the raw corpus itself — the paper's
+    hashed-n-gram feature models, with the bigram table in their
+    place). Selection keeps the top ``keep_frac`` by weight — the
+    deterministic zero-temperature limit of the paper's importance
+    resampling, which makes the whole decision value-checkable.
+
+    Returns ``df`` + ``dsir_weight`` (round-6, NULL for docs with no
+    bigram evidence) + ``dsir_kept`` (weight >= the in-plan
+    ``1 - keep_frac`` percentile threshold; never-scored docs are not
+    kept — gate them separately). Flags, not drops — compose with a
+    filter, like ``decontaminate``.
+
+    Scale shape: two ``lm_score`` passes over ``df`` (the target-model
+    pass broadcasts its count tables when the target is a bounded
+    domain sample — the DSIR setting; the raw self-model keys two
+    shuffles, linear) plus ONE aggregate-row threshold broadcast back
+    (the ``quantile_buckets`` discipline: no driver round trip, no
+    global sort window; ``exact=False`` switches to the bounded-memory
+    percentile sketch at 100 TB)."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    t = (lm_score(df, id_col, text_col, ref=target, add_k=add_k)
+         .select(id_col, F.col("lm_logp").alias("__lt")))
+    r = (lm_score(df, id_col, text_col, add_k=add_k)
+         .select(id_col, F.col("lm_logp").alias("__lr")))
+    w = (t.join(r, id_col)
+         .select(F.col(id_col),
+                 F.round(F.col("__lt") - F.col("__lr"), 6)
+                 .alias("dsir_weight")))
+    q = 1.0 - keep_frac
+    th_expr = (F.expr(f"percentile(dsir_weight, {q!r})") if exact
+               else F.expr(f"approx_percentile(dsir_weight, {q!r}, "
+                           "10000)"))
+    th = w.agg(F.round(th_expr, 6).alias("__th"))
+    w = w.crossJoin(F.broadcast(th))
+    return (df.join(w, id_col, "left")
+            .withColumn("dsir_kept",
+                        F.coalesce(F.col("dsir_weight") >= F.col("__th"),
+                                   F.lit(False)))
+            .drop("__th"))
+
+
 def default_quality_weights(n_buckets: int = 512,
                             seed: int = 1234) -> list[float]:
     """The committed stand-in weight vector for classifier_quality_score:

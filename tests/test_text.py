@@ -404,3 +404,64 @@ def test_train_quality_classifier_end_to_end(spark):
     bad_scores = [scored[100 + i] for i in range(8)]
     assert min(good_scores) > max(bad_scores)
     assert min(good_scores) > 0.7 and max(bad_scores) < 0.3
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """DSIR law: docs written in the target domain's vocabulary get
+    higher importance weights than out-of-domain docs and are the ones
+    kept at keep_frac; never-scored docs (no bigram) are flagged not
+    kept, not dropped from the frame."""
+    from serverless_data_pipeline_spark.operators.text import dsir_select
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+        "doc_id long, text string")
+    rows = ([(i, "alpha beta gamma delta") for i in range(4)]
+            + [(10 + i, "red green blue yellow purple") for i in range(12)]
+            + [(50, "solo")])          # single token: no bigram evidence
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_select(df, target, keep_frac=0.25)
+    assert out.count() == 17           # row-preserving flag semantics
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[50].dsir_weight is None and not got[50].dsir_kept
+    kept = {i for i, r in got.items() if r.dsir_kept}
+    assert kept == {0, 1, 2, 3}        # exactly the target-like quarter
+    w_in = min(got[i].dsir_weight for i in range(4))
+    w_out = max(got[10 + i].dsir_weight for i in range(12))
+    assert w_in > w_out
+    # keep_frac=1 keeps every scored doc; invalid fracs raise
+    all_kept = dsir_select(df, target, keep_frac=1.0)
+    assert all_kept.filter("dsir_weight is not null and not dsir_kept") \
+        .count() == 0
+    import pytest
+    with pytest.raises(ValueError):
+        dsir_select(df, target, keep_frac=0.0)
+
+
+def test_dsir_select_approx_mode_agrees_on_separated_data(spark):
+    """exact=False (percentile sketch) — the 100 TB path — must keep
+    every target-like doc; the nearest-rank threshold may admit at most
+    the single boundary doc beyond the exact-interpolation cut (and
+    with a mass point AT the threshold it admits the whole tie class —
+    a distribution property, not a sketch error, so the fixture keeps
+    every out-of-domain weight distinct and strictly negative; i+3
+    repetitions, not i+2, because at i+2 the w0-doc's add-k score is
+    (0.5)/(0.5*6) under the target model and (1.5)/(1+0.5*16) under
+    the raw model — both exactly 0.375 — a smoothing coincidence that
+    would tie it with the in-domain docs at weight 0)."""
+    from serverless_data_pipeline_spark.operators.text import dsir_select
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string")
+    rows = ([(i, "alpha beta gamma delta") for i in range(4)]
+            + [(10 + i, (f"w{i} " * (i + 3)).strip())
+               for i in range(12)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact_kept = {r.doc_id
+                  for r in dsir_select(df, target, keep_frac=0.25)
+                  .filter("dsir_kept").collect()}
+    approx_kept = {r.doc_id
+                   for r in dsir_select(df, target, keep_frac=0.25,
+                                        exact=False)
+                   .filter("dsir_kept").collect()}
+    assert exact_kept == {0, 1, 2, 3}
+    assert approx_kept >= exact_kept and len(approx_kept) <= 5
