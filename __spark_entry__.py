@@ -2388,11 +2388,24 @@ def _q_x12_segment_dedup(spark, sf):
     — an 8-token window with stride 1, so a duplicated run is excised at
     ANY alignment, including the boundary-straddling copies the fixed
     grain misses. Rebuilt text is md5-checked against the oracle for
-    both variants; n_units is segments vs tokens respectively."""
+    both variants; n_units is segments vs tokens respectively.
+    `dupfrac` (r7): the cross-document duplicated-5-gram fraction
+    (Lee et al. 2022 §5 corpus-health metric, `duplicate_ngram_fraction`)
+    — n_units carries each doc's distinct-5-gram count, n_kept the
+    shared-with-another-doc count, so the round-6 fraction is fully
+    determined by the value-checked pair."""
     from serverless_data_pipeline_spark.operators.corpus import (
         passage_dedup, segment_dedup,
     )
+    from serverless_data_pipeline_spark.operators.dedup import (
+        duplicate_ngram_fraction,
+    )
     docs = _t(spark, sf, "documents")
+    dup = (duplicate_ngram_fraction(docs, "doc_id", "text", n=5)
+           .select(F.lit("dupfrac").alias("variant"), "doc_id",
+                   F.lit(None).cast("string").alias("text_fp"),
+                   F.col("n_ngrams").cast("int").alias("n_units"),
+                   F.col("dup_ngrams").cast("int").alias("n_kept")))
     seg = (segment_dedup(docs, "doc_id", "text", segment_words=10)
            .select(F.lit("segment").alias("variant"), "doc_id",
                    F.md5("text").alias("text_fp"),
@@ -2404,7 +2417,7 @@ def _q_x12_segment_dedup(spark, sf):
                    F.col("n_tokens").cast("int").alias("n_units"),
                    (F.col("n_tokens") - F.col("n_removed")).cast("int")
                     .alias("n_kept")))
-    return seg.unionByName(pas)
+    return seg.unionByName(pas).unionByName(dup)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3670,7 +3683,28 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(tok, ' ' ORDER BY tp)) AS text_fp,
                    CAST(n_tokens AS INTEGER) AS n_units,
                    CAST(COUNT(*) AS INTEGER) AS n_kept
-            FROM kept GROUP BY doc_id, n_tokens""",
+            FROM kept GROUP BY doc_id, n_tokens
+            UNION ALL
+            -- dupfrac arm: per-doc DISTINCT 5-grams, doc-frequency >= 2
+            -- means shared with another doc (per-doc multiplicity is
+            -- collapsed first, mirroring array_distinct); row-preserving
+            -- LEFT JOIN so shingle-less docs emit (0, 0)
+            SELECT 'dupfrac' AS variant, d.doc_id,
+                   CAST(NULL AS VARCHAR) AS text_fp,
+                   CAST(COALESCE(dpf.nng, 0) AS INTEGER) AS n_units,
+                   CAST(COALESCE(dpf.dng, 0) AS INTEGER) AS n_kept
+            FROM documents d
+            LEFT JOIN (
+                WITH sh5 AS (SELECT doc_id,
+                                    unnest(list_filter(
+                                        {_SHINGLE5_SQL.format(t='t')},
+                                        x -> x <> '')) AS s
+                             FROM toks),
+                     dfc AS (SELECT s, COUNT(*) AS dc FROM sh5 GROUP BY s)
+                SELECT doc_id, COUNT(*) AS nng,
+                       COUNT(*) FILTER (WHERE dc >= 2) AS dng
+                FROM sh5 JOIN dfc USING (s) GROUP BY doc_id
+            ) dpf USING (doc_id)""",
         "streaming_ops_suite": """
             SELECT 'good' AS kind, CAST(event_id AS BIGINT) AS event_id,
                    CAST(user_id AS BIGINT) AS user_id, event_type,

@@ -27,7 +27,7 @@ __all__ = [
     "simhash", "simhash_pairs", "ngram_jaccard_pairs",
     "embedding_neardup_pairs", "semantic_dedup", "neardup_components",
     "dedupe_by_components", "lsh_plan", "corpus_jaccard",
-    "corpus_jaccard_minhash",
+    "corpus_jaccard_minhash", "duplicate_ngram_fraction",
 ]
 
 
@@ -989,3 +989,51 @@ def corpus_jaccard_minhash(a: DataFrame, b: DataFrame,
         return None
     return sum(1 for x, y in zip(sa, sb)
                if x == y and x is not None) / float(num_hashes)
+
+
+def duplicate_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", *,
+                             n: int = 5) -> DataFrame:
+    """Cross-document duplicated-n-gram fraction (the corpus-health
+    metric of Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" §5 / the Gopher rules' train-set variant):
+    for each document, the fraction of its DISTINCT word n-grams that
+    occur in at least one OTHER document. High values flag boilerplate
+    and syndicated content that per-doc repetition signals
+    (``repetition_signals``) cannot see, and the corpus-level mean is
+    the standard before/after-dedup report number.
+
+    Returns ``df`` + ``n_ngrams`` (distinct n-grams in the doc),
+    ``dup_ngrams`` (those shared with another doc) and
+    ``dup_ngram_frac`` (round-6 ratio; NULL when the doc has no
+    n-grams). A shingle is "shared" iff its doc-frequency >= 2 —
+    per-doc multiplicity is collapsed BEFORE counting (array_distinct,
+    narrow) so a doc repeating its own phrase doesn't flag itself.
+
+    Scale shape: distinct shingles explode to (doc, hash64) rows —
+    two keyed shuffles (doc-frequency groupBy with map-side combine,
+    then the flag join back on the hash) plus one doc-grain groupBy;
+    never pairwise, never a driver round-trip. Shingles travel as
+    xxhash64 longs, not strings (8-byte shuffle keys; the same
+    collision trade ``corpus_jaccard`` documents). The hot-key join
+    (a boilerplate shingle shared by millions of docs) is
+    many-left-rows x one-right-row — AQE skew-split handles it."""
+    sh = (df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(
+                shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+          .select(F.col(id_col), F.xxhash64("__sh").alias("__h")))
+    dc = sh.groupBy("__h").agg(F.count("*").alias("__dc"))
+    per = (sh.join(dc, "__h")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_ngrams"),
+                F.count(F.when(F.col("__dc") >= 2, 1)).alias("dup_ngrams")))
+    return (df.join(per, id_col, "left")
+            .withColumn("n_ngrams",
+                        F.coalesce("n_ngrams", F.lit(0).cast("long")))
+            .withColumn("dup_ngrams",
+                        F.coalesce("dup_ngrams", F.lit(0).cast("long")))
+            .withColumn("dup_ngram_frac",
+                        F.when(F.col("n_ngrams") > 0,
+                               F.round(F.col("dup_ngrams")
+                                       / F.col("n_ngrams"), 6))))

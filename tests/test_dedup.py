@@ -444,3 +444,38 @@ def test_corpus_jaccard_minhash_empty_inputs(spark):
     one = spark.createDataFrame([("one two three four",)], "text string")
     assert corpus_jaccard_minhash(empty, empty, num_hashes=16) is None
     assert corpus_jaccard_minhash(empty, one, num_hashes=16) == 0.0
+
+
+def test_duplicate_ngram_fraction_laws(spark):
+    """Lee-et-al dup-ngram metric: exact copies score 1.0, a half-shared
+    doc scores its shared window count, unique docs 0.0; a doc repeating
+    its OWN phrase does not self-flag (per-doc distinct first); a doc
+    too short for any 5-gram gets the whole-text degenerate shingle; an
+    empty doc is row-preserved with (0, 0, NULL)."""
+    from serverless_data_pipeline_spark.operators.dedup import (
+        duplicate_ngram_fraction,
+    )
+    shared = "one two three four five six"          # 2 distinct 5-grams
+    rows = [
+        (0, shared),                                 # dup of 1 -> frac 1.0
+        (1, shared),
+        (2, shared + " unique tail words here"),     # shares 2 of 6
+        (3, "totally different text with no overlap at all ok"),
+        (4, "echo echo echo echo echo echo echo echo"),  # self-repeat only
+        (5, "short text"),                           # whole-text shingle
+        (6, ""),                                     # no tokens
+    ]
+    out = {r.doc_id: r for r in duplicate_ngram_fraction(
+        spark.createDataFrame(rows, "doc_id long, text string"))
+        .collect()}
+    assert len(out) == 7
+    assert out[0].dup_ngram_frac == 1.0 and out[1].dup_ngram_frac == 1.0
+    assert out[2].n_ngrams == 6 and out[2].dup_ngrams == 2
+    assert out[2].dup_ngram_frac == round(2 / 6, 6)
+    assert out[3].dup_ngrams == 0 and out[3].dup_ngram_frac == 0.0
+    # doc 4: 8 tokens of 'echo' -> every 5-gram identical -> ONE distinct
+    # shingle, shared with nobody else -> not self-flagged
+    assert out[4].n_ngrams == 1 and out[4].dup_ngrams == 0
+    assert out[5].n_ngrams == 1                      # degenerate shingle
+    assert out[6].n_ngrams == 0 and out[6].dup_ngrams == 0
+    assert out[6].dup_ngram_frac is None
