@@ -1840,7 +1840,13 @@ def _q_x2_dedup_clusters(spark, sf):
     alternating large-star/small-star contraction (the 100x-density
     scale path). The pair list is computed ONCE and checkpointed — the
     `pairs` arm and both CC algorithms read the same 2-column leaf, so
-    the union costs one pair-gen plus two (cheap) CC runs. Oracle:
+    the union costs one pair-gen plus two (cheap) CC runs. `pagerank`
+    (r7): 5 fixed iterations of integer-micro-unit PageRank over the
+    SAME symmetrized pair graph (`operators/graph.py`) — the centrality
+    signal that ranks each duplication component's template/boilerplate
+    hub, and the host-curation kernel in miniature; the oracle unrolls
+    the five iterations as plain CTEs, so every message-passing round
+    is value-checked, not just the fixpoint. Oracle:
     DuckDB computes the identically-capped pair SQL (with Jaccard) and a
     recursive-CTE transitive closure over it, emitted once per algo tag
     — both algorithms are driver-verified against it, not just
@@ -1864,7 +1870,15 @@ def _q_x2_dedup_clusters(spark, sf):
             .select(F.lit("star").alias("algo"),
                     F.col("id").alias("id_a"),
                     F.col("component_id").alias("id_b"), nmetric))
-    return pair_rows.unionAll(label).unionAll(star)
+    from serverless_data_pipeline_spark.operators.graph import pagerank
+    pr = (pagerank(pairs.select(F.col("id_a").alias("src"),
+                                F.col("id_b").alias("dst")),
+                   undirected=True, iters=5)
+          .select(F.lit("pagerank").alias("algo"),
+                  F.col("id").alias("id_a"),
+                  F.lit(None).cast("long").alias("id_b"),
+                  F.col("rank").alias("metric")))
+    return pair_rows.unionAll(label).unionAll(star).unionAll(pr)
 
 
 def _clusters_flavour(spark, sf, algorithm):
@@ -2503,6 +2517,36 @@ _QW_SQL = ("[" + ",".join(str(int(round(w * 1e6))) for w in _dqw(_QW_B))
            + "]::BIGINT[]")
 
 
+def _pagerank_ctes(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled PageRank iterations over the x2 `edges` CTE, mirroring
+    operators/graph.py EXACTLY: integer micro-unit ranks, per-edge
+    contributions rounded to BIGINT before the sum, and the float
+    literals injected via repr() so e.g. 1.0-0.85 is the same
+    0.15000000000000002 double both engines round with. The `+ 0` is
+    the dangling-share term, identically zero on a symmetrized graph."""
+    base = (f"{1.0 - damping!r} * 1000000.0 "
+            "/ CAST((SELECT n FROM nn) AS DOUBLE)")
+    ctes = [
+        "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT id, CAST(round(1000000.0 / (SELECT n FROM nn))"
+        " AS BIGINT) AS r FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""pr{t} AS (
+                SELECT n.id, CAST(round({base}
+                       + {damping!r} * CAST(COALESCE(i.s, 0) + 0 AS DOUBLE))
+                       AS BIGINT) AS r
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS id,
+                           SUM(CAST(round(p.r / d.dg) AS BIGINT)) AS s
+                    FROM edges e JOIN pr{t - 1} p ON e.src = p.id
+                    JOIN deg d ON e.src = d.src
+                    GROUP BY e.dst) i ON n.id = i.id)""")
+    return ",\n            ".join(ctes)
+
+
 _CLUSTERS_ORACLE = f"""
             WITH RECURSIVE t AS (SELECT doc_id,
                               {_TOKENS_SQL.format(c='text')} AS toks
@@ -2540,14 +2584,19 @@ _CLUSTERS_ORACLE = f"""
                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
             comp AS (SELECT src AS id_a,
                             LEAST(src, MIN(dst)) AS id_b
-                     FROM reach GROUP BY src)
+                     FROM reach GROUP BY src),
+            {_pagerank_ctes(iters=5, damping=0.85)}
             SELECT 'pairs' AS algo, id_a, id_b, jacc AS metric FROM pairs
             UNION ALL
             SELECT 'label' AS algo, id_a, id_b,
                    CAST(NULL AS DOUBLE) AS metric FROM comp
             UNION ALL
             SELECT 'star' AS algo, id_a, id_b,
-                   CAST(NULL AS DOUBLE) AS metric FROM comp"""
+                   CAST(NULL AS DOUBLE) AS metric FROM comp
+            UNION ALL
+            SELECT 'pagerank' AS algo, id AS id_a,
+                   CAST(NULL AS BIGINT) AS id_b,
+                   CAST(r AS DOUBLE) / 1000000.0 AS metric FROM pr5"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,100 @@
+"""Iterative graph operators (charter extension: corpus-graph analytics).
+
+Connected components live in ``operators/dedup.py`` (they are the dedup
+kernel); this module holds the OTHER message-passing workhorse a corpus
+pipeline runs over its derived graphs: fixed-iteration PageRank
+(Brin & Page 1998), the host/domain-centrality kernel crawl curation
+uses to prioritize sources (Common Crawl ranks hosts this way) and a
+useful canonical-document signal inside near-dup clusters (the
+highest-centrality node of a duplication component is the
+template/boilerplate hub).
+
+Scale design: each iteration is ONE hash join (ranks x edges on src)
+plus ONE map-side-combinable groupBy (inflow on dst) plus two scalar
+aggregates broadcast back — the Pregel shape, never materializing
+anything wider than (node, long). Ranks are lazily localCheckpoint'ed
+per iteration so the plan stays O(1) deep instead of O(iters).
+
+Determinism (the cross-engine and cross-partition-order contract):
+ranks live in integer MICRO-UNITS (bigint, 1.0 == 1_000_000). Every
+per-edge contribution is rounded to a long BEFORE the sum, so the only
+floating-point steps are single two-operand expressions whose operand
+order is fixed in the plan — partition order can never change a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+_SCALE = 1000000.0
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
+             iters: int = 5, damping: float = 0.85,
+             undirected: bool = False) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list. Returns one row per
+    node appearing in any edge: (id, rank), with Σ rank ≈ 1.
+
+    ``undirected=True`` symmetrizes the edge list first (each pair
+    becomes two directed edges) — the near-dup-pair-graph mode, where
+    no node can dangle. In directed mode, dangling-node mass (nodes
+    with no out-edges) is redistributed uniformly each iteration, the
+    standard correction.
+
+    Semantics, exactly (micro-unit longs; round = half-up):
+      r0(v)     = round(1e6 / N)
+      c(u->v)   = round(r_t(u) / outdeg(u))          per distinct edge
+      share_t   = round(Σ_dangling r_t(u) / N)
+      r_{t+1}(v)= round((1-d)*1e6/N + d*(Σ c(u->v) + share_t))
+    Self-loops are dropped; duplicate edges collapse to one. Isolated
+    nodes (no edges at all) are not ranked — union them in at
+    (1-d)/N + d*share/N yourself if the node universe is wider than
+    the edge list.
+
+    100 TB shape: the edge list is checkpointed once; each of the
+    ``iters`` rounds shuffles (node, long) pairs only — on a cluster,
+    pre-bucket edges by src so the per-iteration join is co-located
+    and only the inflow groupBy shuffles."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    e = (e.filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionAll(e.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint(eager=False))
+    n_df = nodes.agg(F.count("*").alias("__n"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    ranks = (nodes.crossJoin(F.broadcast(n_df))
+             .select("id", F.round(F.lit(_SCALE) / F.col("__n"))
+                     .cast("long").alias("__r")))
+    base = (F.lit(1.0 - damping) * F.lit(_SCALE)
+            / F.col("__n").cast("double"))
+    for _ in range(iters):
+        contrib = (e.join(ranks.withColumnRenamed("id", "src"), "src")
+                   .join(outdeg, "src")
+                   .select(F.col("dst").alias("id"),
+                           F.round(F.col("__r") / F.col("__deg"))
+                           .cast("long").alias("__c")))
+        inflow = contrib.groupBy("id").agg(F.sum("__c").alias("__in"))
+        dang = (ranks.join(outdeg.select(F.col("src").alias("id")),
+                           "id", "left_anti")
+                .agg(F.coalesce(F.sum("__r"), F.lit(0).cast("long"))
+                     .alias("__d")))
+        ranks = (nodes.join(inflow, "id", "left")
+                 .crossJoin(F.broadcast(n_df))
+                 .crossJoin(F.broadcast(dang))
+                 .select("id", F.round(
+                     base + F.lit(damping)
+                     * (F.coalesce(F.col("__in"), F.lit(0).cast("long"))
+                        + F.round(F.col("__d") / F.col("__n"))
+                        .cast("long")).cast("double"))
+                     .cast("long").alias("__r"))
+                 .localCheckpoint(eager=False))
+    return ranks.select(
+        "id", (F.col("__r").cast("double") / F.lit(_SCALE)).alias("rank"))
