@@ -1316,10 +1316,25 @@ def _q_x3_topk_similarity(spark, sf):
     array ops, ONE broadcast stats row, idf quantized to 6 decimals
     before the score so cross-engine ln jitter can't propagate, term
     sum in sorted order; TakeOrderedAndProject heap, never a global
-    sort). Columns harmonized to (mode, query_id, neighbor_id,
+    sort). `rp` (r7): Johnson-Lindenstrauss random projection
+    (`random_projection`, Achlioptas sparse {-1,0,+1} matrix, 64 -> 16)
+    — every vector's every projected component is value-checked
+    (query_id=vec_id, neighbor_id=component index, score=component;
+    integer-exact signed sums, so the check is equality, not
+    tolerance). Columns harmonized to (mode, query_id, neighbor_id,
     score)."""
+    from serverless_data_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
     from serverless_data_pipeline_spark.operators.text import bm25_topk
     e = _t(spark, sf, "embeddings")
+    rp = (random_projection(e, "embedding", 16, in_dim=64, seed=1234)
+          .select(F.lit("rp").alias("mode"),
+                  F.col("vec_id").alias("query_id"),
+                  F.posexplode("proj"))
+          .select("mode", "query_id",
+                  F.col("pos").cast("long").alias("neighbor_id"),
+                  F.col("col").alias("score")))
     queries_df = e.filter(F.col("vec_id") < 5)
     cos = (brute_force_topk_join(queries_df, e, "vec_id", "embedding",
                                  "vec_id", "embedding", k=10)
@@ -1337,7 +1352,7 @@ def _q_x3_topk_similarity(spark, sf):
                        .alias("neighbor_id"),
                        F.round("bm25", 6).alias("score")))
         bm = arm if bm is None else bm.unionAll(arm)
-    return cos.unionAll(bm)
+    return cos.unionAll(bm).unionAll(rp)
 
 
 def _q_x5_text_signals(spark, sf):
@@ -2471,6 +2486,41 @@ from serverless_data_pipeline_spark.operators.corpus import (  # noqa: E402
 _SHUF_SHARD_SQL = _hexlong("k", 8)
 
 
+def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64,
+                   seed: int = 1234) -> str:
+    """DuckDB mirror of random_projection for the x3 `rp` arm: the SAME
+    achlioptas_matrix constant, the SAME micro-unit quantization, the
+    SAME repr()-injected sqrt(3/k) literal — integer signed sums, so
+    the comparison is exact equality. Single pass: the 16 components
+    unnest from one struct list per vector."""
+    import math as _math
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        achlioptas_matrix,
+    )
+    mat = achlioptas_matrix(in_dim, out_dim, seed)
+    c = _math.sqrt(3.0 / out_dim)
+    comps = []
+    for j in range(out_dim):
+        terms = []
+        for i in range(in_dim):
+            if mat[i][j] == 1:
+                terms.append(f"+ v[{i + 1}]")
+            elif mat[i][j] == -1:
+                terms.append(f"- v[{i + 1}]")
+        s = " ".join(terms).lstrip("+ ") if terms else "CAST(0 AS BIGINT)"
+        comps.append(f"{{'j': CAST({j} AS BIGINT), "
+                     f"'p': CAST(ROUND({c!r} * CAST(({s}) AS DOUBLE) "
+                     f"/ 1000000.0, 6) AS DOUBLE)}}")
+    return (
+        "SELECT 'rp' AS mode, vec_id AS query_id, "
+        "u.j AS neighbor_id, u.p AS score "
+        "FROM (SELECT vec_id, unnest([" + ", ".join(comps) + "]) AS u "
+        "FROM (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v "
+        "FROM embeddings))")
+
+
 def _bm25_oracle_sql(qid: int, query: str) -> str:
     """DuckDB BM25 for one query, mirroring bm25_topk's expression
     STRUCTURE exactly (same parenthesization, same sorted-term sum
@@ -3105,7 +3155,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL ("""
             + _bm25_oracle_sql(0, "spark join order window")
             + ") UNION ALL ("
-            + _bm25_oracle_sql(1, "merge sort key table scan") + ")",
+            + _bm25_oracle_sql(1, "merge sort key table scan")
+            + ") UNION ALL (" + _rp_oracle_sql() + ")",
         "x2_dedup_clusters": _CLUSTERS_ORACLE,
         "x7_corpus_exact": f"""
             WITH RECURSIVE

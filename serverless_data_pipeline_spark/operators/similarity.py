@@ -46,7 +46,8 @@ __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "assign_ivf_cells", "ivf_topk_indexed",
            "train_ivf_centroids", "add_sign_lsh_buckets", "group_centroids",
            "train_pq_codebooks", "pq_encode", "pq_topk",
-           "build_ivfpq_index", "ivfpq_topk"]
+           "build_ivfpq_index", "ivfpq_topk",
+           "achlioptas_matrix", "random_projection"]
 
 
 def _lit_vec(vec: list[float]):
@@ -575,3 +576,67 @@ def ivfpq_topk(index: DataFrame, vectors: DataFrame | None,
                        F.round(_np_cosine(vec_col, query_vec), 6)
                         .alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k))
+
+
+def achlioptas_matrix(in_dim: int, out_dim: int,
+                      seed: int = 1234) -> list[list[int]]:
+    """The committed sparse Johnson-Lindenstrauss projection matrix
+    (Achlioptas 2003, "Database-friendly random projections"): entries
+    s_ij in {+1, 0, -1} with probabilities {1/6, 2/3, 1/6}, derived
+    deterministically from md5(seed:i:j) — the same constant is
+    reproducible anywhere (Python, SQL generation, a future reader),
+    no RNG state involved. The 1/sqrt? scaling sqrt(3/out_dim) is
+    applied by the projection, not stored here."""
+    import hashlib
+    mat = []
+    for i in range(in_dim):
+        row = []
+        for j in range(out_dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[:8],
+                "big")
+            r = h % 6
+            row.append(1 if r == 0 else (-1 if r == 1 else 0))
+        mat.append(row)
+    return mat
+
+
+def random_projection(df: DataFrame, vec_col: str, out_dim: int, *,
+                      in_dim: int = 64, seed: int = 1234,
+                      out_col: str = "proj") -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with the sparse
+    Achlioptas matrix: proj_j = sqrt(3/out_dim) * Σ_i s_ij * v_i, with
+    s in {+1,0,-1}. Pairwise distances/inner products are preserved to
+    ~1/sqrt(out_dim) relative error — the standard pre-step before ANN
+    indexing when the raw embedding dim makes bucket/codebook work
+    expensive (project 1024 -> 64, index the projections, re-rank the
+    shortlist on raw vectors).
+
+    Exact cross-engine determinism: v quantizes to micro-unit BIGINTs
+    (round half-up), the signed sum is pure integer arithmetic (order-
+    free), and only the final scale is one float expression — so the
+    projection is value-checkable, not approximately-checkable. The
+    whole thing is ONE generated SQL projection (no Python in the row
+    path, no shuffle, plan stays whole-stage-codegen; the expression
+    is built as an `F.expr` string — ~out_dim*in_dim/3 integer adds —
+    rather than a driver-side Column tree)."""
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    mat = achlioptas_matrix(in_dim, out_dim, seed)
+    c = math.sqrt(3.0 / out_dim)
+    comps = []
+    for j in range(out_dim):
+        terms = []
+        for i in range(in_dim):
+            if mat[i][j] == 1:
+                terms.append(f"+ element_at(__rpv, {i + 1})")
+            elif mat[i][j] == -1:
+                terms.append(f"- element_at(__rpv, {i + 1})")
+        s = " ".join(terms).lstrip("+ ") if terms else "CAST(0 AS BIGINT)"
+        comps.append(f"CAST(ROUND({c!r} * CAST(({s}) AS DOUBLE) "
+                     f"/ 1000000.0, 6) AS DOUBLE)")
+    return (df.withColumn("__rpv", F.expr(
+                f"transform({vec_col}, x -> "
+                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+            .withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))
+            .drop("__rpv"))

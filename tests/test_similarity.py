@@ -446,3 +446,61 @@ def test_ivfpq_composed_recall_and_codes_only_probe(spark, tmp_path):
     with pytest.raises(ValueError):
         ivfpq_topk(index, None, "vec_id", "embedding", q.tolist(),
                    centroids=cents, codebooks=books, refine=50).collect()
+
+
+def test_random_projection_laws(spark):
+    """JL projection laws: output length k; exact duplicate vectors get
+    bit-identical projections; linearity within quantization (proj(2v)
+    == 2*proj(v) up to 2 micro-units per component after the 6dp
+    round); the projected cosine of 40 random pairs stays within the
+    JL distortion envelope of the true cosine; out_dim < 1 raises."""
+    import numpy as np
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+    rng = np.random.RandomState(42)
+    vecs = rng.randn(40, 64).astype("float32")
+    rows = ([(i, [float(x) for x in vecs[i]]) for i in range(40)]
+            + [(100, [float(x) for x in vecs[0]])]          # exact dup of 0
+            + [(101, [float(2.0 * x) for x in vecs[1]])])   # 2x of 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: np.array(r.proj)
+           for r in random_projection(df, "embedding", 16).collect()}
+    assert all(len(p) == 16 for p in out.values())
+    assert (out[100] == out[0]).all()
+    assert np.abs(out[101] - 2.0 * out[1]).max() < 1e-4
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    errs = [abs(cos(out[2 * i], out[2 * i + 1])
+                - cos(vecs[2 * i], vecs[2 * i + 1])) for i in range(20)]
+    # k=16 -> stderr ~ 1/sqrt(16) = 0.25; generous statistical bound
+    assert max(errs) < 0.75 and sum(errs) / len(errs) < 0.3
+    with _pt.raises(ValueError):
+        random_projection(df, "embedding", 0)
+
+
+def test_random_projection_preserves_neighbor_ranking(spark):
+    """The ANN-prefilter contract: a planted near-duplicate must stay
+    the top-1 projected-space neighbor of its source among 50
+    distractors (project -> shortlist -> re-rank is only sound if
+    near-identical vectors stay nearest)."""
+    import numpy as np
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+    rng = np.random.RandomState(7)
+    base = rng.randn(50, 64).astype("float32")
+    near = base[0] + 0.01 * rng.randn(64).astype("float32")
+    rows = ([(i, [float(x) for x in base[i]]) for i in range(50)]
+            + [(999, [float(x) for x in near])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: np.array(r.proj)
+           for r in random_projection(df, "embedding", 16).collect()}
+    q = out[999]
+    sims = sorted(((float(np.dot(q, v)
+                          / (np.linalg.norm(q) * np.linalg.norm(v))), i)
+                   for i, v in out.items() if i != 999), reverse=True)
+    assert sims[0][1] == 0
