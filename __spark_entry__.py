@@ -2293,11 +2293,22 @@ def _q_x11_text_hygiene(spark, sf):
     line, plus lorem-ipsum / code lines keyed on doc_id % 7 / % 11) —
     the fixtures themselves contain no emails, newlines or braces.
     Both derived columns are built identically in the oracle, so every
-    count, ratio, gate and output fingerprint is value-checked."""
+    count, ratio, gate and output fingerprint is value-checked.
+
+    r7 adds the `lex_*` columns: lexicon/blocklist category tagging
+    (`lexicon_tag` — the RefinedWeb curated-wordlist gate) with two
+    topic lexicons plus a blocked list over the fixture vocabulary;
+    per-category hit counts, the dominant-category tag and the blocked
+    flag are all value-checked (an entirely narrow projection — no
+    join, no shuffle added to the row)."""
     from serverless_data_pipeline_spark.operators.text import (
-        redact_pii, repetition_signals,
+        lexicon_tag, redact_pii, repetition_signals,
     )
     docs = _t(spark, sf, "documents")
+    lex = lexicon_tag(docs, "text", _X11_LEXICONS,
+                      block_categories=("banned",), min_hits=2).select(
+        "doc_id", "lex_banned", "lex_compute", "lex_storage",
+        "lex_top", "lex_blocked")
     rep = repetition_signals(docs, "doc_id", "text", ngram_n=3)
     pii_text = F.concat(
         F.col("text"), F.lit(" contact user"),
@@ -2312,7 +2323,17 @@ def _q_x11_text_hygiene(spark, sf):
                       .alias("redacted_fp"))
     c4, gop = _x11_page_recipes(docs)
     return (rep.join(red, "doc_id").join(c4, "doc_id")
-               .join(gop, "doc_id"))
+               .join(gop, "doc_id").join(lex, "doc_id"))
+
+
+# The committed x11 lexicons (fixture-vocabulary topic lists + a block
+# list) — module-level so the Spark arm and the DuckDB oracle read the
+# same constant.
+_X11_LEXICONS = {
+    "storage": ["table", "row", "scan", "part"],
+    "compute": ["spark", "batch", "merge", "sort", "hash"],
+    "banned": ["slow"],
+}
 
 
 def _x11_page_recipes(docs):
@@ -2484,6 +2505,27 @@ from serverless_data_pipeline_spark.operators.corpus import (  # noqa: E402
     hex_prefix_long_sql as _hexlong,
 )
 _SHUF_SHARD_SQL = _hexlong("k", 8)
+
+
+def _x11_lex_ctes() -> str:
+    """DuckDB mirror of the x11 lexicon_tag arm, generated from the
+    SAME _X11_LEXICONS constant: per-category token hit counts, the
+    (-hits, name)-sorted dominant tag, the blocked flag."""
+    cats = sorted(_X11_LEXICONS)
+    cols = ", ".join(
+        "CAST(len(list_filter(lt, x -> list_contains(["
+        + ", ".join("'" + w + "'" for w in sorted(set(_X11_LEXICONS[c])))
+        + f"], x))) AS BIGINT) AS lex_{c}"
+        for c in cats)
+    structs = ", ".join(f"{{'h': -lex_{c}, 'c': '{c}'}}" for c in cats)
+    return (
+        " lx0 AS (SELECT doc_id, " + cols
+        + " FROM (SELECT doc_id, " + _TOKENS_SQL.format(c="lower(text)")
+        + " AS lt FROM documents)),"
+        " lx AS (SELECT doc_id, lex_banned, lex_compute, lex_storage,"
+        f"    CASE WHEN -(list_sort([{structs}])[1].h) > 0"
+        f"         THEN list_sort([{structs}])[1].c END AS lex_top,"
+        "     (lex_banned >= 2) AS lex_blocked FROM lx0),")
 
 
 def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64,
@@ -4092,7 +4134,7 @@ def oracle_sql() -> dict[str, str]:
             "        JOIN tot USING (doc_id)"),
         "x11_text_hygiene": (
             "WITH t AS (SELECT doc_id, " + _TOKENS_SQL.format(c="text")
-            + " AS toks FROM documents),"
+            + " AS toks FROM documents)," + _x11_lex_ctes() +
             " rep0 AS (SELECT doc_id, toks,"
             "     list_filter(CASE WHEN len(toks) < 3"
             "          THEN [array_to_string(toks, ' ')]"
@@ -4212,7 +4254,10 @@ def oracle_sql() -> dict[str, str]:
             "        gpo.g_n_words, gpo.g_mean_word_len,"
             "        gpo.g_symbol_ratio, gpo.g_bullet_frac,"
             "        gpo.g_ellipsis_frac, gpo.g_alpha_frac,"
-            "        gpo.g_stop_hits, gpo.g_keep"
+            "        gpo.g_stop_hits, gpo.g_keep,"
+            "        lx.lex_banned, lx.lex_compute, lx.lex_storage,"
+            "        lx.lex_top, lx.lex_blocked"
             " FROM rep r JOIN e2 USING (doc_id)"
-            " JOIN c4o USING (doc_id) JOIN gpo USING (doc_id)"),
+            " JOIN c4o USING (doc_id) JOIN gpo USING (doc_id)"
+            " JOIN lx USING (doc_id)"),
     }

@@ -670,3 +670,46 @@ def train_quality_classifier(df: DataFrame, text_col: str,
     model = lr.fit(train)
     return ([float(x) for x in model.coefficients.toArray()],
             float(model.intercept))
+
+
+def lexicon_tag(df: DataFrame, text_col: str = "text",
+                lexicons: dict[str, list[str]] | None = None, *,
+                block_categories: tuple[str, ...] = (),
+                min_hits: int = 1, prefix: str = "lex_") -> DataFrame:
+    """Lexicon/blocklist category tagging — the RefinedWeb / C4 curation
+    step that gates documents on curated word lists (NSFW blocklists,
+    topic lexicons, domain markers). For each category: the token hit
+    count (exact lowercase token match, multiplicity counted); plus
+    ``<prefix>top`` — the dominant category (most hits, ties broken by
+    category name, NULL when nothing hits) — and ``<prefix>blocked``
+    (any block-category count >= ``min_hits``). Flags, not drops.
+
+    Scale shape: lexicons are plan literals (an entirely narrow
+    projection — no join, no shuffle, no Python); a lexicon too big
+    for a literal array (>10k terms) should instead broadcast-join an
+    exploded token frame. Tokenizes ONCE into a temp column shared by
+    every category filter."""
+    if not lexicons:
+        raise ValueError("lexicons must be a non-empty dict")
+    unknown = set(block_categories) - set(lexicons)
+    if unknown:
+        raise ValueError(f"block_categories not in lexicons: {unknown}")
+    cats = sorted(lexicons)
+    out = df.withColumn("__lxt", tokens(F.lower(F.col(text_col))))
+    for cat in cats:
+        words = ", ".join(
+            "'" + w.lower().replace("'", "''") + "'"
+            for w in sorted(set(lexicons[cat])))
+        out = out.withColumn(
+            prefix + cat,
+            F.expr(f"CAST(size(filter(__lxt, x -> "
+                   f"array_contains(array({words}), x))) AS BIGINT)"))
+    ranked = F.array_sort(F.array(*[
+        F.struct((-F.col(prefix + c)).alias("h"), F.lit(c).alias("c"))
+        for c in cats]))[0]
+    out = out.withColumn(prefix + "top",
+                         F.when(-ranked["h"] > 0, ranked["c"]))
+    blocked = F.lit(False)
+    for c in block_categories:
+        blocked = blocked | (F.col(prefix + c) >= F.lit(min_hits))
+    return out.withColumn(prefix + "blocked", blocked).drop("__lxt")

@@ -465,3 +465,36 @@ def test_dsir_select_approx_mode_agrees_on_separated_data(spark):
                    .filter("dsir_kept").collect()}
     assert exact_kept == {0, 1, 2, 3}
     assert approx_kept >= exact_kept and len(approx_kept) <= 5
+
+
+def test_lexicon_tag_counts_top_and_block(spark):
+    """Lexicon gate laws: hit counts include multiplicity and are
+    case-insensitive exact-token matches (no substring hits); dominant
+    tag = most hits with ties broken by category name; no hits -> NULL
+    tag; blocked requires min_hits from a block category; unknown
+    block category and empty lexicons raise."""
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.text import lexicon_tag
+    lex = {"db": ["table", "row"], "app": ["spark", "batch"],
+           "bad": ["slow"]}
+    rows = [
+        (0, "Table TABLE row spark"),      # db=3, app=1 -> db
+        (1, "spark batch table row"),      # tie 2-2 -> 'app' < 'db'
+        (2, "tables rowing sparky"),       # substrings must NOT hit
+        (3, "slow"),                       # 1 bad hit < min_hits=2
+        (4, "slow slow convoy"),           # blocked
+    ]
+    out = {r.doc_id: r for r in lexicon_tag(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        lexicons=lex, block_categories=("bad",), min_hits=2).collect()}
+    assert out[0].lex_db == 3 and out[0].lex_app == 1
+    assert out[0].lex_top == "db"
+    assert out[1].lex_top == "app"                  # tie -> name order
+    assert out[2].lex_db == 0 and out[2].lex_top is None
+    assert not out[3].lex_blocked and out[4].lex_blocked
+    with _pt.raises(ValueError):
+        lexicon_tag(spark.range(1), lexicons={})
+    with _pt.raises(ValueError):
+        lexicon_tag(spark.range(1), lexicons=lex,
+                    block_categories=("nope",))
