@@ -1321,11 +1321,24 @@ def _q_x3_topk_similarity(spark, sf):
     — every vector's every projected component is value-checked
     (query_id=vec_id, neighbor_id=component index, score=component;
     integer-exact signed sums, so the check is equality, not
-    tolerance). Columns harmonized to (mode, query_id, neighbor_id,
-    score)."""
+    tolerance). `cbal_s`/`cbal_u` (r7): cluster-balanced diversity
+    sampling (`cluster_balanced_sample`, 4 committed signed-sparse
+    centroids, 25 docs/cell md5-ranked quota) — EVERY vector's cell
+    assignment, winning score and in/out-of-sample verdict is
+    value-checked (mode encodes the flag, neighbor_id the cell).
+    Columns harmonized to (mode, query_id, neighbor_id, score)."""
     from serverless_data_pipeline_spark.operators.similarity import (
-        random_projection,
+        cluster_balanced_sample, random_projection,
     )
+    cb = (cluster_balanced_sample(
+              _t(spark, sf, "embeddings"), "vec_id", "embedding",
+              _X3_CENTROIDS, per_cluster=25)
+          .select(F.concat(F.lit("cbal_"),
+                           F.when(F.col("sampled"), F.lit("s"))
+                           .otherwise(F.lit("u"))).alias("mode"),
+                  F.col("vec_id").alias("query_id"),
+                  F.col("cell").cast("long").alias("neighbor_id"),
+                  F.col("cell_score").alias("score")))
     from serverless_data_pipeline_spark.operators.text import bm25_topk
     e = _t(spark, sf, "embeddings")
     rp = (random_projection(e, "embedding", 16, in_dim=64, seed=1234)
@@ -1352,7 +1365,21 @@ def _q_x3_topk_similarity(spark, sf):
                        .alias("neighbor_id"),
                        F.round("bm25", 6).alias("score")))
         bm = arm if bm is None else bm.unionAll(arm)
-    return cos.unionAll(bm).unionAll(rp)
+    return cos.unionAll(bm).unionAll(rp).unionAll(cb)
+
+
+def _x3_centroids() -> list[list[float]]:
+    """The committed x3 cbal centroids: the 4 transposed columns of
+    achlioptas_matrix(64, 4, seed=99) — signed-sparse, seed-derived,
+    reproducible anywhere."""
+    from serverless_data_pipeline_spark.operators.similarity import (
+        achlioptas_matrix,
+    )
+    return [[float(x) for x in col]
+            for col in zip(*achlioptas_matrix(64, 4, seed=99))]
+
+
+_X3_CENTROIDS = _x3_centroids()
 
 
 def _q_x5_text_signals(spark, sf):
@@ -2563,6 +2590,32 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64,
         "FROM embeddings))")
 
 
+def _cbal_oracle_sql(per_cluster: int = 25) -> str:
+    """DuckDB mirror of the x3 cbal arm: score expressions generated by
+    the SAME cell_score_exprs helper the operator uses (only the
+    element accessor differs), argmax via the same (-score, k) struct
+    sort, quota via the same md5-of-id window rank."""
+    from serverless_data_pipeline_spark.operators.similarity import (
+        cell_score_exprs,
+    )
+    scores = cell_score_exprs(_X3_CENTROIDS, "v[{i}]")
+    structs = ", ".join(
+        f"{{'s': -({sc}), 'k': CAST({k} AS BIGINT)}}"
+        for k, sc in enumerate(scores))
+    return (
+        "SELECT concat('cbal_', CASE WHEN rn <= " + str(per_cluster)
+        + " THEN 's' ELSE 'u' END) AS mode, "
+        "vec_id AS query_id, cell AS neighbor_id, score "
+        "FROM (SELECT vec_id, cell, score, "
+        "ROW_NUMBER() OVER (PARTITION BY cell "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn "
+        f"FROM (SELECT vec_id, list_sort([{structs}])[1].k AS cell, "
+        f"-(list_sort([{structs}])[1].s) AS score "
+        "FROM (SELECT vec_id, list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS v "
+        "FROM embeddings)))")
+
+
 def _bm25_oracle_sql(qid: int, query: str) -> str:
     """DuckDB BM25 for one query, mirroring bm25_topk's expression
     STRUCTURE exactly (same parenthesization, same sorted-term sum
@@ -3198,7 +3251,8 @@ def oracle_sql() -> dict[str, str]:
             + _bm25_oracle_sql(0, "spark join order window")
             + ") UNION ALL ("
             + _bm25_oracle_sql(1, "merge sort key table scan")
-            + ") UNION ALL (" + _rp_oracle_sql() + ")",
+            + ") UNION ALL (" + _rp_oracle_sql()
+            + ") UNION ALL (" + _cbal_oracle_sql() + ")",
         "x2_dedup_clusters": _CLUSTERS_ORACLE,
         "x7_corpus_exact": f"""
             WITH RECURSIVE

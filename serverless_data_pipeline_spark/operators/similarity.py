@@ -47,7 +47,8 @@ __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "train_ivf_centroids", "add_sign_lsh_buckets", "group_centroids",
            "train_pq_codebooks", "pq_encode", "pq_topk",
            "build_ivfpq_index", "ivfpq_topk",
-           "achlioptas_matrix", "random_projection"]
+           "achlioptas_matrix", "random_projection",
+           "cluster_balanced_sample", "cell_score_exprs"]
 
 
 def _lit_vec(vec: list[float]):
@@ -640,3 +641,75 @@ def random_projection(df: DataFrame, vec_col: str, out_dim: int, *,
                 "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
             .withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))
             .drop("__rpv"))
+
+
+
+def cell_score_exprs(centroids: list[list[float]],
+                     elem_fmt: str) -> list[str]:
+    """The shared score-expression generator behind
+    cluster_balanced_sample AND its DuckDB oracle: per centroid, the
+    integer micro-unit dot product over ``elem_fmt``-rendered vector
+    elements (1-based {i}), scaled and norm-divided in ONE float
+    expression with repr()-injected literals — generate both engines'
+    SQL from here and the values agree exactly by construction."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    qc = [[int(round(x * 1e6)) for x in c] for c in centroids]
+    norms = [math.sqrt(sum((v / 1e6) ** 2 for v in c)) for c in qc]
+    if any(n == 0.0 for n in norms):
+        raise ValueError("zero-norm centroid")
+    out = []
+    for c, n in zip(qc, norms):
+        terms = [f"({c[i]} * {elem_fmt.format(i=i + 1)})"
+                 for i in range(len(c)) if c[i] != 0]
+        s = " + ".join(terms) if terms else "CAST(0 AS BIGINT)"
+        out.append(f"CAST(ROUND(CAST(({s}) AS DOUBLE) "
+                   f"/ 1000000000000.0 / {n!r}, 6) AS DOUBLE)")
+    return out
+
+
+def cluster_balanced_sample(df: DataFrame, id_col: str, vec_col: str,
+                            centroids: list[list[float]],
+                            per_cluster: int, *,
+                            cell_col: str = "cell",
+                            score_col: str = "cell_score",
+                            flag_col: str = "sampled") -> DataFrame:
+    """Cluster-balanced (diversity-aware) corpus sampling — the
+    DataComp / SemDeDup-adjacent selection step: assign each vector to
+    its most-similar FIXED centroid, then keep a deterministic quota
+    of ``per_cluster`` rows per cell (md5-of-id ranked, the corpus_mix
+    discipline) so the sample covers every region of embedding space
+    instead of oversampling the dense head. Returns ``df`` + cell id
+    + the (round-6) winning score + the ``sampled`` flag — flags,
+    not drops. The score is the scalar projection v·c/|c| (cosine
+    × |v|): |v| is constant across cells for a row, so the argmax
+    is the cosine argmax without paying a per-row sqrt.
+
+    Centroids are plan constants (committed, seed-derived, or exported
+    from a trained k-means run — `train_ivf_centroids` output works).
+    Assignment is integer-exact: vectors and centroids both quantize
+    to micro-units, per-cell scores are pure integer dot products with
+    only ONE float expression (scale + centroid-norm divide, literals
+    injected via repr) — so the whole decision is value-checkable
+    cross-engine. Ties go to the lower cell index.
+
+    Scale shape: scoring is a narrow generated-SQL projection (no
+    Python, no join); the quota is one window shuffle keyed on the
+    cell id — with few cells, salt or pre-aggregate per-cell counts
+    at extreme scale (same caveat corpus_mix documents)."""
+    if per_cluster < 1:
+        raise ValueError("per_cluster must be >= 1")
+    scores = cell_score_exprs(centroids, "element_at(__cbv, {i})")
+    ranked = ("array_sort(array(" + ", ".join(
+        f"struct(-{sc} AS s, {k} AS k)" for k, sc in enumerate(scores))
+        + "))[0]")
+    out = (df.withColumn("__cbv", F.expr(
+               f"transform({vec_col}, x -> "
+               "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+           .withColumn(cell_col, F.expr(f"{ranked}.k"))
+           .withColumn(score_col, F.expr(f"-({ranked}.s)"))
+           .drop("__cbv"))
+    w = (Window.partitionBy(cell_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
+    return out.withColumn(
+        flag_col, F.row_number().over(w) <= F.lit(per_cluster))

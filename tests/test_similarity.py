@@ -504,3 +504,41 @@ def test_random_projection_preserves_neighbor_ranking(spark):
                           / (np.linalg.norm(q) * np.linalg.norm(v))), i)
                    for i, v in out.items() if i != 999), reverse=True)
     assert sims[0][1] == 0
+
+
+def test_cluster_balanced_sample_assignment_and_quota(spark):
+    """Diversity-sampling laws: vectors aligned with a centroid land in
+    its cell (winning score ~1 for exact alignment); every cell's
+    sampled count == min(per_cluster, cell size); the flag is
+    row-preserving; dense cells don't steal quota from sparse ones;
+    ties go to the lower cell index; bad args raise."""
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    rows = ([(i, [5.0, 0.1, 0.0, 0.0]) for i in range(20)]      # cell 0
+            + [(100 + i, [0.0, 3.0, 0.2, 0.0]) for i in range(3)]  # cell 1
+            + [(500, [1.0, 1.0, 0.0, 0.0])])                    # tie -> 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(df, "vec_id", "embedding",
+                                  cents, per_cluster=5)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 24
+    assert all(got[i].cell == 0 for i in range(20))
+    assert all(got[100 + i].cell == 1 for i in range(3))
+    assert got[500].cell == 0
+    s0 = sum(1 for i, r in got.items() if r.cell == 0 and r.sampled)
+    s1 = sum(1 for i, r in got.items() if r.cell == 1 and r.sampled)
+    assert s0 == 5 and s1 == 3
+    # score = scalar projection v.c/|c| (|v| cancels in the argmax)
+    assert got[0].cell_score == 5.0
+    assert got[100].cell_score == 3.0
+    with _pt.raises(ValueError):
+        cluster_balanced_sample(df, "vec_id", "embedding", cents, 0)
+    with _pt.raises(ValueError):
+        cluster_balanced_sample(df, "vec_id", "embedding", [], 1)
+    with _pt.raises(ValueError):
+        cluster_balanced_sample(df, "vec_id", "embedding",
+                                [[0.0, 0.0, 0.0, 0.0]], 1)
