@@ -2416,7 +2416,12 @@ def _q_x13_lm_score(spark, sf):
       approxQuantile round trip, no global ntile window. Thresholds
       rounded to 6 decimals (round_scale) so the classification is
       engine-portable; the bucket rides the tag (`bucket_tail` /
-      `bucket_middle` / `bucket_head`)."""
+      `bucket_middle` / `bucket_head`).
+    - `lbucket_*` (r7 s6): the same cut PER LANGUAGE
+      (`quantile_buckets(by="lang")` — CCNet cuts perplexity
+      percentiles per language): one threshold row per lang broadcast
+      back; tag = lbucket_<lang>_<bucket>, so every doc's per-language
+      classification is value-checked."""
     from serverless_data_pipeline_spark.operators.stages import (
         quantile_buckets,
     )
@@ -2440,6 +2445,18 @@ def _q_x13_lm_score(spark, sf):
                   .alias("tag"), "doc_id",
                   F.lit(None).cast("long").alias("n"),
                   F.col("lm_logp").alias("score")))
+    # lbucket arm (r7 s6): the SAME cut PER LANGUAGE via
+    # quantile_buckets(by=...) — the actual CCNet discipline
+    # (per-language perplexity percentiles, so a low-resource
+    # language isn't wholesale tail-bucketed by the others' range)
+    lbk = (quantile_buckets(
+               scored.join(docs.select("doc_id", "lang"), "doc_id"),
+               "lm_logp", round_scale=6, by="lang")
+           .select(F.concat(F.lit("lbucket_"), F.col("lang"),
+                            F.lit("_"), F.col("bucket")).alias("tag"),
+                   "doc_id",
+                   F.lit(None).cast("long").alias("n"),
+                   F.col("lm_logp").alias("score")))
     # dsir arm (r7 session 5): DSIR domain-targeted selection — weight =
     # log-ratio of the en-subcorpus-trained LM vs the self-trained LM,
     # keep = top keep_frac by in-plan percentile threshold; the WHOLE
@@ -2454,7 +2471,7 @@ def _q_x13_lm_score(spark, sf):
                     "doc_id",
                     F.lit(None).cast("long").alias("n"),
                     F.col("dsir_weight").alias("score")))
-    return lm.unionAll(ft).unionAll(bk).unionAll(dsir)
+    return lm.unionAll(ft).unionAll(bk).unionAll(dsir).unionAll(lbk)
 
 
 def _q_x12_segment_dedup(spark, sf):
@@ -3764,6 +3781,13 @@ def oracle_sql() -> dict[str, str]:
             qth AS (SELECT round(quantile_cont(score, 0.25), 6) AS q1,
                            round(quantile_cont(score, 0.75), 6) AS q2
                     FROM lmsc),
+            -- lbucket arm: the SAME cut PER LANGUAGE (the actual CCNet
+            -- discipline) — thresholds one row per lang, joined back
+            lqth AS (SELECT d.lang,
+                            round(quantile_cont(score, 0.25), 6) AS q1,
+                            round(quantile_cont(score, 0.75), 6) AS q2
+                     FROM lmsc JOIN documents d USING (doc_id)
+                     GROUP BY d.lang),
             -- DSIR arm: a SECOND bigram LM trained on the en
             -- sub-corpus only, scoring ALL docs; weight = log-ratio
             -- vs the self-model, keep = top 25% by exact percentile
@@ -3819,7 +3843,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT concat('dsir_', CASE WHEN w >= th THEN 'keep'
                                         ELSE 'drop' END) AS tag,
                    doc_id, CAST(NULL AS BIGINT) AS n, w AS score
-            FROM wts CROSS JOIN wth""",
+            FROM wts CROSS JOIN wth
+            UNION ALL
+            SELECT concat('lbucket_', d.lang, '_',
+                          CASE WHEN score < lq.q1 THEN 'tail'
+                               WHEN score < lq.q2 THEN 'middle'
+                               ELSE 'head' END) AS tag,
+                   l.doc_id, CAST(NULL AS BIGINT) AS n, score
+            FROM lmsc l JOIN documents d USING (doc_id)
+            JOIN lqth lq ON d.lang = lq.lang""",
         "x12_segment_dedup": f"""
             WITH toks AS (SELECT doc_id,
                                  {_TOKENS_SQL.format(c='text')} AS t

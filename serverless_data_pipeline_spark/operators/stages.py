@@ -254,6 +254,7 @@ def quantile_buckets(df: DataFrame, score_col: str,
                                                 "head"), *,
                      exact: bool = True, accuracy: int = 10_000,
                      round_scale: int | None = None,
+                     by: str | None = None,
                      bucket_col: str = "bucket") -> DataFrame:
     """Quantile bucketing IN-PLAN — the CCNet head/middle/tail cut
     (docs ranked by LM score, corpus split at fixed quantiles) without
@@ -278,7 +279,15 @@ def quantile_buckets(df: DataFrame, score_col: str,
     decimals before comparing — pin it when the result must be
     engine-portable (interpolated percentiles can differ across
     engines in the last ulp, and a score sitting exactly on an
-    unrounded threshold would then classify differently)."""
+    unrounded threshold would then classify differently).
+
+    ``by`` (optional) computes the thresholds PER GROUP — the actual
+    CCNet discipline (perplexity percentiles are cut per LANGUAGE, so
+    a low-resource language isn't wholesale tail-bucketed by the
+    high-resource languages' score range). The threshold frame is one
+    row per group, broadcast back through a null-safe left join
+    (NULL-group rows form their own threshold group and are preserved,
+    never dropped)."""
     if len(labels) != len(cuts) + 1:
         raise ValueError("need exactly len(cuts) + 1 labels")
     if list(cuts) != sorted(cuts) or len(set(cuts)) != len(cuts):
@@ -289,8 +298,15 @@ def quantile_buckets(df: DataFrame, score_col: str,
     qs = F.expr(f"{fn}({score_col}, array({arr}){extra})")
     if round_scale is not None:
         qs = F.transform(qs, lambda x: F.round(x, round_scale))
-    th = df.agg(qs.alias("__qs"))
-    out = df.crossJoin(F.broadcast(th))
+    if by is None:
+        th = df.agg(qs.alias("__qs"))
+        out = df.crossJoin(F.broadcast(th))
+    else:
+        th = (df.groupBy(F.col(by).alias("__qg"))
+              .agg(qs.alias("__qs")))
+        out = (df.join(F.broadcast(th),
+                       F.col(by).eqNullSafe(F.col("__qg")), "left")
+               .drop("__qg"))
     # a NULL score gets a NULL bucket — every `<` comparison is
     # null-false, so without the guard NULLs would silently land in
     # the TOP label

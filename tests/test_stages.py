@@ -268,3 +268,32 @@ def test_profile_columns_interval_and_exact_avg(spark):
     out13 = {r.column: r.vavg
              for r in profile_columns(df.repartition(13)).collect()}
     assert out13["v"] == out["v"].vavg
+
+
+def test_quantile_buckets_per_group_mode(spark):
+    """by=<group>: thresholds are computed within each group — a doc
+    that is 'head' globally can be 'tail' within its own group; NULL
+    group keys form their own threshold group and are row-preserved
+    (null-safe join); NULL scores still bucket NULL."""
+    from serverless_data_pipeline_spark.operators.stages import (
+        quantile_buckets,
+    )
+    rows = ([("a", i, float(i)) for i in range(8)]            # a: 0..7
+            + [("b", 100 + i, float(100 + i)) for i in range(8)]
+            + [(None, 200, 3.0), (None, 201, 103.0)]
+            + [("a", 300, None)])
+    df = spark.createDataFrame(rows, "grp string, id long, s double")
+    out = {r.id: r.bucket for r in quantile_buckets(
+        df, "s", by="grp", round_scale=6).collect()}
+    assert len(out) == 19                       # row-preserving
+    # group b's lowest score (100) beats ALL of group a, but is 'tail'
+    # within b — the per-group cut in action
+    assert out[100] == "tail" and out[107] == "head"
+    assert out[0] == "tail" and out[7] == "head"
+    assert out[300] is None                     # NULL score -> NULL
+    # the two NULL-group rows bucket against each other, not group a/b
+    assert out[200] == "tail" and out[201] == "head"
+    # global mode unchanged: 100..107 are all 'head' globally
+    gout = {r.id: r.bucket for r in quantile_buckets(
+        df, "s", round_scale=6).collect()}
+    assert all(gout[100 + i] == "head" for i in range(4, 8))
