@@ -304,13 +304,29 @@ def _q_j2_outer_suite(spark, sf):
 def _q_j3_semi_anti_join(spark, sf):
     """J3 — left semi (customers having >= 1 order) and left anti
     (customers with none) as one tagged union: together they partition
-    the customer table, which the oracle verifies exactly."""
+    the customer table, which the oracle verifies exactly.
+
+    `bsemi` (r7 s6): the same semi join routed through
+    `bloom_semi_filter` — the semi-join REDUCTION path for when the
+    build side outgrows a raw broadcast: customers are pre-filtered
+    against a fixed-size Bloom bitmap of order keys BEFORE the join.
+    One-sided error means prefilter + join is value-identical to the
+    plain semi join, which is exactly what the oracle asserts (a
+    dropped true match — a false negative — would hash-mismatch)."""
+    from serverless_data_pipeline_spark.operators.relational import (
+        bloom_semi_filter,
+    )
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
     semi = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
              .select(F.lit("semi").alias("kind"), "c_custkey", "c_mktsegment"))
     anti = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
              .select(F.lit("anti").alias("kind"), "c_custkey", "c_mktsegment"))
-    return semi.unionAll(anti)
+    pre = bloom_semi_filter(c, o, "c_custkey", "o_custkey",
+                            m_bits=1 << 20, k_hashes=3)
+    bsemi = (pre.join(o, pre.c_custkey == o.o_custkey, "left_semi")
+             .select(F.lit("bsemi").alias("kind"), "c_custkey",
+                     "c_mktsegment"))
+    return semi.unionAll(anti).unionAll(bsemi)
 
 
 def _q_j4_broadcast_join(spark, sf):
@@ -1796,7 +1812,81 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_suite.cms": _approx_flavour_cms,
         # r7 session 5: x8 gained the no-split bin-packing arm
         "x8_corpus_utils.bins": _x8_flavour_bins,
+        # r7 session 6: the six new arms — attribute each
+        "x2_dedup_clusters.pagerank": _x2_flavour_pagerank,
+        "x12_segment_dedup.dupfrac": _x12_flavour_dupfrac,
+        "x3_topk_similarity.rp": _x3_flavour_rp,
+        "x3_topk_similarity.cbal": _x3_flavour_cbal,
+        "x13_lm_score.dsir": _x13_flavour_dsir,
+        "x13_lm_score.lbucket": _x13_flavour_lbucket,
+        "x11_text_hygiene.lex": _x11_flavour_lex,
     }
+
+
+def _x2_flavour_pagerank(spark, sf):
+    from serverless_data_pipeline_spark.operators.graph import pagerank
+    p = _capped_pairs(spark, sf)
+    return pagerank(p.select(F.col("id_a").alias("src"),
+                             F.col("id_b").alias("dst")),
+                    undirected=True, iters=5)
+
+
+def _x12_flavour_dupfrac(spark, sf):
+    from serverless_data_pipeline_spark.operators.dedup import (
+        duplicate_ngram_fraction,
+    )
+    return (duplicate_ngram_fraction(_t(spark, sf, "documents"),
+                                     "doc_id", "text", n=5)
+            .select("doc_id", "n_ngrams", "dup_ngrams", "dup_ngram_frac"))
+
+
+def _x3_flavour_rp(spark, sf):
+    from serverless_data_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+    return (random_projection(_t(spark, sf, "embeddings"), "embedding",
+                              16, in_dim=64, seed=1234)
+            .select("vec_id", "proj"))
+
+
+def _x3_flavour_cbal(spark, sf):
+    from serverless_data_pipeline_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+    return (cluster_balanced_sample(_t(spark, sf, "embeddings"),
+                                    "vec_id", "embedding",
+                                    _X3_CENTROIDS, per_cluster=25)
+            .select("vec_id", "cell", "cell_score", "sampled"))
+
+
+def _x13_flavour_dsir(spark, sf):
+    from serverless_data_pipeline_spark.operators.text import dsir_select
+    docs = _t(spark, sf, "documents")
+    return (dsir_select(docs, docs.filter(F.col("lang") == "en"),
+                        "doc_id", "text", keep_frac=0.25)
+            .select("doc_id", "dsir_weight", "dsir_kept"))
+
+
+def _x13_flavour_lbucket(spark, sf):
+    from serverless_data_pipeline_spark.operators.stages import (
+        quantile_buckets,
+    )
+    from serverless_data_pipeline_spark.operators.text import lm_score
+    docs = _t(spark, sf, "documents")
+    return (quantile_buckets(
+                lm_score(docs, "doc_id", "text")
+                .join(docs.select("doc_id", "lang"), "doc_id"),
+                "lm_logp", round_scale=6, by="lang")
+            .select("doc_id", "lang", "bucket"))
+
+
+def _x11_flavour_lex(spark, sf):
+    from serverless_data_pipeline_spark.operators.text import lexicon_tag
+    return (lexicon_tag(_t(spark, sf, "documents"), "text",
+                        _X11_LEXICONS, block_categories=("banned",),
+                        min_hits=2)
+            .select("doc_id", "lex_banned", "lex_compute",
+                    "lex_storage", "lex_top", "lex_blocked"))
 
 
 def _x8_flavour_bins(spark, sf):
@@ -2933,7 +3023,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'anti' AS kind, c_custkey, c_mktsegment FROM customer
             WHERE NOT EXISTS
-                (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+                (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            -- bsemi: the Bloom-prefiltered semi join is value-identical
+            -- to the plain semi join (one-sided error, FPs discarded by
+            -- the real join) — same EXISTS, different tag
+            SELECT 'bsemi' AS kind, c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
         "j4_broadcast_join": f"""
             SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_items,
                    {_DSUM_SQL.format(c='l_extendedprice * (1 - l_discount)')}

@@ -215,6 +215,30 @@ def main() -> None:
                               budget=512, n_shards=32)
             .groupBy("shard").agg(F.max("bin_id")).count())
 
+        # PageRank (r7 s6): 5 fixed iterations over the amplified
+        # near-dup pair graph — per-iteration cost is one (node, long)
+        # join + one map-side-combinable groupBy, so wall must track
+        # the EDGE count (which amplification grows ~1000x via pair
+        # density), never anything quadratic in nodes.
+        from serverless_data_pipeline_spark.operators.graph import (
+            pagerank,
+        )
+        r["pagerank_5it"] = timed(
+            lambda: pagerank(pairs.select(F.col("id_a").alias("src"),
+                                          F.col("id_b").alias("dst")),
+                             undirected=True, iters=5)
+            .agg(F.max("rank")).first())
+        # Duplicated-ngram fraction (r7 s6): two keyed shuffles on
+        # hashed-long shingles + one doc-grain groupBy — linear in
+        # token count even though amplification makes EVERY 5-gram
+        # ~10-way duplicated.
+        from serverless_data_pipeline_spark.operators.dedup import (
+            duplicate_ngram_fraction,
+        )
+        r["dup_ngram_frac"] = timed(
+            lambda: duplicate_ngram_fraction(d, "doc_id", "text", n=5)
+            .agg(F.max("dup_ngram_frac")).first())
+
         # Relational flagships at amplified fact density (r5 verdict #7):
         # same plan shapes as __spark_entry__ q3/q5/q10 (dimension
         # broadcasts, pushed filters, TakeOrderedAndProject) with the

@@ -200,3 +200,76 @@ def sessionize(df: DataFrame, key: str, ts: str,
                           F.sum("__new").over(
                               w.rowsBetween(Window.unboundedPreceding, 0)))
               .drop("__new"))
+
+
+def key_bloom(df: DataFrame, key_col: str, *, m_bits: int = 1 << 22,
+              k_hashes: int = 3) -> DataFrame:
+    """Bloom bitmap of a column's (non-NULL) value set, as a DataFrame
+    of packed 64-bit words ``(word_idx, word)`` — at most ``m_bits/64``
+    rows whatever the input size. The join-key sibling of
+    ``corpus.shingle_bloom``: built entirely engine-side, ONE shuffle
+    keyed on word_idx (bit_or is idempotent, so duplicates need no
+    pre-distinct — partial aggregation combines them map-side)."""
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+    if m_bits < 64:
+        raise ValueError("m_bits must be >= 64 (one packed word)")
+    pos = (df.select(F.col(key_col).alias("__k"))
+           .filter(F.col("__k").isNotNull())
+           .select(F.explode(F.array(
+               *[F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(m_bits))
+                 for i in range(k_hashes)])).alias("__pos")))
+    return (pos.groupBy((F.col("__pos") / 64).cast("long")
+                        .alias("word_idx"))
+            .agg(F.expr("bit_or(shiftleft(1L, cast(__pos % 64 as int)))")
+                  .alias("word")))
+
+
+def bloom_semi_filter(fact: DataFrame, build: DataFrame,
+                      fact_key: str, build_key: str | None = None, *,
+                      m_bits: int = 1 << 22,
+                      k_hashes: int = 3) -> DataFrame:
+    """Semi-join REDUCTION (the classic distributed-DB trick): filter a
+    huge fact scan against a fixed-size Bloom bitmap of the build
+    side's join keys BEFORE any shuffle or join, so the downstream
+    join moves only rows that can possibly match. One-sided error:
+    never drops a matching row (every true key hashes to set bits);
+    passes false positives at the standard Bloom rate, which the real
+    join then discards — so ``bloom_semi_filter(fact, build) ⋉ build``
+    is VALUE-IDENTICAL to ``fact ⋉ build``, just cheaper. NULL fact
+    keys are dropped (a NULL key never equi-matches anyway — this is
+    an inner/semi-join reducer, not a left-join one).
+
+    Scale shape: the bitmap (≤ m_bits/64 rows, size chosen up front,
+    independent of build cardinality) broadcasts; the probe is
+    k_hashes chained broadcast hash joins over the fact scan —
+    whole-stage-codegen'd, the fact never shuffles here. Use when the
+    build side is too big to broadcast raw but its KEY SET fits a
+    bitmap — the regime between broadcast-hash-join and full
+    shuffle-hash-join."""
+    bloom = key_bloom(build, build_key or fact_key,
+                      m_bits=m_bits, k_hashes=k_hashes)
+    probe = fact.filter(F.col(fact_key).isNotNull())
+    hit = F.lit(True)
+    temp = []
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(fact_key, F.lit(i)), F.lit(m_bits))
+        b = F.broadcast(
+            bloom.select(F.col("word_idx").alias(f"__w{i}"),
+                         F.col("word").alias(f"__word{i}")))
+        # word index and bit mask derive from the SAME materialized
+        # position column (the r6 ADVICE discipline from
+        # bloom_decontaminate): one shared __p{i} makes silent drift
+        # between the two hash derivations impossible
+        probe = (probe
+                 .withColumn(f"__p{i}", p)
+                 .withColumn(f"__w{i}",
+                             (F.col(f"__p{i}") / 64).cast("long"))
+                 .withColumn(f"__b{i}", F.expr(
+                     f"shiftleft(1L, cast(pmod(__p{i}, 64) as int))"))
+                 .join(b, f"__w{i}", "left"))
+        hit = hit & (F.col(f"__word{i}").isNotNull()
+                     & (F.col(f"__word{i}")
+                         .bitwiseAND(F.col(f"__b{i}")) != 0))
+        temp += [f"__p{i}", f"__w{i}", f"__b{i}", f"__word{i}"]
+    return probe.filter(hit).drop(*temp)

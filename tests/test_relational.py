@@ -113,3 +113,37 @@ def test_approx_sketches_error_bounds(spark):
     # percentile (a member of the input, the lower of the middle pair)
     assert got.am == 2499.0
     assert abs(got.em - 2499.5) < 1e-9
+
+
+def test_bloom_semi_filter_laws(spark):
+    """Semi-join reduction laws: NEVER drops a matching row (one-sided
+    error — the prefiltered semi join equals the plain semi join);
+    actually reduces a selective probe (false positives far below
+    passing everything); NULL fact keys are dropped; degenerate
+    m_bits/k_hashes raise."""
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.relational import (
+        bloom_semi_filter, key_bloom,
+    )
+    fact = spark.createDataFrame(
+        [(i, f"f{i}") for i in range(2000)] + [(None, "fnull")],
+        "k long, payload string")
+    build = spark.createDataFrame(
+        [(i * 100,) for i in range(20)], "bk long")   # 20 of 2000 match
+    pre = bloom_semi_filter(fact, build, "k", "bk", m_bits=1 << 14)
+    kept = {r.k for r in pre.collect()}
+    true_matches = {i * 100 for i in range(20)}
+    assert true_matches <= kept                       # no false negative
+    assert None not in kept
+    assert len(kept) < 300                            # real reduction
+    # composed with the actual join: exactly the true semi join
+    semi = {r.k for r in pre.join(build, pre.k == build.bk,
+                                  "left_semi").collect()}
+    assert semi == true_matches
+    # bitmap is bounded rows regardless of build size
+    assert key_bloom(build, "bk", m_bits=1 << 14).count() <= (1 << 14) // 64
+    with _pt.raises(ValueError):
+        key_bloom(build, "bk", m_bits=32)
+    with _pt.raises(ValueError):
+        key_bloom(build, "bk", k_hashes=0)
