@@ -542,3 +542,30 @@ def test_cluster_balanced_sample_assignment_and_quota(spark):
     with _pt.raises(ValueError):
         cluster_balanced_sample(df, "vec_id", "embedding",
                                 [[0.0, 0.0, 0.0, 0.0]], 1)
+
+
+def test_random_projection_feeds_ann_index(spark):
+    """The documented compose path — project high-dim vectors down,
+    index the projections with sign-LSH, probe in projected space:
+    a planted near-duplicate must be retrieved top-1 through the
+    full random_projection -> ann_topk pipeline."""
+    import numpy as np
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        ann_topk, random_projection,
+    )
+    rng = np.random.RandomState(11)
+    base = rng.randn(200, 64).astype("float32")
+    q = base[7] + 0.005 * rng.randn(64).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>")
+    proj = random_projection(df, "embedding", 16).select("vec_id", "proj")
+    qproj = (random_projection(
+                 spark.createDataFrame([(0, [float(x) for x in q])],
+                                       "vec_id long, embedding array<float>"),
+                 "embedding", 16)
+             .first().proj)
+    got = ann_topk(proj, "vec_id", "proj", list(qproj), k=5,
+                   n_tables=4, n_planes=6, multiprobe=1)
+    assert got.first().vec_id == 7
