@@ -1346,8 +1346,9 @@ def _q_x3_topk_similarity(spark, sf):
     from serverless_data_pipeline_spark.operators.similarity import (
         cluster_balanced_sample, random_projection,
     )
+    e = _t(spark, sf, "embeddings")
     cb = (cluster_balanced_sample(
-              _t(spark, sf, "embeddings"), "vec_id", "embedding",
+              e, "vec_id", "embedding",
               _X3_CENTROIDS, per_cluster=25)
           .select(F.concat(F.lit("cbal_"),
                            F.when(F.col("sampled"), F.lit("s"))
@@ -1356,7 +1357,6 @@ def _q_x3_topk_similarity(spark, sf):
                   F.col("cell").cast("long").alias("neighbor_id"),
                   F.col("cell_score").alias("score")))
     from serverless_data_pipeline_spark.operators.text import bm25_topk
-    e = _t(spark, sf, "embeddings")
     rp = (random_projection(e, "embedding", 16, in_dim=64, seed=1234)
           .select(F.lit("rp").alias("mode"),
                   F.col("vec_id").alias("query_id"),
@@ -2539,9 +2539,13 @@ def _q_x13_lm_score(spark, sf):
     # quantile_buckets(by=...) — the actual CCNet discipline
     # (per-language perplexity percentiles, so a low-resource
     # language isn't wholesale tail-bucketed by the others' range)
+    # NULL-lang docs are excluded from the ARM (the oracle's inner join
+    # drops them and Spark's concat would NULL the tag) — the operator
+    # itself preserves NULL groups, pinned by pytest
     lbk = (quantile_buckets(
                scored.join(docs.select("doc_id", "lang"), "doc_id"),
                "lm_logp", round_scale=6, by="lang")
+           .filter(F.col("lang").isNotNull())
            .select(F.concat(F.lit("lbucket_"), F.col("lang"),
                             F.lit("_"), F.col("bucket")).alias("tag"),
                    "doc_id",
@@ -2668,26 +2672,17 @@ def _rp_oracle_sql(out_dim: int = 16, in_dim: int = 64,
     achlioptas_matrix constant, the SAME micro-unit quantization, the
     SAME repr()-injected sqrt(3/k) literal — integer signed sums, so
     the comparison is exact equality. Single pass: the 16 components
-    unnest from one struct list per vector."""
-    import math as _math
-
+    unnest from one struct list per vector. The per-component SQL comes
+    from the SAME projection_exprs generator the operator uses (only
+    the element accessor differs), so an edit to the scale/rounding at
+    one site cannot silently break parity at the other."""
     from serverless_data_pipeline_spark.operators.similarity import (
-        achlioptas_matrix,
+        projection_exprs,
     )
-    mat = achlioptas_matrix(in_dim, out_dim, seed)
-    c = _math.sqrt(3.0 / out_dim)
-    comps = []
-    for j in range(out_dim):
-        terms = []
-        for i in range(in_dim):
-            if mat[i][j] == 1:
-                terms.append(f"+ v[{i + 1}]")
-            elif mat[i][j] == -1:
-                terms.append(f"- v[{i + 1}]")
-        s = " ".join(terms).lstrip("+ ") if terms else "CAST(0 AS BIGINT)"
-        comps.append(f"{{'j': CAST({j} AS BIGINT), "
-                     f"'p': CAST(ROUND({c!r} * CAST(({s}) AS DOUBLE) "
-                     f"/ 1000000.0, 6) AS DOUBLE)}}")
+    exprs = projection_exprs(out_dim, in_dim=in_dim, seed=seed,
+                             elem_fmt="v[{i}]")
+    comps = [f"{{'j': CAST({j} AS BIGINT), 'p': {e}}}"
+             for j, e in enumerate(exprs)]
     return (
         "SELECT 'rp' AS mode, vec_id AS query_id, "
         "u.j AS neighbor_id, u.p AS score "

@@ -82,18 +82,24 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
                            F.round(F.col("__r") / F.col("__deg"))
                            .cast("long").alias("__c")))
         inflow = contrib.groupBy("id").agg(F.sum("__c").alias("__in"))
-        dang = (ranks.join(outdeg.select(F.col("src").alias("id")),
-                           "id", "left_anti")
-                .agg(F.coalesce(F.sum("__r"), F.lit(0).cast("long"))
-                     .alias("__d")))
-        ranks = (nodes.join(inflow, "id", "left")
-                 .crossJoin(F.broadcast(n_df))
-                 .crossJoin(F.broadcast(dang))
-                 .select("id", F.round(
+        it = nodes.join(inflow, "id", "left").crossJoin(F.broadcast(n_df))
+        if undirected:
+            # symmetrization guarantees every node has out-edges, so
+            # dangling mass is identically zero — skip the per-iteration
+            # anti-join + aggregate + broadcast entirely (the share
+            # term below stays a literal 0, matching the oracle's + 0)
+            share = F.lit(0).cast("long")
+        else:
+            dang = (ranks.join(outdeg.select(F.col("src").alias("id")),
+                               "id", "left_anti")
+                    .agg(F.coalesce(F.sum("__r"), F.lit(0).cast("long"))
+                         .alias("__d")))
+            it = it.crossJoin(F.broadcast(dang))
+            share = F.round(F.col("__d") / F.col("__n")).cast("long")
+        ranks = (it.select("id", F.round(
                      base + F.lit(damping)
                      * (F.coalesce(F.col("__in"), F.lit(0).cast("long"))
-                        + F.round(F.col("__d") / F.col("__n"))
-                        .cast("long")).cast("double"))
+                        + share).cast("double"))
                      .cast("long").alias("__r"))
                  .localCheckpoint(eager=False))
     return ranks.select(

@@ -202,6 +202,18 @@ def sessionize(df: DataFrame, key: str, ts: str,
               .drop("__new"))
 
 
+
+def _hash_key(df: DataFrame, key_col: str):
+    """Hash-input normalization for the Bloom key ops: integral types
+    widen to BIGINT so INT and BIGINT sides of the same value hash
+    identically (xxhash64 is type-sensitive); other types pass
+    through as-is."""
+    t = dict(df.dtypes)[key_col]
+    if t in ("tinyint", "smallint", "int"):
+        return F.col(key_col).cast("bigint")
+    return F.col(key_col)
+
+
 def key_bloom(df: DataFrame, key_col: str, *, m_bits: int = 1 << 22,
               k_hashes: int = 3) -> DataFrame:
     """Bloom bitmap of a column's (non-NULL) value set, as a DataFrame
@@ -214,7 +226,7 @@ def key_bloom(df: DataFrame, key_col: str, *, m_bits: int = 1 << 22,
         raise ValueError("k_hashes must be >= 1")
     if m_bits < 64:
         raise ValueError("m_bits must be >= 64 (one packed word)")
-    pos = (df.select(F.col(key_col).alias("__k"))
+    pos = (df.select(_hash_key(df, key_col).alias("__k"))
            .filter(F.col("__k").isNotNull())
            .select(F.explode(F.array(
                *[F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(m_bits))
@@ -246,14 +258,29 @@ def bloom_semi_filter(fact: DataFrame, build: DataFrame,
     whole-stage-codegen'd, the fact never shuffles here. Use when the
     build side is too big to broadcast raw but its KEY SET fits a
     bitmap — the regime between broadcast-hash-join and full
-    shuffle-hash-join."""
-    bloom = key_bloom(build, build_key or fact_key,
-                      m_bits=m_bits, k_hashes=k_hashes)
+    shuffle-hash-join.
+
+    Key types must hash identically on both sides — xxhash64 is
+    type-sensitive (hash(5::INT) != hash(5::BIGINT)), so a silent type
+    mismatch would drop true matches. Both hash INPUTS are therefore
+    normalized (integral keys widened to BIGINT — lossless, output
+    columns untouched); a non-integral differing pair raises."""
+    bk = build_key or fact_key
+    ft = dict(fact.dtypes)[fact_key]
+    bt = dict(build.dtypes)[bk]
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if ft != bt and not (ft in integral and bt in integral):
+        raise ValueError(
+            f"fact key type {ft!r} != build key type {bt!r}: "
+            "xxhash64 is type-sensitive, so mismatched types would "
+            "silently drop true matches — cast one side first")
+    bloom = key_bloom(build, bk, m_bits=m_bits, k_hashes=k_hashes)
     probe = fact.filter(F.col(fact_key).isNotNull())
+    fk = _hash_key(fact, fact_key)
     hit = F.lit(True)
     temp = []
     for i in range(k_hashes):
-        p = F.pmod(F.xxhash64(fact_key, F.lit(i)), F.lit(m_bits))
+        p = F.pmod(F.xxhash64(fk, F.lit(i)), F.lit(m_bits))
         b = F.broadcast(
             bloom.select(F.col("word_idx").alias(f"__w{i}"),
                          F.col("word").alias(f"__word{i}")))

@@ -47,7 +47,7 @@ __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "train_ivf_centroids", "add_sign_lsh_buckets", "group_centroids",
            "train_pq_codebooks", "pq_encode", "pq_topk",
            "build_ivfpq_index", "ivfpq_topk",
-           "achlioptas_matrix", "random_projection",
+           "achlioptas_matrix", "random_projection", "projection_exprs",
            "cluster_balanced_sample", "cell_score_exprs"]
 
 
@@ -623,6 +623,31 @@ def random_projection(df: DataFrame, vec_col: str, out_dim: int, *,
     rather than a driver-side Column tree)."""
     if out_dim < 1:
         raise ValueError("out_dim must be >= 1")
+    comps = projection_exprs(out_dim, in_dim=in_dim, seed=seed,
+                             elem_fmt="element_at(__rpv, {i})")
+    # guard (folded into component 0 so column pruning can't drop it):
+    # a vector LONGER than in_dim would otherwise silently project only
+    # its first in_dim components — garbage with no error; shorter
+    # vectors already throw under ANSI element_at. assert_true raises
+    # row-side; on valid data the branch is a no-op.
+    comps[0] = (f"CASE WHEN size(__rpv) = {in_dim} THEN {comps[0]} "
+                f"ELSE CAST(assert_true(false, 'random_projection: "
+                f"vector length <> in_dim={in_dim}') AS DOUBLE) END")
+    return (df.withColumn("__rpv", F.expr(
+                f"transform({vec_col}, x -> "
+                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+            .withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))
+            .drop("__rpv"))
+
+
+def projection_exprs(out_dim: int, *, in_dim: int = 64, seed: int = 1234,
+                     elem_fmt: str) -> list[str]:
+    """The shared per-component expression generator behind
+    random_projection AND its DuckDB oracle (the cell_score_exprs
+    discipline): signed micro-unit integer sums over the
+    achlioptas_matrix constant, one repr()-injected sqrt(3/k) float
+    step — generate both engines' SQL from here and the values agree
+    exactly by construction."""
     mat = achlioptas_matrix(in_dim, out_dim, seed)
     c = math.sqrt(3.0 / out_dim)
     comps = []
@@ -630,17 +655,13 @@ def random_projection(df: DataFrame, vec_col: str, out_dim: int, *,
         terms = []
         for i in range(in_dim):
             if mat[i][j] == 1:
-                terms.append(f"+ element_at(__rpv, {i + 1})")
+                terms.append("+ " + elem_fmt.format(i=i + 1))
             elif mat[i][j] == -1:
-                terms.append(f"- element_at(__rpv, {i + 1})")
+                terms.append("- " + elem_fmt.format(i=i + 1))
         s = " ".join(terms).lstrip("+ ") if terms else "CAST(0 AS BIGINT)"
         comps.append(f"CAST(ROUND({c!r} * CAST(({s}) AS DOUBLE) "
                      f"/ 1000000.0, 6) AS DOUBLE)")
-    return (df.withColumn("__rpv", F.expr(
-                f"transform({vec_col}, x -> "
-                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
-            .withColumn(out_col, F.expr("array(" + ", ".join(comps) + ")"))
-            .drop("__rpv"))
+    return comps
 
 
 

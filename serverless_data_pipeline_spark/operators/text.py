@@ -694,6 +694,17 @@ def lexicon_tag(df: DataFrame, text_col: str = "text",
     unknown = set(block_categories) - set(lexicons)
     if unknown:
         raise ValueError(f"block_categories not in lexicons: {unknown}")
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1 (0 would block every "
+                         "document, including zero-hit ones)")
+    phrases = {w for ws in lexicons.values() for w in ws
+               if len(w.split()) != 1}
+    if phrases:
+        raise ValueError(
+            f"lexicon entries must be single non-empty tokens "
+            f"(multi-word/empty entries can never match): "
+            f"{sorted(phrases)[:5]} — match phrases with "
+            f"word_shingles / contamination_report instead")
     cats = sorted(lexicons)
     out = df.withColumn("__lxt", tokens(F.lower(F.col(text_col))))
     for cat in cats:

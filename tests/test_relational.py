@@ -147,3 +147,15 @@ def test_bloom_semi_filter_laws(spark):
         key_bloom(build, "bk", m_bits=32)
     with _pt.raises(ValueError):
         key_bloom(build, "bk", k_hashes=0)
+    # xxhash64 is type-sensitive: an INT fact key against a BIGINT build
+    # key must still keep every true match (hash inputs normalized),
+    # and the output schema must keep the original key type
+    fact_i = spark.createDataFrame([(i, f"f{i}") for i in range(200)],
+                                   "k int, payload string")
+    pre_i = bloom_semi_filter(fact_i, build, "k", "bk", m_bits=1 << 14)
+    assert {r.k for r in pre_i.collect()} >= {i * 100 for i in range(2)}
+    assert dict(pre_i.dtypes)["k"] == "int"
+    # non-integral type mismatch raises loudly instead of dropping rows
+    fact_s = spark.createDataFrame([("5", "x")], "k string, p string")
+    with _pt.raises(ValueError):
+        bloom_semi_filter(fact_s, build, "k", "bk")

@@ -569,3 +569,18 @@ def test_random_projection_feeds_ann_index(spark):
     got = ann_topk(proj, "vec_id", "proj", list(qproj), k=5,
                    n_tables=4, n_planes=6, multiprobe=1)
     assert got.first().vec_id == 7
+
+
+def test_random_projection_rejects_wrong_length_vectors(spark):
+    """A vector LONGER than in_dim must raise loudly (silently
+    projecting the first in_dim components would corrupt distances
+    with no error)."""
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+    df = spark.createDataFrame([(1, [1.0] * 80)],
+                               "vec_id long, embedding array<float>")
+    with _pt.raises(Exception, match="in_dim|ASSERT"):
+        random_projection(df, "embedding", 16, in_dim=64).collect()

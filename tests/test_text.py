@@ -498,3 +498,12 @@ def test_lexicon_tag_counts_top_and_block(spark):
     with _pt.raises(ValueError):
         lexicon_tag(spark.range(1), lexicons=lex,
                     block_categories=("nope",))
+    # min_hits=0 would block EVERY doc; multi-word/empty entries can
+    # never match a single token — both must raise, not silently no-op
+    with _pt.raises(ValueError):
+        lexicon_tag(spark.range(1), lexicons=lex,
+                    block_categories=("bad",), min_hits=0)
+    with _pt.raises(ValueError):
+        lexicon_tag(spark.range(1), lexicons={"x": ["hit man"]})
+    with _pt.raises(ValueError):
+        lexicon_tag(spark.range(1), lexicons={"x": ["ok", ""]})
