@@ -2519,6 +2519,12 @@ def _q_x13_lm_score(spark, sf):
         classifier_quality_score, default_quality_weights, lm_score,
     )
     docs = _t(spark, sf, "documents")
+    # `scored` feeds FOUR arms (lm, bucket, lbucket, dsir's self-model
+    # via self_lm=). Deliberately NOT checkpointed: A/B at sf0.1
+    # (interleaved, warm) read 6.45/6.68 s without vs 7.01/6.64 s with
+    # — the LM rebuild below the union is cheap narrow work and the
+    # blocking materialization job costs what it saves (same verdict
+    # as x7's train-checkpoint note).
     scored = lm_score(docs, "doc_id", "text")
     lm = (scored
           .select(F.lit("lm").alias("tag"), "doc_id",
@@ -2557,7 +2563,8 @@ def _q_x13_lm_score(spark, sf):
     # decision (weight + kept flag, riding the tag) is value-checked
     from serverless_data_pipeline_spark.operators.text import dsir_select
     dsir = (dsir_select(docs, docs.filter(F.col("lang") == "en"),
-                        "doc_id", "text", keep_frac=0.25)
+                        "doc_id", "text", keep_frac=0.25,
+                        self_lm=scored)
             .filter(F.col("dsir_weight").isNotNull())
             .select(F.concat(F.lit("dsir_"),
                              F.when(F.col("dsir_kept"), F.lit("keep"))

@@ -230,7 +230,8 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
 def dsir_select(df: DataFrame, target: DataFrame,
                 id_col: str = "doc_id", text_col: str = "text", *,
                 keep_frac: float = 0.25, add_k: float = 0.5,
-                exact: bool = True) -> DataFrame:
+                exact: bool = True,
+                self_lm: DataFrame | None = None) -> DataFrame:
     """DSIR-style domain-targeted data selection (Xie et al., NeurIPS
     2023, "Data Selection for Language Models via Importance
     Resampling"): pick raw documents whose n-gram distribution looks
@@ -255,12 +256,19 @@ def dsir_select(df: DataFrame, target: DataFrame,
     shuffles, linear) plus ONE aggregate-row threshold broadcast back
     (the ``quantile_buckets`` discipline: no driver round trip, no
     global sort window; ``exact=False`` switches to the bounded-memory
-    percentile sketch at 100 TB)."""
+    percentile sketch at 100 TB).
+
+    ``self_lm`` (optional) supplies an
+    already-computed self-model score frame — ``lm_score(df, ...)``
+    output or anything with (id_col, lm_logp) — so a caller that has
+    ALREADY scored the corpus (the usual case: DSIR composes with the
+    CCNet scoring pass) doesn't pay a second full LM build."""
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError("keep_frac must be in (0, 1]")
     t = (lm_score(df, id_col, text_col, ref=target, add_k=add_k)
          .select(id_col, F.col("lm_logp").alias("__lt")))
-    r = (lm_score(df, id_col, text_col, add_k=add_k)
+    r = ((self_lm if self_lm is not None
+          else lm_score(df, id_col, text_col, add_k=add_k))
          .select(id_col, F.col("lm_logp").alias("__lr")))
     w = (t.join(r, id_col)
          .select(F.col(id_col),
