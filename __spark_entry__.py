@@ -1411,11 +1411,15 @@ def _q_x5_text_signals(spark, sf):
     dup counts on fp, lang stats via broadcast. r7 adds `top_terms`
     (`top_tfidf_terms` — per-doc top-3 TF-IDF keywords as one ranked
     comma-joined string; keyword extraction inherently keys a shuffle
-    on (doc, term), the one doc-grain join in the row). Measured sf0.1:
+    on (doc, term), the one doc-grain join in the row). r7 s6 adds
+    `char_entropy` — per-doc Shannon entropy over characters (the
+    cheap both-tails quality gate: repetition scores low, encoded
+    noise scores near the alphabet ceiling), round-6 terms + exact
+    integer accumulation, value-checked. Measured sf0.1:
     7.5s cold / 2.5s warm for the 4-frame join form -> 4.3 / 2.0
     single-pass (pre-r7)."""
     from serverless_data_pipeline_spark.operators.text import (
-        top_tfidf_terms,
+        char_entropy, top_tfidf_terms,
     )
     docs = _t(spark, sf, "documents")
     base = quality_features(language_id(docs)).select(
@@ -1426,14 +1430,18 @@ def _q_x5_text_signals(spark, sf):
     stats = token_stats(docs).select(
         "lang", "total_tokens", "total_bpe_tokens", "vocab")
     kw = top_tfidf_terms(docs, "doc_id", "text", top_n=3)
+    ent = char_entropy(docs.select("doc_id", "text"), "doc_id", "text")
     return (base.join(dupc, "fp")
             .join(F.broadcast(stats), "lang").drop("lang")
             .join(kw, "doc_id", "left")
             .withColumn("top_terms", F.coalesce("top_terms", F.lit("")))
+            .join(ent.select("doc_id", "n_distinct_chars",
+                             "char_entropy"), "doc_id", "left")
             .select("doc_id", "predicted_lang", "q_chars", "q_tokens",
                     "q_punct_ratio", "q_stopword_ratio", "q_score",
                     "fp", "dup_count", "total_tokens", "total_bpe_tokens",
-                    "vocab", "top_terms"))
+                    "vocab", "top_terms", "n_distinct_chars",
+                    "char_entropy"))
 
 
 def _q_x6_multimodal(spark, sf):
@@ -1820,7 +1828,15 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_lm_score.dsir": _x13_flavour_dsir,
         "x13_lm_score.lbucket": _x13_flavour_lbucket,
         "x11_text_hygiene.lex": _x11_flavour_lex,
+        "x5_text_signals.entropy": _x5_flavour_entropy,
     }
+
+
+def _x5_flavour_entropy(spark, sf):
+    from serverless_data_pipeline_spark.operators.text import char_entropy
+    return (char_entropy(_t(spark, sf, "documents")
+                         .select("doc_id", "text"), "doc_id", "text")
+            .select("doc_id", "n_distinct_chars", "char_entropy"))
 
 
 def _x2_flavour_pagerank(spark, sf):
@@ -4197,19 +4213,42 @@ def oracle_sql() -> dict[str, str]:
                     FROM tfm JOIN idfm USING (tok)),
             kw AS (SELECT doc_id,
                           string_agg(tok, ',' ORDER BY rn) AS top_terms
-                   FROM kwr WHERE rn <= 3 GROUP BY doc_id)
+                   FROM kwr WHERE rn <= 3 GROUP BY doc_id),
+            -- char-entropy arm: per-(doc, char) counts, round-6 terms,
+            -- exact integer accumulation (the _msum discipline), the
+            -- 0-minus-sum negation done in BIGINT so H=0 never emits -0.0
+            chx AS (SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, length(text) + 1),
+                               i -> text[i])) AS ch
+                    FROM documents),
+            chc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM chx GROUP BY doc_id, ch),
+            cht AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                           CAST(COUNT(*) AS BIGINT) AS ndc
+                    FROM chc GROUP BY doc_id),
+            che AS (SELECT c.doc_id,
+                           MAX(t.ndc) AS n_distinct_chars,
+                           CAST(0 - SUM(CAST(round(
+                               round((c.c / t.n) * log2(c.c / t.n), 6)
+                               * 1000000) AS BIGINT)) AS DOUBLE)
+                           / 1000000.0 AS char_entropy
+                    FROM chc c JOIN cht t USING (doc_id)
+                    GROUP BY c.doc_id)
             SELECT d.doc_id, lid.predicted_lang,
                    qf.q_chars, qf.q_tokens, qf.q_punct_ratio,
                    qf.q_stopword_ratio, qf.q_score,
                    fpc.fp, fpc.dup_count,
                    st.total_tokens, st.total_bpe_tokens, st.vocab,
-                   COALESCE(kw.top_terms, '') AS top_terms
+                   COALESCE(kw.top_terms, '') AS top_terms,
+                   che.n_distinct_chars, che.char_entropy
             FROM documents d
             JOIN lid USING (doc_id)
             JOIN qf USING (doc_id)
             JOIN fpc USING (doc_id)
             JOIN st ON d.lang = st.lang
-            LEFT JOIN kw ON d.doc_id = kw.doc_id""",
+            LEFT JOIN kw ON d.doc_id = kw.doc_id
+            LEFT JOIN che ON d.doc_id = che.doc_id""",
         "x6_multimodal": """
             SELECT 'media' AS kind,
                    'application/octet-stream|' || source || '#'

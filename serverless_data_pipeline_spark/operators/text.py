@@ -732,3 +732,43 @@ def lexicon_tag(df: DataFrame, text_col: str = "text",
     for c in block_categories:
         blocked = blocked | (F.col(prefix + c) >= F.lit(min_hits))
     return out.withColumn(prefix + "blocked", blocked).drop("__lxt")
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy over characters, H = -Σ p_c log2
+    p_c — the classic cheap quality signal: natural prose sits in a
+    narrow band (~4-4.5 bits/char for English), repetitive boilerplate
+    falls far below it, and random/encoded noise pushes toward the
+    alphabet's log2 ceiling. Gate BOTH tails.
+
+    Returns ``df`` + ``n_distinct_chars`` + ``char_entropy`` (round-6
+    of each term, exact integer accumulation — the _msum discipline —
+    so the value is partition-order- and engine-stable; NULL for empty
+    text, 0.0 for single-character-alphabet docs). Characters are
+    UTF-16 code units (Java semantics) — identical to code points for
+    all BMP text, including CJK; astral-plane emoji count as 2.
+
+    Scale shape: one (doc, char) explode (≤ |text| rows, tiny keys),
+    two keyed aggregations and one doc-grain join — linear, no driver
+    round trip, alphabet size bounds the per-doc group count."""
+    ch = (spread_small_input(df)
+          .select(F.col(id_col),
+                  F.explode(F.split(F.col(text_col), "")).alias("__ch"))
+          # split("", "") yields [""] — drop it so empty text gets NULL
+          # entropy (no rows), matching the oracle's range(1, 0+1)
+          .filter(F.col("__ch") != ""))
+    cnt = ch.groupBy(id_col, "__ch").agg(F.count("*").alias("__c"))
+    tot = cnt.groupBy(id_col).agg(
+        F.sum("__c").alias("__n"),
+        F.count("*").alias("n_distinct_chars"))
+    term = F.round((F.col("__c") / F.col("__n"))
+                   * F.log2(F.col("__c") / F.col("__n")), 6)
+    ent = (cnt.join(tot, id_col)
+           .groupBy(id_col)
+           .agg(F.max("n_distinct_chars").alias("n_distinct_chars"),
+                ((F.lit(0).cast("long")
+                  - F.sum(F.round(term * 1000000).cast("long")))
+                 .cast("double") / F.lit(1000000.0))
+                .alias("char_entropy")))
+    return df.join(ent, id_col, "left")

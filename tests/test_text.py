@@ -507,3 +507,32 @@ def test_lexicon_tag_counts_top_and_block(spark):
         lexicon_tag(spark.range(1), lexicons={"x": ["hit man"]})
     with _pt.raises(ValueError):
         lexicon_tag(spark.range(1), lexicons={"x": ["ok", ""]})
+
+
+def test_char_entropy_hand_values(spark):
+    """Shannon entropy laws against hand-computed values: 'aabb' ->
+    exactly 1.0 bit; 'ab' -> 1.0; 'aaaa' (one-symbol alphabet) -> 0.0
+    (and never -0.0); uniform 4-char -> 2.0; empty text -> NULL
+    (row-preserved); natural prose lands between repetition and a
+    uniform alphabet."""
+    import math
+
+    from serverless_data_pipeline_spark.operators.text import char_entropy
+    rows = [(0, "aabb"), (1, "aaaa"), (2, "abcd"), (3, ""),
+            (4, "the cat sat on the mat")]
+    out = {r.doc_id: r for r in char_entropy(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+    assert len(out) == 5
+    assert out[0].char_entropy == 1.0 and out[0].n_distinct_chars == 2
+    assert out[1].char_entropy == 0.0
+    assert math.copysign(1.0, out[1].char_entropy) == 1.0   # not -0.0
+    assert out[2].char_entropy == 2.0 and out[2].n_distinct_chars == 4
+    assert out[3].char_entropy is None
+    # hand-check doc 4: counts over 22 chars incl. 5 spaces
+    txt = "the cat sat on the mat"
+    from collections import Counter
+    n = len(txt)
+    expect = -sum(round((c / n) * math.log2(c / n), 6) * 1000000
+                  for c in Counter(txt).values()) / 1000000.0
+    assert abs(out[4].char_entropy - expect) < 1e-9
+    assert 0.0 < out[4].char_entropy < math.log2(out[4].n_distinct_chars) + 1e-9
