@@ -1588,10 +1588,17 @@ def _q_x_approx_suite(spark, sf):
       cell table, one-sided estimates) carry (token, NULL, NULL,
       estimated corpus frequency) for five fixed probe tokens; the
       one-sided/merge/error-bound laws are pytest-pinned
-      (tests/test_sketches.py)."""
+      (tests/test_sketches.py);
+    - `sketch_hll_merged` rows (r7 s6 — the MERGEABLE DataSketches HLL
+      path, `hll_build`/`hll_merge`/`hll_estimate`: per-source sketches
+      built independently, unioned by register max, estimated without
+      rescanning either batch — the incremental-maintenance form of
+      distinct counting) carry (lang, NULL, NULL, estimated distinct
+      docs); the merge-equals-whole-build and accuracy laws are
+      pytest-pinned (tests/test_sketches.py)."""
     from serverless_data_pipeline_spark.functions.text import tokens
     from serverless_data_pipeline_spark.operators.sketches import (
-        cms_build, cms_estimate,
+        cms_build, cms_estimate, hll_build, hll_estimate, hll_merge,
     )
     from serverless_data_pipeline_spark.operators.util import (
         spread_small_input,
@@ -1618,6 +1625,15 @@ def _q_x_approx_suite(spark, sf):
             .select(F.lit("sketch_cms").alias("method"),
                     F.col("t").alias("key"), *ids,
                     F.col("est").cast("double").alias("metric")))
+    # mergeable-HLL arm: per-source sketches merged per lang — batches
+    # never rescanned, the distinct-doc-id estimate read off the union
+    docs_h = _t(spark, sf, "documents").select(
+        "lang", "source", F.col("doc_id").cast("string").alias("did"))
+    hsk = hll_build(docs_h, "did", by=("lang", "source"))
+    hmg = (hll_estimate(hll_merge(hsk, by=("lang",)), by=("lang",))
+           .select(F.lit("sketch_hll_merged").alias("method"),
+                   F.col("lang").alias("key"), *ids,
+                   F.col("n_distinct_est").cast("double").alias("metric")))
     nkey = F.lit(None).cast("string").alias("key")
     lsh = _lsh_flavours(spark, sf).select(
         "method", nkey, "id_a", "id_b", "metric")
@@ -1626,7 +1642,7 @@ def _q_x_approx_suite(spark, sf):
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
         F.col("cosine").alias("metric"))
-    return (hll.unionAll(p50).unionAll(cmse)
+    return (hll.unionAll(p50).unionAll(cmse).unionAll(hmg)
             .unionAll(lsh).unionAll(ann))
 
 
@@ -1919,7 +1935,7 @@ def _x11_flavour_c4gopher(spark, sf):
 def _approx_flavour_cms(spark, sf):
     from serverless_data_pipeline_spark.functions.text import tokens
     from serverless_data_pipeline_spark.operators.sketches import (
-        cms_build, cms_estimate,
+        cms_build, cms_estimate, hll_build, hll_estimate, hll_merge,
     )
     from serverless_data_pipeline_spark.operators.util import (
         spread_small_input,

@@ -135,3 +135,40 @@ def test_cms_streaming_merge_equals_batch(spark, tmp_path):
     true = {f"tok{i}": len([1 for j in range(300) if j % 17 == i])
             for i in range(17)}
     assert all(est[k] >= v for k, v in true.items())
+
+
+def test_hll_merge_law_and_accuracy(spark):
+    """HLL laws (mirroring the CMS contract): merging per-batch
+    sketches gives EXACTLY the same estimate as one whole-corpus
+    build (the sketch union is lossless w.r.t. the register state);
+    per-group sketches estimate each group; the estimate lands within
+    the documented ~1.6% band at lg_k=12; idempotent re-merge."""
+    from pyspark.sql import functions as F
+
+    from serverless_data_pipeline_spark.operators.sketches import (
+        hll_build, hll_estimate, hll_merge,
+    )
+    n_distinct = 50_000
+    df = (spark.range(200_000)
+          .select((F.col("id") % 137).cast("string").alias("grp_sel"),
+                  (F.col("id") % n_distinct).cast("string").alias("v"),
+                  (F.col("id") % 2).cast("string").alias("g")))
+    whole = hll_estimate(hll_build(df, "v")).first().n_distinct_est
+    assert abs(whole - n_distinct) / n_distinct < 0.05
+    # batch-merge law: exact equality with the whole-corpus build
+    b1 = hll_build(df.filter("id % 3 != 0"), "v")
+    b2 = hll_build(df.filter("id % 3 = 0"), "v")
+    merged = hll_estimate(hll_merge(b1.unionAll(b2))).first().n_distinct_est
+    assert merged == whole
+    # idempotence: merging the same sketch twice changes nothing
+    twice = hll_estimate(
+        hll_merge(b1.unionAll(b2).unionAll(b2))).first().n_distinct_est
+    assert twice == whole
+    # per-group: each g has its own distinct set of v
+    per = {r.g: r.n_distinct_est
+           for r in hll_estimate(hll_build(df, "v", by=("g",)),
+                                 by=("g",)).collect()}
+    exact = {r.g: r.n for r in df.groupBy("g")
+             .agg(F.countDistinct("v").alias("n")).collect()}
+    for g, e in exact.items():
+        assert abs(per[g] - e) / e < 0.05
