@@ -2266,12 +2266,15 @@ def _q_x8_corpus_utils(spark, sf):
     # is value-checked against a DuckDB recursive-CTE replay of the same
     # linear recursion (the FFD strategy is pytest-pinned: bin-capacity /
     # completeness / never-more-bins-than-next-fit laws)
+    # h carries the r7 s6 bin_offset (token start inside the padded
+    # bin, id-order layout) as a string — the attention-mask boundary
+    # metadata, value-checked alongside the assignment
     bins = (pack_bins(docs, "doc_id", "text", budget=512, n_shards=8)
             .select(F.lit("bins").alias("kind"), "doc_id",
                     F.col("n_tokens").cast("long").alias("a"),
                     F.col("shard").cast("long").alias("b"),
                     F.col("bin_id").cast("long").alias("c"),
-                    F.lit(None).cast("string").alias("h")))
+                    F.col("bin_offset").cast("string").alias("h")))
     chunk = (chunk_documents(docs, "doc_id", "text",
                              chunk_chars=512, overlap_chars=64)
              .select(F.lit("chunk").alias("kind"), "doc_id",
@@ -3600,7 +3603,12 @@ def oracle_sql() -> dict[str, str]:
                         FROM documents))
             UNION ALL
             SELECT 'bins' AS kind, doc_id, n_tokens AS a, shard AS b,
-                   bin_id AS c, CAST(NULL AS VARCHAR) AS h
+                   bin_id AS c,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                            PARTITION BY shard, bin_id ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        AS VARCHAR) AS h
             FROM (WITH RECURSIVE nfbase AS (
                     SELECT doc_id, n_tokens, shard,
                            ROW_NUMBER() OVER (PARTITION BY shard

@@ -317,7 +317,11 @@ def pack_bins(df: DataFrame, id_col: str, text_col: str,
     regime: unlike ``pack_sequences``' concat-then-chunk, a document
     NEVER splits across training sequences, so each bin is padded up to
     ``budget`` and the packer's job is to minimize that padding).
-    Returns (id, n_tokens, shard, bin_id); bin ids are per-shard.
+    Returns (id, n_tokens, shard, bin_id, bin_offset); bin ids are
+    per-shard, and ``bin_offset`` is the document's token START inside
+    its padded bin with documents laid out in id order (both
+    strategies) — the boundary metadata a trainer needs to build
+    attention masks over packed sequences.
 
     Strategies:
 
@@ -382,9 +386,14 @@ def pack_bins(df: DataFrame, id_col: str, text_col: str,
         return pdf.assign(bin_id=out)[
             ["id", "n_tokens", "shard", "bin_id"]]
 
+    w = (Window.partitionBy("shard", "bin_id").orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, -1))
     return (base.groupBy("shard")
             .applyInPandas(pack, "id long, n_tokens long, shard int, "
                                  "bin_id long")
+            .withColumn("bin_offset",
+                        F.coalesce(F.sum("n_tokens").over(w),
+                                   F.lit(0).cast("long")))
             .withColumnRenamed("id", id_col))
 
 

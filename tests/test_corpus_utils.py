@@ -949,3 +949,26 @@ def test_token_budget_mix_zero_weight_group_keeps_one(spark):
         [("a", 1, 0), ("b", 2, 0)], "g string, doc_id long, w long")
     out2 = token_budget_mix(allz, "g", "doc_id", "w", alpha=0.3)
     assert {r.g for r in out2.collect()} == {"a", "b"}
+
+
+def test_pack_bins_offsets_are_attention_mask_ready(spark):
+    """bin_offset law: within each (shard, bin), docs laid out in id
+    order tile the bin exactly — offsets start at 0, each next offset
+    = previous offset + previous n_tokens, and offset + n_tokens never
+    exceeds the budget (next_fit); FFD offsets obey the same tiling."""
+    from serverless_data_pipeline_spark.operators.corpus import pack_bins
+    rows = [(i, "w " * (3 + i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for strat in ("next_fit", "first_fit_dec"):
+        out = pack_bins(df, "doc_id", "text", budget=10, n_shards=2,
+                        strategy=strat).collect()
+        bins = {}
+        for r in out:
+            bins.setdefault((r.shard, r.bin_id), []).append(r)
+        for members in bins.values():
+            members.sort(key=lambda r: r.doc_id)
+            expect = 0
+            for r in members:
+                assert r.bin_offset == expect
+                expect += r.n_tokens
+            assert expect <= 10

@@ -141,8 +141,9 @@ def test_corpus_utils_plan_shape(spark):
     (lang, fp) partial then a lang final — both sheet rows re-plan the
     shared subtree, and the exact-median percentile keys the third,
     + the r7 jac arm's two per-corpus distinct-shingle aggregations,
-    + the r7 bins arm's applyInPandas shard exchange — pack_bins'
-    ONLY shuffle, and it moves (id, n_tokens, shard), never text)
+    + the r7 bins arm's applyInPandas shard exchange and (r7 s6) its
+    bin_offset window exchange keyed on (shard, bin_id) — pack_bins'
+    only shuffles, moving (id, n_tokens, shard, bin_id), never text)
     and three SinglePartition exchanges (the tmix and wmix all-rows
     totals windows over their |groups|-row sizes frames and jac's
     final one-row set-size aggregate — all tiny by construction; the
@@ -154,7 +155,7 @@ def test_corpus_utils_plan_shape(spark):
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 16
+    assert plan.count("Exchange hashpartitioning") == 17
     assert plan.count("Exchange SinglePartition") == 3
     assert "SortMergeJoin" not in plan
 
