@@ -1594,8 +1594,8 @@ def _q_x_approx_suite(spark, sf):
       built independently, unioned by register max, estimated without
       rescanning either batch — the incremental-maintenance form of
       distinct counting) carry (lang, NULL, NULL, estimated distinct
-      docs); the merge-equals-whole-build and accuracy laws are
-      pytest-pinned (tests/test_sketches.py)."""
+      docs); the merge-within-error-band-of-whole-build and accuracy
+      laws are pytest-pinned (tests/test_sketches.py)."""
     from serverless_data_pipeline_spark.functions.text import tokens
     from serverless_data_pipeline_spark.operators.sketches import (
         cms_build, cms_estimate, hll_build, hll_estimate, hll_merge,

@@ -111,9 +111,13 @@ def hll_build(df: DataFrame, col: str, *, by: tuple[str, ...] = (),
 
 
 def hll_merge(sketches: DataFrame, *, by: tuple[str, ...] = ()) -> DataFrame:
-    """Union sketches (cell-wise max of HLL registers — associative,
-    commutative, idempotent): the incremental-batch combine, same
-    contract as ``cms_merge``. Input/output: (*by, hll_sketch)."""
+    """Union sketches (register-wise max — associative, commutative,
+    idempotent): the incremental-batch combine, same role as
+    ``cms_merge``. One caveat CMS doesn't have: the ESTIMATE read off
+    a union can differ from a one-pass build's by a fraction of a
+    percent (the estimator loses the insertion-history accumulator),
+    so downstream comparisons should band, not bit-match.
+    Input/output: (*by, hll_sketch)."""
     agg = F.expr("hll_union_agg(hll_sketch, true)").alias("hll_sketch")
     return (sketches.groupBy(*by).agg(agg) if by
             else sketches.agg(agg))

@@ -139,10 +139,12 @@ def test_cms_streaming_merge_equals_batch(spark, tmp_path):
 
 def test_hll_merge_law_and_accuracy(spark):
     """HLL laws (mirroring the CMS contract): merging per-batch
-    sketches gives EXACTLY the same estimate as one whole-corpus
-    build (the sketch union is lossless w.r.t. the register state);
-    per-group sketches estimate each group; the estimate lands within
-    the documented ~1.6% band at lg_k=12; idempotent re-merge."""
+    sketches estimates the union within the sketch's error band of the
+    one-pass whole-corpus build (registers union by max — unlike CMS
+    cell sums, the ESTIMATOR read off a union can differ from the
+    direct build's by a fraction of a percent, so the law is a tight
+    band, not bit equality); per-group sketches estimate each group;
+    idempotent re-merge IS exact (same registers -> same estimate)."""
     from pyspark.sql import functions as F
 
     from serverless_data_pipeline_spark.operators.sketches import (
@@ -159,11 +161,12 @@ def test_hll_merge_law_and_accuracy(spark):
     b1 = hll_build(df.filter("id % 3 != 0"), "v")
     b2 = hll_build(df.filter("id % 3 = 0"), "v")
     merged = hll_estimate(hll_merge(b1.unionAll(b2))).first().n_distinct_est
-    assert merged == whole
+    assert abs(merged - whole) / whole < 0.01
+    assert abs(merged - n_distinct) / n_distinct < 0.05
     # idempotence: merging the same sketch twice changes nothing
     twice = hll_estimate(
         hll_merge(b1.unionAll(b2).unionAll(b2))).first().n_distinct_est
-    assert twice == whole
+    assert twice == merged
     # per-group: each g has its own distinct set of v
     per = {r.g: r.n_distinct_est
            for r in hll_estimate(hll_build(df, "v", by=("g",)),
@@ -172,3 +175,43 @@ def test_hll_merge_law_and_accuracy(spark):
              .agg(F.countDistinct("v").alias("n")).collect()}
     for g, e in exact.items():
         assert abs(per[g] - e) / e < 0.05
+
+
+def test_hll_streaming_merge_equals_batch(spark, tmp_path):
+    """The HLL sibling of the streaming CMS contract: each micro-batch
+    persists its own binary sketch via foreachBatch; hll_merge over the
+    accumulated per-batch sketches must land within the sketch's
+    error band of the one-pass batch build AND of the true cardinality
+    — per-landing distinct-count maintenance without rescanning
+    history."""
+    from pyspark.sql import types as T
+
+    from serverless_data_pipeline_spark.operators.sketches import (
+        hll_build, hll_estimate, hll_merge,
+    )
+    schema = T.StructType([T.StructField("v", T.StringType())])
+    src = str(tmp_path / "src")
+    sk_dir = str(tmp_path / "sk")
+    rows = [(f"u{i % 431}",) for i in range(2000)]
+    spark.createDataFrame(rows, schema).repartition(3) \
+        .write.mode("overwrite").parquet(src)
+
+    n_batches = []
+
+    def _tick(batch_df, bid):
+        n_batches.append(bid)
+        hll_build(batch_df, "v").write.mode("append").parquet(sk_dir)
+
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(_tick)
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(n_batches) >= 2
+    merged = hll_estimate(
+        hll_merge(spark.read.parquet(sk_dir))).first().n_distinct_est
+    direct = hll_estimate(
+        hll_build(spark.read.parquet(src), "v")).first().n_distinct_est
+    assert abs(merged - direct) / direct < 0.02
+    assert abs(merged - 431) / 431 < 0.05
