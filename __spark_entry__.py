@@ -1845,7 +1845,19 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_lm_score.lbucket": _x13_flavour_lbucket,
         "x11_text_hygiene.lex": _x11_flavour_lex,
         "x5_text_signals.entropy": _x5_flavour_entropy,
+        "x_approx_suite.hllm": _approx_flavour_hllm,
     }
+
+
+def _approx_flavour_hllm(spark, sf):
+    from serverless_data_pipeline_spark.operators.sketches import (
+        hll_build, hll_estimate, hll_merge,
+    )
+    docs_h = _t(spark, sf, "documents").select(
+        "lang", "source", F.col("doc_id").cast("string").alias("did"))
+    return hll_estimate(
+        hll_merge(hll_build(docs_h, "did", by=("lang", "source")),
+                  by=("lang",)), by=("lang",))
 
 
 def _x5_flavour_entropy(spark, sf):
@@ -1935,7 +1947,7 @@ def _x11_flavour_c4gopher(spark, sf):
 def _approx_flavour_cms(spark, sf):
     from serverless_data_pipeline_spark.functions.text import tokens
     from serverless_data_pipeline_spark.operators.sketches import (
-        cms_build, cms_estimate, hll_build, hll_estimate, hll_merge,
+        cms_build, cms_estimate,
     )
     from serverless_data_pipeline_spark.operators.util import (
         spread_small_input,

@@ -628,9 +628,11 @@ def random_projection(df: DataFrame, vec_col: str, out_dim: int, *,
     # guard (folded into component 0 so column pruning can't drop it):
     # a vector LONGER than in_dim would otherwise silently project only
     # its first in_dim components — garbage with no error; shorter
-    # vectors already throw under ANSI element_at. assert_true raises
-    # row-side; on valid data the branch is a no-op.
-    comps[0] = (f"CASE WHEN size(__rpv) = {in_dim} THEN {comps[0]} "
+    # vectors already throw under ANSI element_at; a NULL vector passes
+    # through as NULL components (never aborts the scan). assert_true
+    # raises row-side; on valid data the branch is a no-op.
+    comps[0] = (f"CASE WHEN __rpv IS NULL THEN CAST(NULL AS DOUBLE) "
+                f"WHEN size(__rpv) = {in_dim} THEN {comps[0]} "
                 f"ELSE CAST(assert_true(false, 'random_projection: "
                 f"vector length <> in_dim={in_dim}') AS DOUBLE) END")
     return (df.withColumn("__rpv", F.expr(

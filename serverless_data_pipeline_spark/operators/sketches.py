@@ -105,7 +105,7 @@ def hll_build(df: DataFrame, col: str, *, by: tuple[str, ...] = (),
     across batches, estimate any union without rescanning history —
     which a plain approx_count_distinct aggregate can't do. Columns:
     (*by, hll_sketch binary)."""
-    agg = F.expr(f"hll_sketch_agg({col}, {int(lg_k)})").alias("hll_sketch")
+    agg = F.hll_sketch_agg(F.col(col), int(lg_k)).alias("hll_sketch")
     return (df.groupBy(*by).agg(agg) if by
             else df.agg(agg))
 
@@ -116,9 +116,12 @@ def hll_merge(sketches: DataFrame, *, by: tuple[str, ...] = ()) -> DataFrame:
     ``cms_merge``. One caveat CMS doesn't have: the ESTIMATE read off
     a union can differ from a one-pass build's by a fraction of a
     percent (the estimator loses the insertion-history accumulator),
-    so downstream comparisons should band, not bit-match.
+    so downstream comparisons should band, not bit-match. Sketches
+    built at DIFFERENT lg_k raise rather than silently unioning down
+    to the coarser precision (the bloom_semi_filter discipline: loud
+    beats quietly quadrupling the error band).
     Input/output: (*by, hll_sketch)."""
-    agg = F.expr("hll_union_agg(hll_sketch, true)").alias("hll_sketch")
+    agg = F.hll_union_agg(F.col("hll_sketch"), False).alias("hll_sketch")
     return (sketches.groupBy(*by).agg(agg) if by
             else sketches.agg(agg))
 
@@ -127,5 +130,5 @@ def hll_estimate(sketches: DataFrame,
                  *, by: tuple[str, ...] = ()) -> DataFrame:
     """Read the distinct-count estimate out of sketches:
     (*by, n_distinct_est bigint)."""
-    est = F.expr("hll_sketch_estimate(hll_sketch)").alias("n_distinct_est")
+    est = F.hll_sketch_estimate(F.col("hll_sketch")).alias("n_distinct_est")
     return sketches.select(*by, est)

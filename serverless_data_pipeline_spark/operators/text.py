@@ -706,7 +706,7 @@ def lexicon_tag(df: DataFrame, text_col: str = "text",
         raise ValueError("min_hits must be >= 1 (0 would block every "
                          "document, including zero-hit ones)")
     phrases = {w for ws in lexicons.values() for w in ws
-               if len(w.split()) != 1}
+               if w.split() != [w]}
     if phrases:
         raise ValueError(
             f"lexicon entries must be single non-empty tokens "
@@ -746,8 +746,10 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id",
     of each term, exact integer accumulation — the _msum discipline —
     so the value is partition-order- and engine-stable; NULL for empty
     text, 0.0 for single-character-alphabet docs). Characters are
-    UTF-16 code units (Java semantics) — identical to code points for
-    all BMP text, including CJK; astral-plane emoji count as 2.
+    Unicode code points (Java 8+ zero-width regex splits never land
+    inside a surrogate pair, so an astral-plane emoji is ONE character
+    — the same unit DuckDB's text[i] counts, which is what makes the
+    oracle parity hold beyond the BMP).
 
     Scale shape: one (doc, char) explode (≤ |text| rows, tiny keys),
     two keyed aggregations and one doc-grain join — linear, no driver
