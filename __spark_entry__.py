@@ -1342,11 +1342,30 @@ def _q_x3_topk_similarity(spark, sf):
     centroids, 25 docs/cell md5-ranked quota) — EVERY vector's cell
     assignment, winning score and in/out-of-sample verdict is
     value-checked (mode encodes the flag, neighbor_id the cell).
-    Columns harmonized to (mode, query_id, neighbor_id, score)."""
+    `hardneg` (r7 s6): hard-negative mining for contrastive training
+    data (`hard_negatives` — top-k similar EXCLUDING self + listed
+    positives, exact one-scan form; the ANN-shortlist composition is
+    pytest-pinned). Columns harmonized to (mode, query_id,
+    neighbor_id, score)."""
     from serverless_data_pipeline_spark.operators.similarity import (
-        cluster_balanced_sample, random_projection,
+        cluster_balanced_sample, hard_negatives, random_projection,
     )
     e = _t(spark, sf, "embeddings")
+    # hardneg arm (r7 s6): hard-negative mining — top-10 most-similar
+    # corpus vectors per query EXCLUDING the query and its two listed
+    # positives (q+1, q+2); ranked on the round-6 cosine in BOTH
+    # engines, so the ranking comparison is exact
+    hn_pos = (e.filter(F.col("vec_id") < 5)
+              .select("vec_id",
+                      F.explode(F.array(F.col("vec_id") + 1,
+                                        F.col("vec_id") + 2))
+                      .alias("pos_id")))
+    hn = (hard_negatives(e.filter(F.col("vec_id") < 5), hn_pos, e,
+                         "vec_id", "embedding", "vec_id", "embedding",
+                         k=10, dim=64)
+          .select(F.lit("hardneg").alias("mode"), "query_id",
+                  F.col("neg_id").cast("long").alias("neighbor_id"),
+                  F.col("cosine").alias("score")))
     cb = (cluster_balanced_sample(
               e, "vec_id", "embedding",
               _X3_CENTROIDS, per_cluster=25)
@@ -1381,7 +1400,7 @@ def _q_x3_topk_similarity(spark, sf):
                        .alias("neighbor_id"),
                        F.round("bm25", 6).alias("score")))
         bm = arm if bm is None else bm.unionAll(arm)
-    return cos.unionAll(bm).unionAll(rp).unionAll(cb)
+    return cos.unionAll(bm).unionAll(rp).unionAll(cb).unionAll(hn)
 
 
 def _x3_centroids() -> list[list[float]]:
@@ -1846,7 +1865,23 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_text_hygiene.lex": _x11_flavour_lex,
         "x5_text_signals.entropy": _x5_flavour_entropy,
         "x_approx_suite.hllm": _approx_flavour_hllm,
+        "x3_topk_similarity.hardneg": _x3_flavour_hardneg,
     }
+
+
+def _x3_flavour_hardneg(spark, sf):
+    from serverless_data_pipeline_spark.operators.similarity import (
+        hard_negatives,
+    )
+    e = _t(spark, sf, "embeddings")
+    pos = (e.filter(F.col("vec_id") < 5)
+           .select("vec_id",
+                   F.explode(F.array(F.col("vec_id") + 1,
+                                     F.col("vec_id") + 2))
+                   .alias("pos_id")))
+    return hard_negatives(e.filter(F.col("vec_id") < 5), pos, e,
+                          "vec_id", "embedding", "vec_id", "embedding",
+                          k=10, dim=64)
 
 
 def _approx_flavour_hllm(spark, sf):
@@ -3409,6 +3444,15 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) <= 10
+            UNION ALL
+            SELECT 'hardneg' AS mode, query_id, neighbor_id,
+                   ROUND(cos, 6) AS score
+            FROM scored
+            WHERE neighbor_id <> query_id
+              AND neighbor_id NOT IN (query_id + 1, query_id + 2)
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY ROUND(cos, 6) DESC,
+                                                neighbor_id) <= 10
             UNION ALL ("""
             + _bm25_oracle_sql(0, "spark join order window")
             + ") UNION ALL ("

@@ -48,7 +48,8 @@ __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "train_pq_codebooks", "pq_encode", "pq_topk",
            "build_ivfpq_index", "ivfpq_topk",
            "achlioptas_matrix", "random_projection", "projection_exprs",
-           "cluster_balanced_sample", "cell_score_exprs"]
+           "cluster_balanced_sample", "cell_score_exprs",
+           "hard_negatives"]
 
 
 def _lit_vec(vec: list[float]):
@@ -736,3 +737,43 @@ def cluster_balanced_sample(df: DataFrame, id_col: str, vec_col: str,
          .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col)))
     return out.withColumn(
         flag_col, F.row_number().over(w) <= F.lit(per_cluster))
+
+
+def hard_negatives(queries: DataFrame, positives: DataFrame,
+                   corpus: DataFrame, q_id: str, q_vec: str,
+                   c_id: str, c_vec: str, *, k: int = 5,
+                   dim: int | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training data:
+    for each (query, positive-set) pair, the top-``k`` most-similar
+    corpus items that are NOT the query itself and NOT one of its
+    positives — the negatives that actually move an embedding model,
+    vs. random negatives a trained model already separates.
+
+    ``positives`` is (q_id, pos_id) — multiple rows per query allowed.
+    Returns (query_id, neg_id, cosine, rank), rank 1..k per query,
+    ties broken by id. Exact (one corpus scan, the X3 discipline):
+    score everything, anti-join the exclusions, ONE per-query top-k
+    window — never an overfetch-then-refilter heuristic that can come
+    up short when a query has many positives. At billion scale swap
+    the scorer for the ANN shortlist (``ann_topk_join`` + the same
+    exclusion anti-join) and re-rank exactly — the composition is
+    pytest-pinned."""
+    q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
+                                   F.col(q_vec).alias("__qv")))
+    scored = (spread_small_input(corpus)
+              .select(F.col(c_id).alias("neg_id"),
+                      F.col(c_vec).alias("__cv"))
+              .crossJoin(q)
+              .select("query_id", "neg_id",
+                      F.round(cosine_similarity_fixed("__cv", "__qv", dim)
+                              if dim else
+                              cosine_similarity("__cv", "__qv"), 6)
+                      .alias("cosine")))
+    excl = positives.select(F.col(q_id).alias("query_id"),
+                            F.col("pos_id").alias("neg_id"))
+    cand = (scored.filter(F.col("query_id") != F.col("neg_id"))
+            .join(F.broadcast(excl), ["query_id", "neg_id"], "left_anti"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neg_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

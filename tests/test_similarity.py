@@ -584,3 +584,46 @@ def test_random_projection_rejects_wrong_length_vectors(spark):
                                "vec_id long, embedding array<float>")
     with _pt.raises(Exception, match="in_dim|ASSERT"):
         random_projection(df, "embedding", 16, in_dim=64).collect()
+
+
+def test_hard_negatives_excludes_self_and_positives(spark):
+    """Hard-negative laws: the query itself and EVERY listed positive
+    are excluded even when a query has many positives (the
+    overfetch-free guarantee); exactly k negatives per query ranked by
+    cosine; the planted near-duplicate (not listed positive) is the
+    rank-1 hard negative; ANN-shortlist + exclusion composition finds
+    the same top negative."""
+    import numpy as np
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        ann_topk_join, hard_negatives,
+    )
+    rng = np.random.RandomState(3)
+    base = rng.randn(60, 16).astype("float32")
+    base[1] = base[0] + 0.01 * rng.randn(16).astype("float32")  # near-dup
+    for i in range(2, 8):                 # six positives close to q0
+        base[i] = base[0] + 0.05 * rng.randn(16).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id = 0")
+    positives = spark.createDataFrame(
+        [(0, i) for i in range(2, 8)], "vec_id long, pos_id long")
+    out = hard_negatives(queries, positives, corpus,
+                         "vec_id", "embedding", "vec_id", "embedding",
+                         k=5, dim=16).collect()
+    got = [r.neg_id for r in sorted(out, key=lambda r: r.rank)]
+    assert len(got) == 5
+    assert 0 not in got and not set(got) & set(range(2, 8))
+    assert got[0] == 1                      # the unlisted near-dup wins
+    # ANN composition: shortlist via LSH join, same exclusion, same top
+    ann = ann_topk_join(
+        queries.selectExpr("vec_id as q_id", "embedding as qvec"),
+        corpus, "q_id", "qvec", "vec_id", "embedding",
+        dim=16, k=10, n_tables=4, n_planes=6, seed=2)
+    ann_neg = (ann.filter("neighbor_id != query_id")
+               .join(positives.selectExpr("vec_id as query_id",
+                                          "pos_id as neighbor_id"),
+                     ["query_id", "neighbor_id"], "left_anti")
+               .orderBy("cosine", ascending=False).first())
+    assert ann_neg.neighbor_id == 1
