@@ -479,3 +479,20 @@ def test_duplicate_ngram_fraction_laws(spark):
     assert out[5].n_ngrams == 1                      # degenerate shingle
     assert out[6].n_ngrams == 0 and out[6].dup_ngrams == 0
     assert out[6].dup_ngram_frac is None
+
+
+def test_duplicate_ngram_fraction_partition_independence(spark):
+    """dupfrac counts are pure integer aggregates — identical results
+    under any input partitioning."""
+    from serverless_data_pipeline_spark.operators.dedup import (
+        duplicate_ngram_fraction,
+    )
+    rows = [(i, f"alpha beta gamma delta epsilon tok{i % 4} zeta eta")
+            for i in range(30)]
+    def run(n):
+        df = spark.createDataFrame(rows, "doc_id long, text string") \
+            .repartition(n)
+        return sorted((r.doc_id, r.n_ngrams, r.dup_ngrams,
+                       r.dup_ngram_frac)
+                      for r in duplicate_ngram_fraction(df).collect())
+    assert run(2) == run(11)

@@ -51,3 +51,16 @@ def test_pagerank_iteration_determinism_and_args(spark):
     assert _ranks(spark, rows, iters=3) == _ranks(spark, rows, iters=3)
     with pytest.raises(ValueError):
         _ranks(spark, rows, iters=0)
+
+
+def test_pagerank_partition_independence(spark):
+    """Integer micro-unit ranks must be bit-identical whatever the
+    input partitioning — per-edge contributions round to longs BEFORE
+    the order-free integer sum, so no float fold order can leak in."""
+    rows = [(i, (i * 7 + 3) % 23) for i in range(23)] + \
+           [(i, (i * 5 + 1) % 23) for i in range(23)]
+    e2 = spark.createDataFrame(rows, "src long, dst long").repartition(2)
+    e9 = spark.createDataFrame(rows, "src long, dst long").repartition(9)
+    r2 = {r.id: r.rank for r in pagerank(e2, iters=4).collect()}
+    r9 = {r.id: r.rank for r in pagerank(e9, iters=4).collect()}
+    assert r2 == r9
