@@ -2057,7 +2057,9 @@ def _q_x2_dedup_clusters(spark, sf):
     signal that ranks each duplication component's template/boilerplate
     hub, and the host-curation kernel in miniature; the oracle unrolls
     the five iterations as plain CTEs, so every message-passing round
-    is value-checked, not just the fixpoint. Oracle:
+    is value-checked, not just the fixpoint. `csize` (r7 s6): the
+    duplicate-cluster size histogram (N clusters of size s — the
+    standard dedup report line), reusing the same component map. Oracle:
     DuckDB computes the identically-capped pair SQL (with Jaccard) and a
     recursive-CTE transitive closure over it, emitted once per algo tag
     — both algorithms are driver-verified against it, not just
@@ -2089,7 +2091,18 @@ def _q_x2_dedup_clusters(spark, sf):
                   F.col("id").alias("id_a"),
                   F.lit(None).cast("long").alias("id_b"),
                   F.col("rank").alias("metric")))
-    return pair_rows.unionAll(label).unionAll(star).unionAll(pr)
+    # csize arm (r7 s6): the duplicate-cluster size HISTOGRAM — the
+    # standard before/after dedup report line ("N clusters of size s").
+    # Reuses the label-prop component map already computed above:
+    # id_a = cluster size, id_b = number of clusters of that size.
+    csize = (neardup_components(pairs, algorithm="label_prop")
+             .groupBy("component_id").agg(F.count("*").alias("__sz"))
+             .groupBy("__sz").agg(F.count("*").alias("__n"))
+             .select(F.lit("csize").alias("algo"),
+                     F.col("__sz").cast("long").alias("id_a"),
+                     F.col("__n").cast("long").alias("id_b"), nmetric))
+    return (pair_rows.unionAll(label).unionAll(star).unionAll(pr)
+            .unionAll(csize))
 
 
 def _clusters_flavour(spark, sf, algorithm):
@@ -2932,7 +2945,15 @@ _CLUSTERS_ORACLE = f"""
             UNION ALL
             SELECT 'pagerank' AS algo, id AS id_a,
                    CAST(NULL AS BIGINT) AS id_b,
-                   CAST(r AS DOUBLE) / 1000000.0 AS metric FROM pr5"""
+                   CAST(r AS DOUBLE) / 1000000.0 AS metric FROM pr5
+            UNION ALL
+            SELECT 'csize' AS algo, CAST(sz AS BIGINT) AS id_a,
+                   CAST(n AS BIGINT) AS id_b,
+                   CAST(NULL AS DOUBLE) AS metric
+            FROM (SELECT sz, COUNT(*) AS n
+                  FROM (SELECT id_b, COUNT(*) AS sz
+                        FROM comp GROUP BY id_b)
+                  GROUP BY sz)"""
 
 
 def oracle_sql() -> dict[str, str]:
