@@ -2075,10 +2075,13 @@ def _q_x2_dedup_clusters(spark, sf):
     nmetric = F.lit(None).cast("double").alias("metric")
     pair_rows = pairs.select(F.lit("pairs").alias("algo"), "id_a", "id_b",
                              F.col("jaccard").alias("metric"))
-    label = (neardup_components(pairs, algorithm="label_prop")
-             .select(F.lit("label").alias("algo"),
-                     F.col("id").alias("id_a"),
-                     F.col("component_id").alias("id_b"), nmetric))
+    # the label-prop component map feeds BOTH the label arm and the
+    # csize histogram — checkpoint it so the CC rounds run once
+    labmap = (neardup_components(pairs, algorithm="label_prop")
+              .localCheckpoint(eager=True))
+    label = labmap.select(F.lit("label").alias("algo"),
+                          F.col("id").alias("id_a"),
+                          F.col("component_id").alias("id_b"), nmetric)
     star = (neardup_components(pairs, algorithm="star")
             .select(F.lit("star").alias("algo"),
                     F.col("id").alias("id_a"),
@@ -2095,7 +2098,7 @@ def _q_x2_dedup_clusters(spark, sf):
     # standard before/after dedup report line ("N clusters of size s").
     # Reuses the label-prop component map already computed above:
     # id_a = cluster size, id_b = number of clusters of that size.
-    csize = (neardup_components(pairs, algorithm="label_prop")
+    csize = (labmap
              .groupBy("component_id").agg(F.count("*").alias("__sz"))
              .groupBy("__sz").agg(F.count("*").alias("__n"))
              .select(F.lit("csize").alias("algo"),
