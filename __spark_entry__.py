@@ -2422,11 +2422,31 @@ def _q_x8_corpus_utils(spark, sf):
         F.round(F.col("jaccard") * 1e6).cast("long").alias("c"),
         F.concat(F.col("n_a").cast("string"), F.lit(":"),
                  F.col("n_b").cast("string")).alias("h"))
+    # diff arm (r7 s6): snapshot_diff — dataset-versioning changelog
+    # between the corpus and a DERIVED snapshot B (docs %11==0 removed,
+    # %7==0 edited, ids <20 re-added at +1000000) so all four states
+    # occur; h carries the status, value-checked per doc
+    from serverless_data_pipeline_spark.operators.corpus import (
+        snapshot_diff,
+    )
+    bsnap = (docs.filter(F.col("doc_id") % 11 != 0)
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 7 == 0,
+                            F.concat("text", F.lit(" edited v2")))
+                     .otherwise(F.col("text")).alias("text"))
+             .unionAll(docs.filter(F.col("doc_id") < 20)
+                       .select((F.col("doc_id") + 1000000)
+                               .alias("doc_id"), "text")))
+    nl = F.lit(None).cast("long")
+    diff = (snapshot_diff(docs, bsnap, "doc_id", "text")
+            .select(F.lit("diff").alias("kind"), "doc_id",
+                    nl.alias("a"), nl.alias("b"), nl.alias("c"),
+                    F.col("status").alias("h")))
     return (vocab.unionAll(pack).unionAll(bins).unionAll(chunk)
             .unionAll(mix)
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
-            .unionAll(sheet2).unionAll(jac))
+            .unionAll(sheet2).unionAll(jac).unionAll(diff))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -3910,7 +3930,34 @@ def oracle_sql() -> dict[str, str]:
                                         {_TOKENS_SQL.format(c='text')}
                                         AS toks FROM documents
                                       WHERE doc_id % 2 = 1)))
-                        GROUP BY s))""",
+                        GROUP BY s))
+            UNION ALL
+            -- diff arm: snapshot changelog vs derived snapshot B
+            -- (%11 removed, %7 edited, <20 re-added at +1000000)
+            SELECT 'diff', COALESCE(fa.doc_id, fb.doc_id),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CASE WHEN fa.f IS NULL THEN 'added'
+                        WHEN fb.f IS NULL THEN 'removed'
+                        WHEN fa.f = fb.f THEN 'unchanged'
+                        ELSE 'modified' END
+            FROM (SELECT doc_id,
+                         md5(lower(regexp_replace(trim(text),
+                                                  '\\s+', ' ', 'g'))) AS f
+                  FROM documents) fa
+            FULL OUTER JOIN (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text),
+                                                '\\s+', ' ', 'g'))) AS f
+                FROM (SELECT doc_id,
+                             CASE WHEN doc_id % 7 = 0
+                                  THEN text || ' edited v2'
+                                  ELSE text END AS text
+                      FROM documents WHERE doc_id % 11 <> 0
+                      UNION ALL
+                      SELECT doc_id + 1000000, text FROM documents
+                      WHERE doc_id < 20)
+            ) fb ON fa.doc_id = fb.doc_id""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,

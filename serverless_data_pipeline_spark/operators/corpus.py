@@ -1092,3 +1092,29 @@ def corpus_datasheet(df: DataFrame, group_col: str = "source",
                  F.round(F.sum("__q3").cast("double")
                          / (3.0 * F.count("*")), 6).alias("mean_quality"))
             .withColumnRenamed("grp", group_col))
+
+
+def snapshot_diff(a: DataFrame, b: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots: classify
+    every document id as ``added`` (only in B), ``removed`` (only in
+    A), ``modified`` (both, normalized-text fingerprints differ) or
+    ``unchanged`` — the per-document companion of ``corpus_jaccard``'s
+    corpus-level resemblance, and the first question a crawl-over-crawl
+    changelog answers. Returns (id_col, status).
+
+    One narrow fingerprint projection per side + ONE full outer join
+    keyed on the id — fingerprints (16-byte md5), never text, transit
+    the shuffle. NULL-id rows can't join reliably and are dropped from
+    both sides (documented, mirroring equi-join semantics)."""
+    fa = (a.filter(F.col(id_col).isNotNull())
+          .select(F.col(id_col), fingerprint(text_col).alias("__fa")))
+    fb = (b.filter(F.col(id_col).isNotNull())
+          .select(F.col(id_col), fingerprint(text_col).alias("__fb")))
+    return (fa.join(fb, id_col, "full_outer")
+            .select(F.col(id_col),
+                    F.when(F.col("__fa").isNull(), F.lit("added"))
+                     .when(F.col("__fb").isNull(), F.lit("removed"))
+                     .when(F.col("__fa") == F.col("__fb"),
+                           F.lit("unchanged"))
+                     .otherwise(F.lit("modified")).alias("status")))

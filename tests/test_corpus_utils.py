@@ -972,3 +972,26 @@ def test_pack_bins_offsets_are_attention_mask_ready(spark):
                 assert r.bin_offset == expect
                 expect += r.n_tokens
             assert expect <= 10
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    """Diff laws: added/removed/modified/unchanged partition the id
+    union; whitespace/case-only edits are UNCHANGED (normalized
+    fingerprints); NULL ids are dropped from both sides."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        snapshot_diff,
+    )
+    a = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta"),
+         (4, "eta  theta"), (None, "ghost")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(1, "alpha beta"),            # unchanged
+         (2, "gamma delta EDITED"),    # modified
+         (4, "ETA THETA "),            # case/ws only -> unchanged
+         (9, "brand new"),             # added
+         (None, "ghost2")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status for r in snapshot_diff(a, b).collect()}
+    assert got == {1: "unchanged", 2: "modified", 3: "removed",
+                   4: "unchanged", 9: "added"}

@@ -143,7 +143,9 @@ def test_corpus_utils_plan_shape(spark):
     + the r7 jac arm's two per-corpus distinct-shingle aggregations,
     + the r7 bins arm's applyInPandas shard exchange and (r7 s6) its
     bin_offset window exchange keyed on (shard, bin_id) — pack_bins'
-    only shuffles, moving (id, n_tokens, shard, bin_id), never text)
+    only shuffles, moving (id, n_tokens, shard, bin_id), never text,
+    + the r7 s6 diff arm's full-outer-join pair — both sides key on
+    doc_id carrying 16-byte fingerprints, never text)
     and three SinglePartition exchanges (the tmix and wmix all-rows
     totals windows over their |groups|-row sizes frames and jac's
     final one-row set-size aggregate — all tiny by construction; the
@@ -155,9 +157,14 @@ def test_corpus_utils_plan_shape(spark):
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 17
+    assert plan.count("Exchange hashpartitioning") == 19
     assert plan.count("Exchange SinglePartition") == 3
-    assert "SortMergeJoin" not in plan
+    # exactly ONE SortMergeJoin is allowed: the diff arm's FULL OUTER
+    # between two corpus-scale fingerprint frames (full outers cannot
+    # broadcast; SMJ is the correct physical op there — the no-SMJ rule
+    # exists to catch dim broadcasts degrading, not to ban full outers)
+    assert plan.count("SortMergeJoin") == 1
+    assert "FullOuter" in plan
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
