@@ -1345,7 +1345,12 @@ def _q_x3_topk_similarity(spark, sf):
     `hardneg` (r7 s6): hard-negative mining for contrastive training
     data (`hard_negatives` — top-k similar EXCLUDING self + listed
     positives, exact one-scan form; the ANN-shortlist composition is
-    pytest-pinned). Columns harmonized to (mode, query_id,
+    pytest-pinned). The cos and hardneg arms both score queries x
+    corpus; sharing ONE checkpointed scored_pairs frame was A/B'd at
+    sf0.1 (interleaved warm: 2.7/2.0 s separate vs 2.8/1.6 s shared)
+    — a wash, the blocking materialization offsets the saved narrow
+    pass, so the row keeps the form that exercises the public
+    operator (the x7/x13 checkpoint-no-win precedent). Columns harmonized to (mode, query_id,
     neighbor_id, score)."""
     from serverless_data_pipeline_spark.operators.similarity import (
         cluster_balanced_sample, hard_negatives, random_projection,
@@ -3937,18 +3942,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'diff', COALESCE(fa.doc_id, fb.doc_id),
                    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                    CAST(NULL AS BIGINT),
-                   CASE WHEN fa.f IS NULL THEN 'added'
-                        WHEN fb.f IS NULL THEN 'removed'
-                        WHEN fa.f = fb.f THEN 'unchanged'
+                   CASE WHEN fa.p IS NULL THEN 'added'
+                        WHEN fb.p IS NULL THEN 'removed'
+                        WHEN fa.f IS NOT DISTINCT FROM fb.f
+                             THEN 'unchanged'
                         ELSE 'modified' END
-            FROM (SELECT doc_id,
-                         md5(lower(regexp_replace(trim(text),
-                                                  '\\s+', ' ', 'g'))) AS f
-                  FROM documents) fa
+            FROM (SELECT doc_id, 1 AS p,
+                         MIN(md5(lower(regexp_replace(trim(text),
+                                                  '\\s+', ' ', 'g')))) AS f
+                  FROM documents GROUP BY doc_id) fa
             FULL OUTER JOIN (
-                SELECT doc_id,
-                       md5(lower(regexp_replace(trim(text),
-                                                '\\s+', ' ', 'g'))) AS f
+                SELECT doc_id, 1 AS p,
+                       MIN(md5(lower(regexp_replace(trim(text),
+                                                '\\s+', ' ', 'g')))) AS f
                 FROM (SELECT doc_id,
                              CASE WHEN doc_id % 7 = 0
                                   THEN text || ' edited v2'
@@ -3957,6 +3963,7 @@ def oracle_sql() -> dict[str, str]:
                       UNION ALL
                       SELECT doc_id + 1000000, text FROM documents
                       WHERE doc_id < 20)
+                GROUP BY doc_id
             ) fb ON fa.doc_id = fb.doc_id""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,

@@ -1103,18 +1103,30 @@ def snapshot_diff(a: DataFrame, b: DataFrame, id_col: str = "doc_id",
     corpus-level resemblance, and the first question a crawl-over-crawl
     changelog answers. Returns (id_col, status).
 
-    One narrow fingerprint projection per side + ONE full outer join
-    keyed on the id — fingerprints (16-byte md5), never text, transit
-    the shuffle. NULL-id rows can't join reliably and are dropped from
-    both sides (documented, mirroring equi-join semantics)."""
-    fa = (a.filter(F.col(id_col).isNotNull())
-          .select(F.col(id_col), fingerprint(text_col).alias("__fa")))
-    fb = (b.filter(F.col(id_col).isNotNull())
-          .select(F.col(id_col), fingerprint(text_col).alias("__fb")))
+    One narrow fingerprint-grain aggregation per side + ONE full outer
+    join keyed on the id — fingerprints (16-byte md5), never text,
+    transit the shuffle. Edge cases, explicitly: NULL-id rows can't
+    join reliably and are dropped from both sides (equi-join
+    semantics); a NULL-text doc is PRESENT (presence is row existence,
+    never inferred from the fingerprint, so NULL text can't
+    masquerade as absence) and compares null-safely (NULL vs NULL =
+    unchanged, NULL vs text = modified); duplicate ids within a
+    snapshot collapse to their minimum fingerprint (a deterministic
+    canonical answer for dirty inputs — dedup first if you need
+    per-duplicate resolution)."""
+    def side(df, out):
+        return (df.filter(F.col(id_col).isNotNull())
+                .groupBy(id_col)
+                .agg(F.min(fingerprint(text_col)).alias(out)))
+    fa, fb = side(a, "__fa"), side(b, "__fb")
+    # presence flags ride the join; row existence, not fingerprint
+    # NULL-ness, decides added/removed
+    fa = fa.withColumn("__pa", F.lit(True))
+    fb = fb.withColumn("__pb", F.lit(True))
     return (fa.join(fb, id_col, "full_outer")
             .select(F.col(id_col),
-                    F.when(F.col("__fa").isNull(), F.lit("added"))
-                     .when(F.col("__fb").isNull(), F.lit("removed"))
-                     .when(F.col("__fa") == F.col("__fb"),
+                    F.when(F.col("__pa").isNull(), F.lit("added"))
+                     .when(F.col("__pb").isNull(), F.lit("removed"))
+                     .when(F.col("__fa").eqNullSafe(F.col("__fb")),
                            F.lit("unchanged"))
                      .otherwise(F.lit("modified")).alias("status")))

@@ -49,7 +49,7 @@ __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "build_ivfpq_index", "ivfpq_topk",
            "achlioptas_matrix", "random_projection", "projection_exprs",
            "cluster_balanced_sample", "cell_score_exprs",
-           "hard_negatives"]
+           "hard_negatives", "scored_pairs"]
 
 
 def _lit_vec(vec: list[float]):
@@ -75,23 +75,36 @@ def brute_force_topk(corpus: DataFrame, id_col: str, vec_col: str,
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def scored_pairs(queries: DataFrame, corpus: DataFrame,
+                 q_id: str, q_vec: str, c_id: str, c_vec: str,
+                 dim: int | None = None,
+                 out_id: str = "neighbor_id") -> DataFrame:
+    """The shared exact scoring pass behind brute_force_topk_join AND
+    hard_negatives (and any other every-query-vs-corpus consumer):
+    broadcast the (small) query set against the corpus scan, round-6
+    cosine per (query, corpus) pair. One corpus pass regardless of
+    |queries|; factored so the scoring semantics (fixed-dim fold,
+    rounding, NULL norms) can never diverge between consumers."""
+    q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
+                                   F.col(q_vec).alias("__qv")))
+    return (spread_small_input(corpus)
+            .select(F.col(c_id).alias(out_id),
+                    F.col(c_vec).alias("__cv"))
+            .crossJoin(q)
+            .select("query_id", out_id,
+                    F.round(cosine_similarity_fixed("__cv", "__qv", dim)
+                            if dim else
+                            cosine_similarity("__cv", "__qv"), 6)
+                     .alias("cosine")))
+
+
 def brute_force_topk_join(queries: DataFrame, corpus: DataFrame,
                           q_id: str, q_vec: str, c_id: str, c_vec: str,
                           k: int = 10, dim: int | None = None) -> DataFrame:
     """X3 batch form — exact top-k neighbors for EVERY query row.
-    Broadcast the (small) query set against the corpus scan, score, then
-    per-query top-k via window. One corpus pass regardless of |queries|."""
-    q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
-                                   F.col(q_vec).alias("__qv")))
-    scored = (spread_small_input(corpus)
-              .select(F.col(c_id).alias("neighbor_id"),
-                      F.col(c_vec).alias("__cv"))
-              .crossJoin(q)
-              .select("query_id", "neighbor_id",
-                      F.round(cosine_similarity_fixed("__cv", "__qv", dim)
-                              if dim else
-                              cosine_similarity("__cv", "__qv"), 6)
-                       .alias("cosine")))
+    Broadcast the (small) query set against the corpus scan, score
+    (``scored_pairs``), then per-query top-k via window."""
+    scored = scored_pairs(queries, corpus, q_id, q_vec, c_id, c_vec, dim)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id"))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -758,17 +771,8 @@ def hard_negatives(queries: DataFrame, positives: DataFrame,
     the scorer for the ANN shortlist (``ann_topk_join`` + the same
     exclusion anti-join) and re-rank exactly — the composition is
     pytest-pinned."""
-    q = F.broadcast(queries.select(F.col(q_id).alias("query_id"),
-                                   F.col(q_vec).alias("__qv")))
-    scored = (spread_small_input(corpus)
-              .select(F.col(c_id).alias("neg_id"),
-                      F.col(c_vec).alias("__cv"))
-              .crossJoin(q)
-              .select("query_id", "neg_id",
-                      F.round(cosine_similarity_fixed("__cv", "__qv", dim)
-                              if dim else
-                              cosine_similarity("__cv", "__qv"), 6)
-                      .alias("cosine")))
+    scored = scored_pairs(queries, corpus, q_id, q_vec, c_id, c_vec,
+                          dim, out_id="neg_id")
     excl = positives.select(F.col(q_id).alias("query_id"),
                             F.col("pos_id").alias("neg_id"))
     cand = (scored.filter(F.col("query_id") != F.col("neg_id"))

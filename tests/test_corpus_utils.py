@@ -995,3 +995,17 @@ def test_snapshot_diff_classifies_all_four_states(spark):
     got = {r.doc_id: r.status for r in snapshot_diff(a, b).collect()}
     assert got == {1: "unchanged", 2: "modified", 3: "removed",
                    4: "unchanged", 9: "added"}
+    # NULL text is PRESENCE, not absence: a NULL-text doc only in A is
+    # removed (not 'added'); NULL -> text is modified; NULL -> NULL is
+    # unchanged. Duplicate ids collapse to ONE deterministic row.
+    a2 = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (7, "x")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(2, "now text"), (3, None), (7, "x"), (7, "y")],
+        "doc_id long, text string")
+    rows = snapshot_diff(a2, b2).collect()
+    assert len(rows) == 4                      # one row per id
+    got2 = {r.doc_id: r.status for r in rows}
+    assert got2 == {1: "removed", 2: "modified", 3: "unchanged",
+                    7: "modified"}             # min-fp canon: 'x' vs 'x','y'... deterministic

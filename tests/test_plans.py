@@ -130,8 +130,8 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all thirteen arms exactly
-    sixteen hash exchanges exist (vocab token groupBy + the per-shard
+    O(top_n) heap (no global sort); across all fourteen arms exactly
+    nineteen hash exchanges exist (vocab token groupBy + the per-shard
     packing window + the mix/tmix/wmix/rep per-language ranking windows —
     wmix's rank and running-sum windows share ONE exchange+sort, and
     rep's rank and group-count windows share one exchange too — + the
@@ -159,12 +159,14 @@ def test_corpus_utils_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 19
     assert plan.count("Exchange SinglePartition") == 3
-    # exactly ONE SortMergeJoin is allowed: the diff arm's FULL OUTER
-    # between two corpus-scale fingerprint frames (full outers cannot
-    # broadcast; SMJ is the correct physical op there — the no-SMJ rule
-    # exists to catch dim broadcasts degrading, not to ban full outers)
+    # exactly ONE SortMergeJoin is allowed AND it must be the diff
+    # arm's FULL OUTER itself (full outers cannot broadcast; SMJ is the
+    # correct physical op there) — pinning the join TYPE on the SMJ
+    # line keeps the original guard: a dim broadcast degrading to an
+    # inner/left SMJ still fails even while the full outer exists
+    import re as _re
     assert plan.count("SortMergeJoin") == 1
-    assert "FullOuter" in plan
+    assert _re.search(r"SortMergeJoin.*FullOuter", plan)
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
