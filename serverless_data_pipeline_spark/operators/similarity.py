@@ -49,7 +49,7 @@ __all__ = ["brute_force_topk", "brute_force_topk_join", "ann_topk",
            "build_ivfpq_index", "ivfpq_topk",
            "achlioptas_matrix", "random_projection", "projection_exprs",
            "cluster_balanced_sample", "cell_score_exprs",
-           "hard_negatives", "scored_pairs"]
+           "hard_negatives", "scored_pairs", "sign_lsh_plan"]
 
 
 def _lit_vec(vec: list[float]):
@@ -781,3 +781,60 @@ def hard_negatives(queries: DataFrame, positives: DataFrame,
                                                F.col("neg_id"))
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def sign_lsh_plan(target_recall: float, cos_sim: float, *,
+                  max_tables: int = 16, planes_range: tuple[int, int] = (4, 16),
+                  max_multiprobe: int = 3) -> dict:
+    """Parameter planner for the sign-LSH index (the cosine-side
+    sibling of ``lsh_plan``'s MinHash S-curve): given the cosine of
+    the neighbors you must find and a target recall, choose
+    (n_tables, n_planes, multiprobe) minimizing probe cost.
+
+    Model (Charikar 2002 + Lv et al. 2007): a plane separates two
+    vectors at angle θ with probability q = θ/π, so the query and a
+    true neighbor land within Hamming distance d of each other in one
+    table with probability C(P,d)·q^d·(1-q)^(P-d). Multiprobe m covers
+    all buckets within m flips, one table hits with
+    p₁ = Σ_{d≤m} C(P,d) q^d (1-q)^(P-d), and T independent tables give
+    recall 1-(1-p₁)^T. Probe cost is modeled as
+    T · Σ_{d≤m} C(P,d) / 2^P — the expected fraction of the corpus
+    scored (buckets probed × bucket occupancy). Driver-side closed
+    form, no data touched; feed the result to add_sign_lsh_buckets /
+    ann_topk. Returns {n_tables, n_planes, multiprobe,
+    expected_recall, cost} or raises if unreachable within bounds."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    if not -1.0 <= cos_sim <= 1.0:
+        raise ValueError("cos_sim must be in [-1, 1]")
+    q = math.acos(max(-1.0, min(1.0, cos_sim))) / math.pi
+    best = None
+    for planes in range(planes_range[0], planes_range[1] + 1):
+        for m in range(0, max_multiprobe + 1):
+            p1 = sum(math.comb(planes, d) * q ** d * (1 - q) ** (planes - d)
+                     for d in range(0, m + 1))
+            if p1 <= 0.0:
+                continue
+            if p1 >= 1.0:
+                tables = 1
+            else:
+                tables = math.ceil(math.log(1.0 - target_recall)
+                                   / math.log(1.0 - p1))
+            if tables > max_tables:
+                continue
+            cost = (tables
+                    * sum(math.comb(planes, d) for d in range(0, m + 1))
+                    / 2.0 ** planes)
+            recall = 1.0 - (1.0 - p1) ** tables
+            cand = {"n_tables": tables, "n_planes": planes,
+                    "multiprobe": m, "expected_recall": round(recall, 4),
+                    "cost": cost}
+            if best is None or cand["cost"] < best["cost"]:
+                best = cand
+    if best is None:
+        raise ValueError(
+            f"target recall {target_recall} at cos {cos_sim} is not "
+            f"reachable within max_tables={max_tables}, "
+            f"planes {planes_range}, multiprobe<={max_multiprobe} — "
+            "relax the bounds or lower the target")
+    return best

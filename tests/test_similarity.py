@@ -627,3 +627,49 @@ def test_hard_negatives_excludes_self_and_positives(spark):
                      ["query_id", "neighbor_id"], "left_anti")
                .orderBy("cosine", ascending=False).first())
     assert ann_neg.neighbor_id == 1
+
+
+def test_sign_lsh_plan_laws_and_integration(spark):
+    """Planner laws: meets its own recall model; higher targets never
+    cost less; easier (higher-cosine) neighbors never cost more;
+    unreachable targets raise; and the planned config actually
+    achieves the target on a planted-cluster corpus whose true
+    neighbors sit at the planned cosine."""
+    import numpy as np
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        ann_topk, brute_force_topk, sign_lsh_plan,
+    )
+    plan = sign_lsh_plan(0.9, 0.9)
+    assert plan["expected_recall"] >= 0.9
+    assert (sign_lsh_plan(0.95, 0.9)["cost"]
+            >= sign_lsh_plan(0.5, 0.9)["cost"])
+    assert (sign_lsh_plan(0.9, 0.99)["cost"]
+            <= sign_lsh_plan(0.9, 0.7)["cost"])
+    with _pt.raises(ValueError):
+        sign_lsh_plan(0.999999, 0.1, max_tables=2, max_multiprobe=0)
+    with _pt.raises(ValueError):
+        sign_lsh_plan(1.5, 0.9)
+    # integration: neighbors at ~cos 0.95; planned config must reach
+    # the target recall@10 vs exact on the same corpus
+    rng = np.random.RandomState(5)
+    center = rng.randn(16).astype("float64")
+    center /= np.linalg.norm(center)
+    rows = []
+    for i in range(40):                      # cluster ~cos 0.95 to center
+        # cos = 1/sqrt(1 + sigma^2 * d): sigma=0.08, d=16 -> ~0.95
+        v = center + 0.08 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(40, 400):                 # background noise
+        rows.append((i, [float(x) for x in rng.randn(16)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = sign_lsh_plan(0.9, 0.95, max_tables=8)
+    exact = {r.vec_id for r in brute_force_topk(
+        df, "vec_id", "embedding", [float(x) for x in center],
+        k=10).collect()}
+    approx = {r.vec_id for r in ann_topk(
+        df, "vec_id", "embedding", [float(x) for x in center], k=10,
+        n_tables=p["n_tables"], n_planes=p["n_planes"],
+        multiprobe=p["multiprobe"], seed=42).collect()}
+    assert len(exact & approx) / len(exact) >= 0.9
