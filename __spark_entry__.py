@@ -1871,7 +1871,26 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_text_signals.entropy": _x5_flavour_entropy,
         "x_approx_suite.hllm": _approx_flavour_hllm,
         "x3_topk_similarity.hardneg": _x3_flavour_hardneg,
+        # r8: x8 gained the tokenizer last mile (BPE encode -> ids ->
+        # packed bins) — attribute it
+        "x8_corpus_utils.tok": _x8_flavour_tok,
     }
+
+
+def _x8_flavour_tok(spark, sf):
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        COMMITTED_MERGES, build_vocab,
+    )
+    from serverless_data_pipeline_spark.operators.corpus import pack_bins
+    encd = bpe_encode_ids(
+        _t(spark, sf, "documents").select("doc_id", "text"), "text",
+        COMMITTED_MERGES, build_vocab())
+    return pack_bins(encd.withColumn("ntok", F.size("token_ids")),
+                     "doc_id", None, budget=1024, n_shards=8,
+                     weight_col="ntok")
 
 
 def _x3_flavour_hardneg(spark, sf):
@@ -2447,11 +2466,63 @@ def _q_x8_corpus_utils(spark, sf):
             .select(F.lit("diff").alias("kind"), "doc_id",
                     nl.alias("a"), nl.alias("b"), nl.alias("c"),
                     F.col("status").alias("h")))
+    # tok/ids arms (r8): the tokenizer LAST MILE — the committed BPE
+    # artifact (bpe_artifact.COMMITTED_MERGES, trained once and frozen
+    # like the X14 classifier weights) applied end-to-end:
+    #   tok -> per doc (a = n bpe tokens, h = md5 of the space-joined
+    #          subword string) — value-checks the whole greedy encode;
+    #   ids -> bpe_encode_ids token-id arrays packed with pack_bins
+    #          over the REAL id counts (weight_col, not the text-proxy
+    #          count): per (shard=a, bin=b) row carries c = bin token
+    #          total and h = md5 of the comma-joined id stream laid
+    #          out in doc-id order — the actual packed-pretraining
+    #          artifact, value-checked byte-for-byte.
+    # The idstr join back onto the bin assignment is broadcast here
+    # (registry scale); at 100 TB both sides hash-partition on doc_id.
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        COMMITTED_MERGES, build_vocab,
+    )
+    encd = (bpe_encode_ids(docs.select("doc_id", "text"), "text",
+                           COMMITTED_MERGES, build_vocab(),
+                           sym_col="bpe_sym")
+            .localCheckpoint(eager=False))
+    tok = encd.select(
+        F.lit("tok").alias("kind"), "doc_id",
+        F.size("token_ids").cast("long").alias("a"),
+        nl.alias("b"), nl.alias("c"),
+        F.md5(F.array_join("bpe_sym", " ").cast("binary")).alias("h"))
+    withids = encd.select(
+        "doc_id",
+        F.array_join(F.transform("token_ids",
+                                 lambda i: i.cast("string")),
+                     ",").alias("idstr"),
+        F.size("token_ids").cast("long").alias("ntok"))
+    binned = pack_bins(withids, "doc_id", None, budget=1024,
+                       n_shards=8, weight_col="ntok")
+    ids = (F.broadcast(binned).join(withids.select("doc_id", "idstr"),
+                                    "doc_id")
+           .groupBy("shard", "bin_id")
+           .agg(F.sum("n_tokens").alias("c"),
+                F.md5(F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("doc_id", "idstr"))),
+                        lambda x: x["idstr"]), ",").cast("binary"))
+                .alias("h"))
+           .select(F.lit("ids").alias("kind"),
+                   nl.alias("doc_id"),
+                   F.col("shard").cast("long").alias("a"),
+                   F.col("bin_id").cast("long").alias("b"),
+                   F.col("c").cast("long").alias("c"), "h"))
     return (vocab.unionAll(pack).unionAll(bins).unionAll(chunk)
             .unionAll(mix)
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
-            .unionAll(sheet2).unionAll(jac).unionAll(diff))
+            .unionAll(sheet2).unionAll(jac).unionAll(diff)
+            .unionAll(tok).unionAll(ids))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -2773,6 +2844,32 @@ from serverless_data_pipeline_spark.operators.corpus import (  # noqa: E402
     hex_prefix_long_sql as _hexlong,
 )
 _SHUF_SHARD_SQL = _hexlong("k", 8)
+
+# x8 tok/ids arms (r8): the oracle replays BPE encoding from the SAME
+# committed artifact constants the Spark operator ships (parity by
+# construction). Per-word replay applies merges one rank at a time —
+# equivalent to the canonical earliest-rank rescan because the
+# committed list passes assert_rank_sequential_ok (see bpe_artifact).
+# Symbols are sentinel-wrapped (chr(1) sym chr(2)) and space-joined so
+# a merge's string replace can only fire on exact whole-symbol
+# adjacency, never inside a symbol or across a suffix/prefix seam.
+from serverless_data_pipeline_spark.operators.bpe_artifact import (  # noqa: E402,E501
+    COMMITTED_MERGES as _BPE_MERGES,
+    build_vocab as _bpe_build_vocab,
+)
+
+
+def _bpe_wrap_sql(tok: str) -> str:
+    return f"chr(1) || '{tok}' || chr(2)"
+
+
+_BPE_NM = len(_BPE_MERGES)
+_BPE_MERGES_SQL = "VALUES " + ", ".join(
+    f"({i}, {_bpe_wrap_sql(l)} || ' ' || {_bpe_wrap_sql(r)}, "
+    f"{_bpe_wrap_sql(l + r)})"
+    for i, (l, r) in enumerate(_BPE_MERGES))
+_BPE_VOCAB_SQL = "VALUES " + ", ".join(
+    f"('{t}', {i})" for t, i in _bpe_build_vocab().items())
 
 
 def _x11_lex_ctes() -> str:
@@ -3964,7 +4061,102 @@ def oracle_sql() -> dict[str, str]:
                       SELECT doc_id + 1000000, text FROM documents
                       WHERE doc_id < 20)
                 GROUP BY doc_id
-            ) fb ON fa.doc_id = fb.doc_id""",
+            ) fb ON fa.doc_id = fb.doc_id
+            UNION ALL
+            -- tok/ids arms: BPE replay from the committed artifact.
+            -- Per distinct word, symbols are sentinel-wrapped and the
+            -- merge list applied one rank at a time (linear recursion;
+            -- equivalent to the canonical rescan — see bpe_artifact),
+            -- each application a left-to-right non-overlapping string
+            -- replace, exactly the greedy all-occurrences rewrite.
+            SELECT kind, doc_id, a, b, c, h
+            FROM (WITH RECURSIVE
+                  bwseed AS (
+                    SELECT w,
+                           chr(1) || array_to_string(
+                               string_split(w, ''),
+                               chr(2) || ' ' || chr(1))
+                                  || chr(2) || ' ' || chr(1)
+                                  || '</w>' || chr(2) AS s
+                    FROM (SELECT DISTINCT unnest(
+                              {_TOKENS_SQL.format(c='lower(text)')}) AS w
+                          FROM documents)),
+                  benc AS (
+                    SELECT w, 0 AS rk, s FROM bwseed
+                    UNION ALL
+                    SELECT e.w, e.rk + 1, replace(e.s, m.pat, m.rep)
+                    FROM benc e
+                    JOIN (SELECT * FROM ({_BPE_MERGES_SQL})
+                          t(rk, pat, rep)) m ON m.rk = e.rk),
+                  bencw AS (
+                    SELECT w, replace(replace(s, chr(1), ''),
+                                      chr(2), '') AS symstr, s
+                    FROM benc WHERE rk = {_BPE_NM}),
+                  bwtok AS (
+                    SELECT w,
+                           unnest(range(1, len(string_split(s, ' '))
+                                           + 1)) AS p,
+                           unnest(list_transform(
+                               string_split(s, ' '),
+                               t -> replace(replace(t, chr(1), ''),
+                                            chr(2), ''))) AS tok
+                    FROM bencw),
+                  bwids AS (
+                    SELECT w,
+                           string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR),
+                                      ',' ORDER BY p) AS idstr,
+                           CAST(COUNT(*) AS BIGINT) AS ntok
+                    FROM bwtok
+                    LEFT JOIN (SELECT * FROM ({_BPE_VOCAB_SQL})
+                               t(tok, id)) v ON v.tok = bwtok.tok
+                    GROUP BY w),
+                  bdocw AS (
+                    SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+                           unnest(toks) AS w
+                    FROM (SELECT doc_id,
+                                 {_TOKENS_SQL.format(c='lower(text)')}
+                                     AS toks
+                          FROM documents)),
+                  bdids AS (
+                    SELECT d.doc_id,
+                           string_agg(wi.idstr, ',' ORDER BY d.p) AS ids,
+                           string_agg(e.symstr, ' ' ORDER BY d.p) AS syms,
+                           CAST(SUM(wi.ntok) AS BIGINT) AS n_tokens
+                    FROM bdocw d
+                    JOIN bwids wi ON wi.w = d.w
+                    JOIN bencw e ON e.w = d.w
+                    GROUP BY d.doc_id),
+                  bnfb AS (
+                    SELECT doc_id, n_tokens,
+                           CAST(doc_id % 8 AS BIGINT) AS shard,
+                           ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                                              ORDER BY doc_id) AS rn
+                    FROM bdids),
+                  bnf AS (
+                    SELECT shard, rn, doc_id, n_tokens,
+                           CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+                    FROM bnfb WHERE rn = 1
+                    UNION ALL
+                    SELECT nb.shard, nb.rn, nb.doc_id, nb.n_tokens,
+                           CASE WHEN nf.fill > 0
+                                     AND nf.fill + nb.n_tokens > 1024
+                                THEN nf.bin_id + 1 ELSE nf.bin_id END,
+                           CASE WHEN nf.fill > 0
+                                     AND nf.fill + nb.n_tokens > 1024
+                                THEN nb.n_tokens
+                                ELSE nf.fill + nb.n_tokens END
+                    FROM bnf nf JOIN bnfb nb
+                      ON nb.shard = nf.shard AND nb.rn = nf.rn + 1)
+                  SELECT 'tok' AS kind, doc_id, n_tokens AS a,
+                         CAST(NULL AS BIGINT) AS b,
+                         CAST(NULL AS BIGINT) AS c, md5(syms) AS h
+                  FROM bdids
+                  UNION ALL
+                  SELECT 'ids', CAST(NULL AS BIGINT), nf.shard,
+                         nf.bin_id, CAST(SUM(nf.n_tokens) AS BIGINT),
+                         md5(string_agg(d.ids, ',' ORDER BY nf.doc_id))
+                  FROM bnf nf JOIN bdids d USING (doc_id)
+                  GROUP BY nf.shard, nf.bin_id)""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,

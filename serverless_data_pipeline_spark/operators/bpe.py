@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 from serverless_data_pipeline_spark.functions.text import tokens
 
-__all__ = ["train_bpe", "bpe_encode"]
+__all__ = ["train_bpe", "bpe_encode", "bpe_encode_ids"]
 
 END = "</w>"          # Sennrich end-of-word marker
 
@@ -164,3 +164,29 @@ def bpe_encode(df: DataFrame, text_col: str,
         return pd.Series([enc(t) for t in texts])
 
     return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def bpe_encode_ids(df: DataFrame, text_col: str,
+                   merges: list[tuple[str, str]],
+                   vocab: dict[str, int], *,
+                   out_col: str = "token_ids",
+                   sym_col: str | None = None) -> DataFrame:
+    """Encode to integer token ids — the tokenizer's ACTUAL output
+    artifact (what a pretraining pipeline packs and trains on). Adds
+    ``out_col`` (array<int>); symbols missing from ``vocab`` map to id
+    0 (UNK). Keeps the subword-string column too when ``sym_col`` is
+    given.
+
+    The id lookup is a JVM-side ``transform`` over a foldable map
+    literal (vocab files are small — base alphabet + one entry per
+    merge), so the only Python boundary stays the merge loop inside
+    ``bpe_encode``."""
+    keep = sym_col or "__bpe_sym"
+    enc = bpe_encode(df, text_col, merges, out_col=keep)
+    vmap = F.create_map(*[F.lit(x) for t, i in vocab.items()
+                          for x in (t, i)])
+    enc = enc.withColumn(
+        out_col,
+        F.transform(keep, lambda t: F.coalesce(
+            F.element_at(vmap, t), F.lit(0)).cast("int")))
+    return enc if sym_col else enc.drop(keep)

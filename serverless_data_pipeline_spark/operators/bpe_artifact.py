@@ -1,0 +1,82 @@
+"""Committed BPE tokenizer artifact (charter extension X8 — tokenizer
+last mile).
+
+A real pretraining pipeline ships its tokenizer as a FROZEN artifact
+(merge list + vocab file) and every downstream job applies it — the
+artifact is versioned data, not something re-derived per query. This
+module is that artifact for the registry's tokenizer arms: the merge
+list below was learned once with ``train_bpe`` (Sennrich BPE) over the
+sf0.001 ``documents`` fixture::
+
+    train_bpe(spark.read.parquet(".../sf0.001/documents.parquet"),
+              "text", n_merges=24)
+
+and committed, exactly like the X14 classifier's frozen weights. The
+vocabulary derives deterministically from the artifact itself (base
+alphabet + end-of-word marker + one entry per merge, in rank order) —
+the standard vocab-file layout — so both engines of the correctness
+gate can reconstruct the identical token→id map from these constants.
+
+Rank-sequential equivalence: the driver oracle replays encoding by
+applying merges one rank at a time (a linear recursion), while
+``bpe_encode`` uses the canonical earliest-rank rescan. The two are
+provably identical whenever all merge OUTPUT strings are distinct:
+applying merge j can only create new adjacencies involving its output
+t = l+r, so a pair of earlier rank i<j could newly appear only if t
+equals that pair's left or right symbol — but those symbols were
+tokens before round i, i.e. base characters (len 1, impossible for a
+len>=2 merge output) or outputs of merges < i, which would make t a
+duplicate output. ``assert_rank_sequential_ok`` checks that property;
+it holds for the committed list and is pytest-pinned.
+"""
+
+from __future__ import annotations
+
+from serverless_data_pipeline_spark.operators.bpe import END
+
+__all__ = ["COMMITTED_MERGES", "BPE_BASE_CHARS", "UNK", "build_vocab",
+           "assert_rank_sequential_ok"]
+
+UNK = "<unk>"
+
+# Learned once over sf0.001 documents (see module docstring); frozen.
+COMMITTED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+]
+
+# Full lowercase ASCII alphabet: ship the whole base alphabet (the way
+# real vocab files do) even though the training fixture only exercises
+# a subset; any character outside it maps to UNK.
+BPE_BASE_CHARS: list[str] = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+
+
+def assert_rank_sequential_ok(
+        merges: list[tuple[str, str]]) -> None:
+    """Raise unless rank-order sequential application of ``merges`` is
+    equivalent to the canonical earliest-rank rescan (see module
+    docstring: all merge outputs distinct is sufficient)."""
+    outputs = [l + r for l, r in merges]
+    if len(set(outputs)) != len(outputs):
+        raise ValueError(
+            "duplicate merge outputs: rank-sequential replay is not "
+            "equivalent to the canonical rescan for this merge list")
+
+
+def build_vocab(merges: list[tuple[str, str]] | None = None,
+                base_chars: list[str] | None = None) -> dict[str, int]:
+    """token -> id map in the standard vocab-file layout: UNK, the base
+    alphabet, the end-of-word marker, then one entry per merge in rank
+    order. Deterministic given the artifact constants."""
+    merges = COMMITTED_MERGES if merges is None else merges
+    base_chars = BPE_BASE_CHARS if base_chars is None else base_chars
+    assert_rank_sequential_ok(merges)
+    vocab: dict[str, int] = {UNK: 0}
+    for tok in list(base_chars) + [END] + [l + r for l, r in merges]:
+        if tok in vocab:
+            raise ValueError(f"vocab collision on {tok!r}")
+        vocab[tok] = len(vocab)
+    return vocab

@@ -310,9 +310,10 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                        .alias("bin_id")))
 
 
-def pack_bins(df: DataFrame, id_col: str, text_col: str,
+def pack_bins(df: DataFrame, id_col: str, text_col: str | None,
               budget: int = 2048, n_shards: int = 8,
-              strategy: str = "next_fit") -> DataFrame:
+              strategy: str = "next_fit", *,
+              weight_col: str | None = None) -> DataFrame:
     """Document-boundary-preserving sequence packing (the SFT/finetune
     regime: unlike ``pack_sequences``' concat-then-chunk, a document
     NEVER splits across training sequences, so each bin is padded up to
@@ -351,9 +352,15 @@ def pack_bins(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("budget must be >= 1")
     if strategy not in ("next_fit", "first_fit_dec"):
         raise ValueError("strategy must be next_fit or first_fit_dec")
+    if (text_col is None) == (weight_col is None):
+        raise ValueError("exactly one of text_col / weight_col required")
+    # weight_col: pack by an already-computed token count (e.g. REAL
+    # tokenizer ids from bpe_encode_ids) instead of the text proxy
+    weight = (token_count(text_col) if weight_col is None
+              else F.col(weight_col).cast("long"))
     base = df.select(
         F.col(id_col).cast("long").alias("id"),
-        token_count(text_col).alias("n_tokens"),
+        weight.alias("n_tokens"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"))
     b, ffd = budget, strategy == "first_fit_dec"
 

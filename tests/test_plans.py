@@ -130,8 +130,8 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all fourteen arms exactly
-    nineteen hash exchanges exist (vocab token groupBy + the per-shard
+    O(top_n) heap (no global sort); across all sixteen arms exactly
+    twenty-one hash exchanges exist (vocab token groupBy + the per-shard
     packing window + the mix/tmix/wmix/rep per-language ranking windows —
     wmix's rank and running-sum windows share ONE exchange+sort, and
     rep's rank and group-count windows share one exchange too — + the
@@ -145,7 +145,13 @@ def test_corpus_utils_plan_shape(spark):
     bin_offset window exchange keyed on (shard, bin_id) — pack_bins'
     only shuffles, moving (id, n_tokens, shard, bin_id), never text,
     + the r7 s6 diff arm's full-outer-join pair — both sides key on
-    doc_id carrying 16-byte fingerprints, never text)
+    doc_id carrying 16-byte fingerprints, never text,
+    + the r8 tok/ids arms' pack_bins pair: the applyInPandas shard
+    exchange and the bin_offset window exchange on (shard, bin_id) —
+    the ids groupBy REUSES that (shard, bin_id) partitioning (no third
+    exchange) and the idstr join back is a broadcast, so the token-id
+    packing adds exactly two exchanges moving (id, n_tokens) longs and
+    the final md5 strings, never the corpus text)
     and three SinglePartition exchanges (the tmix and wmix all-rows
     totals windows over their |groups|-row sizes frames and jac's
     final one-row set-size aggregate — all tiny by construction; the
@@ -157,7 +163,7 @@ def test_corpus_utils_plan_shape(spark):
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 19
+    assert plan.count("Exchange hashpartitioning") == 21
     assert plan.count("Exchange SinglePartition") == 3
     # exactly ONE SortMergeJoin is allowed AND it must be the diff
     # arm's FULL OUTER itself (full outers cannot broadcast; SMJ is the
