@@ -236,7 +236,80 @@ def _q_t5_quality_score(spark, sf):
         F.col("__g").cast("long").alias("n_distinct"),
         nulld.alias("vmin"), nulld.alias("vmax"), nulld.alias("vavg"),
         nulls.alias("smin"), nulls.alias("smax"), nulld.alias("score"))
-    return srow.unionAll(prof).unionAll(arow)
+    # drift/mix/mixcat arms (r8): dataset-VERSION QA — the report a
+    # curator reads before promoting corpus v(N+1). Version B is
+    # derived from documents the same way the x8 diff arm derives its
+    # snapshot (%11 removed, %7 edited — here n_chars+10 — ids <20
+    # re-added at +1000000 with lang='xx', a NEW category exercising
+    # the PSI eps-smoothing path):
+    #   drift  -> profile_drift per column: (n_rows=rows_a,
+    #             n_null=rows_b, null_frac=null_frac_delta,
+    #             n_distinct=distinct delta, vmin/vmax=distinct rates,
+    #             vavg=vavg_delta, smin=status,
+    #             score=distinct_rate_delta)
+    #   mix    -> mix_shift_summary per categorical column (lang,
+    #             source): (n_rows=n_cat_a, n_null=n_cat_b,
+    #             n_distinct=n_added, null_frac=tvd, vmin=PSI,
+    #             vmax=JS)
+    #   mixcat -> mix_shift per-lang detail: (col_name='lang:'||cat,
+    #             n_rows=n_a, n_null=n_b, null_frac=frac_delta,
+    #             vmin/vmax=fracs, vavg=psi_term, score=js_term)
+    docs = _t(spark, sf, "documents")
+    asnap = docs.select("doc_id", "n_chars", "lang", "source")
+    bsnap = (docs.filter(F.col("doc_id") % 11 != 0)
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 7 == 0,
+                            F.col("n_chars") + 10)
+                     .otherwise(F.col("n_chars")).alias("n_chars"),
+                     "lang", "source")
+             .unionAll(docs.filter(F.col("doc_id") < 20)
+                       .select((F.col("doc_id") + 1000000)
+                               .alias("doc_id"), "n_chars",
+                               F.lit("xx").alias("lang"), "source")))
+    nulll2 = F.lit(None).cast("long")
+    drift = (stages.profile_drift(asnap, bsnap)
+             .select(F.lit("drift").alias("kind"),
+                     F.col("column").alias("col_name"),
+                     F.col("n_rows_a").alias("n_rows"),
+                     F.col("n_rows_b").alias("n_null"),
+                     F.col("null_frac_delta").alias("null_frac"),
+                     (F.col("n_distinct_b") - F.col("n_distinct_a"))
+                     .cast("long").alias("n_distinct"),
+                     F.col("distinct_rate_a").alias("vmin"),
+                     F.col("distinct_rate_b").alias("vmax"),
+                     F.col("vavg_delta").alias("vavg"),
+                     F.col("status").alias("smin"),
+                     nulls.alias("smax"),
+                     F.col("distinct_rate_delta").alias("score")))
+    mix = None
+    for c in ("lang", "source"):
+        row = (stages.mix_shift_summary(asnap, bsnap, c)
+               .select(F.lit("mix").alias("kind"),
+                       F.lit(c).alias("col_name"),
+                       F.col("n_cat_a").cast("long").alias("n_rows"),
+                       F.col("n_cat_b").cast("long").alias("n_null"),
+                       F.col("tvd").alias("null_frac"),
+                       F.col("n_added").cast("long").alias("n_distinct"),
+                       F.col("psi").alias("vmin"),
+                       F.col("js").alias("vmax"),
+                       nulld.alias("vavg"), nulls.alias("smin"),
+                       nulls.alias("smax"), nulld.alias("score")))
+        mix = row if mix is None else mix.unionAll(row)
+    mixcat = (stages.mix_shift(asnap, bsnap, "lang")
+              .select(F.lit("mixcat").alias("kind"),
+                      F.concat(F.lit("lang:"), F.col("category"))
+                      .alias("col_name"),
+                      F.col("n_a").cast("long").alias("n_rows"),
+                      F.col("n_b").cast("long").alias("n_null"),
+                      F.col("frac_delta").alias("null_frac"),
+                      nulll2.alias("n_distinct"),
+                      F.col("frac_a").alias("vmin"),
+                      F.col("frac_b").alias("vmax"),
+                      F.col("psi_term").alias("vavg"),
+                      nulls.alias("smin"), nulls.alias("smax"),
+                      F.col("js_term").alias("score")))
+    return (srow.unionAll(prof).unionAll(arow).unionAll(drift)
+            .unionAll(mix).unionAll(mixcat))
 
 
 def _q_t7_filter_project(spark, sf):
@@ -1872,9 +1945,31 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_approx_suite.hllm": _approx_flavour_hllm,
         "x3_topk_similarity.hardneg": _x3_flavour_hardneg,
         # r8: x8 gained the tokenizer last mile (BPE encode -> ids ->
-        # packed bins) — attribute it
+        # packed bins) and t5 the dataset-version drift report —
+        # attribute both
         "x8_corpus_utils.tok": _x8_flavour_tok,
+        "t5_quality_score.drift": _t5_flavour_drift,
     }
+
+
+def _t5_flavour_drift(spark, sf):
+    from serverless_data_pipeline_spark.operators import stages
+    docs = _t(spark, sf, "documents")
+    asnap = docs.select("doc_id", "n_chars", "lang", "source")
+    bsnap = (docs.filter(F.col("doc_id") % 11 != 0)
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 7 == 0,
+                            F.col("n_chars") + 10)
+                     .otherwise(F.col("n_chars")).alias("n_chars"),
+                     "lang", "source")
+             .unionAll(docs.filter(F.col("doc_id") < 20)
+                       .select((F.col("doc_id") + 1000000)
+                               .alias("doc_id"), "n_chars",
+                               F.lit("xx").alias("lang"), "source")))
+    prof = stages.profile_drift(asnap, bsnap)
+    mixl = stages.mix_shift_summary(asnap, bsnap, "lang")
+    return prof.select("column").unionAll(mixl.select(
+        F.lit("lang").alias("column")))
 
 
 def _x8_flavour_tok(spark, sf):
@@ -2872,6 +2967,108 @@ _BPE_VOCAB_SQL = "VALUES " + ", ".join(
     f"('{t}', {i})" for t, i in _bpe_build_vocab().items())
 
 
+# t5 drift/mix/mixcat arms (r8): version B of the documents corpus,
+# derived exactly as the Spark arm derives it.
+_DRIFT_BSNAP_SQL = """
+    SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN n_chars + 10
+                        ELSE n_chars END AS n_chars, lang, source
+    FROM documents WHERE doc_id % 11 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, n_chars, 'xx', source FROM documents
+    WHERE doc_id < 20"""
+
+
+def _drift_col_sql(col: str, numeric: bool) -> str:
+    """One 'drift' oracle row for one column: the profile_drift deltas,
+    mirroring profile_columns' stats verbatim (the exact micro-unit
+    decimal vavg, round-6 rates, round-6-of-round-6 deltas)."""
+    va = (f"ROUND(CAST(SUM(CAST(ROUND({col} * 1000000) "
+          f"AS DECIMAL(38,0))) AS DOUBLE) / (CAST(COUNT({col}) "
+          f"AS DOUBLE) * 1e6), 6)" if numeric
+          else "CAST(NULL AS DOUBLE)")
+    stats = (f"SELECT COUNT(*) AS nr, COUNT({col}) AS nn, "
+             f"COUNT(DISTINCT {col}) AS nd, {va} AS va FROM {{t}}")
+    return f"""
+            SELECT 'drift' AS kind, '{col}' AS col_name,
+                   CAST(a.nr AS BIGINT) AS n_rows,
+                   CAST(b.nr AS BIGINT) AS n_null,
+                   ROUND(ROUND(CAST(b.nr - b.nn AS DOUBLE) / b.nr, 6)
+                         - ROUND(CAST(a.nr - a.nn AS DOUBLE) / a.nr, 6),
+                         6) AS null_frac,
+                   CAST(b.nd - a.nd AS BIGINT) AS n_distinct,
+                   ROUND(CAST(a.nd AS DOUBLE) / a.nr, 6) AS vmin,
+                   ROUND(CAST(b.nd AS DOUBLE) / b.nr, 6) AS vmax,
+                   ROUND(b.va - a.va, 6) AS vavg,
+                   'both' AS smin, CAST(NULL AS VARCHAR) AS smax,
+                   ROUND(ROUND(CAST(b.nd AS DOUBLE) / b.nr, 6)
+                         - ROUND(CAST(a.nd AS DOUBLE) / a.nr, 6), 6)
+                       AS score
+            FROM ({stats.format(t='documents')}) a
+            CROSS JOIN ({stats.format(t=f'({_DRIFT_BSNAP_SQL})')}) b"""
+
+
+def _mixterms_sql(col: str) -> str:
+    """Per-category mix_shift terms for one categorical column —
+    round-6 fractions, eps-clamped PSI terms, 0*ln(0)=0 JS terms,
+    each +0.0 so a -0.0 never transits the compare."""
+    return f"""
+        SELECT category, n_a, n_b, frac_a, frac_b,
+               ROUND(frac_b - frac_a, 6) AS frac_delta,
+               ROUND((GREATEST(frac_a, 1e-6) - GREATEST(frac_b, 1e-6))
+                     * ln(GREATEST(frac_a, 1e-6)
+                          / GREATEST(frac_b, 1e-6)), 6) + 0.0
+                   AS psi_term,
+               ROUND(0.5 * (CASE WHEN frac_a > 0
+                                 THEN frac_a * ln(frac_a /
+                                          ((frac_a + frac_b) / 2))
+                                 ELSE 0.0 END
+                          + CASE WHEN frac_b > 0
+                                 THEN frac_b * ln(frac_b /
+                                          ((frac_a + frac_b) / 2))
+                                 ELSE 0.0 END), 6) + 0.0 AS js_term
+        FROM (SELECT category, n_a, n_b,
+                     CASE WHEN ta > 0
+                          THEN ROUND(CAST(n_a AS DOUBLE) / ta, 6)
+                          ELSE 0.0 END AS frac_a,
+                     CASE WHEN tb > 0
+                          THEN ROUND(CAST(n_b AS DOUBLE) / tb, 6)
+                          ELSE 0.0 END AS frac_b
+              FROM (SELECT category, SUM(s1) AS n_a, SUM(s2) AS n_b,
+                           SUM(SUM(s1)) OVER () AS ta,
+                           SUM(SUM(s2)) OVER () AS tb
+                    FROM (SELECT {col} AS category, 1 AS s1, 0 AS s2
+                          FROM documents
+                          UNION ALL
+                          SELECT {col}, 0, 1
+                          FROM ({_DRIFT_BSNAP_SQL}))
+                    GROUP BY category))"""
+
+
+def _mix_summary_sql(col: str) -> str:
+    """One 'mix' oracle row: mix_shift_summary's PSI/JS/TVD scalars,
+    micro-unit-long term sums mirrored."""
+    return f"""
+            SELECT 'mix' AS kind, '{col}' AS col_name,
+                   CAST(SUM(CASE WHEN n_a > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN n_b > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   CAST(SUM(ABS(CAST(ROUND((frac_b - frac_a) * 1000000)
+                                     AS BIGINT))) AS DOUBLE) / 2e6
+                       AS null_frac,
+                   CAST(SUM(CASE WHEN n_a = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_distinct,
+                   CAST(SUM(CAST(ROUND(psi_term * 1000000) AS BIGINT))
+                        AS DOUBLE) / 1e6 AS vmin,
+                   CAST(SUM(CAST(ROUND(js_term * 1000000) AS BIGINT))
+                        AS DOUBLE) / 1e6 AS vmax,
+                   CAST(NULL AS DOUBLE) AS vavg,
+                   CAST(NULL AS VARCHAR) AS smin,
+                   CAST(NULL AS VARCHAR) AS smax,
+                   CAST(NULL AS DOUBLE) AS score
+            FROM ({_mixterms_sql(col)})"""
+
+
 def _x11_lex_ctes() -> str:
     """DuckDB mirror of the x11 lexicon_tag arm, generated from the
     SAME _X11_LEXICONS constant: per-category token hit counts, the
@@ -3114,7 +3311,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             -- T4 parity: the chunked fan-out is semantically transparent
             SELECT 't4' AS kind, * FROM etl WHERE is_valid""",
-        "t5_quality_score": """
+        "t5_quality_score": f"""
             SELECT 'score' AS kind, CAST(NULL AS VARCHAR) AS col_name,
                    CAST(NULL AS BIGINT) AS n_rows,
                    CAST(NULL AS BIGINT) AS n_null,
@@ -3210,7 +3407,32 @@ def oracle_sql() -> dict[str, str]:
                                > (9.0 * (CAST(n AS DOUBLE) * q - s * s))
                      END AS o
               FROM av JOIN ast USING (event_type))
-            GROUP BY event_type""",
+            GROUP BY event_type
+            UNION ALL
+            -- r8 drift arms: dataset-version QA between documents (A)
+            -- and the derived snapshot B; per-column profile deltas
+            {_drift_col_sql('doc_id', True)}
+            UNION ALL
+            {_drift_col_sql('n_chars', True)}
+            UNION ALL
+            {_drift_col_sql('lang', False)}
+            UNION ALL
+            {_drift_col_sql('source', False)}
+            UNION ALL
+            {_mix_summary_sql('lang')}
+            UNION ALL
+            {_mix_summary_sql('source')}
+            UNION ALL
+            -- per-category language-mix detail
+            SELECT 'mixcat' AS kind, 'lang:' || category AS col_name,
+                   CAST(n_a AS BIGINT) AS n_rows,
+                   CAST(n_b AS BIGINT) AS n_null,
+                   frac_delta AS null_frac,
+                   CAST(NULL AS BIGINT) AS n_distinct,
+                   frac_a AS vmin, frac_b AS vmax, psi_term AS vavg,
+                   CAST(NULL AS VARCHAR) AS smin,
+                   CAST(NULL AS VARCHAR) AS smax, js_term AS score
+            FROM ({_mixterms_sql('lang')})""",
         "t7_filter_project": """
             SELECT l_orderkey, l_linenumber, l_quantity,
                    l_extendedprice * (1 - l_discount) AS net_price,

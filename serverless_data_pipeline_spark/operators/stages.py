@@ -15,6 +15,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from serverless_data_pipeline_spark.config import DEFAULT_CONFIG, EngineConfig
 
@@ -378,3 +379,160 @@ def flag_outliers(df: DataFrame, key_col: str, value_col: str, *,
                  .otherwise((lhs * lhs) > rhs))
             .withColumnRenamed("__n", "n_g")
             .drop("__v", "__s", "__q"))
+
+
+def profile_drift(a: DataFrame, b: DataFrame,
+                  columns: list[str] | None = None, *,
+                  approx_distinct: bool = False,
+                  rsd: float = 0.05) -> DataFrame:
+    """Between-VERSION column drift report (charter: dataset-version QA
+    — the promote/reject report a curator reads before swapping corpus
+    v(N) for v(N+1); `snapshot_diff` answers WHICH docs changed, this
+    answers whether the new version's DISTRIBUTIONS moved).
+
+    Runs `profile_columns` on both versions and full-outer-joins the
+    two per-column reports, so a column present in only one version
+    surfaces as schema drift (`status` added/removed) rather than
+    silently vanishing. One row per column:
+
+    - ``status`` — 'both' | 'added' (B only) | 'removed' (A only)
+    - ``n_rows_a/b``, ``null_frac_a/b`` + ``null_frac_delta``
+    - ``n_distinct_a/b``, ``distinct_rate_a/b`` (distinct/rows, the
+      cardinality-collapse detector) + ``distinct_rate_delta``
+    - ``vmin_delta``/``vmax_delta``/``vavg_a``/``vavg_b``/
+      ``vavg_delta`` for numeric columns (NULL otherwise)
+
+    Every delta is round-6 of (B - A) over profile stats that are
+    themselves round-6 micro-unit-exact, so the report is
+    deterministic and engine-portable. Scale shape: two single-scan
+    profile aggregations (one per version) + a join of two
+    |columns|-row frames — nothing else touches the data."""
+    pa = profile_columns(a, columns, approx_distinct=approx_distinct,
+                         rsd=rsd)
+    pb = profile_columns(b, columns, approx_distinct=approx_distinct,
+                         rsd=rsd)
+    stats = ["n_rows", "n_null", "null_frac", "n_distinct",
+             "vmin", "vmax", "vavg"]
+    pa2 = pa.select(F.col("column").alias("__ca"),
+                    *[F.col(s).alias(f"{s}_a") for s in stats])
+    pb2 = pb.select(F.col("column").alias("__cb"),
+                    *[F.col(s).alias(f"{s}_b") for s in stats])
+    j = pa2.join(pb2, F.col("__ca") == F.col("__cb"), "full_outer")
+
+    def d6(x, y):
+        return F.round(F.col(y) - F.col(x), 6)
+
+    def rate(nd, n):
+        return F.when(F.col(n) > 0, F.round(F.col(nd) / F.col(n), 6))
+
+    return j.select(
+        F.coalesce("__ca", "__cb").alias("column"),
+        F.when(F.col("__ca").isNull(), F.lit("added"))
+         .when(F.col("__cb").isNull(), F.lit("removed"))
+         .otherwise(F.lit("both")).alias("status"),
+        "n_rows_a", "n_rows_b",
+        "null_frac_a", "null_frac_b",
+        d6("null_frac_a", "null_frac_b").alias("null_frac_delta"),
+        "n_distinct_a", "n_distinct_b",
+        rate("n_distinct_a", "n_rows_a").alias("distinct_rate_a"),
+        rate("n_distinct_b", "n_rows_b").alias("distinct_rate_b"),
+        F.round(rate("n_distinct_b", "n_rows_b")
+                - rate("n_distinct_a", "n_rows_a"), 6)
+         .alias("distinct_rate_delta"),
+        d6("vmin_a", "vmin_b").alias("vmin_delta"),
+        d6("vmax_a", "vmax_b").alias("vmax_delta"),
+        "vavg_a", "vavg_b",
+        d6("vavg_a", "vavg_b").alias("vavg_delta"))
+
+
+def mix_shift(a: DataFrame, b: DataFrame, col: str, *,
+              eps: float = 1e-6) -> DataFrame:
+    """Per-category distribution shift of one categorical column
+    between two corpus versions — the language-mix / source-mix drift
+    detail behind `mix_shift_summary`'s PSI/JS scalars. One row per
+    category observed in EITHER version (NULL categories count as
+    their own category, never dropped):
+
+    - ``n_a``/``n_b`` counts and ``frac_a``/``frac_b`` (round-6)
+    - ``frac_delta`` = round6(frac_b - frac_a)
+    - ``psi_term`` = (p' - q') * ln(p'/q') with p', q' the fractions
+      clamped to ``eps`` (the standard PSI smoothing for categories
+      missing on one side; each term >= 0)
+    - ``js_term`` — this category's contribution to Jensen-Shannon
+      divergence (nats): 0.5*(p*ln(p/m) + q*ln(q/m)), m=(p+q)/2,
+      with the 0*ln(0)=0 convention (terms may be negative; the SUM
+      is >= 0)
+
+    Terms are round-6 over round-6 fractions (and nudged by +0.0 so a
+    tiny negative never surfaces as -0.0), keeping the whole report
+    engine-portable. Scale shape: the two versions are tagged and
+    UNIONed into ONE hash aggregation on the category (no join, one
+    pass over each version); the totals are a SUM OVER () window on
+    the already-tiny |categories|-row counts frame — its single
+    partition holds category counts, never corpus rows, so a 100 TB
+    version pair costs exactly two scans and one |categories|-row
+    shuffle (a totals crossJoin would instead re-plan the whole
+    aggregation subtree and scan both versions twice)."""
+    tagged = (a.select(F.col(col).alias("category"),
+                       F.lit(1).alias("__s"))
+              .unionAll(b.select(F.col(col).alias("category"),
+                                 F.lit(2).alias("__s"))))
+    counts = (tagged.groupBy("category")
+              .agg(F.count(F.when(F.col("__s") == 1, 1)).alias("n_a"),
+                   F.count(F.when(F.col("__s") == 2, 1)).alias("n_b")))
+    w = Window.partitionBy()
+
+    def frac(n, t):
+        return (F.when(F.col(t) > 0, F.round(F.col(n) / F.col(t), 6))
+                .otherwise(F.lit(0.0)))
+
+    cur = (counts
+           .withColumn("__ta", F.sum("n_a").over(w))
+           .withColumn("__tb", F.sum("n_b").over(w))
+           .select("category", "n_a", "n_b",
+                   frac("n_a", "__ta").alias("frac_a"),
+                   frac("n_b", "__tb").alias("frac_b")))
+    p = F.greatest(F.col("frac_a"), F.lit(float(eps)))
+    q = F.greatest(F.col("frac_b"), F.lit(float(eps)))
+    m = (F.col("frac_a") + F.col("frac_b")) / F.lit(2.0)
+    psi = F.round((p - q) * F.log(p / q), 6) + F.lit(0.0)
+    js = F.round(
+        F.lit(0.5)
+        * (F.when(F.col("frac_a") > 0,
+                  F.col("frac_a") * F.log(F.col("frac_a") / m))
+            .otherwise(F.lit(0.0))
+           + F.when(F.col("frac_b") > 0,
+                    F.col("frac_b") * F.log(F.col("frac_b") / m))
+            .otherwise(F.lit(0.0))), 6) + F.lit(0.0)
+    return cur.select(
+        "category", "n_a", "n_b", "frac_a", "frac_b",
+        F.round(F.col("frac_b") - F.col("frac_a"), 6)
+         .alias("frac_delta"),
+        psi.alias("psi_term"), js.alias("js_term"))
+
+
+def mix_shift_summary(a: DataFrame, b: DataFrame, col: str, *,
+                      eps: float = 1e-6) -> DataFrame:
+    """One-row categorical-drift scalar report for ``col`` between two
+    corpus versions: category counts per side, categories added/
+    removed, and the three standard shift statistics — PSI (the
+    industry promote/reject gate: < 0.1 stable, > 0.25 major shift),
+    Jensen-Shannon divergence (nats), and total variation distance.
+    Sums accumulate the per-category round-6 terms as micro-unit
+    longs (partition-order-proof), then divide once."""
+    per = mix_shift(a, b, col, eps=eps)
+
+    def micro_sum(c):
+        return F.sum(F.round(F.col(c) * 1_000_000).cast("long"))
+
+    return per.agg(
+        F.count("*").alias("n_categories"),
+        F.sum((F.col("n_a") > 0).cast("long")).alias("n_cat_a"),
+        F.sum((F.col("n_b") > 0).cast("long")).alias("n_cat_b"),
+        F.sum((F.col("n_a") == 0).cast("long")).alias("n_added"),
+        F.sum((F.col("n_b") == 0).cast("long")).alias("n_removed"),
+        (micro_sum("psi_term") / F.lit(1e6)).alias("psi"),
+        (micro_sum("js_term") / F.lit(1e6)).alias("js"),
+        (F.sum(F.abs(F.round((F.col("frac_b") - F.col("frac_a"))
+                             * 1_000_000).cast("long")))
+         / F.lit(2e6)).alias("tvd"))

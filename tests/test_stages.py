@@ -297,3 +297,100 @@ def test_quantile_buckets_per_group_mode(spark):
     gout = {r.id: r.bucket for r in quantile_buckets(
         df, "s", round_scale=6).collect()}
     assert all(gout[100 + i] == "head" for i in range(4, 8))
+
+
+# ---- r8: dataset-version drift (profile_drift / mix_shift) ----
+
+def test_profile_drift_deltas_and_schema_drift(spark):
+    from serverless_data_pipeline_spark.operators.stages import (
+        profile_drift,
+    )
+    a = spark.createDataFrame(
+        [(1, 10.0, "en"), (2, 20.0, "en"), (3, None, "de"), (4, 30.0, "de")],
+        "id long, v double, lang string")
+    # B: one more null, narrower values, an extra column, id dropped
+    b = spark.createDataFrame(
+        [(10.0, "en", 1), (None, "en", 2), (None, "de", 3), (10.0, "de", 4)],
+        "v double, lang string, extra long")
+    out = {r.column: r for r in profile_drift(a, b).collect()}
+    assert out["id"].status == "removed" and out["extra"].status == "added"
+    assert out["v"].status == "both"
+    # null fraction 1/4 -> 2/4
+    assert out["v"].null_frac_delta == 0.25
+    # distinct rate 3/4 -> 1/4
+    assert out["v"].distinct_rate_a == 0.75
+    assert out["v"].distinct_rate_b == 0.25
+    assert out["v"].distinct_rate_delta == -0.5
+    # vavg 20 -> 10
+    assert out["v"].vavg_delta == -10.0
+    assert out["v"].vmin_delta == 0.0 and out["v"].vmax_delta == -20.0
+    # added/removed columns carry one-sided stats, NULL deltas
+    assert out["id"].n_rows_a == 4 and out["id"].n_rows_b is None
+    assert out["id"].null_frac_delta is None
+    assert out["lang"].vavg_delta is None  # string column
+
+
+def test_mix_shift_terms_and_summary(spark):
+    import math
+
+    from serverless_data_pipeline_spark.operators.stages import (
+        mix_shift, mix_shift_summary,
+    )
+    a = spark.createDataFrame(
+        [("en",)] * 3 + [("de",)], "lang string")
+    b = spark.createDataFrame(
+        [("en",)] * 2 + [("xx",)] * 2, "lang string")
+    per = {r.category: r for r in mix_shift(a, b, "lang").collect()}
+    assert set(per) == {"en", "de", "xx"}
+    assert (per["en"].frac_a, per["en"].frac_b) == (0.75, 0.5)
+    assert per["de"].n_b == 0 and per["xx"].n_a == 0
+    # psi term: eps-clamped hand computation
+    for cat in per:
+        p, q = max(per[cat].frac_a, 1e-6), max(per[cat].frac_b, 1e-6)
+        assert per[cat].psi_term == round((p - q) * math.log(p / q), 6)
+        assert per[cat].psi_term >= 0
+        m = (per[cat].frac_a + per[cat].frac_b) / 2
+        js = 0.5 * ((per[cat].frac_a * math.log(per[cat].frac_a / m)
+                     if per[cat].frac_a > 0 else 0.0)
+                    + (per[cat].frac_b * math.log(per[cat].frac_b / m)
+                       if per[cat].frac_b > 0 else 0.0))
+        assert per[cat].js_term == round(js, 6) + 0.0
+    s = mix_shift_summary(a, b, "lang").first()
+    assert (s.n_categories, s.n_cat_a, s.n_cat_b) == (3, 2, 2)
+    assert (s.n_added, s.n_removed) == (1, 1)
+    # tvd = 0.5 * (|0.75-0.5| + |0.25-0| + |0-0.5|) = 0.5
+    assert s.tvd == 0.5
+    assert s.psi == round(sum(r.psi_term for r in per.values()), 6)
+    # JS divergence is bounded by ln 2 and >= 0
+    assert 0 <= s.js <= math.log(2) + 1e-9
+
+
+def test_mix_shift_null_category_and_identical_versions(spark):
+    from serverless_data_pipeline_spark.operators.stages import (
+        mix_shift, mix_shift_summary,
+    )
+    a = spark.createDataFrame([("en",), (None,)], "lang string")
+    per = {r.category: r for r in mix_shift(a, a, "lang").collect()}
+    # NULL categories are their own category, never dropped
+    assert None in per and per[None].n_a == per[None].n_b == 1
+    # identical versions -> every shift statistic exactly zero
+    s = mix_shift_summary(a, a, "lang").first()
+    assert (s.psi, s.js, s.tvd) == (0.0, 0.0, 0.0)
+    assert all(r.psi_term == 0.0 and r.js_term == 0.0 for r in per.values())
+
+
+def test_mix_shift_no_join_plan(spark):
+    """The tag-union formulation must plan as ONE hash aggregation on
+    the category with the totals as a window over the tiny counts
+    frame — no join of any kind, no second scan of either version."""
+    from serverless_data_pipeline_spark.operators.stages import mix_shift
+    a = spark.range(100).selectExpr("CAST(id % 3 AS STRING) AS lang")
+    b = spark.range(80).selectExpr("CAST(id % 5 AS STRING) AS lang")
+    plan = (mix_shift(a, b, "lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange SinglePartition") == 1
+    # each version scanned exactly once (Range appears once per input)
+    assert plan.count("Range (0, 100") == 1
+    assert plan.count("Range (0, 80") == 1
