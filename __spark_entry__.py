@@ -1241,8 +1241,13 @@ def _q_streaming_ops_suite(spark, sf):
     dimw = spark.createDataFrame(
         [("click", 2), ("error", 7), ("purchase", 11),
          ("signup", 3), ("view", 5)], "event_type string, weight int")
+    # how='inner' EXPLICITLY: the oracle is an inner join, and on the
+    # fixtures (full dim coverage, no NULL event_type) a left join
+    # happens to coincide — declaring inner keeps the arm's semantics
+    # matching the oracle by construction, not by fixture accident
+    # (the left path is pytest-covered in tests/test_streaming.py)
     q5 = (stream_static_enrich(_events_readstream(spark, sf), dimw,
-                               "event_type")
+                               "event_type", how="inner")
           .writeStream.format("parquet").option("path", base + "/enrich")
           .option("checkpointLocation", base + "/ck5")
           .trigger(availableNow=True).start())
@@ -3406,7 +3411,11 @@ def oracle_sql() -> dict[str, str]:
                                    - s))
                                > (9.0 * (CAST(n AS DOUBLE) * q - s * s))
                      END AS o
-              FROM av JOIN ast USING (event_type))
+              -- null-safe: flag_outliers gives NULL keys their own
+              -- group (eqNullSafe join); USING would silently drop
+              -- them if a fixture ever grew NULL event_types
+              FROM av JOIN ast
+                ON av.event_type IS NOT DISTINCT FROM ast.event_type)
             GROUP BY event_type
             UNION ALL
             -- r8 drift arms: dataset-version QA between documents (A)

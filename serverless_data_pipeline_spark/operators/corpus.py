@@ -82,11 +82,14 @@ def leakage_safe_split(df: DataFrame, id_col: str,
       hashed mode the split bucket is derived from a sentinel-tagged
       basis (``"g:"+group`` vs ``"i:"+id``), so an id that happens to
       equal a real group's value can never couple the singleton's
-      split to that group. Portable mode has no such tag (the basis
-      must stay numeric for the raw modulo), so it carries the
-      documented precondition that group values and ids do not
-      collide — the returned ``group_key`` column itself always shows
-      the untagged ``coalesce(group, id)`` value either way.
+      split to that group. Portable mode keeps its basis numeric for
+      the raw modulo, so the tag is PARITY instead: groups take the
+      bucket of ``2*group``, singletons of ``2*id + 1`` — disjoint
+      domains, so the same collision cannot occur there either (split
+      proportions are preserved: with even ``n_splits`` the even and
+      odd residues each split train:eval in the same ratio). The
+      returned ``group_key`` column itself always shows the untagged
+      ``coalesce(group, id)`` value either way.
 
     Split assignment reuses ``train_test_split``'s rule on the group
     key (xxhash64 when ``hashed``, portable raw modulo otherwise), so
@@ -131,6 +134,18 @@ def leakage_safe_split(df: DataFrame, id_col: str,
                                    train_cutoff=train_cutoff,
                                    hashed=True, seed=seed)
             return out.drop("__basis")
+        # portable mode: the basis must stay numeric for the raw
+        # modulo, so the collision tag is PARITY — groups bucket from
+        # 2*group, singletons from 2*id + 1 (disjoint domains; see
+        # docstring for why proportions are preserved)
+        basis = (F.when(F.col(group_col).isNotNull(),
+                        F.col(group_col).cast("long") * 2)
+                  .otherwise(F.col(id_col).cast("long") * 2 + 1))
+        out = train_test_split(keyed.withColumn("__basis", basis),
+                               "__basis", n_splits=n_splits,
+                               train_cutoff=train_cutoff,
+                               hashed=False, seed=seed)
+        return out.drop("__basis")
     else:
         # NULL-text docs get a sentinel fingerprint (one shared group):
         # fingerprint(NULL) is NULL, and a NULL join key never

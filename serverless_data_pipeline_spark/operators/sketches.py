@@ -68,21 +68,31 @@ def cms_estimate(cms: DataFrame, items: DataFrame, col: str, *,
     a NULL probe value gets ``est`` NULL (the sketch never counted
     NULLs, so its frequency is undefined, not 0)."""
     v = F.col(col)
-    probes = (items.withColumn("__rid", F.monotonically_increasing_id())
+    # every internal column is __cms_-prefixed and the sketch side is
+    # re-aliased before the join, so an items frame that itself has
+    # row/col/cnt columns can never make the probe ambiguous
+    probes = (items.withColumn("__cms_rid",
+                               F.monotonically_increasing_id())
               .select("*", F.explode(F.array(*[
                   F.struct(F.lit(k).alias("row"),
                            _cell(v, k, width, seed).alias("col"))
-                  for k in range(depth)])).alias("c"))
-              .select("*", F.col("c.row").alias("row"),
-                      F.col("c.col").alias("col")).drop("c"))
-    joined = probes.join(F.broadcast(cms), ["row", "col"], "left")
+                  for k in range(depth)])).alias("__cms_c"))
+              .select("*",
+                      F.col("__cms_c.row").alias("__cms_row"),
+                      F.col("__cms_c.col").alias("__cms_col"))
+              .drop("__cms_c"))
+    sk = F.broadcast(cms.select(F.col("row").alias("__cms_row"),
+                                F.col("col").alias("__cms_col"),
+                                F.col("cnt").alias("__cms_cnt")))
+    joined = probes.join(sk, ["__cms_row", "__cms_col"], "left")
     keys = [c for c in items.columns]
-    return (joined.groupBy("__rid", *keys)
+    return (joined.groupBy("__cms_rid", *keys)
             .agg(F.when(F.first(v, ignorenulls=False).isNull(),
                         F.lit(None))
-                 .otherwise(F.min(F.coalesce(F.col("cnt"), F.lit(0))))
+                 .otherwise(F.min(F.coalesce(F.col("__cms_cnt"),
+                                             F.lit(0))))
                  .cast("long").alias("est"))
-            .drop("__rid"))
+            .drop("__cms_rid"))
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -324,6 +324,7 @@ def quantile_buckets(df: DataFrame, score_col: str,
 
 def flag_outliers(df: DataFrame, key_col: str, value_col: str, *,
                   z: int = 3, scale: int = 1_000_000,
+                  max_group_rows: int = 10 ** 10,
                   out_col: str = "is_outlier") -> DataFrame:
     """Per-group z-score outlier flagging (the monitoring rule behind
     the reference's CloudWatch data-quality alarms, here as a columnar
@@ -345,17 +346,28 @@ def flag_outliers(df: DataFrame, key_col: str, value_col: str, *,
     the rows — no second shuffle; adds ``out_col`` plus the group's
     non-null count ``n_g`` for downstream rate reporting. NULL values
     are never outliers. NULL keys form their own group (null-safe
-    join — the row-preserving contract holds for them too). Values
-    whose micro-unit integer exceeds 1e15 (|v| > 1e9 at the default
-    scale — beyond it the DECIMAL(38,0) sum-of-squares could overflow,
-    which under ANSI mode would kill the job) can't be accumulated
-    exactly; they are flagged unconditionally (a monitor must not
-    report the most extreme row as normal, and must not crash on it)
-    and excluded from the group stats."""
+    join — the row-preserving contract holds for them too).
+
+    Overflow guard: the per-value magnitude cutoff is DERIVED from
+    ``max_group_rows`` (an upper bound on any single group's non-null
+    row count) as isqrt((10^38 - 1) / max_group_rows), so
+    n * v_max^2 provably fits DECIMAL(38,0) — a per-value-only cap
+    would still let a large group overflow the sum of squares, and
+    under ANSI mode that overflow kills the job. At the defaults the
+    cutoff is ~1e14 micro-units (|v| > ~1e8): values beyond it can't
+    be accumulated exactly, so they are flagged unconditionally (a
+    monitor must not report the most extreme row as normal, and must
+    not crash on it) and excluded from the group stats. Groups bigger
+    than ``max_group_rows`` rows: raise it (the cutoff tightens
+    proportionally)."""
     if z < 1 or scale < 1:
         raise ValueError("z and scale must be >= 1")
+    if max_group_rows < 1:
+        raise ValueError("max_group_rows must be >= 1")
+    import math
+    cutoff = math.isqrt((10 ** 38 - 1) // max_group_rows)
     v_try = F.round(F.col(value_col) * scale).try_cast("decimal(19,0)")
-    v_int = F.when(F.abs(v_try) > F.lit(10 ** 15).cast("decimal(19,0)"),
+    v_int = F.when(F.abs(v_try) > F.lit(cutoff).cast("decimal(19,0)"),
                    F.lit(None)).otherwise(v_try)
     per = df.withColumn("__v", v_int)
     stats = (per.groupBy(key_col)

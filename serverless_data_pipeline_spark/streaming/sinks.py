@@ -49,6 +49,15 @@ def start_quarantining_stream(df: DataFrame, good_path: str, error_path: str,
     (py:198). The batch write itself is retried up to max_retries
     (MAX_RETRIES=3, py:703-707); a batch that keeps failing is appended to
     the dead-letter path instead of crashing the query (DLQ, py:122-137).
+
+    Delivery semantics: AT-LEAST-ONCE on streaming restart — the good
+    sink appends into the reference's Firehose partition layout
+    (year/month/day/hour), which has no per-epoch scoping to overwrite,
+    and Firehose itself is an at-least-once delivery service, so a
+    micro-batch replayed after a crash can re-append its rows.
+    Downstream exact-dedup (X1/ST9) is the standard chaser; use
+    ``start_redelivery_stream``'s epoch-scoped layout when the sink
+    itself must be replay-idempotent.
     """
     retries = max_retries if max_retries is not None else config.max_retries
 
@@ -80,6 +89,52 @@ def start_quarantining_stream(df: DataFrame, good_path: str, error_path: str,
             .trigger(**(trigger or {"availableNow": True}))
             .start())
 
+def redeliver_batch(batch: DataFrame, epoch_id: int, good_path: str,
+                    dlq_path: str, succeeds_at,
+                    max_receive_count: int,
+                    config: EngineConfig = DEFAULT_CONFIG) -> None:
+    """One micro-batch of the bounded-retry redelivery contract —
+    IDEMPOTENT under foreachBatch's at-least-once replay: every write
+    lands in an epoch/attempt-scoped directory
+    (``good_path/epoch=E/attempt=N``, ``dlq_path/epoch=E``) with
+    mode=overwrite, so re-running the same epoch after a streaming
+    restart overwrites its own previous (possibly partial) output
+    instead of appending duplicates — the same commit discipline as
+    incremental.maintenance_stream. The scoping dirs surface on read
+    as ordinary partition columns (``epoch``, ``attempt``) next to the
+    ``attempts`` data column. Requires ``succeeds_at`` to be
+    deterministic over (row, attempt) — the redelivery trajectory must
+    replay identically — which the queue-contract semantics already
+    assume."""
+    pending = batch
+    cached = []
+    try:
+        for attempt in range(1, max_receive_count + 1):
+            flagged = (pending.withColumn("__ok", succeeds_at(attempt))
+                       .cache())
+            cached.append(flagged)
+            ok = (flagged.filter("__ok").drop("__ok")
+                  .withColumn("attempts", F.lit(attempt)))
+            (ok.write.mode("overwrite")
+             .option("compression", config.sink_compression)
+             .parquet(f"{good_path}/epoch={int(epoch_id)}"
+                      f"/attempt={attempt}"))
+            pending = flagged.filter(
+                ~F.col("__ok") | F.col("__ok").isNull()).drop("__ok")
+            if pending.isEmpty():
+                pending = None
+                break
+        if pending is not None and not pending.isEmpty():
+            write_quarantine(
+                pending.withColumn("attempts", F.lit(max_receive_count)),
+                f"{dlq_path}/epoch={int(epoch_id)}",
+                f"failed_after_{max_receive_count}_deliveries",
+                mode="overwrite")
+    finally:
+        for c in cached:
+            c.unpersist()
+
+
 def start_redelivery_stream(df: DataFrame, good_path: str, dlq_path: str,
                             checkpoint: str, succeeds_at,
                             max_receive_count: int | None = None,
@@ -95,7 +150,7 @@ def start_redelivery_stream(df: DataFrame, good_path: str, dlq_path: str,
     permanent poison row never succeeds). Rows that succeed land in the
     good sink WITH their ``attempts`` count (the redelivery telemetry a
     real DLQ pipeline records); rows still failing after the last
-    attempt are appended to the dead-letter path with
+    attempt land in the dead-letter path with
     ``attempts = max_receive_count`` and a reason — never silently
     dropped, never crashing the query.
 
@@ -106,35 +161,16 @@ def start_redelivery_stream(df: DataFrame, good_path: str, dlq_path: str,
     attempt caches the pending split once (same discipline as
     start_quarantining_stream); cost is at most ``max_receive_count``
     writes per micro-batch, and the pending set shrinks to the poison
-    minority after attempt 1."""
+    minority after attempt 1. Restart safety: every write is
+    epoch/attempt-scoped with overwrite (see ``redeliver_batch``), so
+    a replayed micro-batch produces exactly the same files, not
+    duplicates."""
     mrc = (max_receive_count if max_receive_count is not None
            else config.max_retries)
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
-        pending = batch
-        cached = []
-        try:
-            for attempt in range(1, mrc + 1):
-                flagged = (pending.withColumn("__ok", succeeds_at(attempt))
-                           .cache())
-                cached.append(flagged)
-                ok = (flagged.filter("__ok").drop("__ok")
-                      .withColumn("attempts", F.lit(attempt)))
-                (ok.write.mode("append")
-                 .option("compression", config.sink_compression)
-                 .parquet(good_path))
-                pending = flagged.filter(
-                    ~F.col("__ok") | F.col("__ok").isNull()).drop("__ok")
-                if pending.isEmpty():
-                    pending = None
-                    break
-            if pending is not None and not pending.isEmpty():
-                write_quarantine(
-                    pending.withColumn("attempts", F.lit(mrc)),
-                    dlq_path, f"failed_after_{mrc}_deliveries")
-        finally:
-            for c in cached:
-                c.unpersist()
+        redeliver_batch(batch, epoch_id, good_path, dlq_path,
+                        succeeds_at, mrc, config)
 
     return (df.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint)

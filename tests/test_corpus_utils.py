@@ -1009,3 +1009,32 @@ def test_snapshot_diff_classifies_all_four_states(spark):
     got2 = {r.doc_id: r.status for r in rows}
     assert got2 == {1: "removed", 2: "modified", 3: "unchanged",
                     7: "modified"}             # min-fp canon: 'x' vs 'x','y'... deterministic
+
+
+def test_leakage_safe_split_portable_fallback_is_collision_proof(spark):
+    """r7 carry-over: portable (hashed=False) group_col mode must also
+    decouple a singleton whose id equals a real group's value — the
+    numeric basis is parity-tagged (2*group vs 2*id+1), so the two
+    domains are disjoint. Groups still never straddle, and both
+    residue classes keep the 8:2 proportion rule."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+    # groups named 0..19 (longs) AND singleton ids 0..19: full overlap
+    rows = ([(100 + i, i) for i in range(20)]          # grouped docs
+            + [(i, None) for i in range(20)])          # singletons
+    df = spark.createDataFrame(rows, "doc_id long, cid long")
+    out = {r.doc_id: (r.group_key, r.split_id, r.split)
+           for r in leakage_safe_split(df, "doc_id", group_col="cid",
+                                       hashed=False).collect()}
+    # display key unchanged
+    assert all(out[100 + i][0] == i for i in range(20))
+    assert all(out[i][0] == i for i in range(20))
+    # parity tag: group buckets even, singleton buckets odd -> a
+    # colliding (group g, id g) pair can never share a bucket
+    assert all(out[100 + i][1] % 2 == 0 for i in range(20))
+    assert all(out[i][1] % 2 == 1 for i in range(20))
+    assert all(out[100 + i][1] != out[i][1] for i in range(20))
+    # proportions: ids 0..19 uniform -> 16 of each class in train
+    assert sum(out[100 + i][2] == "train" for i in range(20)) == 16
+    assert sum(out[i][2] == "train" for i in range(20)) == 16

@@ -394,3 +394,33 @@ def test_mix_shift_no_join_plan(spark):
     # each version scanned exactly once (Range appears once per input)
     assert plan.count("Range (0, 100") == 1
     assert plan.count("Range (0, 80") == 1
+
+
+def test_flag_outliers_cardinality_derived_cutoff(spark):
+    """The overflow cutoff derives from max_group_rows so that
+    n * v_max^2 provably fits DECIMAL(38,0): at the default bound a
+    |v| just above ~1e8 (1e14 micro-units) is auto-flagged and
+    excluded from the stats; tightening max_group_rows tightens the
+    cutoff proportionally."""
+    import math
+
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.stages import (
+        flag_outliers,
+    )
+    cutoff = math.isqrt((10 ** 38 - 1) // 10 ** 10)  # default bound
+    assert cutoff < 10 ** 14  # n * v_max^2 <= 1e38 - 1 by construction
+    assert 10 ** 10 * cutoff * cutoff <= 10 ** 38 - 1
+    just_over = (cutoff + 1) / 1e6
+    rows = [("a", 1.0), ("a", 1.2), ("a", just_over)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = flag_outliers(df, "k", "v")
+    flagged = [r.v for r in out.filter("is_outlier").collect()]
+    assert flagged == [just_over]
+    assert out.filter("k = 'a'").first().n_g == 2
+    # a huge allowed group bound forces a much lower per-value cutoff
+    out2 = flag_outliers(df, "k", "v", max_group_rows=10 ** 20)
+    assert [r.v for r in out2.filter("is_outlier").collect()] == [just_over]
+    with _pt.raises(ValueError):
+        flag_outliers(df, "k", "v", max_group_rows=0)

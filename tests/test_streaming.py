@@ -333,3 +333,35 @@ def test_stream_static_enrich_batch_parity(spark, tmp_path):
     got_stream = {(r.event_id, r.weight)
                   for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got_stream == got_batch
+
+
+def test_redelivery_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the SAME epoch after a
+    restart must overwrite its own output, not append duplicates —
+    good rows, attempt counts and DLQ rows all identical after a
+    double run."""
+    from serverless_data_pipeline_spark.streaming.sinks import (
+        redeliver_batch,
+    )
+    batch = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "event_id long, value double")
+
+    def succeeds_at(attempt):
+        transient = (F.col("event_id") % 10 == 3) & (F.lit(attempt) < 3)
+        permanent = F.col("event_id") % 10 == 7
+        return ~transient & ~permanent
+
+    good, dlq = str(tmp_path / "good"), str(tmp_path / "dlq")
+    for _replay in range(2):                      # same epoch twice
+        redeliver_batch(batch, 0, good, dlq, succeeds_at, 3)
+    g = spark.read.parquet(good)
+    # 18 = 16 first-attempt + 2 transient at attempt 3 (a duplicated
+    # replay would read 36)
+    assert g.count() == 18
+    att = {r.event_id: r.attempts for r in g.collect()}
+    assert att[3] == att[13] == 3
+    assert all(att[i] == 1 for i in att if i % 10 != 3)
+    d = spark.read.json(dlq)
+    assert sorted(r.event_id for r in d.collect()) == [7, 17]
+    # epoch/attempt scoping surfaces as partition columns on read
+    assert {"epoch", "attempt"} <= set(g.columns)
