@@ -2882,7 +2882,13 @@ def _q_x12_segment_dedup(spark, sf):
     (Lee et al. 2022 §5 corpus-health metric, `duplicate_ngram_fraction`)
     — n_units carries each doc's distinct-5-gram count, n_kept the
     shared-with-another-doc count, so the round-6 fraction is fully
-    determined by the value-checked pair."""
+    determined by the value-checked pair.
+    `dupfcap` (r8): the same metric under the hot-shingle lever
+    `max_doc_freq=2` — shingles in MORE than 2 docs are treated as
+    corpus boilerplate and excluded from both counts (the documented
+    approximation, applied identically in the oracle; the fixture's
+    doc-frequency tail reaches 3-4, so the exclusion path is actually
+    exercised at every scale factor)."""
     from serverless_data_pipeline_spark.operators.corpus import (
         passage_dedup, segment_dedup,
     )
@@ -2900,13 +2906,19 @@ def _q_x12_segment_dedup(spark, sf):
                    F.md5("text").alias("text_fp"),
                    F.col("n_segments").cast("int").alias("n_units"),
                    F.col("n_kept").cast("int").alias("n_kept")))
+    dupc = (duplicate_ngram_fraction(docs, "doc_id", "text", n=5,
+                                     max_doc_freq=2)
+            .select(F.lit("dupfcap").alias("variant"), "doc_id",
+                    F.lit(None).cast("string").alias("text_fp"),
+                    F.col("n_ngrams").cast("int").alias("n_units"),
+                    F.col("dup_ngrams").cast("int").alias("n_kept")))
     pas = (passage_dedup(docs, "doc_id", "text", k=8)
            .select(F.lit("passage").alias("variant"), "doc_id",
                    F.md5("text").alias("text_fp"),
                    F.col("n_tokens").cast("int").alias("n_units"),
                    (F.col("n_tokens") - F.col("n_removed")).cast("int")
                     .alias("n_kept")))
-    return seg.unionByName(pas).unionByName(dup)
+    return seg.unionByName(pas).unionByName(dup).unionByName(dupc)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4626,6 +4638,28 @@ def oracle_sql() -> dict[str, str]:
                      dfc AS (SELECT s, COUNT(*) AS dc FROM sh5 GROUP BY s)
                 SELECT doc_id, COUNT(*) AS nng,
                        COUNT(*) FILTER (WHERE dc >= 2) AS dng
+                FROM sh5 JOIN dfc USING (s) GROUP BY doc_id
+            ) dpf USING (doc_id)
+            UNION ALL
+            -- dupfcap arm: the max_doc_freq=2 hot-shingle lever —
+            -- doc-frequency > 2 is boilerplate, excluded from BOTH
+            -- counts (the operator's documented approximation,
+            -- mirrored identically here)
+            SELECT 'dupfcap' AS variant, d.doc_id,
+                   CAST(NULL AS VARCHAR) AS text_fp,
+                   CAST(COALESCE(dpf.nng, 0) AS INTEGER) AS n_units,
+                   CAST(COALESCE(dpf.dng, 0) AS INTEGER) AS n_kept
+            FROM documents d
+            LEFT JOIN (
+                WITH sh5 AS (SELECT doc_id,
+                                    unnest(list_filter(
+                                        {_SHINGLE5_SQL.format(t='t')},
+                                        x -> x <> '')) AS s
+                             FROM toks),
+                     dfc AS (SELECT s, COUNT(*) AS dc FROM sh5 GROUP BY s)
+                SELECT doc_id,
+                       COUNT(*) FILTER (WHERE dc <= 2) AS nng,
+                       COUNT(*) FILTER (WHERE dc = 2) AS dng
                 FROM sh5 JOIN dfc USING (s) GROUP BY doc_id
             ) dpf USING (doc_id)""",
         "streaming_ops_suite": """

@@ -238,6 +238,14 @@ def main() -> None:
         r["dup_ngram_frac"] = timed(
             lambda: duplicate_ngram_fraction(d, "doc_id", "text", n=5)
             .agg(F.max("dup_ngram_frac")).first())
+        # r8: the hot-shingle lever under the SAME amplified density —
+        # max_doc_freq=8 treats the amplification-duplicated bulk as
+        # boilerplate, so the doc-frequency join's build side collapses
+        # to the under-cap minority (the 100 TB boilerplate scenario).
+        r["dup_ngram_cap"] = timed(
+            lambda: duplicate_ngram_fraction(d, "doc_id", "text", n=5,
+                                             max_doc_freq=8)
+            .agg(F.max("dup_ngram_frac")).first())
 
         # Relational flagships at amplified fact density (r5 verdict #7):
         # same plan shapes as __spark_entry__ q3/q5/q10 (dimension

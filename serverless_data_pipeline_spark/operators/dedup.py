@@ -993,7 +993,8 @@ def corpus_jaccard_minhash(a: DataFrame, b: DataFrame,
 
 def duplicate_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", *,
-                             n: int = 5) -> DataFrame:
+                             n: int = 5,
+                             max_doc_freq: int | None = None) -> DataFrame:
     """Cross-document duplicated-n-gram fraction (the corpus-health
     metric of Lee et al. 2022 "Deduplicating Training Data Makes
     Language Models Better" §5 / the Gopher rules' train-set variant):
@@ -1010,24 +1011,45 @@ def duplicate_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
     per-doc multiplicity is collapsed BEFORE counting (array_distinct,
     narrow) so a doc repeating its own phrase doesn't flag itself.
 
+    ``max_doc_freq`` (r8, the ``ngram_jaccard_pairs`` hot-shingle
+    lever): when set, shingles whose doc-frequency EXCEEDS it are
+    treated as corpus-level boilerplate (a copyright line shared by
+    millions of pages) and excluded from BOTH counts — an explicit,
+    documented approximation: the fraction then reads "of this doc's
+    non-boilerplate n-grams, how many are shared", which is usually
+    the number a curator wants anyway (ubiquitous strings carry no
+    dedup signal, and their doc lists are exactly what blows up at
+    100 TB). Default None = the exact Lee et al. metric.
+
     Scale shape: distinct shingles explode to (doc, hash64) rows —
     two keyed shuffles (doc-frequency groupBy with map-side combine,
     then the flag join back on the hash) plus one doc-grain groupBy;
     never pairwise, never a driver round-trip. Shingles travel as
     xxhash64 longs, not strings (8-byte shuffle keys; the same
-    collision trade ``corpus_jaccard`` documents). The hot-key join
-    (a boilerplate shingle shared by millions of docs) is
-    many-left-rows x one-right-row — AQE skew-split handles it."""
+    collision trade ``corpus_jaccard`` documents). The doc-frequency
+    side is filtered to ``__dc >= 2`` BEFORE the join — singleton
+    shingles (the vast majority of a healthy corpus) never enter the
+    join's build side, and a missing match simply means "unique"
+    (left join, exact same semantics, strictly less shuffle). The
+    hot-key join (a boilerplate shingle shared by millions of docs)
+    is many-left-rows x one-right-row — AQE skew-split handles it."""
+    if max_doc_freq is not None and max_doc_freq < 1:
+        raise ValueError("max_doc_freq must be >= 1")
     sh = (df.select(
             F.col(id_col),
             F.explode(F.array_distinct(
                 shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
           .select(F.col(id_col), F.xxhash64("__sh").alias("__h")))
-    dc = sh.groupBy("__h").agg(F.count("*").alias("__dc"))
-    per = (sh.join(dc, "__h")
+    dc = (sh.groupBy("__h").agg(F.count("*").alias("__dc"))
+          .filter(F.col("__dc") >= 2))
+    keep = (F.lit(True) if max_doc_freq is None
+            else F.col("__dc").isNull()
+            | (F.col("__dc") <= max_doc_freq))
+    dup = keep & F.col("__dc").isNotNull()
+    per = (sh.join(dc, "__h", "left")
            .groupBy(id_col)
-           .agg(F.count("*").alias("n_ngrams"),
-                F.count(F.when(F.col("__dc") >= 2, 1)).alias("dup_ngrams")))
+           .agg(F.count(F.when(keep, 1)).alias("n_ngrams"),
+                F.count(F.when(dup, 1)).alias("dup_ngrams")))
     return (df.join(per, id_col, "left")
             .withColumn("n_ngrams",
                         F.coalesce("n_ngrams", F.lit(0).cast("long")))

@@ -496,3 +496,37 @@ def test_duplicate_ngram_fraction_partition_independence(spark):
                        r.dup_ngram_frac)
                       for r in duplicate_ngram_fraction(df).collect())
     assert run(2) == run(11)
+
+
+def test_duplicate_ngram_fraction_max_doc_freq_cap(spark):
+    """r8 hot-shingle lever: with max_doc_freq set, a shingle in MORE
+    docs than the cap is boilerplate — excluded from BOTH counts (the
+    documented approximation); everything at or under the cap is
+    unchanged, and the default stays the exact metric."""
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.dedup import (
+        duplicate_ngram_fraction,
+    )
+    boiler = "all rights reserved by the site"      # 2 distinct 5-grams
+    pair = "one two three four five six"            # 2 distinct 5-grams
+    rows = ([(i, boiler) for i in range(5)]          # df=5 boilerplate
+            + [(10, pair + " " + boiler), (11, pair)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {r.doc_id: r for r in
+             duplicate_ngram_fraction(df).collect()}
+    capped = {r.doc_id: r for r in
+              duplicate_ngram_fraction(df, max_doc_freq=3).collect()}
+    # doc 10 has 8 distinct 5-grams: 2 from pair (df=2), 2 boilerplate
+    # (df=6: five copies + doc 10) and 4 seam shingles (df=1)
+    assert exact[10].n_ngrams == 8 and exact[10].dup_ngrams == 4
+    # cap=3 drops the two boilerplate shingles from both counts
+    assert capped[10].n_ngrams == 6 and capped[10].dup_ngrams == 2
+    # pure-boilerplate docs lose everything -> (0, 0, NULL)
+    assert capped[0].n_ngrams == 0 and capped[0].dup_ngrams == 0
+    assert capped[0].dup_ngram_frac is None
+    # under-cap docs unchanged
+    assert (capped[11].n_ngrams, capped[11].dup_ngrams) == \
+        (exact[11].n_ngrams, exact[11].dup_ngrams) == (2, 2)
+    with _pt.raises(ValueError):
+        duplicate_ngram_fraction(df, max_doc_freq=0)
