@@ -1954,7 +1954,22 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attribute both
         "x8_corpus_utils.tok": _x8_flavour_tok,
         "t5_quality_score.drift": _t5_flavour_drift,
+        "x2_dedup_clusters.hostrank": _x2_flavour_hostrank,
     }
+
+
+def _x2_flavour_hostrank(spark, sf):
+    from serverless_data_pipeline_spark.operators.urls import (
+        canonicalize_url_sql, host_rank, url_host_sql,
+    )
+    dochost = (_t(spark, sf, "documents")
+               .select("doc_id", F.expr(_X2_RAW_URL_SQL).alias("__raw"))
+               .select("doc_id",
+                       F.expr(canonicalize_url_sql("__raw", "spark"))
+                       .alias("cu"))
+               .select("doc_id",
+                       F.expr(url_host_sql("cu", "spark")).alias("host")))
+    return host_rank(_capped_pairs(spark, sf), dochost, iters=3)
 
 
 def _t5_flavour_drift(spark, sf):
@@ -2194,22 +2209,36 @@ def _q_x2_dedup_clusters(spark, sf):
     transitively reachable — the canonical-doc semantics a corpus dedup
     keeps. Columns harmonized to (algo, id_a, id_b, metric): pairs carry
     the exact Jaccard, component rows carry (doc, component min) with a
-    NULL metric."""
+    NULL metric; r8 adds a string column `h` (NULL except below).
+
+    `url` + `hostrank` (r8): the host-grain curation composition — a
+    deterministically-derived MESSY url per doc (mixed-case scheme/
+    host, default port, www., utm_*/fbclid params, fragment — every
+    canonicalization step exercised) is normalized by
+    `canonicalize_url` (h = the canonical url, value-checked per doc;
+    the oracle runs the SAME generated step list in its RE2 dialect),
+    then the canonical HOST lifts the checkpointed near-dup pair list
+    to a host graph and `host_rank` PageRanks it (3 iterations, each
+    value-checked via the unrolled host-prefixed CTEs) — the
+    Common-Crawl-style source-centrality signal a crawl curator ranks
+    hosts with."""
     pairs = _capped_pairs(spark, sf).localCheckpoint(eager=True)
     nmetric = F.lit(None).cast("double").alias("metric")
+    nh = F.lit(None).cast("string").alias("h")
     pair_rows = pairs.select(F.lit("pairs").alias("algo"), "id_a", "id_b",
-                             F.col("jaccard").alias("metric"))
+                             F.col("jaccard").alias("metric"), nh)
     # the label-prop component map feeds BOTH the label arm and the
     # csize histogram — checkpoint it so the CC rounds run once
     labmap = (neardup_components(pairs, algorithm="label_prop")
               .localCheckpoint(eager=True))
     label = labmap.select(F.lit("label").alias("algo"),
                           F.col("id").alias("id_a"),
-                          F.col("component_id").alias("id_b"), nmetric)
+                          F.col("component_id").alias("id_b"), nmetric,
+                          nh)
     star = (neardup_components(pairs, algorithm="star")
             .select(F.lit("star").alias("algo"),
                     F.col("id").alias("id_a"),
-                    F.col("component_id").alias("id_b"), nmetric))
+                    F.col("component_id").alias("id_b"), nmetric, nh))
     from serverless_data_pipeline_spark.operators.graph import pagerank
     pr = (pagerank(pairs.select(F.col("id_a").alias("src"),
                                 F.col("id_b").alias("dst")),
@@ -2217,7 +2246,7 @@ def _q_x2_dedup_clusters(spark, sf):
           .select(F.lit("pagerank").alias("algo"),
                   F.col("id").alias("id_a"),
                   F.lit(None).cast("long").alias("id_b"),
-                  F.col("rank").alias("metric")))
+                  F.col("rank").alias("metric"), nh))
     # csize arm (r7 s6): the duplicate-cluster size HISTOGRAM — the
     # standard before/after dedup report line ("N clusters of size s").
     # Reuses the label-prop component map already computed above:
@@ -2227,9 +2256,32 @@ def _q_x2_dedup_clusters(spark, sf):
              .groupBy("__sz").agg(F.count("*").alias("__n"))
              .select(F.lit("csize").alias("algo"),
                      F.col("__sz").cast("long").alias("id_a"),
-                     F.col("__n").cast("long").alias("id_b"), nmetric))
+                     F.col("__n").cast("long").alias("id_b"), nmetric,
+                     nh))
+    # url + hostrank arms (r8) — see docstring
+    from serverless_data_pipeline_spark.operators.urls import (
+        canonicalize_url_sql, host_rank, url_host_sql,
+    )
+    nulll = F.lit(None).cast("long")
+    curl = (_t(spark, sf, "documents")
+            .select("doc_id", F.expr(_X2_RAW_URL_SQL).alias("__raw"))
+            .select("doc_id",
+                    F.expr(canonicalize_url_sql("__raw", "spark"))
+                    .alias("cu"))
+            .localCheckpoint(eager=False))
+    url_rows = curl.select(F.lit("url").alias("algo"),
+                           F.col("doc_id").alias("id_a"),
+                           nulll.alias("id_b"), nmetric,
+                           F.col("cu").alias("h"))
+    dochost = curl.select(
+        "doc_id", F.expr(url_host_sql("cu", "spark")).alias("host"))
+    hrank = (host_rank(pairs, dochost, iters=3)
+             .select(F.lit("hostrank").alias("algo"),
+                     nulll.alias("id_a"), nulll.alias("id_b"),
+                     F.col("rank").alias("metric"),
+                     F.col("id").alias("h")))
     return (pair_rows.unionAll(label).unionAll(star).unionAll(pr)
-            .unionAll(csize))
+            .unionAll(csize).unionAll(url_rows).unionAll(hrank))
 
 
 def _clusters_flavour(spark, sf, algorithm):
@@ -2983,6 +3035,18 @@ _BPE_MERGES_SQL = "VALUES " + ", ".join(
 _BPE_VOCAB_SQL = "VALUES " + ", ".join(
     f"('{t}', {i})" for t, i in _bpe_build_vocab().items())
 
+# x2 url/hostrank arms (r8): ONE messy-URL derivation, valid in both
+# engines verbatim (|| auto-casts the numeric operands in each), so
+# the canonicalization input is identical by construction. Exercises
+# every canonicalize_url step: mixed-case scheme/host, default port,
+# www., interior+terminal tracking params, fragment.
+_X2_RAW_URL_SQL = (
+    "'HTTPS://WWW.' || source || '.Example.COM:443/' || lang "
+    "|| '/Doc' || doc_id || '?utm_source=feed&utm_id=' || doc_id "
+    "|| '&ref=' || (doc_id % 7) "
+    "|| CASE WHEN doc_id % 5 = 0 THEN '&fbclid=abc' ELSE '' END "
+    "|| CASE WHEN doc_id % 3 = 0 THEN '#Section-2' ELSE '' END")
+
 
 # t5 drift/mix/mixcat arms (r8): version B of the documents corpus,
 # derived exactly as the Spark arm derives it.
@@ -3205,32 +3269,54 @@ _QW_SQL = ("[" + ",".join(str(int(round(w * 1e6))) for w in _dqw(_QW_B))
            + "]::BIGINT[]")
 
 
-def _pagerank_ctes(iters: int = 5, damping: float = 0.85) -> str:
-    """Unrolled PageRank iterations over the x2 `edges` CTE, mirroring
-    operators/graph.py EXACTLY: integer micro-unit ranks, per-edge
-    contributions rounded to BIGINT before the sum, and the float
-    literals injected via repr() so e.g. 1.0-0.85 is the same
-    0.15000000000000002 double both engines round with. The `+ 0` is
-    the dangling-share term, identically zero on a symmetrized graph."""
+# url/hostrank oracle renderings — the SAME generated step list the
+# Spark arm executes, in the RE2 dialect (parity by construction)
+from serverless_data_pipeline_spark.operators.urls import (  # noqa: E402
+    canonicalize_url_sql as _canon_sql,
+    url_host_sql as _hostx_sql,
+)
+
+
+def _canon_url_duckdb(col: str) -> str:
+    return _canon_sql(col, "duckdb")
+
+
+def _host_duckdb(col: str) -> str:
+    return _hostx_sql(col, "duckdb")
+
+
+def _pagerank_ctes(iters: int = 5, damping: float = 0.85, *,
+                   prefix: str = "", edges: str = "edges") -> str:
+    """Unrolled PageRank iterations over an (already symmetrized)
+    edge-list CTE, mirroring operators/graph.py EXACTLY: integer
+    micro-unit ranks, per-edge contributions rounded to BIGINT before
+    the sum, and the float literals injected via repr() so e.g.
+    1.0-0.85 is the same 0.15000000000000002 double both engines round
+    with. The `+ 0` is the dangling-share term, identically zero on a
+    symmetrized graph. ``prefix`` namespaces the generated CTEs so the
+    unroll can appear more than once in one statement (x2 uses it for
+    the doc-grain pair graph AND the r8 host graph)."""
+    p = prefix
     base = (f"{1.0 - damping!r} * 1000000.0 "
-            "/ CAST((SELECT n FROM nn) AS DOUBLE)")
+            f"/ CAST((SELECT n FROM {p}nn) AS DOUBLE)")
     ctes = [
-        "nodes AS (SELECT DISTINCT src AS id FROM edges)",
-        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
-        "deg AS (SELECT src, COUNT(*) AS dg FROM edges GROUP BY src)",
-        "pr0 AS (SELECT id, CAST(round(1000000.0 / (SELECT n FROM nn))"
-        " AS BIGINT) AS r FROM nodes)",
+        f"{p}nodes AS (SELECT DISTINCT src AS id FROM {edges})",
+        f"{p}nn AS (SELECT COUNT(*) AS n FROM {p}nodes)",
+        f"{p}deg AS (SELECT src, COUNT(*) AS dg FROM {edges} "
+        f"GROUP BY src)",
+        f"{p}pr0 AS (SELECT id, CAST(round(1000000.0 "
+        f"/ (SELECT n FROM {p}nn)) AS BIGINT) AS r FROM {p}nodes)",
     ]
     for t in range(1, iters + 1):
-        ctes.append(f"""pr{t} AS (
+        ctes.append(f"""{p}pr{t} AS (
                 SELECT n.id, CAST(round({base}
                        + {damping!r} * CAST(COALESCE(i.s, 0) + 0 AS DOUBLE))
                        AS BIGINT) AS r
-                FROM nodes n LEFT JOIN (
+                FROM {p}nodes n LEFT JOIN (
                     SELECT e.dst AS id,
                            SUM(CAST(round(p.r / d.dg) AS BIGINT)) AS s
-                    FROM edges e JOIN pr{t - 1} p ON e.src = p.id
-                    JOIN deg d ON e.src = d.src
+                    FROM {edges} e JOIN {p}pr{t - 1} p ON e.src = p.id
+                    JOIN {p}deg d ON e.src = d.src
                     GROUP BY e.dst) i ON n.id = i.id)""")
     return ",\n            ".join(ctes)
 
@@ -3273,26 +3359,67 @@ _CLUSTERS_ORACLE = f"""
             comp AS (SELECT src AS id_a,
                             LEAST(src, MIN(dst)) AS id_b
                      FROM reach GROUP BY src),
-            {_pagerank_ctes(iters=5, damping=0.85)}
-            SELECT 'pairs' AS algo, id_a, id_b, jacc AS metric FROM pairs
+            {_pagerank_ctes(iters=5, damping=0.85)},
+            -- r8 url/hostrank: canonicalized urls (RE2 rendering of
+            -- the SAME generated step list) and the host-grain
+            -- pagerank over the near-dup pair graph
+            durl AS (SELECT doc_id,
+                            {_canon_url_duckdb('__raw')} AS cu
+                     FROM (SELECT doc_id, {_X2_RAW_URL_SQL} AS __raw
+                           FROM documents)),
+            dhost AS (SELECT doc_id, {_host_duckdb('cu')} AS h
+                      FROM durl),
+            -- NOTE: explicit DISTINCT wrapper, not a bare UNION — in a
+            -- WITH RECURSIVE statement DuckDB does NOT deduplicate a
+            -- UNION inside a non-recursive CTE (it behaves as UNION
+            -- ALL), which double-counts degrees and skews every rank
+            hedges AS (SELECT DISTINCT src, dst FROM (
+                       SELECT ha.h AS src, hb.h AS dst
+                       FROM pairs p
+                       JOIN dhost ha ON ha.doc_id = p.id_a
+                       JOIN dhost hb ON hb.doc_id = p.id_b
+                       WHERE ha.h <> hb.h
+                       UNION ALL
+                       SELECT hb.h, ha.h
+                       FROM pairs p
+                       JOIN dhost ha ON ha.doc_id = p.id_a
+                       JOIN dhost hb ON hb.doc_id = p.id_b
+                       WHERE ha.h <> hb.h)),
+            {_pagerank_ctes(iters=3, damping=0.85, prefix='h',
+                            edges='hedges')}
+            SELECT 'pairs' AS algo, id_a, id_b, jacc AS metric,
+                   CAST(NULL AS VARCHAR) AS h FROM pairs
             UNION ALL
             SELECT 'label' AS algo, id_a, id_b,
-                   CAST(NULL AS DOUBLE) AS metric FROM comp
+                   CAST(NULL AS DOUBLE) AS metric,
+                   CAST(NULL AS VARCHAR) AS h FROM comp
             UNION ALL
             SELECT 'star' AS algo, id_a, id_b,
-                   CAST(NULL AS DOUBLE) AS metric FROM comp
+                   CAST(NULL AS DOUBLE) AS metric,
+                   CAST(NULL AS VARCHAR) AS h FROM comp
             UNION ALL
             SELECT 'pagerank' AS algo, id AS id_a,
                    CAST(NULL AS BIGINT) AS id_b,
-                   CAST(r AS DOUBLE) / 1000000.0 AS metric FROM pr5
+                   CAST(r AS DOUBLE) / 1000000.0 AS metric,
+                   CAST(NULL AS VARCHAR) AS h FROM pr5
             UNION ALL
             SELECT 'csize' AS algo, CAST(sz AS BIGINT) AS id_a,
                    CAST(n AS BIGINT) AS id_b,
-                   CAST(NULL AS DOUBLE) AS metric
+                   CAST(NULL AS DOUBLE) AS metric,
+                   CAST(NULL AS VARCHAR) AS h
             FROM (SELECT sz, COUNT(*) AS n
                   FROM (SELECT id_b, COUNT(*) AS sz
                         FROM comp GROUP BY id_b)
-                  GROUP BY sz)"""
+                  GROUP BY sz)
+            UNION ALL
+            SELECT 'url' AS algo, doc_id AS id_a,
+                   CAST(NULL AS BIGINT) AS id_b,
+                   CAST(NULL AS DOUBLE) AS metric, cu AS h FROM durl
+            UNION ALL
+            SELECT 'hostrank' AS algo, CAST(NULL AS BIGINT) AS id_a,
+                   CAST(NULL AS BIGINT) AS id_b,
+                   CAST(r AS DOUBLE) / 1000000.0 AS metric, id AS h
+            FROM hpr3"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,145 @@
+"""URL canonicalization + host-grain curation (charter extension:
+web-corpus source curation).
+
+A web-scale training pipeline curates at TWO grains: documents (dedup,
+quality) and HOSTS — crawl prioritization, source allow/deny lists and
+per-domain quotas all key on a canonical host, and Common Crawl's own
+host ranking is PageRank over the host graph. The pieces here:
+
+- ``canonicalize_url`` — the deterministic URL normalizer (lowercase
+  scheme+authority, strip default port / ``www.`` / fragment /
+  tracking params), so the same page crawled via trivially-different
+  URLs keys identically downstream.
+- ``url_host`` — the canonical host extractor (the curation key).
+- ``host_rank`` — doc-grain pair/link lists lifted to host-grain
+  edges, ranked with the shared ``operators/graph.pagerank`` kernel
+  (integer micro-unit determinism).
+
+Cross-engine parity by construction: the normalization is GENERATED as
+SQL once per dialect (``canonicalize_url_sql``) — the Spark operator
+executes the 'spark' rendering via ``F.expr`` and the correctness
+oracle embeds the 'duckdb' rendering, so both engines always run the
+same step list (the dialects differ only in regex-replacement backref
+tokens, the match predicate, and DuckDB's explicit 'g' flag). Every
+step is a narrow codegen'd projection — no shuffle, linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.operators.graph import pagerank
+
+__all__ = ["canonicalize_url", "canonicalize_url_sql", "url_host",
+           "url_host_sql", "host_rank"]
+
+_SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
+_PREFIX_RE = "^([^/?#]*://[^/?#]*)(.*)$"
+# tracking params stripped by the canonicalizer (the common redirect
+# noise: Google Analytics utm_* and the Facebook click id)
+_TRACK = "(utm_[A-Za-z0-9_]*|fbclid)"
+
+
+def _replace(x: str, pat: str, repl: str, dialect: str) -> str:
+    if dialect == "duckdb":
+        return f"regexp_replace({x}, '{pat}', '{repl}', 'g')"
+    return f"regexp_replace({x}, '{pat}', '{repl}')"
+
+
+def canonicalize_url_sql(col: str, dialect: str) -> str:
+    """The canonicalization expression for one dialect ('spark' |
+    'duckdb'). Steps, in order:
+
+    1. trim
+    2. inputs without a ``scheme://`` prefix pass through lowercased
+       only (defined fallback instead of engine-specific garbage)
+    3. lowercase the scheme+authority prefix, keep path/query case
+    4. strip the scheme's default port (:80 http, :443 https)
+    5. strip a leading ``www.`` from the host
+    6. strip the fragment
+    7. strip tracking params (``utm_*``, ``fbclid``) wherever they sit
+       in the query string, then any dangling '?'/'&'
+    """
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError("dialect must be spark or duckdb")
+    # replacement backref tokens differ: Java (Spark) uses $1, RE2
+    # (DuckDB) uses \1; patterns below avoid backslashes entirely
+    # ([.] instead of \.) so the PATTERN text is dialect-identical
+    b1, b2 = ("$1", "$2") if dialect == "spark" else ("\\1", "\\2")
+    u = f"trim({col})"
+    # 3. recompose: lower(prefix) || rest
+    x = (f"concat(lower(regexp_extract({u}, '{_PREFIX_RE}', 1)), "
+         f"regexp_extract({u}, '{_PREFIX_RE}', 2))")
+    # 4./5. default port + www. (prefix is lowercase now)
+    x = _replace(x, "^(https://[^/?#:]*):443($|[/?#])",
+                 f"{b1}{b2}", dialect)
+    x = _replace(x, "^(http://[^/?#:]*):80($|[/?#])",
+                 f"{b1}{b2}", dialect)
+    x = _replace(x, "^([a-z][a-z0-9+.-]*://)www[.]", b1, dialect)
+    # 6. fragment
+    x = _replace(x, "#.*$", "", dialect)
+    # 7. tracking params: interior (trailing &) then terminal, then
+    # dangling separators
+    x = _replace(x, f"{_TRACK}=[^&#]*&", "", dialect)
+    x = _replace(x, f"[?&]{_TRACK}=[^&#]*$", "", dialect)
+    x = _replace(x, "[?&]$", "", dialect)
+    if dialect == "duckdb":
+        match = f"regexp_matches(trim({col}), '{_SCHEME_RE}')"
+    else:
+        match = f"trim({col}) RLIKE '{_SCHEME_RE}'"
+    return (f"CASE WHEN {col} IS NULL THEN NULL "
+            f"WHEN {match} THEN {x} "
+            f"ELSE lower(trim({col})) END")
+
+
+def url_host_sql(col: str, dialect: str) -> str:
+    """Host of an ALREADY-CANONICAL url ('' when scheme-less)."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError("dialect must be spark or duckdb")
+    return f"regexp_extract({col}, '^[a-z][a-z0-9+.-]*://([^/?#:]*)', 1)"
+
+
+def canonicalize_url(df: DataFrame, url_col: str, *,
+                     out_col: str = "canonical_url") -> DataFrame:
+    """Add ``out_col`` = the canonical form of ``url_col`` (see
+    ``canonicalize_url_sql`` for the exact step list). Narrow
+    projection, no shuffle."""
+    return df.withColumn(out_col,
+                         F.expr(canonicalize_url_sql(url_col, "spark")))
+
+
+def url_host(df: DataFrame, url_col: str, *,
+             out_col: str = "host") -> DataFrame:
+    """Add ``out_col`` = canonical host of an already-canonical URL
+    column (compose after ``canonicalize_url``)."""
+    return df.withColumn(out_col,
+                         F.expr(url_host_sql(url_col, "spark")))
+
+
+def host_rank(pairs: DataFrame, doc_host: DataFrame, *,
+              id_a: str = "id_a", id_b: str = "id_b",
+              id_col: str = "doc_id", host_col: str = "host",
+              iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """Common-Crawl-style host centrality: lift a DOC-grain pair/link
+    list (near-dup pairs, hyperlinks, citation edges — any 2-column
+    relation) to HOST grain through a doc→host map, drop self-loops,
+    collapse duplicates, and PageRank the host graph (undirected —
+    shared-content edges have no direction). Returns (id=host, rank).
+
+    Scale shape: two doc→host hash joins (the map is |docs| rows of
+    (id, host) — co-partition or broadcast per its size), one distinct
+    on the host-grain edge list (|host-pairs| ≤ |doc-pairs|, usually
+    orders of magnitude smaller), then the shared integer-micro-unit
+    pagerank kernel whose per-iteration state is (host, long)."""
+    ha = doc_host.select(F.col(id_col).alias(id_a),
+                         F.col(host_col).alias("__ha"))
+    hb = doc_host.select(F.col(id_col).alias(id_b),
+                         F.col(host_col).alias("__hb"))
+    edges = (pairs.select(id_a, id_b)
+             .join(ha, id_a).join(hb, id_b)
+             .select(F.col("__ha").alias("src"),
+                     F.col("__hb").alias("dst"))
+             .filter(F.col("src") != F.col("dst")))
+    return pagerank(edges, undirected=True, iters=iters,
+                    damping=damping)

@@ -424,3 +424,49 @@ def test_flag_outliers_cardinality_derived_cutoff(spark):
     assert [r.v for r in out2.filter("is_outlier").collect()] == [just_over]
     with _pt.raises(ValueError):
         flag_outliers(df, "k", "v", max_group_rows=0)
+
+
+def test_sketch_vs_exact_parity_on_real_fixtures(spark):
+    """The 100 TB paths — profile_columns(approx_distinct=True) and
+    quantile_buckets(exact=False) — pinned against their exact
+    siblings on the REAL fixture tables at the largest local scale
+    (sf0.1), so the sketch path cannot silently diverge: HLL++
+    distinct estimates within the configured rsd band (x3 headroom),
+    KLL bucket assignments within a small reassignment band around
+    the exact thresholds."""
+    import os
+
+    from serverless_data_pipeline_spark.operators.stages import (
+        profile_columns, quantile_buckets,
+    )
+    from serverless_data_pipeline_spark.schemas import load_table
+    sf = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR",
+                        "/root/testdata/sf0.1")
+    ev = load_table(spark, sf, "events")
+    cols = ["event_id", "user_id", "value", "event_type"]
+    exact = {r.column: r for r in profile_columns(ev, cols).collect()}
+    approx = {r.column: r
+              for r in profile_columns(ev, cols, approx_distinct=True,
+                                       rsd=0.05).collect()}
+    for c in cols:
+        e, a = exact[c], approx[c]
+        # every non-sketch stat must be IDENTICAL (same single scan)
+        assert (e.n_rows, e.n_null, e.null_frac) == \
+            (a.n_rows, a.n_null, a.null_frac), c
+        assert (e.vmin, e.vmax, e.vavg) == (a.vmin, a.vmax, a.vavg), c
+        # the sketch estimate within 3x the configured rsd
+        if e.n_distinct > 0:
+            rel = abs(a.n_distinct - e.n_distinct) / e.n_distinct
+            assert rel <= 0.15, (c, e.n_distinct, a.n_distinct)
+    # quantile buckets: approx thresholds may reassign only rows near
+    # the exact cut — bound the disagreement fraction
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("s"))
+    je = quantile_buckets(docs, "s").withColumnRenamed("bucket", "be")
+    ja = (quantile_buckets(docs, "s", exact=False, accuracy=10_000)
+          .withColumnRenamed("bucket", "ba").select("doc_id", "ba"))
+    both = je.join(ja, "doc_id")
+    n = both.count()
+    diff = both.filter("be <> ba").count()
+    assert n == docs.count()
+    assert diff / n <= 0.02, f"{diff}/{n} bucket reassignments"

@@ -1,0 +1,90 @@
+"""URL canonicalization + host-grain curation (r8 charter extension)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_data_pipeline_spark.operators.urls import (
+    canonicalize_url, canonicalize_url_sql, host_rank, url_host,
+    url_host_sql,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r.canonical_url
+            for r in canonicalize_url(df, "url").collect()]
+
+
+def test_canonicalize_url_steps(spark):
+    got = _canon(spark, [
+        "HTTPS://WWW.A.Example.COM:443/en/Doc4?utm_source=f&ref=3#x",
+        "http://www.b.com:80/P?id=1",
+        "https://c.org/p?utm_a=1&utm_b=2",
+        "  HTTP://D.NET/x?a=1&utm_x=2&b=3  ",
+        "ftp://www.f.com:21/f",          # non-default port survives
+        "not a url",                      # scheme-less: lower+trim only
+        "https://www.only-www.com",
+        None,
+    ])
+    assert got == [
+        "https://a.example.com/en/Doc4?ref=3",
+        "http://b.com/P?id=1",
+        "https://c.org/p",
+        "http://d.net/x?a=1&b=3",
+        "ftp://f.com:21/f",
+        "not a url",
+        "https://only-www.com",
+        None,
+    ]
+
+
+def test_canonicalize_url_idempotent(spark):
+    """Canonicalizing a canonical URL is a fixpoint — the property that
+    lets pipelines re-canonicalize defensively at any stage."""
+    raw = ["HTTPS://WWW.A.COM:443/Path?utm_x=1&q=2#f",
+           "http://www.b.org:80/?fbclid=z"]
+    once = _canon(spark, raw)
+    twice = _canon(spark, once)
+    assert once == twice
+
+
+def test_url_host_and_validation(spark):
+    df = spark.createDataFrame(
+        [("https://a.example.com:8443/x?q=1",),
+         ("http://b.org/",), ("plain",), (None,)], "cu string")
+    hosts = [r.host for r in url_host(df, "cu").collect()]
+    assert hosts == ["a.example.com", "b.org", "", None]
+    with pytest.raises(ValueError):
+        canonicalize_url_sql("c", "postgres")
+    with pytest.raises(ValueError):
+        url_host_sql("c", "postgres")
+
+
+def test_host_rank_composition(spark):
+    """Doc pairs lift to host grain: duplicate host edges collapse,
+    self-host pairs drop, and the better-connected host outranks the
+    leaf (hand-checkable 3-host path graph x <-> y <-> z)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 4), (5, 6)],  # (x,y) twice, (x,y), (y,z)
+        "id_a long, id_b long")
+    doc_host = spark.createDataFrame(
+        [(1, "x"), (3, "x"), (2, "y"), (4, "y"), (5, "y"), (6, "z")],
+        "doc_id long, host string")
+    out = {r.id: r.rank for r in
+           host_rank(pairs, doc_host, iters=3).collect()}
+    assert set(out) == {"x", "y", "z"}
+    # y sits on both edges of the path -> highest centrality
+    assert out["y"] > out["x"] >= out["z"] or \
+        out["y"] > out["z"] >= out["x"]
+    assert abs(sum(out.values()) - 1.0) < 0.01
+
+
+def test_host_rank_self_host_pairs_drop(spark):
+    """A pair whose two docs share a host contributes no edge; a graph
+    of ONLY such pairs ranks nothing."""
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    doc_host = spark.createDataFrame([(1, "x"), (2, "x")],
+                                     "doc_id long, host string")
+    assert host_rank(pairs, doc_host, iters=2).count() == 0
