@@ -56,7 +56,20 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
 
     Deterministic: ties on pair frequency break lexicographically on
     (left, right), so the learned merges are independent of
-    partitioning. Stops early when no pair occurs twice."""
+    partitioning. Stops early when no pair occurs twice.
+
+    Cost note: each merge round is one tiny aggregation over the
+    distinct-WORD frame plus ONE driver round-trip (the argmax row) —
+    inherent to BPE's sequential dependency, fine for offline vocab
+    training. Guidance at scale: train on a SAMPLE (BPE statistics
+    saturate quickly — a few hundred MB of text per language is the
+    standard practice, cf. SentencePiece's default input-sentence
+    cap), not the full 100 TB corpus; n_merges round-trips of one row
+    each are then negligible next to the single corpus-wide word
+    count. If training over the full corpus ever mattered, the
+    extension is a batched multi-merge round (take the top-K
+    non-interacting pairs per argmax), trading exactness of tie order
+    for K-fold fewer round trips."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     words = (_word_counts(df, text_col)
