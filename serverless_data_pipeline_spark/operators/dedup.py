@@ -994,7 +994,8 @@ def corpus_jaccard_minhash(a: DataFrame, b: DataFrame,
 def duplicate_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", *,
                              n: int = 5,
-                             max_doc_freq: int | None = None) -> DataFrame:
+                             max_doc_freq: int | None = None,
+                             emit_exact: bool = False) -> DataFrame:
     """Cross-document duplicated-n-gram fraction (the corpus-health
     metric of Lee et al. 2022 "Deduplicating Training Data Makes
     Language Models Better" §5 / the Gopher rules' train-set variant):
@@ -1020,6 +1021,11 @@ def duplicate_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
     the number a curator wants anyway (ubiquitous strings carry no
     dedup signal, and their doc lists are exactly what blows up at
     100 TB). Default None = the exact Lee et al. metric.
+    ``emit_exact`` (requires ``max_doc_freq``): ALSO emit the uncapped
+    counts as ``n_ngrams_exact``/``dup_ngrams_exact`` — both report
+    variants are simple conditional counts over the same joined rows,
+    so one shingle pipeline serves both (the x12 registry row reads
+    its exact and capped arms off a single pass this way).
 
     Scale shape: distinct shingles explode to (doc, hash64) rows —
     two keyed shuffles (doc-frequency groupBy with map-side combine,
@@ -1035,6 +1041,8 @@ def duplicate_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
     is many-left-rows x one-right-row — AQE skew-split handles it."""
     if max_doc_freq is not None and max_doc_freq < 1:
         raise ValueError("max_doc_freq must be >= 1")
+    if emit_exact and max_doc_freq is None:
+        raise ValueError("emit_exact requires max_doc_freq")
     sh = (df.select(
             F.col(id_col),
             F.explode(F.array_distinct(
@@ -1046,16 +1054,27 @@ def duplicate_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
             else F.col("__dc").isNull()
             | (F.col("__dc") <= max_doc_freq))
     dup = keep & F.col("__dc").isNotNull()
-    per = (sh.join(dc, "__h", "left")
-           .groupBy(id_col)
-           .agg(F.count(F.when(keep, 1)).alias("n_ngrams"),
-                F.count(F.when(dup, 1)).alias("dup_ngrams")))
-    return (df.join(per, id_col, "left")
-            .withColumn("n_ngrams",
-                        F.coalesce("n_ngrams", F.lit(0).cast("long")))
-            .withColumn("dup_ngrams",
-                        F.coalesce("dup_ngrams", F.lit(0).cast("long")))
-            .withColumn("dup_ngram_frac",
-                        F.when(F.col("n_ngrams") > 0,
-                               F.round(F.col("dup_ngrams")
-                                       / F.col("n_ngrams"), 6))))
+    aggs = [F.count(F.when(keep, 1)).alias("n_ngrams"),
+            F.count(F.when(dup, 1)).alias("dup_ngrams")]
+    if emit_exact:
+        aggs += [F.count("*").alias("n_ngrams_exact"),
+                 F.count(F.when(F.col("__dc").isNotNull(), 1))
+                 .alias("dup_ngrams_exact")]
+    per = sh.join(dc, "__h", "left").groupBy(id_col).agg(*aggs)
+    out = (df.join(per, id_col, "left")
+           .withColumn("n_ngrams",
+                       F.coalesce("n_ngrams", F.lit(0).cast("long")))
+           .withColumn("dup_ngrams",
+                       F.coalesce("dup_ngrams", F.lit(0).cast("long")))
+           .withColumn("dup_ngram_frac",
+                       F.when(F.col("n_ngrams") > 0,
+                              F.round(F.col("dup_ngrams")
+                                      / F.col("n_ngrams"), 6))))
+    if emit_exact:
+        out = (out.withColumn("n_ngrams_exact",
+                              F.coalesce("n_ngrams_exact",
+                                         F.lit(0).cast("long")))
+               .withColumn("dup_ngrams_exact",
+                           F.coalesce("dup_ngrams_exact",
+                                      F.lit(0).cast("long"))))
+    return out

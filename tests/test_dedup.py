@@ -530,3 +530,28 @@ def test_duplicate_ngram_fraction_max_doc_freq_cap(spark):
         (exact[11].n_ngrams, exact[11].dup_ngrams) == (2, 2)
     with _pt.raises(ValueError):
         duplicate_ngram_fraction(df, max_doc_freq=0)
+
+
+def test_duplicate_ngram_fraction_emit_exact_single_pass(spark):
+    """emit_exact: one pipeline yields BOTH report variants, each equal
+    to its standalone computation; validation requires the cap."""
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.dedup import (
+        duplicate_ngram_fraction,
+    )
+    rows = ([(i, "all rights reserved by the site") for i in range(5)]
+            + [(10, "one two three four five six")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    both = {r.doc_id: r for r in duplicate_ngram_fraction(
+        df, max_doc_freq=3, emit_exact=True).collect()}
+    exact = {r.doc_id: r for r in duplicate_ngram_fraction(df).collect()}
+    capped = {r.doc_id: r for r in duplicate_ngram_fraction(
+        df, max_doc_freq=3).collect()}
+    for i in both:
+        assert (both[i].n_ngrams_exact, both[i].dup_ngrams_exact) == \
+            (exact[i].n_ngrams, exact[i].dup_ngrams)
+        assert (both[i].n_ngrams, both[i].dup_ngrams) == \
+            (capped[i].n_ngrams, capped[i].dup_ngrams)
+    with _pt.raises(ValueError):
+        duplicate_ngram_fraction(df, emit_exact=True)
