@@ -79,10 +79,17 @@ def canonicalize_url_sql(col: str, dialect: str) -> str:
     x = _replace(x, "^([a-z][a-z0-9+.-]*://)www[.]", b1, dialect)
     # 6. fragment
     x = _replace(x, "#.*$", "", dialect)
-    # 7. tracking params: interior (trailing &) then terminal, then
-    # dangling separators
-    x = _replace(x, f"{_TRACK}=[^&#]*&", "", dialect)
-    x = _replace(x, f"[?&]{_TRACK}=[^&#]*$", "", dialect)
+    # 7. tracking params. Both patterns anchor on a REAL separator
+    # ([?&]) so a legitimate param that merely CONTAINS a tracking
+    # name (?xutm_a=1) is never clipped mid-token; the interior
+    # pattern swallows RUNS of consecutive tracking params in one
+    # match (the (...&)+ group), because the replace scan resumes
+    # after the match and the shared separator would otherwise be
+    # consumed. Interior (run ending in &), then terminal (run at
+    # end of string), then a dangling '?'/'&'.
+    x = _replace(x, f"([?&])({_TRACK}=[^&#]*&)+", b1, dialect)
+    x = _replace(x, f"[?&]({_TRACK}=[^&#]*&)*{_TRACK}=[^&#]*$",
+                 "", dialect)
     x = _replace(x, "[?&]$", "", dialect)
     if dialect == "duckdb":
         match = f"regexp_matches(trim({col}), '{_SCHEME_RE}')"

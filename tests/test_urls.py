@@ -26,6 +26,10 @@ def test_canonicalize_url_steps(spark):
         "ftp://www.f.com:21/f",          # non-default port survives
         "not a url",                      # scheme-less: lower+trim only
         "https://www.only-www.com",
+        # a legit param that merely CONTAINS a tracking name must
+        # survive intact while the real tracking params go
+        "https://e.com/?xutm_a=1&utm_b=2&myfbclid=3",
+        "https://e.com/?utm_a=1&utm_b=2&id=9",   # adjacent run
         None,
     ])
     assert got == [
@@ -36,6 +40,8 @@ def test_canonicalize_url_steps(spark):
         "ftp://f.com:21/f",
         "not a url",
         "https://only-www.com",
+        "https://e.com/?xutm_a=1&myfbclid=3",
+        "https://e.com/?id=9",
         None,
     ]
 
