@@ -263,18 +263,7 @@ def _q_t5_quality_score(spark, sf):
     #   mixcat -> mix_shift per-lang detail: (col_name='lang:'||cat,
     #             n_rows=n_a, n_null=n_b, null_frac=frac_delta,
     #             vmin/vmax=fracs, vavg=psi_term, score=js_term)
-    docs = _t(spark, sf, "documents")
-    asnap = docs.select("doc_id", "n_chars", "lang", "source")
-    bsnap = (docs.filter(F.col("doc_id") % 11 != 0)
-             .select("doc_id",
-                     F.when(F.col("doc_id") % 7 == 0,
-                            F.col("n_chars") + 10)
-                     .otherwise(F.col("n_chars")).alias("n_chars"),
-                     "lang", "source")
-             .unionAll(docs.filter(F.col("doc_id") < 20)
-                       .select((F.col("doc_id") + 1000000)
-                               .alias("doc_id"), "n_chars",
-                               F.lit("xx").alias("lang"), "source")))
+    asnap, bsnap = _t5_snapshots(spark, sf)
     nulll2 = F.lit(None).cast("long")
     drift = (stages.profile_drift(asnap, bsnap)
              .select(F.lit("drift").alias("kind"),
@@ -290,9 +279,16 @@ def _q_t5_quality_score(spark, sf):
                      F.col("status").alias("smin"),
                      nulls.alias("smax"),
                      F.col("distinct_rate_delta").alias("score")))
+    # the lang per-category frame feeds BOTH the mixcat detail and the
+    # lang summary (mix_shift_summarize) — one checkpointed computation,
+    # same single-pass discipline as x12's dupboth / x2's curl
+    per_lang = (stages.mix_shift(asnap, bsnap, "lang")
+                .localCheckpoint(eager=False))
     mix = None
-    for c in ("lang", "source"):
-        row = (stages.mix_shift_summary(asnap, bsnap, c)
+    for c, summ in (("lang", stages.mix_shift_summarize(per_lang)),
+                    ("source",
+                     stages.mix_shift_summary(asnap, bsnap, "source"))):
+        row = (summ
                .select(F.lit("mix").alias("kind"),
                        F.lit(c).alias("col_name"),
                        F.col("n_cat_a").cast("long").alias("n_rows"),
@@ -304,7 +300,7 @@ def _q_t5_quality_score(spark, sf):
                        nulld.alias("vavg"), nulls.alias("smin"),
                        nulls.alias("smax"), nulld.alias("score")))
         mix = row if mix is None else mix.unionAll(row)
-    mixcat = (stages.mix_shift(asnap, bsnap, "lang")
+    mixcat = (per_lang
               .select(F.lit("mixcat").alias("kind"),
                       F.concat(F.lit("lang:"), F.col("category"))
                       .alias("col_name"),
@@ -1967,34 +1963,62 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _x2_curl(spark, sf):
+    """doc_id -> canonical URL for the x2 url/hostrank arms — ONE
+    definition shared by the gated arm and the bench flavour (the
+    messy-URL derivation and the generated canonicalization must stay
+    the plan the oracle value-checks). Lazily checkpointed: the url
+    rows and the host map read it without re-running the regex
+    chain."""
+    from serverless_data_pipeline_spark.operators.urls import (
+        canonicalize_url_sql,
+    )
+    return (_t(spark, sf, "documents")
+            .select("doc_id", F.expr(_X2_RAW_URL_SQL).alias("__raw"))
+            .select("doc_id",
+                    F.expr(canonicalize_url_sql("__raw", "spark"))
+                    .alias("cu"))
+            .localCheckpoint(eager=False))
+
+
 def _x2_flavour_hostrank(spark, sf):
     from serverless_data_pipeline_spark.operators.urls import (
-        canonicalize_url_sql, host_rank, url_host_sql,
+        host_rank, url_host_sql,
     )
-    dochost = (_t(spark, sf, "documents")
-               .select("doc_id", F.expr(_X2_RAW_URL_SQL).alias("__raw"))
-               .select("doc_id",
-                       F.expr(canonicalize_url_sql("__raw", "spark"))
-                       .alias("cu"))
-               .select("doc_id",
-                       F.expr(url_host_sql("cu", "spark")).alias("host")))
+    dochost = _x2_curl(spark, sf).select(
+        "doc_id", F.expr(url_host_sql("cu", "spark")).alias("host"))
     return host_rank(_capped_pairs(spark, sf), dochost, iters=3)
+
+
+def _t5_snapshots(spark, sf):
+    """Corpus versions A and B for the t5 drift arms — ONE definition
+    shared by the gated arm and the bench flavour, so the flavour
+    always times exactly the plan the oracle value-checks. B derives
+    from documents the way the x8 diff arm derives its snapshot: %11
+    removed, %7 edited (n_chars+10), ids <20 re-added at +1000000
+    under the NEW language 'xx' (exercises PSI eps-smoothing). Both
+    sides lazily checkpointed — every drift/mix arm reads them without
+    re-deriving from the scan."""
+    docs = _t(spark, sf, "documents")
+    asnap = (docs.select("doc_id", "n_chars", "lang", "source")
+             .localCheckpoint(eager=False))
+    bsnap = ((docs.filter(F.col("doc_id") % 11 != 0)
+              .select("doc_id",
+                      F.when(F.col("doc_id") % 7 == 0,
+                             F.col("n_chars") + 10)
+                      .otherwise(F.col("n_chars")).alias("n_chars"),
+                      "lang", "source")
+              .unionAll(docs.filter(F.col("doc_id") < 20)
+                        .select((F.col("doc_id") + 1000000)
+                                .alias("doc_id"), "n_chars",
+                                F.lit("xx").alias("lang"), "source")))
+             .localCheckpoint(eager=False))
+    return asnap, bsnap
 
 
 def _t5_flavour_drift(spark, sf):
     from serverless_data_pipeline_spark.operators import stages
-    docs = _t(spark, sf, "documents")
-    asnap = docs.select("doc_id", "n_chars", "lang", "source")
-    bsnap = (docs.filter(F.col("doc_id") % 11 != 0)
-             .select("doc_id",
-                     F.when(F.col("doc_id") % 7 == 0,
-                            F.col("n_chars") + 10)
-                     .otherwise(F.col("n_chars")).alias("n_chars"),
-                     "lang", "source")
-             .unionAll(docs.filter(F.col("doc_id") < 20)
-                       .select((F.col("doc_id") + 1000000)
-                               .alias("doc_id"), "n_chars",
-                               F.lit("xx").alias("lang"), "source")))
+    asnap, bsnap = _t5_snapshots(spark, sf)
     prof = stages.profile_drift(asnap, bsnap)
     mixl = stages.mix_shift_summary(asnap, bsnap, "lang")
     return prof.select("column").unionAll(mixl.select(
@@ -2269,15 +2293,10 @@ def _q_x2_dedup_clusters(spark, sf):
                      nh))
     # url + hostrank arms (r8) — see docstring
     from serverless_data_pipeline_spark.operators.urls import (
-        canonicalize_url_sql, host_rank, url_host_sql,
+        host_rank, url_host_sql,
     )
     nulll = F.lit(None).cast("long")
-    curl = (_t(spark, sf, "documents")
-            .select("doc_id", F.expr(_X2_RAW_URL_SQL).alias("__raw"))
-            .select("doc_id",
-                    F.expr(canonicalize_url_sql("__raw", "spark"))
-                    .alias("cu"))
-            .localCheckpoint(eager=False))
+    curl = _x2_curl(spark, sf)
     url_rows = curl.select(F.lit("url").alias("algo"),
                            F.col("doc_id").alias("id_a"),
                            nulll.alias("id_b"), nmetric,
@@ -4502,7 +4521,7 @@ def oracle_sql() -> dict[str, str]:
                                  {_TOKENS_SQL.format(c='lower(text)')}
                                      AS toks
                           FROM documents)),
-                  bdids AS (
+                  bdids0 AS (
                     SELECT d.doc_id,
                            string_agg(wi.idstr, ',' ORDER BY d.p) AS ids,
                            string_agg(e.symstr, ' ' ORDER BY d.p) AS syms,
@@ -4511,6 +4530,18 @@ def oracle_sql() -> dict[str, str]:
                     JOIN bwids wi ON wi.w = d.w
                     JOIN bencw e ON e.w = d.w
                     GROUP BY d.doc_id),
+                  -- row-preserving: a NULL/empty/whitespace-only doc
+                  -- has NO word rows and would vanish from bdids0,
+                  -- while the Spark arm emits (0 tokens, md5('')) and
+                  -- an empty id-stream segment — LEFT JOIN from
+                  -- documents keeps the two engines aligned if the
+                  -- fixture ever grows such a doc (same defect class
+                  -- as the null-safe anomaly-oracle fix)
+                  bdids AS (
+                    SELECT d.doc_id, COALESCE(b.ids, '') AS ids,
+                           COALESCE(b.syms, '') AS syms,
+                           COALESCE(b.n_tokens, 0) AS n_tokens
+                    FROM documents d LEFT JOIN bdids0 b USING (doc_id)),
                   bnfb AS (
                     SELECT doc_id, n_tokens,
                            CAST(doc_id % 8 AS BIGINT) AS shard,

@@ -84,12 +84,19 @@ def leakage_safe_split(df: DataFrame, id_col: str,
       equal a real group's value can never couple the singleton's
       split to that group. Portable mode keeps its basis numeric for
       the raw modulo, so the tag is PARITY instead: groups take the
-      bucket of ``2*group``, singletons of ``2*id + 1`` — disjoint
-      domains, so the same collision cannot occur there either (split
-      proportions are preserved: with even ``n_splits`` the even and
-      odd residues each split train:eval in the same ratio). The
-      returned ``group_key`` column itself always shows the untagged
-      ``coalesce(group, id)`` value either way.
+      bucket of ``2*pmod(group, 2^62)``, singletons of
+      ``2*pmod(id, 2^62) + 1`` — disjoint domains, so the same
+      collision cannot occur there either (the inner pmod keeps the
+      doubling inside BIGINT: under ANSI mode a raw ``2*key`` would
+      overflow-abort on any full-range 64-bit key). Proportions are
+      preserved only when BOTH ``n_splits`` and ``train_cutoff`` are
+      even (each parity class then holds ``train_cutoff/2`` of its
+      ``n_splits/2`` residues — the default 8/10 qualifies); odd
+      values would silently give duplicated and unique docs different
+      train rates, so portable group mode REJECTS them (use hashed
+      mode, which has no parity structure). The returned ``group_key``
+      column itself always shows the untagged ``coalesce(group, id)``
+      value either way.
 
     Split assignment reuses ``train_test_split``'s rule on the group
     key (xxhash64 when ``hashed``, portable raw modulo otherwise), so
@@ -136,11 +143,19 @@ def leakage_safe_split(df: DataFrame, id_col: str,
             return out.drop("__basis")
         # portable mode: the basis must stay numeric for the raw
         # modulo, so the collision tag is PARITY — groups bucket from
-        # 2*group, singletons from 2*id + 1 (disjoint domains; see
-        # docstring for why proportions are preserved)
+        # 2*pmod(group, 2^62), singletons from 2*pmod(id, 2^62) + 1
+        # (disjoint domains; the inner pmod keeps the doubling inside
+        # BIGINT — see docstring, incl. the even-splits precondition)
+        if n_splits % 2 or train_cutoff % 2:
+            raise ValueError(
+                "portable (hashed=False) group_col mode needs even "
+                "n_splits and train_cutoff (parity-tagged basis); "
+                "use hashed=True for odd split geometries")
+        half = F.lit(2 ** 62).cast("long")
         basis = (F.when(F.col(group_col).isNotNull(),
-                        F.col(group_col).cast("long") * 2)
-                  .otherwise(F.col(id_col).cast("long") * 2 + 1))
+                        F.pmod(F.col(group_col).cast("long"), half) * 2)
+                  .otherwise(
+                      F.pmod(F.col(id_col).cast("long"), half) * 2 + 1))
         out = train_test_split(keyed.withColumn("__basis", basis),
                                "__basis", n_splits=n_splits,
                                train_cutoff=train_cutoff,

@@ -531,8 +531,16 @@ def mix_shift_summary(a: DataFrame, b: DataFrame, col: str, *,
     industry promote/reject gate: < 0.1 stable, > 0.25 major shift),
     Jensen-Shannon divergence (nats), and total variation distance.
     Sums accumulate the per-category round-6 terms as micro-unit
-    longs (partition-order-proof), then divide once."""
-    per = mix_shift(a, b, col, eps=eps)
+    longs (partition-order-proof), then divide once. Callers that
+    already hold the ``mix_shift`` frame (e.g. for a per-category
+    report over the same column) should pass it to
+    ``mix_shift_summarize`` instead of paying the two scans twice."""
+    return mix_shift_summarize(mix_shift(a, b, col, eps=eps))
+
+
+def mix_shift_summarize(per: DataFrame) -> DataFrame:
+    """Aggregate an ALREADY-COMPUTED `mix_shift` per-category frame to
+    the one-row scalar report (see ``mix_shift_summary``)."""
 
     def micro_sum(c):
         return F.sum(F.round(F.col(c) * 1_000_000).cast("long"))

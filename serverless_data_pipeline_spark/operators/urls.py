@@ -76,7 +76,9 @@ def canonicalize_url_sql(col: str, dialect: str) -> str:
                  f"{b1}{b2}", dialect)
     x = _replace(x, "^(http://[^/?#:]*):80($|[/?#])",
                  f"{b1}{b2}", dialect)
-    x = _replace(x, "^([a-z][a-z0-9+.-]*://)www[.]", b1, dialect)
+    # (www[.])+ — repeated prefixes stripped in ONE pass, so
+    # canonicalization stays a fixpoint even on www.www.* hosts
+    x = _replace(x, "^([a-z][a-z0-9+.-]*://)(www[.])+", b1, dialect)
     # 6. fragment
     x = _replace(x, "#.*$", "", dialect)
     # 7. tracking params. Both patterns anchor on a REAL separator

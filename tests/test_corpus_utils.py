@@ -1038,3 +1038,34 @@ def test_leakage_safe_split_portable_fallback_is_collision_proof(spark):
     # proportions: ids 0..19 uniform -> 16 of each class in train
     assert sum(out[100 + i][2] == "train" for i in range(20)) == 16
     assert sum(out[i][2] == "train" for i in range(20)) == 16
+
+
+def test_leakage_safe_split_portable_fullrange_keys_and_validation(spark):
+    """r8 review: the parity basis must survive full-range 64-bit keys
+    under ANSI mode (raw 2*key overflow-aborts at |key| >= 2^62 — the
+    inner pmod keeps the doubling in range), and portable group mode
+    rejects odd split geometries, where the parity classes would get
+    systematically different train rates."""
+    import pytest as _pt
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        leakage_safe_split,
+    )
+    big = 2 ** 62 + 5
+    df = spark.createDataFrame(
+        [(big, None), (big + 1, big + 7), (5, -(2 ** 62) - 9)],
+        "doc_id long, cid long")
+    rows = leakage_safe_split(df, "doc_id", group_col="cid",
+                              hashed=False).collect()
+    assert len(rows) == 3 and all(r.split in ("train", "eval")
+                                  for r in rows)
+    # grouped rows on even buckets, singletons on odd — still disjoint
+    by_id = {r.doc_id: r.split_id for r in rows}
+    assert by_id[big] % 2 == 1
+    assert by_id[big + 1] % 2 == 0 and by_id[5] % 2 == 0
+    with _pt.raises(ValueError, match="even"):
+        leakage_safe_split(df, "doc_id", group_col="cid", hashed=False,
+                           train_cutoff=7)
+    with _pt.raises(ValueError, match="even"):
+        leakage_safe_split(df, "doc_id", group_col="cid", hashed=False,
+                           n_splits=9, train_cutoff=6)

@@ -50,10 +50,15 @@ def test_canonicalize_url_idempotent(spark):
     """Canonicalizing a canonical URL is a fixpoint — the property that
     lets pipelines re-canonicalize defensively at any stage."""
     raw = ["HTTPS://WWW.A.COM:443/Path?utm_x=1&q=2#f",
-           "http://www.b.org:80/?fbclid=z"]
+           "http://www.b.org:80/?fbclid=z",
+           # repeated www prefixes must strip in ONE pass
+           "https://www.www.c.com/x",
+           "HTTP://WWW.WWW.WWW.D.ORG/y"]
     once = _canon(spark, raw)
     twice = _canon(spark, once)
     assert once == twice
+    assert once[2] == "https://c.com/x"
+    assert once[3] == "http://d.org/y"
 
 
 def test_url_host_and_validation(spark):
