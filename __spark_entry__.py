@@ -1268,6 +1268,47 @@ def _q_streaming_ops_suite(spark, sf):
                        .alias("value"),
                       F.col("weight").cast("long").alias("attempts")))
 
+    # mdrift arms (r8): the streaming drift MONITOR — each epoch's
+    # event_type mix vs a static reference (X17's kernel inside
+    # foreachBatch). Two monitors prove both branches: `mdrift_hot`
+    # compares against a reference that EXCLUDES 'error' events (the
+    # stream then shows a PSI-huge new category -> flagged), and
+    # `mdrift_ok` against the stream's own distribution (every shift
+    # statistic exactly zero -> stable). Rows carry (event_id=epoch,
+    # user_id=n_categories, event_type=drifted|stable, value=PSI,
+    # attempts=n_added); js/tvd are pytest-pinned in the operator
+    # tests. Single-file staged source -> exactly one epoch, so the
+    # oracle states the whole-table comparison.
+    from serverless_data_pipeline_spark.streaming.monitor import (
+        start_drift_monitor_stream,
+    )
+    ev_static = _t(spark, sf, "events")
+    qm1 = start_drift_monitor_stream(
+        _events_readstream(spark, sf),
+        ev_static.filter(F.col("event_type") != "error"),
+        "event_type", base + "/mdrift_hot", base + "/ckm1",
+        trigger={"availableNow": True})
+    qm2 = start_drift_monitor_stream(
+        _events_readstream(spark, sf), ev_static,
+        "event_type", base + "/mdrift_ok", base + "/ckm2",
+        trigger={"availableNow": True})
+    qm1.awaitTermination(300)
+    qm2.awaitTermination(300)
+
+    def _mrows(path, tag):
+        return (spark.read.parquet(path)
+                .select(F.lit(tag).alias("kind"),
+                        F.col("epoch").cast("long").alias("event_id"),
+                        F.col("n_categories").cast("long")
+                        .alias("user_id"),
+                        F.when(F.col("drifted"), F.lit("drifted"))
+                        .otherwise(F.lit("stable")).alias("event_type"),
+                        F.col("psi").alias("value"),
+                        F.col("n_added").cast("long").alias("attempts")))
+
+    mhot = _mrows(base + "/mdrift_hot", "mdrift_hot")
+    mok = _mrows(base + "/mdrift_ok", "mdrift_ok")
+
     land, out4, ck4 = base + "/late_land", base + "/late_out", base + "/ck4"
     evs = _t(spark, sf, "events").select("ts", "value")
     evs.write.parquet(land)
@@ -1294,7 +1335,8 @@ def _q_streaming_ops_suite(spark, sf):
                     F.lit(None).cast("string").alias("event_type"),
                     F.col("sum_value").alias("value"), natt))
     return (good.unionAll(bad).unionAll(st2).unionAll(late)
-            .unionAll(dgood).unionAll(ddead).unionAll(enrich))
+            .unionAll(dgood).unionAll(ddead).unionAll(enrich)
+            .unionAll(mhot).unionAll(mok))
 
 
 def _q_s8_s9_suite(spark, sf):
@@ -3122,10 +3164,16 @@ def _drift_col_sql(col: str, numeric: bool) -> str:
             CROSS JOIN ({stats.format(t=f'({_DRIFT_BSNAP_SQL})')}) b"""
 
 
-def _mixterms_sql(col: str) -> str:
+def _mixterms_sql(col: str, a_from: str | None = None,
+                  b_from: str | None = None) -> str:
     """Per-category mix_shift terms for one categorical column —
     round-6 fractions, eps-clamped PSI terms, 0*ln(0)=0 JS terms,
-    each +0.0 so a -0.0 never transits the compare."""
+    each +0.0 so a -0.0 never transits the compare. ``a_from`` /
+    ``b_from`` override the two version sources (default: the t5
+    documents-vs-derived-snapshot pair); the streaming mdrift arms
+    pass events-based sources through the same generator."""
+    a_from = a_from or "documents"
+    b_from = b_from or f"({_DRIFT_BSNAP_SQL})"
     return f"""
         SELECT category, n_a, n_b, frac_a, frac_b,
                ROUND(frac_b - frac_a, 6) AS frac_delta,
@@ -3152,10 +3200,10 @@ def _mixterms_sql(col: str) -> str:
                            SUM(SUM(s1)) OVER () AS ta,
                            SUM(SUM(s2)) OVER () AS tb
                     FROM (SELECT {col} AS category, 1 AS s1, 0 AS s2
-                          FROM documents
+                          FROM {a_from}
                           UNION ALL
                           SELECT {col}, 0, 1
-                          FROM ({_DRIFT_BSNAP_SQL}))
+                          FROM {b_from})
                     GROUP BY category))"""
 
 
@@ -4835,7 +4883,7 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) FILTER (WHERE dc = 2) AS dng
                 FROM sh5 JOIN dfc USING (s) GROUP BY doc_id
             ) dpf USING (doc_id)""",
-        "streaming_ops_suite": """
+        "streaming_ops_suite": f"""
             SELECT 'good' AS kind, CAST(event_id AS BIGINT) AS event_id,
                    CAST(user_id AS BIGINT) AS user_id, event_type,
                    ROUND(value, 6) AS value,
@@ -4890,7 +4938,39 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(value * w, 6), CAST(w AS BIGINT)
             FROM events JOIN (VALUES ('click', 2), ('error', 7),
                    ('purchase', 11), ('signup', 3), ('view', 5))
-                 AS dim(et, w) ON event_type = et""",
+                 AS dim(et, w) ON event_type = et
+            UNION ALL
+            -- mdrift arms: the per-epoch streaming drift monitor —
+            -- single-file source = one epoch, so the whole-table
+            -- comparison IS the epoch's; same generated term SQL as
+            -- the t5 mix arms, events-sourced
+            SELECT kind, CAST(0 AS BIGINT) AS event_id, ncat,
+                   CASE WHEN psi > 0.25 THEN 'drifted'
+                        ELSE 'stable' END AS event_type,
+                   psi AS value, nadd AS attempts
+            FROM (
+              SELECT 'mdrift_hot' AS kind,
+                     CAST(COUNT(*) AS BIGINT) AS ncat,
+                     CAST(SUM(CASE WHEN n_a = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nadd,
+                     CAST(SUM(CAST(ROUND(psi_term * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1e6 AS psi
+              FROM ({_mixterms_sql(
+                  'event_type',
+                  a_from=("(SELECT event_type FROM events "
+                          "WHERE event_type <> 'error')"),
+                  b_from='(SELECT event_type FROM events)')})
+              UNION ALL
+              SELECT 'mdrift_ok',
+                     CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN n_a = 0 THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                     CAST(SUM(CAST(ROUND(psi_term * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1e6
+              FROM ({_mixterms_sql(
+                  'event_type',
+                  a_from='(SELECT event_type FROM events)',
+                  b_from='(SELECT event_type FROM events)')}))""",
         "s8_s9_suite": f"""
             SELECT 'retain' AS kind, CAST(day(ts) AS BIGINT) AS a,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -365,3 +365,47 @@ def test_redelivery_batch_replay_idempotent(spark, tmp_path):
     assert sorted(r.event_id for r in d.collect()) == [7, 17]
     # epoch/attempt scoping surfaces as partition columns on read
     assert {"epoch", "attempt"} <= set(g.columns)
+
+
+def test_drift_monitor_stream_flags_and_replay(spark, tmp_path):
+    """Streaming drift monitor (X17 in foreachBatch): a stream whose
+    category mix departs from the reference flags its epoch (PSI over
+    threshold, the new category counted in n_added); a stream matching
+    the reference reports every shift statistic exactly zero. Replay
+    of the same epoch overwrites, never duplicates."""
+    from serverless_data_pipeline_spark.streaming.monitor import (
+        drift_monitor_batch, start_drift_monitor_stream,
+    )
+    src = str(tmp_path / "src")
+    _write_drips(spark, src)                       # event ids 0..39
+    import datetime as _dt
+    schema = SCHEMA
+    t0 = _dt.datetime(2024, 1, 1)
+    reference = (spark.createDataFrame(
+        [(i, t0, i, "click", 1.0) for i in range(30)]
+        + [(i, t0, i, "view", 1.0) for i in range(10)],
+        schema))
+    stream = read_stream_files(spark, src, schema,
+                               max_files_per_trigger=100)
+    q = start_drift_monitor_stream(
+        stream, reference, "event_type", str(tmp_path / "mon"),
+        str(tmp_path / "ck"), trigger={"availableNow": True})
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "mon")).collect()
+    assert len(rows) >= 1
+    # the drip fixture's event_type mix differs from the 75/25
+    # click/view reference -> at least one epoch must flag
+    assert any(r.drifted for r in rows)
+    assert all(r.psi >= 0 and r.tvd >= 0 and r.js >= 0 for r in rows)
+    # self-comparison: zero everywhere, stable
+    batch = spark.read.parquet(src)
+    for _replay in range(2):                       # idempotent replay
+        drift_monitor_batch(batch, 7, batch, "event_type",
+                            str(tmp_path / "self"))
+    self_rows = spark.read.parquet(str(tmp_path / "self")).collect()
+    assert len(self_rows) == 1                     # no duplicate rows
+    r = self_rows[0]
+    assert (r.psi, r.js, r.tvd) == (0.0, 0.0, 0.0)
+    assert not r.drifted and r.epoch == 7
+    assert r.n_added == r.n_removed == 0
+    assert r.n_rows == 40
