@@ -49,7 +49,8 @@ def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
 
 def train_bpe(df: DataFrame, text_col: str = "text", *,
               n_merges: int = 32,
-              checkpoint_every: int = 8) -> list[tuple[str, str]]:
+              checkpoint_every: int = 8,
+              merges_per_round: int = 1) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from a corpus. Returns the
     ordered merge list [(left, right), ...] — the artifact a tokenizer
     ships (apply with ``bpe_encode``).
@@ -59,55 +60,93 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     partitioning. Stops early when no pair occurs twice.
 
     Cost note: each merge round is one tiny aggregation over the
-    distinct-WORD frame plus ONE driver round-trip (the argmax row) —
+    distinct-WORD frame plus ONE driver round-trip (the top rows) —
     inherent to BPE's sequential dependency, fine for offline vocab
     training. Guidance at scale: train on a SAMPLE (BPE statistics
     saturate quickly — a few hundred MB of text per language is the
     standard practice, cf. SentencePiece's default input-sentence
     cap), not the full 100 TB corpus; n_merges round-trips of one row
     each are then negligible next to the single corpus-wide word
-    count. If training over the full corpus ever mattered, the
-    extension is a batched multi-merge round (take the top-K
-    non-interacting pairs per argmax), trading exactness of tie order
-    for K-fold fewer round trips."""
+    count.
+
+    ``merges_per_round`` > 1 is the batched variant for when the
+    round count itself matters: each round accepts up to K of the
+    top-ranked pairs that are pairwise NON-INTERACTING — a candidate
+    is skipped if its left/right symbol, or the token it would form,
+    collides with any symbol already used by an accepted pair this
+    round. Disjointness makes the batch EXACT: no accepted pair can
+    create or destroy occurrences of another, so applying the batch
+    in one rewrite equals applying its members sequentially at their
+    counted frequencies. What changes vs K=1 is the GREEDY ORDER —
+    true BPE would re-rank after every merge and might prefer a pair
+    involving a just-formed token; the batch defers those to the next
+    round (the standard trade scalable BPE trainers make). K=1 is
+    bit-identical to the canonical algorithm."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if merges_per_round < 1:
+        raise ValueError("merges_per_round must be >= 1")
     words = (_word_counts(df, text_col)
              .select(F.concat(F.split("w", ""), F.array(F.lit(END)))
                      .alias("sym"), "n")
              .localCheckpoint(eager=False))
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
         pairs = words.select(
             F.explode(F.zip_with(
                 F.slice("sym", 1, F.greatest(F.size("sym") - 1, F.lit(0))),
                 F.slice("sym", 2, F.greatest(F.size("sym") - 1, F.lit(0))),
                 lambda a, b: F.struct(a.alias("l"), b.alias("r")))
             ).alias("p"), "n")
+        want = min(merges_per_round, n_merges - len(merges))
+        # over-fetch so the disjointness filter can still fill a batch
         top = (pairs.groupBy("p.l", "p.r")
                .agg(F.sum("n").alias("cnt"))
                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-               .limit(1).collect())
-        if not top or top[0]["cnt"] < 2:
+               .limit(max(want * 4, 1)).collect())
+        batch: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            if len(batch) == want:
+                break
+            if row["cnt"] < 2:
+                break
+            l, r = row["l"], row["r"]
+            if l in used or r in used or (l + r) in used:
+                continue
+            batch.append((l, r))
+            used.update((l, r, l + r))
+        if not batch:
             break
-        l, r = top[0]["l"], top[0]["r"]
-        merges.append((l, r))
-        merged = l + r
+        merges.extend(batch)
         # rewrite each word's symbol array left-to-right: fold symbols
-        # into an accumulator, joining the pair wherever (prev == l and
-        # cur == r) — the exact reference greedy rewrite, in-expression
+        # into an accumulator, joining a pair wherever (prev == l and
+        # cur == r) — the exact reference greedy rewrite, in-expression;
+        # the batch's rules are symbol-disjoint, so at most one WHEN
+        # branch can fire at any position and order is immaterial
+        def make_rewrite(rules):
+            # NB: a plain 3-arg function (rules as a default) would
+            # change the HOF's inspected ARITY — PySpark passes as
+            # many Columns as the callable declares — so the rule
+            # list must bind via closure
+            def rewrite(acc, s):
+                expr = None
+                for l, r in rules:
+                    cond = ((F.size(acc) > 0)
+                            & (F.element_at(acc, -1) == l) & (s == r))
+                    hit = F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                                   F.array(F.lit(l + r)))
+                    expr = (F.when(cond, hit) if expr is None
+                            else expr.when(cond, hit))
+                return expr.otherwise(F.concat(acc, F.array(s)))
+            return rewrite
+
         words = words.select(
-            F.aggregate(
-                "sym",
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == l) & (s == r),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                             F.array(F.lit(merged))),
-                ).otherwise(F.concat(acc, F.array(s)))).alias("sym"),
-            "n")
-        if (i + 1) % checkpoint_every == 0:
+            F.aggregate("sym", F.array().cast("array<string>"),
+                        make_rewrite(tuple(batch))).alias("sym"), "n")
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             words = words.localCheckpoint(eager=False)
     return merges
 

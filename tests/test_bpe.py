@@ -215,3 +215,39 @@ def test_pack_bins_weight_col_validation(spark):
         pack_bins(df, "doc_id", "text", weight_col="ntok")
     with pytest.raises(ValueError):
         pack_bins(df, "doc_id", None)
+
+
+def test_train_bpe_batched_rounds(spark):
+    """merges_per_round > 1: K=1 stays bit-identical to the canonical
+    algorithm; the batched variant accepts only pairwise-disjoint
+    pairs per round (so each batch is exactly its members applied
+    sequentially), remains deterministic, and its merge list still
+    encodes every word losslessly."""
+    seq = train_bpe(_classic(spark), "text", n_merges=8)
+    k1 = train_bpe(_classic(spark), "text", n_merges=8,
+                   merges_per_round=1)
+    assert k1 == seq
+    b = train_bpe(_classic(spark), "text", n_merges=8,
+                  merges_per_round=3)
+    b2 = train_bpe(_classic(spark, 7), "text", n_merges=8,
+                   merges_per_round=3)
+    assert b == b2                       # partition-independent
+    assert len(b) == 8
+    # round 1 hand-worked: (e,s) cnt 9 accepted; (s,t) 9 shares 's'
+    # -> skipped; (t,</w>) 9 accepted; the third disjoint candidate
+    # follows the (cnt desc, l, r) order
+    assert b[0] == ("e", "s") and b[1] == ("t", END)
+    # within-round disjointness holds for EVERY round of 3
+    for i in range(0, 8, 3):
+        used: set[str] = set()
+        for l, r in b[i:i + 3]:
+            assert not ({l, r, l + r} & used)
+            used.update((l, r, l + r))
+    # the learned list still rebuilds words exactly through encode
+    df = spark.createDataFrame([(1, "lowest newest")],
+                               "id int, text string")
+    toks = bpe_encode(df, "text", b).first().bpe_tokens
+    assert "".join(toks) == "lowest" + END + "newest" + END
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        train_bpe(_classic(spark), "text", merges_per_round=0)
