@@ -246,6 +246,31 @@ def main() -> None:
             lambda: duplicate_ngram_fraction(d, "doc_id", "text", n=5,
                                              max_doc_freq=8)
             .agg(F.max("dup_ngram_frac")).first())
+        # Host PageRank (r8): the amplified pair graph lifted to 500
+        # synthetic hosts — per-iteration state is (host, long), so
+        # the rank cost is bounded by the HOST graph regardless of the
+        # 1000x doc-pair density; what grows is the one lift join.
+        from serverless_data_pipeline_spark.operators.urls import (
+            host_rank,
+        )
+        dochost = d.select(
+            "doc_id", F.concat(F.lit("h"), (F.col("doc_id") % 500)
+                               .cast("string")).alias("host"))
+        r["host_rank_3it"] = timed(
+            lambda: host_rank(pairs, dochost, iters=3)
+            .agg(F.max("rank")).first())
+        # Version drift (r8): two single-scan profiles + the tag-union
+        # category aggregation — flat per-row, output |categories| rows.
+        from serverless_data_pipeline_spark.operators.stages import (
+            mix_shift_summary, profile_drift,
+        )
+        dv = d.withColumn("cat", (F.col("doc_id") % 20).cast("string"))
+        dv2 = d.withColumn("cat", ((F.col("doc_id") + 1) % 20)
+                           .cast("string"))
+        r["mix_shift"] = timed(
+            lambda: mix_shift_summary(dv, dv2, "cat").first())
+        r["profile_drift"] = timed(
+            lambda: profile_drift(dv, dv2).count())
 
         # Relational flagships at amplified fact density (r5 verdict #7):
         # same plan shapes as __spark_entry__ q3/q5/q10 (dimension
