@@ -269,8 +269,13 @@ def main() -> None:
                            .cast("string"))
         r["mix_shift"] = timed(
             lambda: mix_shift_summary(dv, dv2, "cat").first())
+        # .first() on a REAL delta — count() would let nested-column
+        # pruning drop the profile statistics this row claims to time
+        # (the same pitfall the global_shuffle row documents)
         r["profile_drift"] = timed(
-            lambda: profile_drift(dv, dv2).count())
+            lambda: profile_drift(dv, dv2)
+            .agg(F.max("null_frac_delta"), F.max("vavg_delta"),
+                 F.max("distinct_rate_delta")).first())
 
         # Relational flagships at amplified fact density (r5 verdict #7):
         # same plan shapes as __spark_entry__ q3/q5/q10 (dimension

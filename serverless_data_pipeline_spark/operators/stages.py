@@ -547,6 +547,13 @@ def mix_shift_summarize(per: DataFrame) -> DataFrame:
 
     return per.agg(
         F.count("*").alias("n_categories"),
+        # side row counts fall out of the same aggregation (sum of
+        # category counts) — callers like the streaming monitor need
+        # them and must NOT pay a second scan for a count()
+        F.coalesce(F.sum("n_a"), F.lit(0)).cast("long")
+         .alias("n_rows_a"),
+        F.coalesce(F.sum("n_b"), F.lit(0)).cast("long")
+         .alias("n_rows_b"),
         F.sum((F.col("n_a") > 0).cast("long")).alias("n_cat_a"),
         F.sum((F.col("n_b") > 0).cast("long")).alias("n_cat_b"),
         F.sum((F.col("n_a") == 0).cast("long")).alias("n_added"),

@@ -44,17 +44,28 @@ def drift_monitor_batch(batch: DataFrame, epoch_id: int,
     n_removed, psi, js, tvd, drifted) to ``out_path/epoch=E`` with
     overwrite, so a replayed epoch overwrites itself; the epoch
     surfaces as a partition column on read (a duplicate data column
-    would make the parent-path read ambiguous)."""
-    n_rows = batch.count()
+    would make the parent-path read ambiguous).
+
+    ``n_rows`` (the batch row count) falls out of the SAME aggregation
+    as the shift statistics — one batch scan per epoch, never a
+    separate count() job. An EMPTY micro-batch (a tick with no new
+    rows) is NOT a distribution shift: its row carries n_rows=0 with
+    NULL psi/js/tvd and drifted=false — without the guard the eps
+    clamp would inflate PSI to 'every category vanished' and page the
+    mix alarm for a liveness condition (pair the monitor with a
+    liveness alarm on n_rows if silence matters)."""
+    has_rows = F.col("n_rows_b") > 0
     summ = (mix_shift_summary(reference, batch, col, eps=eps)
-            .select(F.lit(n_rows).cast("long").alias("n_rows"),
+            .select(F.col("n_rows_b").alias("n_rows"),
                     F.col("n_categories").cast("long"),
                     F.col("n_cat_a").cast("long").alias("n_cat_ref"),
                     F.col("n_cat_b").cast("long").alias("n_cat_batch"),
                     F.col("n_added").cast("long"),
                     F.col("n_removed").cast("long"),
-                    "psi", "js", "tvd",
-                    (F.col("psi") > F.lit(float(psi_threshold)))
+                    *[F.when(has_rows, F.col(c)).alias(c)
+                      for c in ("psi", "js", "tvd")],
+                    (has_rows
+                     & (F.col("psi") > F.lit(float(psi_threshold))))
                     .alias("drifted")))
     (summ.write.mode("overwrite")
      .parquet(f"{out_path}/epoch={int(epoch_id)}"))

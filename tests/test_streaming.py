@@ -368,23 +368,24 @@ def test_redelivery_batch_replay_idempotent(spark, tmp_path):
 
 
 def test_drift_monitor_stream_flags_and_replay(spark, tmp_path):
-    """Streaming drift monitor (X17 in foreachBatch): a stream whose
-    category mix departs from the reference flags its epoch (PSI over
-    threshold, the new category counted in n_added); a stream matching
-    the reference reports every shift statistic exactly zero. Replay
-    of the same epoch overwrites, never duplicates."""
+    """Streaming drift monitor (X17 in foreachBatch): a stream
+    containing a category the reference lacks flags its epoch (PSI
+    over threshold, the NEW category counted in n_added on the
+    streamed path, nothing in n_removed); a stream matching the
+    reference reports every shift statistic exactly zero. Replay of
+    the same epoch overwrites, never duplicates; an EMPTY batch is a
+    liveness condition, never a drift alarm."""
     from serverless_data_pipeline_spark.streaming.monitor import (
         drift_monitor_batch, start_drift_monitor_stream,
     )
     src = str(tmp_path / "src")
-    _write_drips(spark, src)                       # event ids 0..39
+    _write_drips(spark, src)             # ids 0..39, click/view 50/50
     import datetime as _dt
     schema = SCHEMA
     t0 = _dt.datetime(2024, 1, 1)
-    reference = (spark.createDataFrame(
-        [(i, t0, i, "click", 1.0) for i in range(30)]
-        + [(i, t0, i, "view", 1.0) for i in range(10)],
-        schema))
+    # click-only reference: the stream's 'view' half is a NEW category
+    reference = spark.createDataFrame(
+        [(i, t0, i, "click", 1.0) for i in range(40)], schema)
     stream = read_stream_files(spark, src, schema,
                                max_files_per_trigger=100)
     q = start_drift_monitor_stream(
@@ -392,11 +393,21 @@ def test_drift_monitor_stream_flags_and_replay(spark, tmp_path):
         str(tmp_path / "ck"), trigger={"availableNow": True})
     q.awaitTermination(120)
     rows = spark.read.parquet(str(tmp_path / "mon")).collect()
-    assert len(rows) >= 1
-    # the drip fixture's event_type mix differs from the 75/25
-    # click/view reference -> at least one epoch must flag
-    assert any(r.drifted for r in rows)
-    assert all(r.psi >= 0 and r.tvd >= 0 and r.js >= 0 for r in rows)
+    assert len(rows) == 1                # all files fit one trigger
+    r0 = rows[0]
+    assert r0.drifted and r0.n_rows == 40
+    # the streamed path must attribute 'view' as ADDED, not removed
+    assert r0.n_added == 1 and r0.n_removed == 0
+    assert r0.n_cat_ref == 1 and r0.n_cat_batch == 2
+    assert r0.psi > 0.25 and r0.tvd >= 0 and r0.js >= 0
+    # empty micro-batch: liveness, not drift — NULL stats, no flag
+    empty = spark.createDataFrame([], schema)
+    drift_monitor_batch(empty, 3, reference, "event_type",
+                        str(tmp_path / "mon_empty"))
+    er = spark.read.parquet(str(tmp_path / "mon_empty")).collect()[0]
+    assert er.n_rows == 0 and not er.drifted
+    assert er.psi is None and er.js is None and er.tvd is None
+    assert er.n_removed == 1             # the whole reference vanished
     # self-comparison: zero everywhere, stable
     batch = spark.read.parquet(src)
     for _replay in range(2):                       # idempotent replay
