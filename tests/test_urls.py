@@ -99,3 +99,57 @@ def test_host_rank_self_host_pairs_drop(spark):
     doc_host = spark.createDataFrame([(1, "x"), (2, "x")],
                                      "doc_id long, host string")
     assert host_rank(pairs, doc_host, iters=2).count() == 0
+
+
+def test_canonicalize_cross_engine_parity_on_generated_urls(spark):
+    """The two dialect renderings must agree byte-for-byte on a seeded
+    zoo of messy URLs (mixed-case schemes/hosts, repeated www, default
+    and non-default ports, tracking params in every position including
+    lookalike names, fragments, whitespace, scheme-less garbage) —
+    the permanent guard against Java-vs-RE2 drift in the generator."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260815)
+    schemes = ["https", "HTTPS", "http", "HTTP", "ftp", "Ftp"]
+    wwws = ["", "www.", "WWW.", "www.www.", "wWw."]
+    hosts = ["A.Example.COM", "b.org", "C-d.NET", "xn--u.io"]
+    ports = ["", ":443", ":80", ":8080", ":21"]
+    paths = ["", "/", "/Path/UP", "/a//b", "/%7Euser", "/p.q"]
+    params = ["utm_source=F", "utm_a=1", "fbclid=zz", "xutm_a=1",
+              "myfbclid=3", "id=9", "ref=3", "utm_=e", "q=a+b"]
+    frags = ["", "#x", "#Sec-2"]
+    urls = []
+    for _ in range(200):
+        ps = rng.sample(params, rng.randint(0, 4))
+        u = (rng.choice(schemes) + "://" + rng.choice(wwws)
+             + rng.choice(hosts) + rng.choice(ports)
+             + rng.choice(paths)
+             + ("?" + "&".join(ps) if ps else "")
+             + rng.choice(frags))
+        if rng.random() < 0.15:
+            u = "  " + u + " "
+        urls.append(u)
+    urls += ["", "   ", "no scheme here", "weird://", "a://b",
+             "https://", None]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [r.canonical_url
+                 for r in canonicalize_url(df, "url").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(i INTEGER, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)",
+                    list(enumerate(urls)))
+    dsql = canonicalize_url_sql("url", "duckdb")
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {dsql} FROM u ORDER BY i").fetchall()]
+    assert got_spark == got_duck
+    # and the host extractor agrees too
+    hsql_d = url_host_sql("cu", "duckdb")
+    hosts_duck = [r[0] for r in con.execute(
+        f"SELECT {hsql_d} FROM (SELECT i, {dsql} AS cu FROM u) "
+        f"ORDER BY i").fetchall()]
+    hosts_spark = [r.host for r in url_host(
+        spark.createDataFrame([(c,) for c in got_spark], "cu string"),
+        "cu").collect()]
+    assert hosts_spark == hosts_duck
