@@ -206,7 +206,16 @@ def _q_t5_quality_score(spark, sf):
     sf0.1 fixtures instead (tests/test_stages.py::
     test_sketch_vs_exact_parity_on_real_fixtures — every non-sketch
     stat identical, estimates within 3x rsd), alongside the
-    quantile_buckets approx-mode reassignment band."""
+    quantile_buckets approx-mode reassignment band.
+
+    r8 adds the dataset-VERSION QA family (X17) as three arms vs a
+    derived snapshot B: `drift` = profile_drift per column (schema
+    status, null-fraction / distinct-rate / exact-mean deltas),
+    `mix` = mix_shift_summary per categorical column (PSI / JS / TVD
+    scalars, lang + source), `mixcat` = the per-language mix_shift
+    detail (fractions, per-category PSI and JS terms) — the lang
+    summary and detail share ONE checkpointed per-category frame.
+    Slot mapping documented at the arm construction below."""
     score = stages.quality_score(_t(spark, sf, "documents"),
                                  rules=[F.col("n_chars") >= 200])
     nulld = F.lit(None).cast("double")
