@@ -3377,21 +3377,37 @@ def _host_duckdb(col: str) -> str:
 
 
 def _pagerank_ctes(iters: int = 5, damping: float = 0.85, *,
-                   prefix: str = "", edges: str = "edges") -> str:
-    """Unrolled PageRank iterations over an (already symmetrized)
-    edge-list CTE, mirroring operators/graph.py EXACTLY: integer
-    micro-unit ranks, per-edge contributions rounded to BIGINT before
-    the sum, and the float literals injected via repr() so e.g.
-    1.0-0.85 is the same 0.15000000000000002 double both engines round
-    with. The `+ 0` is the dangling-share term, identically zero on a
-    symmetrized graph. ``prefix`` namespaces the generated CTEs so the
-    unroll can appear more than once in one statement (x2 uses it for
-    the doc-grain pair graph AND the r8 host graph)."""
+                   prefix: str = "", edges: str = "edges",
+                   directed: bool = False) -> str:
+    """Unrolled PageRank iterations over an edge-list CTE, mirroring
+    operators/graph.py EXACTLY: integer micro-unit ranks, per-edge
+    contributions rounded to BIGINT before the sum, and the float
+    literals injected via repr() so e.g. 1.0-0.85 is the same
+    0.15000000000000002 double both engines round with. In the default
+    (symmetrized) mode the `+ 0` is the dangling-share term,
+    identically zero because symmetrization gives every node
+    out-edges; ``directed=True`` (r9, hyperlink-shaped graphs) takes
+    nodes from BOTH edge ends and adds the kernel's real correction —
+    per iteration, the summed rank of out-edge-less nodes is divided
+    by N (one long/long double division, same single IEEE op as the
+    kernel's round(__d / __n)) and redistributed to every node.
+    ``prefix`` namespaces the generated CTEs so the unroll can appear
+    more than once in one statement (x2 uses it for the doc-grain pair
+    graph AND the r8/r9 host graphs). NB the nodes CTE wraps UNION ALL
+    in SELECT DISTINCT, never a bare UNION — inside a WITH RECURSIVE
+    statement DuckDB treats a bare UNION in a non-recursive CTE as
+    UNION ALL."""
     p = prefix
     base = (f"{1.0 - damping!r} * 1000000.0 "
             f"/ CAST((SELECT n FROM {p}nn) AS DOUBLE)")
+    if directed:
+        nodes = (f"{p}nodes AS (SELECT DISTINCT id FROM ("
+                 f"SELECT src AS id FROM {edges} "
+                 f"UNION ALL SELECT dst FROM {edges}))")
+    else:
+        nodes = f"{p}nodes AS (SELECT DISTINCT src AS id FROM {edges})"
     ctes = [
-        f"{p}nodes AS (SELECT DISTINCT src AS id FROM {edges})",
+        nodes,
         f"{p}nn AS (SELECT COUNT(*) AS n FROM {p}nodes)",
         f"{p}deg AS (SELECT src, COUNT(*) AS dg FROM {edges} "
         f"GROUP BY src)",
@@ -3399,9 +3415,19 @@ def _pagerank_ctes(iters: int = 5, damping: float = 0.85, *,
         f"/ (SELECT n FROM {p}nn)) AS BIGINT) AS r FROM {p}nodes)",
     ]
     for t in range(1, iters + 1):
+        if directed:
+            ctes.append(
+                f"{p}dang{t} AS (SELECT COALESCE(SUM(r), 0) AS d "
+                f"FROM {p}pr{t - 1} WHERE id NOT IN "
+                f"(SELECT src FROM {p}deg))")
+            share = (f"(SELECT CAST(round(d / (SELECT n FROM {p}nn)) "
+                     f"AS BIGINT) FROM {p}dang{t})")
+        else:
+            share = "0"
         ctes.append(f"""{p}pr{t} AS (
                 SELECT n.id, CAST(round({base}
-                       + {damping!r} * CAST(COALESCE(i.s, 0) + 0 AS DOUBLE))
+                       + {damping!r} * CAST(COALESCE(i.s, 0) + {share}
+                                            AS DOUBLE))
                        AS BIGINT) AS r
                 FROM {p}nodes n LEFT JOIN (
                     SELECT e.dst AS id,

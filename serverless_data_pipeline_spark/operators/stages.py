@@ -322,6 +322,19 @@ def quantile_buckets(df: DataFrame, score_col: str,
     return out.withColumn(bucket_col, expr).drop("__qs")
 
 
+def outlier_value_cutoff(max_group_rows: int) -> int:
+    """The largest |micro-unit value| ``flag_outliers`` can accumulate
+    EXACTLY for groups of up to ``max_group_rows`` non-null rows: the
+    min of the quadratic bound isqrt((10^38 - 1) / n) (n * v^2 must fit
+    the sum-of-squares' DECIMAL(38,0)) and the linear bound
+    (10^29 - 1) / n (n * v must fit the plain sum's DECIMAL(29,0) —
+    Spark widens a DECIMAL(19,0) SUM by 10 digits, and for
+    n >= ~1e20 this is the binding constraint)."""
+    import math
+    return min(math.isqrt((10 ** 38 - 1) // max_group_rows),
+               (10 ** 29 - 1) // max_group_rows)
+
+
 def flag_outliers(df: DataFrame, key_col: str, value_col: str, *,
                   z: int = 3, scale: int = 1_000_000,
                   max_group_rows: int = 10 ** 10,
@@ -350,9 +363,12 @@ def flag_outliers(df: DataFrame, key_col: str, value_col: str, *,
 
     Overflow guard: the per-value magnitude cutoff is DERIVED from
     ``max_group_rows`` (an upper bound on any single group's non-null
-    row count) as isqrt((10^38 - 1) / max_group_rows), so
-    n * v_max^2 provably fits DECIMAL(38,0) — a per-value-only cap
-    would still let a large group overflow the sum of squares, and
+    row count) via ``outlier_value_cutoff`` so BOTH exact aggregates
+    provably stay in range — n * v_max^2 within the sum-of-squares'
+    DECIMAL(38,0) AND n * v_max within the plain sum's DECIMAL(29,0)
+    (Spark widens a DECIMAL(19,0) sum by 10 digits; for
+    max_group_rows >= ~1e20 that linear bound is the binding one) —
+    a per-value-only cap would still let a large group overflow, and
     under ANSI mode that overflow kills the job. At the defaults the
     cutoff is ~1e14 micro-units (|v| > ~1e8): values beyond it can't
     be accumulated exactly, so they are flagged unconditionally (a
@@ -364,8 +380,7 @@ def flag_outliers(df: DataFrame, key_col: str, value_col: str, *,
         raise ValueError("z and scale must be >= 1")
     if max_group_rows < 1:
         raise ValueError("max_group_rows must be >= 1")
-    import math
-    cutoff = math.isqrt((10 ** 38 - 1) // max_group_rows)
+    cutoff = outlier_value_cutoff(max_group_rows)
     v_try = F.round(F.col(value_col) * scale).try_cast("decimal(19,0)")
     v_int = F.when(F.abs(v_try) > F.lit(cutoff).cast("decimal(19,0)"),
                    F.lit(None)).otherwise(v_try)

@@ -55,10 +55,14 @@ def canonicalize_url_sql(col: str, dialect: str) -> str:
     2. inputs without a ``scheme://`` prefix pass through lowercased
        only (defined fallback instead of engine-specific garbage)
     3. lowercase the scheme+authority prefix, keep path/query case
-    4. strip the scheme's default port (:80 http, :443 https)
-    5. strip a leading ``www.`` from the host
-    6. strip the fragment
-    7. strip tracking params (``utm_*``, ``fbclid``) wherever they sit
+    4. strip a ``userinfo@`` authority prefix (user:pass@host would
+       otherwise defeat the port/www strips AND make ``url_host``
+       return the userinfo segment as the host — credentials are
+       never part of a curation key)
+    5. strip the scheme's default port (:80 http, :443 https)
+    6. strip a leading ``www.`` from the host
+    7. strip the fragment
+    8. strip tracking params (``utm_*``, ``fbclid``) wherever they sit
        in the query string, then any dangling '?'/'&'
     """
     if dialect not in ("spark", "duckdb"):
@@ -71,7 +75,12 @@ def canonicalize_url_sql(col: str, dialect: str) -> str:
     # 3. recompose: lower(prefix) || rest
     x = (f"concat(lower(regexp_extract({u}, '{_PREFIX_RE}', 1)), "
          f"regexp_extract({u}, '{_PREFIX_RE}', 2))")
-    # 4./5. default port + www. (prefix is lowercase now)
+    # 4. userinfo: [^/?#]* cannot cross the authority's end, and host
+    # chars can never include '@', so a greedy scan up to the LAST '@'
+    # before any /?# is exactly RFC 3986's userinfo (runs first so
+    # user:pass@ can't defeat the port/www anchors below)
+    x = _replace(x, "^([a-z][a-z0-9+.-]*://)[^/?#]*@", b1, dialect)
+    # 5./6. default port + www. (prefix is lowercase now)
     x = _replace(x, "^(https://[^/?#:]*):443($|[/?#])",
                  f"{b1}{b2}", dialect)
     x = _replace(x, "^(http://[^/?#:]*):80($|[/?#])",
@@ -79,9 +88,9 @@ def canonicalize_url_sql(col: str, dialect: str) -> str:
     # (www[.])+ — repeated prefixes stripped in ONE pass, so
     # canonicalization stays a fixpoint even on www.www.* hosts
     x = _replace(x, "^([a-z][a-z0-9+.-]*://)(www[.])+", b1, dialect)
-    # 6. fragment
+    # 7. fragment
     x = _replace(x, "#.*$", "", dialect)
-    # 7. tracking params. Both patterns anchor on a REAL separator
+    # 8. tracking params. Both patterns anchor on a REAL separator
     # ([?&]) so a legitimate param that merely CONTAINS a tracking
     # name (?xutm_a=1) is never clipped mid-token; the interior
     # pattern swallows RUNS of consecutive tracking params in one
@@ -129,12 +138,29 @@ def url_host(df: DataFrame, url_col: str, *,
 def host_rank(pairs: DataFrame, doc_host: DataFrame, *,
               id_a: str = "id_a", id_b: str = "id_b",
               id_col: str = "doc_id", host_col: str = "host",
-              iters: int = 3, damping: float = 0.85) -> DataFrame:
+              iters: int = 3, damping: float = 0.85,
+              directed: bool = False) -> DataFrame:
     """Common-Crawl-style host centrality: lift a DOC-grain pair/link
     list (near-dup pairs, hyperlinks, citation edges — any 2-column
     relation) to HOST grain through a doc→host map, drop self-loops,
-    collapse duplicates, and PageRank the host graph (undirected —
-    shared-content edges have no direction). Returns (id=host, rank).
+    collapse duplicates, and PageRank the host graph. Returns
+    (id=host, rank).
+
+    ``directed`` picks the edge semantics (r8 verdict #3):
+
+    - False (default) — SHARED-CONTENT pair lists (near-dup pairs,
+      co-citation): a pair has no direction, so the graph is
+      symmetrized and no host can dangle.
+    - True — HYPERLINK-shaped lists (``id_a`` links TO ``id_b``,
+      the real Common-Crawl host-ranking input): edge direction is
+      kept, host a's doc-grain out-links become host-grain out-edges.
+      Dangling hosts — linked-to but never linking out (every
+      host-grain sink page cluster) — keep the kernel's standard
+      correction: their rank mass is redistributed uniformly over all
+      hosts each iteration, so total rank stays ≈ 1 instead of
+      leaking. Hosts appearing only as link TARGETS are still ranked
+      (the node set is src ∪ dst); hosts with no edges at all are
+      not (union them in downstream if the host universe is wider).
 
     Scale shape: two doc→host hash joins (the map is |docs| rows of
     (id, host) — co-partition or broadcast per its size), one distinct
@@ -150,5 +176,5 @@ def host_rank(pairs: DataFrame, doc_host: DataFrame, *,
              .select(F.col("__ha").alias("src"),
                      F.col("__hb").alias("dst"))
              .filter(F.col("src") != F.col("dst")))
-    return pagerank(edges, undirected=True, iters=iters,
+    return pagerank(edges, undirected=not directed, iters=iters,
                     damping=damping)

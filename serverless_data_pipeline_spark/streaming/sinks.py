@@ -89,6 +89,16 @@ def start_quarantining_stream(df: DataFrame, good_path: str, error_path: str,
             .trigger(**(trigger or {"availableNow": True}))
             .start())
 
+def _delete_prefix(df: DataFrame, path: str) -> None:
+    """Recursively delete a sink prefix via the Hadoop FileSystem API
+    (no-op when absent) — the epoch-scoped commit discipline's reset
+    step."""
+    spark = df.sparkSession
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
 def redeliver_batch(batch: DataFrame, epoch_id: int, good_path: str,
                     dlq_path: str, succeeds_at,
                     max_receive_count: int,
@@ -105,7 +115,17 @@ def redeliver_batch(batch: DataFrame, epoch_id: int, good_path: str,
     ``attempts`` data column. Requires ``succeeds_at`` to be
     deterministic over (row, attempt) — the redelivery trajectory must
     replay identically — which the queue-contract semantics already
-    assume."""
+    assume.
+
+    The whole ``epoch=E`` prefix is cleared BEFORE the attempt loop:
+    per-attempt overwrites alone only replace attempt dirs the replay
+    re-executes, so a replay running FEWER attempts (e.g.
+    ``max_receive_count`` lowered between runs, or every row now
+    succeeding earlier) would leave the first run's stale
+    higher-attempt dirs inside the epoch and re-surface duplicate rows
+    on read — the epoch-grain delete makes the epoch's contents
+    exactly the replay's output regardless of config drift."""
+    _delete_prefix(batch, f"{good_path}/epoch={int(epoch_id)}")
     pending = batch
     cached = []
     try:

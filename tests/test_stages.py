@@ -424,6 +424,22 @@ def test_flag_outliers_cardinality_derived_cutoff(spark):
     assert [r.v for r in out2.filter("is_outlier").collect()] == [just_over]
     with _pt.raises(ValueError):
         flag_outliers(df, "k", "v", max_group_rows=0)
+    # BOTH exact aggregates are provably in range (r8 ADVICE): the
+    # quadratic bound covers n*v^2 in DECIMAL(38,0), and past
+    # max_group_rows ~1e20 the LINEAR bound n*v in the plain sum's
+    # DECIMAL(29,0) becomes binding and must take over
+    from serverless_data_pipeline_spark.operators.stages import (
+        outlier_value_cutoff,
+    )
+    for mgr in (1, 10 ** 10, 10 ** 19, 10 ** 20, 10 ** 21, 10 ** 25):
+        c = outlier_value_cutoff(mgr)
+        assert mgr * c * c <= 10 ** 38 - 1
+        assert mgr * c <= 10 ** 29 - 1
+        assert (mgr * (c + 1) * (c + 1) > 10 ** 38 - 1
+                or mgr * (c + 1) > 10 ** 29 - 1)  # tight, not lax
+    assert outlier_value_cutoff(10 ** 10) == cutoff  # default unchanged
+    # crossover: linear bound binds above ~1e20
+    assert outlier_value_cutoff(10 ** 21) == (10 ** 29 - 1) // 10 ** 21
 
 
 def test_sketch_vs_exact_parity_on_real_fixtures(spark):

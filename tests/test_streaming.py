@@ -365,6 +365,16 @@ def test_redelivery_batch_replay_idempotent(spark, tmp_path):
     assert sorted(r.event_id for r in d.collect()) == [7, 17]
     # epoch/attempt scoping surfaces as partition columns on read
     assert {"epoch", "attempt"} <= set(g.columns)
+    # config drift (r8 ADVICE): a replay running FEWER attempts must
+    # clear the first run's higher-attempt dirs — without the
+    # epoch-prefix reset, attempt=3's two transient successes would
+    # survive as stale duplicates next to the new DLQ verdicts
+    redeliver_batch(batch, 0, good, dlq, succeeds_at, 2)
+    g2 = spark.read.parquet(good)
+    assert g2.count() == 16                       # attempt-1 rows only
+    assert g2.agg(F.max("attempt")).first()[0] == 1
+    d2 = spark.read.json(dlq)                     # transients now DLQ'd
+    assert sorted(r.event_id for r in d2.collect()) == [3, 7, 13, 17]
 
 
 def test_drift_monitor_stream_flags_and_replay(spark, tmp_path):
