@@ -2011,6 +2011,8 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_corpus_utils.tok": _x8_flavour_tok,
         "t5_quality_score.drift": _t5_flavour_drift,
         "x2_dedup_clusters.hostrank": _x2_flavour_hostrank,
+        # r9: the directed (hyperlink-semantics) host-rank sibling
+        "x2_dedup_clusters.hostrankd": _x2_flavour_hostrankd,
     }
 
 
@@ -2039,6 +2041,16 @@ def _x2_flavour_hostrank(spark, sf):
     dochost = _x2_curl(spark, sf).select(
         "doc_id", F.expr(url_host_sql("cu", "spark")).alias("host"))
     return host_rank(_capped_pairs(spark, sf), dochost, iters=3)
+
+
+def _x2_flavour_hostrankd(spark, sf):
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_rank, url_host_sql,
+    )
+    dochost = _x2_curl(spark, sf).select(
+        "doc_id", F.expr(url_host_sql("cu", "spark")).alias("host"))
+    return host_rank(_capped_pairs(spark, sf), dochost, iters=3,
+                     directed=True)
 
 
 def _t5_snapshots(spark, sf):
@@ -2305,7 +2317,14 @@ def _q_x2_dedup_clusters(spark, sf):
     to a host graph and `host_rank` PageRanks it (3 iterations, each
     value-checked via the unrolled host-prefixed CTEs) — the
     Common-Crawl-style source-centrality signal a crawl curator ranks
-    hosts with."""
+    hosts with.
+
+    `hostrankd` (r9): the DIRECTED sibling — the same pair list read
+    as hyperlink-shaped edges (id_a links TO id_b), the real
+    Common-Crawl host-ranking input shape: direction survives the
+    host lift, sink hosts keep the kernel's dangling-mass correction,
+    and the oracle runs the directed unroll (per-iteration
+    dangling-share CTEs, prefix 'hd')."""
     pairs = _capped_pairs(spark, sf).localCheckpoint(eager=True)
     nmetric = F.lit(None).cast("double").alias("metric")
     nh = F.lit(None).cast("string").alias("h")
@@ -2359,8 +2378,19 @@ def _q_x2_dedup_clusters(spark, sf):
                      nulll.alias("id_a"), nulll.alias("id_b"),
                      F.col("rank").alias("metric"),
                      F.col("id").alias("h")))
+    # hostrankd arm (r9 verdict #3): the DIRECTED sibling — the same
+    # doc-grain pair list read as hyperlink-shaped edges (id_a links
+    # TO id_b), so edge direction survives the host lift and the
+    # kernel's dangling-mass correction is live; all 3 iterations run
+    # through the directed unrolled-CTE oracle (prefix 'hd')
+    hrankd = (host_rank(pairs, dochost, iters=3, directed=True)
+              .select(F.lit("hostrankd").alias("algo"),
+                      nulll.alias("id_a"), nulll.alias("id_b"),
+                      F.col("rank").alias("metric"),
+                      F.col("id").alias("h")))
     return (pair_rows.unionAll(label).unionAll(star).unionAll(pr)
-            .unionAll(csize).unionAll(url_rows).unionAll(hrank))
+            .unionAll(csize).unionAll(url_rows).unionAll(hrank)
+            .unionAll(hrankd))
 
 
 def _clusters_flavour(spark, sf, algorithm):
@@ -3503,7 +3533,17 @@ _CLUSTERS_ORACLE = f"""
                        JOIN dhost hb ON hb.doc_id = p.id_b
                        WHERE ha.h <> hb.h)),
             {_pagerank_ctes(iters=3, damping=0.85, prefix='h',
-                            edges='hedges')}
+                            edges='hedges')},
+            -- r9 hostrankd: DIRECTED host graph (id_a links TO id_b —
+            -- direction kept, no symmetrization) + the directed
+            -- unroll with its per-iteration dangling-share CTEs
+            hdedges AS (SELECT DISTINCT ha.h AS src, hb.h AS dst
+                        FROM pairs p
+                        JOIN dhost ha ON ha.doc_id = p.id_a
+                        JOIN dhost hb ON hb.doc_id = p.id_b
+                        WHERE ha.h <> hb.h),
+            {_pagerank_ctes(iters=3, damping=0.85, prefix='hd',
+                            edges='hdedges', directed=True)}
             SELECT 'pairs' AS algo, id_a, id_b, jacc AS metric,
                    CAST(NULL AS VARCHAR) AS h FROM pairs
             UNION ALL
@@ -3536,7 +3576,12 @@ _CLUSTERS_ORACLE = f"""
             SELECT 'hostrank' AS algo, CAST(NULL AS BIGINT) AS id_a,
                    CAST(NULL AS BIGINT) AS id_b,
                    CAST(r AS DOUBLE) / 1000000.0 AS metric, id AS h
-            FROM hpr3"""
+            FROM hpr3
+            UNION ALL
+            SELECT 'hostrankd' AS algo, CAST(NULL AS BIGINT) AS id_a,
+                   CAST(NULL AS BIGINT) AS id_b,
+                   CAST(r AS DOUBLE) / 1000000.0 AS metric, id AS h
+            FROM hdpr3"""
 
 
 def oracle_sql() -> dict[str, str]:
