@@ -3,22 +3,26 @@
 The production pattern behind the reference's CloudWatch data-quality
 alarms, composed from the X17 drift kernel: every micro-batch's
 categorical mix is compared against a STATIC reference corpus
-(``mix_shift_summary`` — PSI / Jensen-Shannon / total variation) and
-ONE summary row per epoch lands in the monitor sink, flagged when PSI
-crosses the promote/reject threshold. A crawler whose language mix
-collapses, an event stream whose type distribution shifts, a feed that
-suddenly drops a category — all surface as a flagged epoch row while
-the batch is still in flight, not in next week's corpus audit.
+(PSI / Jensen-Shannon / total variation) and ONE summary row per epoch
+lands in the monitor sink, flagged when PSI crosses the promote/reject
+threshold. A crawler whose language mix collapses, an event stream
+whose type distribution shifts, a feed that suddenly drops a category
+— all surface as a flagged epoch row while the batch is still in
+flight, not in next week's corpus audit.
 
-Scale shape: the reference side is re-evaluated per micro-batch,
-exactly like Spark's stream-static joins — cache() or checkpoint the
-reference frame (or pass a representative SAMPLE of a 100 TB corpus:
-the mix kernel only compares round-6 category FRACTIONS, which a
-uniform sample preserves to well under PSI-threshold resolution), so
-the per-epoch cost is one batch scan plus the tiny category
-aggregation. Writes are epoch-scoped overwrites (the
-``redeliver_batch`` discipline), so foreachBatch's at-least-once
-replay is idempotent.
+Scale shape (r9, verdict #2): the reference's category COUNTS are
+constant across epochs, so they are computed ONCE —
+``start_drift_monitor_stream`` aggregates the reference to its
+|categories|-row ``category_counts`` frame at stream start and
+eagerly localCheckpoints it; every epoch then runs
+``mix_shift_from_counts`` (bit-identical to the corpus form,
+pytest-pinned) against that frame, so the per-epoch cost is one BATCH
+scan plus a |categories|-row merge — the reference corpus is never
+rescanned (pinned by a test that deletes the reference's files after
+stream start). Callers holding a persisted histogram (a corpus
+registry) pass it directly as ``reference_counts``. Writes are
+epoch-scoped overwrites (the ``redeliver_batch`` discipline), so
+foreachBatch's at-least-once replay is idempotent.
 """
 
 from __future__ import annotations
@@ -28,19 +32,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from serverless_data_pipeline_spark.operators.stages import (
-    mix_shift_summary,
+    category_counts, mix_shift_from_counts, mix_shift_summarize,
 )
 
 __all__ = ["drift_monitor_batch", "start_drift_monitor_stream"]
 
 
 def drift_monitor_batch(batch: DataFrame, epoch_id: int,
-                        reference: DataFrame, col: str, out_path: str,
-                        *, psi_threshold: float = 0.25,
+                        reference_counts: DataFrame, col: str,
+                        out_path: str, *,
+                        psi_threshold: float = 0.25,
                         eps: float = 1e-6) -> None:
-    """One epoch of the monitor: reference (side A) vs this batch
-    (side B) — deltas read as batch-relative-to-reference. Writes one
-    row (n_rows, n_categories, n_cat_ref, n_cat_batch, n_added,
+    """One epoch of the monitor: reference (side A, given as its
+    precomputed ``category_counts`` frame) vs this batch (side B) —
+    deltas read as batch-relative-to-reference. Writes one row
+    (n_rows, n_categories, n_cat_ref, n_cat_batch, n_added,
     n_removed, psi, js, tvd, drifted) to ``out_path/epoch=E`` with
     overwrite, so a replayed epoch overwrites itself; the epoch
     surfaces as a partition column on read (a duplicate data column
@@ -55,7 +61,9 @@ def drift_monitor_batch(batch: DataFrame, epoch_id: int,
     mix alarm for a liveness condition (pair the monitor with a
     liveness alarm on n_rows if silence matters)."""
     has_rows = F.col("n_rows_b") > 0
-    summ = (mix_shift_summary(reference, batch, col, eps=eps)
+    per = mix_shift_from_counts(reference_counts,
+                                category_counts(batch, col), eps=eps)
+    summ = (mix_shift_summarize(per)
             .select(F.col("n_rows_b").alias("n_rows"),
                     F.col("n_categories").cast("long"),
                     F.col("n_cat_a").cast("long").alias("n_cat_ref"),
@@ -76,16 +84,25 @@ def start_drift_monitor_stream(stream: DataFrame, reference: DataFrame,
                                checkpoint: str, *,
                                psi_threshold: float = 0.25,
                                eps: float = 1e-6,
+                               reference_counts: DataFrame | None = None,
                                trigger: dict | None = None
                                ) -> StreamingQuery:
     """Attach the per-epoch drift monitor to a stream. ``reference``
-    is a static frame holding the expected distribution of ``col``
-    (cache it, or pass a representative sample at scale — see module
-    docstring)."""
+    is a static frame holding the expected distribution of ``col``;
+    its category counts are computed ONCE here and eagerly
+    checkpointed, so no epoch ever rescans the reference corpus (see
+    module docstring). Pass ``reference_counts`` — a persisted
+    (category, n) histogram, e.g. from a corpus registry — to skip
+    even that single scan (``reference`` is then ignored and may be
+    None)."""
+    if reference_counts is None:
+        reference_counts = (category_counts(reference, col)
+                            .localCheckpoint(eager=True))
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
-        drift_monitor_batch(batch, epoch_id, reference, col, out_path,
-                            psi_threshold=psi_threshold, eps=eps)
+        drift_monitor_batch(batch, epoch_id, reference_counts, col,
+                            out_path, psi_threshold=psi_threshold,
+                            eps=eps)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint)

@@ -410,9 +410,13 @@ def test_drift_monitor_stream_flags_and_replay(spark, tmp_path):
     assert r0.n_added == 1 and r0.n_removed == 0
     assert r0.n_cat_ref == 1 and r0.n_cat_batch == 2
     assert r0.psi > 0.25 and r0.tvd >= 0 and r0.js >= 0
+    from serverless_data_pipeline_spark.operators.stages import (
+        category_counts,
+    )
+    ref_counts = category_counts(reference, "event_type")
     # empty micro-batch: liveness, not drift — NULL stats, no flag
     empty = spark.createDataFrame([], schema)
-    drift_monitor_batch(empty, 3, reference, "event_type",
+    drift_monitor_batch(empty, 3, ref_counts, "event_type",
                         str(tmp_path / "mon_empty"))
     er = spark.read.parquet(str(tmp_path / "mon_empty")).collect()[0]
     assert er.n_rows == 0 and not er.drifted
@@ -421,8 +425,9 @@ def test_drift_monitor_stream_flags_and_replay(spark, tmp_path):
     # self-comparison: zero everywhere, stable
     batch = spark.read.parquet(src)
     for _replay in range(2):                       # idempotent replay
-        drift_monitor_batch(batch, 7, batch, "event_type",
-                            str(tmp_path / "self"))
+        drift_monitor_batch(batch, 7,
+                            category_counts(batch, "event_type"),
+                            "event_type", str(tmp_path / "self"))
     self_rows = spark.read.parquet(str(tmp_path / "self")).collect()
     assert len(self_rows) == 1                     # no duplicate rows
     r = self_rows[0]
@@ -430,3 +435,62 @@ def test_drift_monitor_stream_flags_and_replay(spark, tmp_path):
     assert not r.drifted and r.epoch == 7
     assert r.n_added == r.n_removed == 0
     assert r.n_rows == 40
+
+
+def test_mix_shift_from_counts_equals_corpus_form(spark):
+    """The precomputed-counts form (r8 verdict #2) is BIT-IDENTICAL to
+    the corpus form: same categories (NULL included), same counts,
+    fractions, PSI/JS terms — on sides with disjoint, overlapping and
+    NULL categories."""
+    from serverless_data_pipeline_spark.operators.stages import (
+        category_counts, mix_shift, mix_shift_from_counts,
+        mix_shift_summarize,
+    )
+    a = spark.createDataFrame(
+        [("en",)] * 6 + [("de",)] * 3 + [(None,)] * 2 + [("zh",)],
+        "lang string")
+    b = spark.createDataFrame(
+        [("en",)] * 2 + [("fr",)] * 5 + [(None,)] * 1,
+        "lang string")
+    corpus = {r.category: r for r in mix_shift(a, b, "lang").collect()}
+    counts = {r.category: r for r in mix_shift_from_counts(
+        category_counts(a, "lang"),
+        category_counts(b, "lang")).collect()}
+    assert set(corpus) == set(counts) == {"en", "de", "zh", "fr", None}
+    for cat, cr in corpus.items():
+        assert cr.asDict() == counts[cat].asDict()
+    s1 = mix_shift_summarize(mix_shift(a, b, "lang")).first().asDict()
+    s2 = mix_shift_summarize(mix_shift_from_counts(
+        category_counts(a, "lang"),
+        category_counts(b, "lang"))).first().asDict()
+    assert s1 == s2
+
+
+def test_drift_monitor_never_rescans_reference(spark, tmp_path):
+    """start_drift_monitor_stream aggregates the static reference ONCE
+    (eager checkpoint of its category counts). Functional proof that
+    no epoch rescans the reference corpus: the reference's parquet
+    files are DELETED after stream start, and the monitor still
+    produces correct per-epoch rows — any per-epoch rescan would
+    throw FileNotFound."""
+    import shutil
+
+    from serverless_data_pipeline_spark.streaming.monitor import (
+        start_drift_monitor_stream,
+    )
+    src = str(tmp_path / "src")
+    _write_drips(spark, src)             # ids 0..39, click/view 50/50
+    ref_path = str(tmp_path / "ref")
+    spark.read.parquet(src).write.parquet(ref_path)
+    reference = spark.read.parquet(ref_path)
+    stream = read_stream_files(spark, src, SCHEMA,
+                               max_files_per_trigger=2)
+    q = start_drift_monitor_stream(
+        stream, reference, "event_type", str(tmp_path / "mon"),
+        str(tmp_path / "ck"), trigger={"availableNow": True})
+    shutil.rmtree(ref_path)              # reference gone mid-stream
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "mon")).collect()
+    assert len(rows) >= 2                # several epochs all succeeded
+    assert all(r.n_cat_ref == 2 for r in rows)   # counts frame intact
+    assert sum(r.n_rows for r in rows) == 40     # every batch compared
