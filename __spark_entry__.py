@@ -2727,17 +2727,25 @@ def _q_x8_corpus_utils(spark, sf):
             .select(F.lit("diff").alias("kind"), "doc_id",
                     nl.alias("a"), nl.alias("b"), nl.alias("c"),
                     F.col("status").alias("h")))
-    # tok/ids arms (r8): the tokenizer LAST MILE — the committed BPE
-    # artifact (bpe_artifact.COMMITTED_MERGES, trained once and frozen
-    # like the X14 classifier weights) applied end-to-end:
-    #   tok -> per doc (a = n bpe tokens, h = md5 of the space-joined
-    #          subword string) — value-checks the whole greedy encode;
-    #   ids -> bpe_encode_ids token-id arrays packed with pack_bins
-    #          over the REAL id counts (weight_col, not the text-proxy
-    #          count): per (shard=a, bin=b) row carries c = bin token
-    #          total and h = md5 of the comma-joined id stream laid
-    #          out in doc-id order — the actual packed-pretraining
-    #          artifact, value-checked byte-for-byte.
+    # tok/ids arms (r8; r9 OOV-hardened): the tokenizer LAST MILE —
+    # the committed BPE artifact (bpe_artifact.COMMITTED_MERGES,
+    # trained once and frozen like the X14 classifier weights) applied
+    # end-to-end over text with a PLANTED messy suffix (digits, money,
+    # bracket/punctuation runs, 2/3/4-byte UTF-8 — _X8_TOK_TEXT_SQL,
+    # the same derivation in both engines), with byte_fallback on:
+    #   tok -> per doc (a = n token ids incl. byte expansions,
+    #          b = round6 unk_rate in micro-units — the curator's OOV
+    #          dashboard metric, h = md5 of the space-joined subword
+    #          string) — value-checks the whole greedy encode + the
+    #          OOV accounting;
+    #   ids -> bpe_encode_ids token-id arrays (OOV symbols expand to
+    #          UTF-8 byte tokens — id 0 never appears) packed with
+    #          pack_bins over the REAL id counts (weight_col, not the
+    #          text-proxy count): per (shard=a, bin=b) row carries
+    #          c = bin token total and h = md5 of the comma-joined id
+    #          stream laid out in doc-id order — the actual
+    #          packed-pretraining artifact, value-checked
+    #          byte-for-byte.
     # The idstr join back onto the bin assignment is broadcast here
     # (registry scale); at 100 TB both sides hash-partition on doc_id.
     from serverless_data_pipeline_spark.operators.bpe import (
@@ -2746,14 +2754,18 @@ def _q_x8_corpus_utils(spark, sf):
     from serverless_data_pipeline_spark.operators.bpe_artifact import (
         COMMITTED_MERGES, build_vocab,
     )
-    encd = (bpe_encode_ids(docs.select("doc_id", "text"), "text",
-                           COMMITTED_MERGES, build_vocab(),
-                           sym_col="bpe_sym")
+    encd = (bpe_encode_ids(
+                docs.select("doc_id",
+                            F.expr(_X8_TOK_TEXT_SQL).alias("text")),
+                "text", COMMITTED_MERGES, build_vocab(),
+                sym_col="bpe_sym", byte_fallback=True,
+                unk_col="unk_rate")
             .localCheckpoint(eager=False))
     tok = encd.select(
         F.lit("tok").alias("kind"), "doc_id",
         F.size("token_ids").cast("long").alias("a"),
-        nl.alias("b"), nl.alias("c"),
+        F.round(F.col("unk_rate") * 1000000).cast("long").alias("b"),
+        nl.alias("c"),
         F.md5(F.array_join("bpe_sym", " ").cast("binary")).alias("h"))
     withids = encd.select(
         "doc_id",
@@ -3142,13 +3154,54 @@ def _bpe_wrap_sql(tok: str) -> str:
     return f"chr(1) || '{tok}' || chr(2)"
 
 
+def _sq(s: str) -> str:
+    """Escape a token for a single-quoted standard-SQL literal (the r9
+    base alphabet includes the apostrophe; backslash is literal in
+    standard strings)."""
+    return s.replace("'", "''")
+
+
 _BPE_NM = len(_BPE_MERGES)
 _BPE_MERGES_SQL = "VALUES " + ", ".join(
     f"({i}, {_bpe_wrap_sql(l)} || ' ' || {_bpe_wrap_sql(r)}, "
     f"{_bpe_wrap_sql(l + r)})"
     for i, (l, r) in enumerate(_BPE_MERGES))
 _BPE_VOCAB_SQL = "VALUES " + ", ".join(
-    f"('{t}', {i})" for t, i in _bpe_build_vocab().items())
+    f"('{_sq(t)}', {i})" for t, i in _bpe_build_vocab().items())
+_BPE_BYTE_BASE = _bpe_build_vocab()["<0x00>"]
+
+
+def _bpe_fallback_idstr_duckdb(tok: str) -> str:
+    """The byte-fallback expansion of ONE out-of-vocab symbol as a
+    comma-joined id string, RE2/DuckDB rendering: hex(encode(tok)) is
+    the symbol's UTF-8 bytes as hex pairs, and each pair maps to
+    byte_base + its value via base-16 strpos arithmetic — no join, no
+    byte-token VALUES table. The Spark operator computes the same ids
+    through a 256-entry hex-pair map literal; the two renderings are
+    pinned id-for-id over a unicode zoo in
+    tests/test_bpe.py::test_byte_fallback_oracle_fragment_parity."""
+    h = f"hex(encode({tok}))"
+
+    def nib(pos: str) -> str:
+        return (f"(strpos('0123456789ABCDEF', "
+                f"substr({h}, CAST({pos} AS INTEGER), 1)) - 1)")
+
+    return ("array_to_string(list_transform("
+            f"range(1, len({h}) // 2 + 1), "
+            f"i -> CAST({_BPE_BYTE_BASE} + {nib('2 * i - 1')} * 16 "
+            f"+ {nib('2 * i')} AS VARCHAR)), ',')")
+
+
+# x8 tok/ids arm input (r9 OOV hardening): the fixture text with a
+# deterministically-derived MESSY suffix — digits, money/punctuation
+# runs, bracketed version tokens, and 2/3/4-byte UTF-8 characters —
+# valid verbatim in both engines (|| auto-casts the numeric operand),
+# so the tokenizer arms exercise the printable base alphabet AND the
+# byte fallback, value-checked cross-engine.
+_X8_TOK_TEXT_SQL = (
+    "text || ' 42 $9.99 (a-b_c) [v' || (doc_id % 10) || '.0]! "
+    "café 汉' || CASE WHEN doc_id % 3 = 0 "
+    "THEN ' \U0001f642' ELSE ' +1;' END")
 
 # x2 url/hostrank arms (r8): ONE messy-URL derivation, valid in both
 # engines verbatim (|| auto-casts the numeric operands in each), so
@@ -4601,8 +4654,15 @@ def oracle_sql() -> dict[str, str]:
             -- equivalent to the canonical rescan — see bpe_artifact),
             -- each application a left-to-right non-overlapping string
             -- replace, exactly the greedy all-occurrences rewrite.
+            -- r9: input is the PLANTED messy text (digits/punctuation/
+            -- multi-byte UTF-8), OOV symbols byte-expand arithmetically
+            -- (hex pairs -> byte_base + value), and per-doc unk_rate
+            -- is oracled in the tok rows' b column.
             SELECT kind, doc_id, a, b, c, h
             FROM (WITH RECURSIVE
+                  btxt AS (
+                    SELECT doc_id, {_X8_TOK_TEXT_SQL} AS text
+                    FROM documents),
                   bwseed AS (
                     SELECT w,
                            chr(1) || array_to_string(
@@ -4612,7 +4672,7 @@ def oracle_sql() -> dict[str, str]:
                                   || '</w>' || chr(2) AS s
                     FROM (SELECT DISTINCT unnest(
                               {_TOKENS_SQL.format(c='lower(text)')}) AS w
-                          FROM documents)),
+                          FROM btxt)),
                   benc AS (
                     SELECT w, 0 AS rk, s FROM bwseed
                     UNION ALL
@@ -4635,9 +4695,18 @@ def oracle_sql() -> dict[str, str]:
                     FROM bencw),
                   bwids AS (
                     SELECT w,
-                           string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR),
-                                      ',' ORDER BY p) AS idstr,
-                           CAST(COUNT(*) AS BIGINT) AS ntok
+                           string_agg(
+                               CASE WHEN v.id IS NOT NULL
+                                    THEN CAST(v.id AS VARCHAR)
+                                    ELSE {_bpe_fallback_idstr_duckdb(
+                                        'bwtok.tok')} END,
+                               ',' ORDER BY p) AS idstr,
+                           CAST(SUM(CASE WHEN v.id IS NOT NULL THEN 1
+                                    ELSE octet_length(encode(bwtok.tok))
+                                    END) AS BIGINT) AS ntok,
+                           CAST(SUM(CASE WHEN v.id IS NULL THEN 1
+                                    ELSE 0 END) AS BIGINT) AS noov,
+                           CAST(COUNT(*) AS BIGINT) AS nsym
                     FROM bwtok
                     LEFT JOIN (SELECT * FROM ({_BPE_VOCAB_SQL})
                                t(tok, id)) v ON v.tok = bwtok.tok
@@ -4648,12 +4717,14 @@ def oracle_sql() -> dict[str, str]:
                     FROM (SELECT doc_id,
                                  {_TOKENS_SQL.format(c='lower(text)')}
                                      AS toks
-                          FROM documents)),
+                          FROM btxt)),
                   bdids0 AS (
                     SELECT d.doc_id,
                            string_agg(wi.idstr, ',' ORDER BY d.p) AS ids,
                            string_agg(e.symstr, ' ' ORDER BY d.p) AS syms,
-                           CAST(SUM(wi.ntok) AS BIGINT) AS n_tokens
+                           CAST(SUM(wi.ntok) AS BIGINT) AS n_tokens,
+                           CAST(SUM(wi.noov) AS BIGINT) AS noov,
+                           CAST(SUM(wi.nsym) AS BIGINT) AS nsym
                     FROM bdocw d
                     JOIN bwids wi ON wi.w = d.w
                     JOIN bencw e ON e.w = d.w
@@ -4668,7 +4739,9 @@ def oracle_sql() -> dict[str, str]:
                   bdids AS (
                     SELECT d.doc_id, COALESCE(b.ids, '') AS ids,
                            COALESCE(b.syms, '') AS syms,
-                           COALESCE(b.n_tokens, 0) AS n_tokens
+                           COALESCE(b.n_tokens, 0) AS n_tokens,
+                           COALESCE(b.noov, 0) AS noov,
+                           COALESCE(b.nsym, 0) AS nsym
                     FROM documents d LEFT JOIN bdids0 b USING (doc_id)),
                   bnfb AS (
                     SELECT doc_id, n_tokens,
@@ -4692,7 +4765,14 @@ def oracle_sql() -> dict[str, str]:
                     FROM bnf nf JOIN bnfb nb
                       ON nb.shard = nf.shard AND nb.rn = nf.rn + 1)
                   SELECT 'tok' AS kind, doc_id, n_tokens AS a,
-                         CAST(NULL AS BIGINT) AS b,
+                         -- unk_rate micro-units: round6 of noov/nsym
+                         -- (0.0 for symbol-less docs), then * 1e6 and
+                         -- round — the Spark arm's exact op sequence
+                         CASE WHEN nsym > 0
+                              THEN CAST(ROUND(ROUND(CAST(noov AS DOUBLE)
+                                                    / nsym, 6) * 1000000)
+                                        AS BIGINT)
+                              ELSE 0 END AS b,
                          CAST(NULL AS BIGINT) AS c, md5(syms) AS h
                   FROM bdids
                   UNION ALL

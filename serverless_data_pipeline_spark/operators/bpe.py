@@ -222,23 +222,73 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
                    merges: list[tuple[str, str]],
                    vocab: dict[str, int], *,
                    out_col: str = "token_ids",
-                   sym_col: str | None = None) -> DataFrame:
+                   sym_col: str | None = None,
+                   byte_fallback: bool = False,
+                   unk_col: str | None = None) -> DataFrame:
     """Encode to integer token ids — the tokenizer's ACTUAL output
     artifact (what a pretraining pipeline packs and trains on). Adds
-    ``out_col`` (array<int>); symbols missing from ``vocab`` map to id
-    0 (UNK). Keeps the subword-string column too when ``sym_col`` is
-    given.
+    ``out_col`` (array<int>). Keeps the subword-string column too when
+    ``sym_col`` is given.
+
+    Out-of-vocab symbols (r9 OOV hardening):
+
+    - ``byte_fallback=False`` (default) — OOV maps to id 0 (UNK), the
+      lossy legacy behavior.
+    - ``byte_fallback=True`` — OOV expands to the byte tokens of its
+      UTF-8 bytes (``vocab`` must contain the ``<0xNN>`` inventory,
+      e.g. from ``build_vocab()``), the SentencePiece/GPT-2 byte-level
+      discipline: NO text is ever destroyed, id 0 never appears, and
+      decode is exact. Implemented JVM-side: ``hex(encode(sym,
+      'UTF-8'))`` split into hex pairs through a 256-entry foldable
+      map — no Python, no shuffle.
+    - ``unk_col`` — when given, adds the per-doc OOV-rate column
+      round6(|OOV symbols| / |symbols|) (0.0 for symbol-less docs):
+      the dashboard metric a curator watches whichever fallback mode
+      is on (under byte_fallback it reads as the byte-escape rate).
 
     The id lookup is a JVM-side ``transform`` over a foldable map
     literal (vocab files are small — base alphabet + one entry per
-    merge), so the only Python boundary stays the merge loop inside
-    ``bpe_encode``."""
+    merge + the byte inventory), so the only Python boundary stays the
+    merge loop inside ``bpe_encode``."""
     keep = sym_col or "__bpe_sym"
     enc = bpe_encode(df, text_col, merges, out_col=keep)
     vmap = F.create_map(*[F.lit(x) for t, i in vocab.items()
                           for x in (t, i)])
-    enc = enc.withColumn(
-        out_col,
-        F.transform(keep, lambda t: F.coalesce(
-            F.element_at(vmap, t), F.lit(0)).cast("int")))
+    if byte_fallback:
+        missing = [t for t in (f"<0x{b:02X}>" for b in range(256))
+                   if t not in vocab]
+        if missing:
+            raise ValueError(
+                "byte_fallback needs the <0xNN> byte-token inventory "
+                f"in vocab (missing e.g. {missing[0]!r}) — build the "
+                "vocab with build_vocab(byte_tokens=True)")
+        bmap = F.create_map(*[F.lit(x) for b in range(256)
+                              for x in (f"{b:02X}",
+                                        vocab[f"<0x{b:02X}>"])])
+
+        def to_ids(t):
+            mapped = F.element_at(vmap, t)
+            hexstr = F.hex(F.encode(t, "UTF-8"))
+            byte_ids = F.transform(
+                F.sequence(F.lit(1), (F.length(hexstr) / 2).cast("int")),
+                lambda i: F.element_at(
+                    bmap, F.substring(hexstr, i * 2 - 1, 2))
+                .cast("int"))
+            return F.when(mapped.isNotNull(),
+                          F.array(mapped.cast("int"))).otherwise(byte_ids)
+
+        enc = enc.withColumn(out_col, F.flatten(F.transform(keep, to_ids)))
+    else:
+        enc = enc.withColumn(
+            out_col,
+            F.transform(keep, lambda t: F.coalesce(
+                F.element_at(vmap, t), F.lit(0)).cast("int")))
+    if unk_col:
+        n_syms = F.size(F.col(keep))
+        n_oov = F.size(F.filter(
+            keep, lambda t: F.element_at(vmap, t).isNull()))
+        enc = enc.withColumn(
+            unk_col,
+            F.when(n_syms > 0, F.round(n_oov / n_syms, 6))
+            .otherwise(F.lit(0.0)))
     return enc if sym_col else enc.drop(keep)

@@ -13,9 +13,14 @@ sf0.001 ``documents`` fixture::
 
 and committed, exactly like the X14 classifier's frozen weights. The
 vocabulary derives deterministically from the artifact itself (base
-alphabet + end-of-word marker + one entry per merge, in rank order) —
-the standard vocab-file layout — so both engines of the correctness
-gate can reconstruct the identical token→id map from these constants.
+alphabet + end-of-word marker + one entry per merge in rank order +
+the 256 ``<0xNN>`` byte-fallback tokens, r9) — the standard vocab-file
+layout — so both engines of the correctness gate can reconstruct the
+identical token→id map from these constants. r9 OOV hardening: the
+base alphabet is the full lowercase-printable ASCII set (letters,
+digits, punctuation), and non-ASCII characters byte-escape via the
+byte inventory when the encoder runs with ``byte_fallback`` — real
+web text never collapses to UNK (see ``bpe.bpe_encode_ids``).
 
 Rank-sequential equivalence: the driver oracle replays encoding by
 applying merges one rank at a time (a linear recursion), while
@@ -34,8 +39,8 @@ from __future__ import annotations
 
 from serverless_data_pipeline_spark.operators.bpe import END
 
-__all__ = ["COMMITTED_MERGES", "BPE_BASE_CHARS", "UNK", "build_vocab",
-           "assert_rank_sequential_ok"]
+__all__ = ["COMMITTED_MERGES", "BPE_BASE_CHARS", "BYTE_TOKENS", "UNK",
+           "build_vocab", "assert_rank_sequential_ok"]
 
 UNK = "<unk>"
 
@@ -48,10 +53,28 @@ COMMITTED_MERGES: list[tuple[str, str]] = [
     ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
 ]
 
-# Full lowercase ASCII alphabet: ship the whole base alphabet (the way
-# real vocab files do) even though the training fixture only exercises
-# a subset; any character outside it maps to UNK.
-BPE_BASE_CHARS: list[str] = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+# Base alphabet (r9 OOV hardening): every printable ASCII character
+# that can survive the encoder's normalization — lowercase letters,
+# digits, and the 32 ASCII punctuation/symbol characters. (Uppercase
+# never reaches the symbol stream — ``bpe_encode`` lowercases — and
+# whitespace is the word separator, so neither earns a vocab slot.)
+# Shipping the full printable base is what real vocab files do: the
+# training fixture only exercises a-z, but digits and punctuation in
+# downstream text must encode to REAL ids, not UNK. Characters outside
+# this set (non-ASCII) fall back to UNK id 0, or to their UTF-8 byte
+# tokens when the encoder runs with byte_fallback (the SentencePiece /
+# GPT-2 byte-level discipline) — see BYTE_TOKENS.
+BPE_BASE_CHARS: list[str] = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + [chr(c) for c in range(ord("0"), ord("9") + 1)]
+    + list("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"))
+
+# Byte-fallback inventory: one token per byte value, appended AFTER the
+# merges so the core vocab's ids never move when fallback is enabled.
+# An out-of-vocab symbol is always a SINGLE character (multi-character
+# symbols are merge outputs, which are all in the vocab by
+# construction), and encodes as the byte tokens of its UTF-8 bytes.
+BYTE_TOKENS: list[str] = [f"<0x{b:02X}>" for b in range(256)]
 
 
 def assert_rank_sequential_ok(
@@ -67,15 +90,21 @@ def assert_rank_sequential_ok(
 
 
 def build_vocab(merges: list[tuple[str, str]] | None = None,
-                base_chars: list[str] | None = None) -> dict[str, int]:
+                base_chars: list[str] | None = None, *,
+                byte_tokens: bool = True) -> dict[str, int]:
     """token -> id map in the standard vocab-file layout: UNK, the base
-    alphabet, the end-of-word marker, then one entry per merge in rank
-    order. Deterministic given the artifact constants."""
+    alphabet, the end-of-word marker, one entry per merge in rank
+    order, then (by default) the 256 byte-fallback tokens — appended
+    LAST so the core layout is identical whether or not the encoder
+    uses them. Deterministic given the artifact constants."""
     merges = COMMITTED_MERGES if merges is None else merges
     base_chars = BPE_BASE_CHARS if base_chars is None else base_chars
     assert_rank_sequential_ok(merges)
     vocab: dict[str, int] = {UNK: 0}
-    for tok in list(base_chars) + [END] + [l + r for l, r in merges]:
+    toks = list(base_chars) + [END] + [l + r for l, r in merges]
+    if byte_tokens:
+        toks += BYTE_TOKENS
+    for tok in toks:
         if tok in vocab:
             raise ValueError(f"vocab collision on {tok!r}")
         vocab[tok] = len(vocab)

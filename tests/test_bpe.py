@@ -98,12 +98,28 @@ from serverless_data_pipeline_spark.operators.bpe_artifact import (
 def test_vocab_layout_and_determinism():
     v = build_vocab()
     assert v[UNK] == 0
-    assert v["a"] == 1 and v["z"] == 26 and v[END] == 27
+    assert v["a"] == 1 and v["z"] == 26
+    # r9 OOV hardening: digits and ASCII punctuation are BASE alphabet
+    # (real text must encode them to real ids, not UNK); uppercase and
+    # whitespace never survive normalization so they get no slot
+    assert v["0"] == 27 and v["9"] == 36
+    assert all(c in v for c in "!$%&'()*+,-./:;<=>?@[]^_`{|}~\"\\")
+    assert "A" not in v and " " not in v
+    nb = len(BPE_BASE_CHARS)
+    assert nb == 26 + 10 + 32
+    assert v[END] == nb + 1
     # one contiguous id per merge output, in rank order
     for i, (l, r) in enumerate(COMMITTED_MERGES):
-        assert v[l + r] == 28 + i
-    assert len(v) == 28 + len(COMMITTED_MERGES)
+        assert v[l + r] == nb + 2 + i
+    # byte-fallback inventory LAST, contiguous, after the core vocab
+    core = nb + 2 + len(COMMITTED_MERGES)
+    for b in range(256):
+        assert v[f"<0x{b:02X}>"] == core + b
+    assert len(v) == core + 256
     assert build_vocab() == v
+    # byte_tokens=False reproduces the core layout exactly
+    vc = build_vocab(byte_tokens=False)
+    assert vc == {t: i for t, i in v.items() if i < core}
 
 
 def test_rank_sequential_guard():
@@ -251,3 +267,100 @@ def test_train_bpe_batched_rounds(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         train_bpe(_classic(spark), "text", merges_per_round=0)
+
+
+# ---- r9: OOV hardening (byte fallback + unk_rate) ----
+
+# the unicode zoo: 1/2/3/4-byte UTF-8, plus every printable-ASCII
+# class that must now be BASE vocab, not OOV
+_OOV_ZOO = ["plain", "42", "$9.99!", "(a-b_c)", "[v2.0];", "@x#y",
+            "café", "zèbre", "straße", "汉字",
+            "é汉x", "\U0001f642ok", "€5"]
+
+
+def _decode_ids(ids, vocab):
+    """Reference decoder: core ids via the inverse vocab, byte ids via
+    UTF-8 — the round-trip a real tokenizer must satisfy."""
+    inv = {i: t for t, i in vocab.items()}
+    bb = vocab["<0x00>"]
+    out, pend = [], b""
+    for i in ids:
+        if i >= bb:
+            pend += bytes([i - bb])
+        else:
+            if pend:
+                out.append(pend.decode("utf-8"))
+                pend = b""
+            out.append(inv[i])
+    if pend:
+        out.append(pend.decode("utf-8"))
+    return "".join(out)
+
+
+def test_byte_fallback_round_trip_and_no_unk(spark):
+    """byte_fallback=True destroys NOTHING: ids decode back to the
+    exact normalized text for 1/2/3/4-byte UTF-8 characters, id 0
+    (UNK) never appears, digits/punctuation encode as base-vocab ids
+    (never byte-escaped), and unk_rate reports exactly the OOV symbol
+    fraction."""
+    v = build_vocab()
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(_OOV_ZOO)], "id int, text string")
+    out = {r.id: r for r in bpe_encode_ids(
+        df, "text", COMMITTED_MERGES, v, sym_col="s",
+        byte_fallback=True, unk_col="unk_rate").collect()}
+    bb = v["<0x00>"]
+    for i, w in enumerate(_OOV_ZOO):
+        r = out[i]
+        ids = list(r.token_ids)
+        assert 0 not in ids, w
+        assert _decode_ids(ids, v) == w.lower() + END, w
+        n_oov = sum(1 for s in r.s if s not in v)
+        want = round(n_oov / len(r.s), 6) if r.s else 0.0
+        assert r.unk_rate == want, w
+        if w.isascii():
+            assert all(i < bb for i in ids), w     # never byte-escaped
+    # ASCII-only rows have zero OOV under the printable base
+    assert out[0].unk_rate == 0.0 and out[2].unk_rate == 0.0
+    # a vocab without the byte inventory must be rejected up front
+    with pytest.raises(ValueError):
+        bpe_encode_ids(df, "text", COMMITTED_MERGES,
+                       build_vocab(byte_tokens=False),
+                       byte_fallback=True)
+
+
+def test_byte_fallback_oracle_fragment_parity(spark):
+    """The driver oracle expands OOV symbols arithmetically in DuckDB
+    (hex(encode(tok)) -> strpos base-16 digits); that rendering must
+    agree id-for-id with the Spark hex-pair-map path over the whole
+    unicode zoo — the cross-engine pin behind the x8 tok/ids arms'
+    planted non-ASCII."""
+    import duckdb
+
+    from __spark_entry__ import _BPE_VOCAB_SQL, _bpe_fallback_idstr_duckdb, _sq
+
+    v = build_vocab()
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(_OOV_ZOO)], "id int, text string")
+    got = {r.id: ",".join(str(x) for x in r.token_ids)
+           for r in bpe_encode_ids(df, "text", COMMITTED_MERGES, v,
+                                   byte_fallback=True).collect()}
+    con = duckdb.connect()
+    frag = _bpe_fallback_idstr_duckdb("s.tok")
+    # replay: per word, feed the SAME symbols Spark produced through
+    # the oracle's id-or-byte-expand branch against the arm's vocab
+    # VALUES (quote-escaped via _sq, exactly as the driver oracle is)
+    from serverless_data_pipeline_spark.operators.bpe import bpe_encode
+    syms = {r.id: list(r.bpe_tokens) for r in bpe_encode(
+        df, "text", COMMITTED_MERGES).collect()}
+    for i, w in enumerate(_OOV_ZOO):
+        vals = ", ".join(f"({p}, '{_sq(s)}')"
+                         for p, s in enumerate(syms[i]))
+        want = con.execute(f"""
+            SELECT string_agg(
+                CASE WHEN v.id IS NOT NULL THEN CAST(v.id AS VARCHAR)
+                     ELSE {frag} END, ',' ORDER BY p)
+            FROM (SELECT * FROM (VALUES {vals}) t(p, tok)) s
+            LEFT JOIN (SELECT * FROM ({_BPE_VOCAB_SQL}) t(tok, id)) v
+            USING (tok)""").fetchone()[0]
+        assert got[i] == want, w
