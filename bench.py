@@ -74,17 +74,25 @@ def _calibrate_ms(reps: int = 40) -> float:
 
 # Idle-host calibration reference (r7 verdict #4): min-of-3 calib_ms on
 # the README's idle-host re-measure runs (63.4-64.1 ms, r6). A capture
-# whose calib exceeds this by >5 % (or whose 1-min loadavg says another
-# workload holds multiple cores) is retried once after a cooldown; if
-# still hot, the artifact is recorded with "contended": true so a
-# loaded-host number can never again be argued as a code regression.
+# whose calib exceeds this by >5 % (or whose loadavg says another
+# workload holds multiple cores) is retried after a cooldown; if still
+# hot, the artifact is recorded with "contended": true so a loaded-host
+# number can never again be argued as a code regression. r9 (r8 verdict
+# #5): the PRE-run gate also checks the 5-minute loadavg — r8's official
+# artifact passed the calib-only post-gate after background load
+# subsided, while two mid-run subqueries had absorbed it (loadavg
+# [1.62, 7.54, 9.05]) — and cools down in a LOOP (load decays slowly)
+# instead of a single retry.
 CALIB_REF_MS = float(os.environ.get("SPARK_GRAFT_CALIB_REF_MS", "64.0"))
 CALIB_SLACK = 1.05
 LOADAVG_MAX = float(os.environ.get("SPARK_GRAFT_LOADAVG_MAX", "2.0"))
+LOADAVG5_MAX = float(os.environ.get("SPARK_GRAFT_LOADAVG5_MAX", "4.0"))
 COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_S", "60"))
+MAX_COOLDOWNS = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWNS", "8"))
 
 
-def _host_state() -> tuple[float, list[float] | None, bool]:
+def _host_state(pre_run: bool = False) -> tuple[float,
+                                                list[float] | None, bool]:
     calib = _calibrate_ms()
     try:
         loadavg = [round(x, 2) for x in os.getloadavg()]
@@ -92,6 +100,10 @@ def _host_state() -> tuple[float, list[float] | None, bool]:
         loadavg = None
     hot = calib > CALIB_REF_MS * CALIB_SLACK or (
         loadavg is not None and loadavg[0] > LOADAVG_MAX)
+    if pre_run and loadavg is not None:
+        # the 5-min average only means "recent background load" BEFORE
+        # we start our own local[32] work
+        hot = hot or loadavg[1] > LOADAVG5_MAX
     return calib, loadavg, hot
 
 
@@ -99,13 +111,15 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from serverless_data_pipeline_spark.session import get_spark
 
-    calib, loadavg, contended = _host_state()
-    if contended:
+    calib, loadavg, contended = _host_state(pre_run=True)
+    for _ in range(MAX_COOLDOWNS):
+        if not contended:
+            break
         print(f"# host contended (calib_ms={calib} ref={CALIB_REF_MS}, "
-              f"loadavg={loadavg}) — cooling down {COOLDOWN_S}s and "
-              f"retrying once", file=sys.stderr)
+              f"loadavg={loadavg}) — cooling down {COOLDOWN_S}s",
+              file=sys.stderr)
         time.sleep(COOLDOWN_S)
-        calib, loadavg, contended = _host_state()
+        calib, loadavg, contended = _host_state(pre_run=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
@@ -121,6 +135,33 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
+    # Committed clean band (r9, r8 verdict #5): per-query/subquery times
+    # from the latest idle-host capture. A measurement landing > 2x its
+    # band entry gets ONE self-healing re-run (min taken) — transient
+    # spikes that slip past the host gates (r8: x10.report 9.5 s vs a
+    # 3.4 s band) heal in-run instead of polluting the artifact; entries
+    # still over band after the re-run are listed in band_exceeded
+    # (legitimate added work per round is documented in the README bench
+    # table and the band refreshed).
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_BAND.json")) as fh:
+            _band = json.load(fh)
+    except OSError:
+        _band = {"queries": {}, "subqueries": {}}
+    band_reruns: list[str] = []
+    band_exceeded: list[str] = []
+
+    def _banded(kind: str, name: str, t: float, rerun) -> float:
+        ref = _band.get(kind, {}).get(name)
+        if ref is None or t <= 2 * ref:
+            return t
+        band_reruns.append(name)
+        t = min(t, rerun())
+        if t > 2 * ref:
+            band_exceeded.append(name)
+        return t
+
     # Two warm runs, report the per-query MIN: the steady-state number is
     # what matters and min-of-k rejects host-contention noise (a single
     # contended pass once inflated x2_lsh_pairs 5.3 s -> 12.8 s — the
@@ -129,16 +170,19 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = run(name)
-        times[name] = min(run(name), run(name))
+        times[name] = _banded("queries", name, min(run(name), run(name)),
+                              lambda: run(name))
 
     # Composite-query flavour breakdown (warm, measured once, NOT part of
     # the headline total) — attributes e.g. x2_lsh_pairs' wall-clock to
     # its minhash/simhash/embedding components round over round.
     sub: dict[str, float] = {}
     for name, fn in entry_mod.bench_subqueries().items():
-        t0 = time.time()
-        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        sub[name] = round(time.time() - t0, 3)
+        def _srun(fn=fn):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            return round(time.time() - t0, 3)
+        sub[name] = _banded("subqueries", name, _srun(), _srun)
 
     total = round(sum(times.values()), 3)
     # Re-measure AFTER the run too: contention that arrived mid-run
@@ -159,7 +203,12 @@ def main() -> None:
         "calib_ms": min(calib, calib_end),
         "calib_ref_ms": CALIB_REF_MS,
         "loadavg": loadavg_end if loadavg is None else loadavg,
-        "contended": bool(contended or hot_end),
+        "band_reruns": band_reruns,
+        "band_exceeded": band_exceeded,
+        # > 2 entries still over 2x the clean band after a self-heal
+        # re-run = the run absorbed real contention the gates missed
+        "contended": bool(contended or hot_end
+                          or len(band_exceeded) > 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
