@@ -190,8 +190,16 @@ def main() -> None:
     # at this point reports the bench's OWN just-finished local[32]
     # work, so using it would flag every single run as contended; the
     # single-threaded md5 loop only slows when another workload is
-    # actually holding the cores now.
+    # actually holding the cores now. Stop Spark and let the JVM wind
+    # down FIRST (r9: an immediate probe races our own executor-pool
+    # teardown/GC and flagged a provably-clean capture), and give one
+    # settled retry before believing a hot reading.
+    spark.stop()
+    time.sleep(10)
     calib_end, loadavg_end, _ = _host_state()
+    if calib_end > CALIB_REF_MS * CALIB_SLACK:
+        time.sleep(30)
+        calib_end = min(calib_end, _host_state()[0])
     hot_end = calib_end > CALIB_REF_MS * CALIB_SLACK
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -211,7 +219,6 @@ def main() -> None:
                           or len(band_exceeded) > 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
-    spark.stop()
 
 
 if __name__ == "__main__":
