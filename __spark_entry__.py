@@ -2089,6 +2089,9 @@ def _t5_flavour_drift(spark, sf):
 
 
 def _x8_flavour_tok(spark, sf):
+    # times exactly the arm's plan (r9): planted messy suffix, byte
+    # fallback, unk accounting — the flavour and the gated arm must
+    # never drift apart
     from serverless_data_pipeline_spark.operators.bpe import (
         bpe_encode_ids,
     )
@@ -2097,8 +2100,10 @@ def _x8_flavour_tok(spark, sf):
     )
     from serverless_data_pipeline_spark.operators.corpus import pack_bins
     encd = bpe_encode_ids(
-        _t(spark, sf, "documents").select("doc_id", "text"), "text",
-        COMMITTED_MERGES, build_vocab())
+        _t(spark, sf, "documents")
+        .select("doc_id", F.expr(_X8_TOK_TEXT_SQL).alias("text")),
+        "text", COMMITTED_MERGES, build_vocab(),
+        byte_fallback=True, unk_col="unk_rate")
     return pack_bins(encd.withColumn("ntok", F.size("token_ids")),
                      "doc_id", None, budget=1024, n_shards=8,
                      weight_col="ntok")

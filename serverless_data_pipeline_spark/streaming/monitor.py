@@ -96,6 +96,10 @@ def start_drift_monitor_stream(stream: DataFrame, reference: DataFrame,
     even that single scan (``reference`` is then ignored and may be
     None)."""
     if reference_counts is None:
+        if reference is None:
+            raise ValueError(
+                "pass a reference corpus or a reference_counts "
+                "(category, n) histogram")
         reference_counts = (category_counts(reference, col)
                             .localCheckpoint(eager=True))
 
