@@ -34,7 +34,8 @@ from pyspark.sql import types as T
 
 from serverless_data_pipeline_spark.functions.text import tokens
 
-__all__ = ["train_bpe", "bpe_encode", "bpe_encode_ids"]
+__all__ = ["train_bpe", "bpe_encode", "bpe_encode_ids",
+           "bpe_decode_ids"]
 
 END = "</w>"          # Sennrich end-of-word marker
 
@@ -292,3 +293,38 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
             F.when(n_syms > 0, F.round(n_oov / n_syms, 6))
             .otherwise(F.lit(0.0)))
     return enc if sym_col else enc.drop(keep)
+
+
+def bpe_decode_ids(df: DataFrame, ids_col: str,
+                   vocab: dict[str, int], *,
+                   out_col: str = "decoded_text") -> DataFrame:
+    """Detokenize an ``array<int>`` id column back to text — the
+    inspection/debugging path every real tokenizer ships next to
+    encode. Exact inverse of ``bpe_encode_ids`` over normalized input
+    (round-trip law, pytest-pinned): core ids map to their subword's
+    UTF-8 bytes, the end-of-word marker becomes a single space,
+    ``<0xNN>`` byte-fallback ids contribute their raw byte (so a
+    multi-byte character reassembles exactly), and the byte stream is
+    UTF-8-decoded once at the end — decode(encode(text)) == the
+    whitespace-normalized lowercase of ``text``. UNK id 0 renders as
+    the literal ``<unk>`` (the information byte fallback exists to
+    preserve is already gone).
+
+    JVM-side throughout: one foldable id→bytes map literal, one
+    ``aggregate`` binary concat, one ``decode`` — a narrow projection,
+    no Python, no shuffle."""
+    pieces: list[tuple[int, bytes]] = []
+    for tok, i in vocab.items():
+        if tok.startswith("<0x") and tok.endswith(">") and len(tok) == 6:
+            pieces.append((i, bytes([int(tok[3:5], 16)])))
+        else:
+            # the end-of-word marker appears standalone AND as the
+            # suffix of merged tokens ("scan</w>") — both render as
+            # the word boundary
+            pieces.append((i, tok.replace(END, " ").encode("utf-8")))
+    m = F.create_map(*[F.lit(x) for i, b in pieces for x in (i, b)])
+    joined = F.aggregate(
+        F.col(ids_col), F.lit(b""),
+        lambda acc, i: F.concat(acc, F.element_at(m, i)))
+    return df.withColumn(
+        out_col, F.rtrim(F.decode(joined, "UTF-8")))

@@ -40,7 +40,8 @@ from __future__ import annotations
 from serverless_data_pipeline_spark.operators.bpe import END
 
 __all__ = ["COMMITTED_MERGES", "BPE_BASE_CHARS", "BYTE_TOKENS", "UNK",
-           "build_vocab", "assert_rank_sequential_ok"]
+           "build_vocab", "assert_rank_sequential_ok",
+           "save_artifact", "load_artifact"]
 
 UNK = "<unk>"
 
@@ -87,6 +88,45 @@ def assert_rank_sequential_ok(
         raise ValueError(
             "duplicate merge outputs: rank-sequential replay is not "
             "equivalent to the canonical rescan for this merge list")
+
+
+def save_artifact(path: str,
+                  merges: list[tuple[str, str]] | None = None,
+                  base_chars: list[str] | None = None) -> None:
+    """Write the tokenizer artifact as one JSON file — the
+    version-and-ship step after ``train_bpe``. The file holds exactly
+    the constants the vocab derives from (merges in rank order + base
+    alphabet), so ``load_artifact`` + ``build_vocab`` on any machine
+    reconstructs the identical token→id map. Validated on write (the
+    rank-sequential guard), UTF-8, sorted keys — byte-stable for the
+    same artifact, so the file itself can be content-hashed as the
+    tokenizer version id."""
+    import json
+
+    merges = COMMITTED_MERGES if merges is None else merges
+    base_chars = BPE_BASE_CHARS if base_chars is None else base_chars
+    assert_rank_sequential_ok(merges)
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump({"format": "bpe-artifact-v1",
+                   "end_of_word": END,
+                   "unk": UNK,
+                   "base_chars": list(base_chars),
+                   "merges": [[l, r] for l, r in merges]},
+                  fh, ensure_ascii=False, sort_keys=True, indent=1)
+
+
+def load_artifact(path: str) -> tuple[list[tuple[str, str]], list[str]]:
+    """Read a ``save_artifact`` file back as (merges, base_chars),
+    re-validated — feed straight into ``build_vocab``/``bpe_encode_ids``."""
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        doc = json.load(fh)
+    if doc.get("format") != "bpe-artifact-v1":
+        raise ValueError(f"not a bpe artifact: {path}")
+    merges = [(l, r) for l, r in doc["merges"]]
+    assert_rank_sequential_ok(merges)
+    return merges, list(doc["base_chars"])
 
 
 def build_vocab(merges: list[tuple[str, str]] | None = None,

@@ -329,6 +329,65 @@ def test_byte_fallback_round_trip_and_no_unk(spark):
                        byte_fallback=True)
 
 
+def test_bpe_decode_ids_round_trip(spark):
+    """In-engine detokenization: decode(encode(text)) equals the
+    whitespace-normalized lowercase input — for plain ASCII, digits/
+    punctuation (base vocab), and 2/3/4-byte UTF-8 via byte-fallback
+    reassembly; UNK renders as the literal <unk> in the lossy mode."""
+    import re
+
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids,
+    )
+    v = build_vocab()
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    texts = [r.text for r in docs.collect()]
+    texts += [" ".join(_OOV_ZOO), "a scan 42", "", "   "]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string")
+    out = bpe_decode_ids(
+        bpe_encode_ids(df, "text", COMMITTED_MERGES, v,
+                       byte_fallback=True),
+        "token_ids", v)
+    got = {r.id: r.decoded_text for r in out.collect()}
+    for i, t in enumerate(texts):
+        want = " ".join(w for w in re.split(r"[ \t\n\x0b\f\r]+",
+                                            t.lower()) if w)
+        assert got[i] == want, t
+    # lossy mode: OOV became UNK, decode surfaces the placeholder
+    lossy = bpe_decode_ids(
+        bpe_encode_ids(
+            spark.createDataFrame([("zèbre ok",)], "text string"),
+            "text", COMMITTED_MERGES, v),
+        "token_ids", v).first().decoded_text
+    assert lossy == "z<unk>bre ok"
+
+
+def test_artifact_save_load_round_trip(tmp_path):
+    """The ship-a-tokenizer loop: save → load → identical vocab,
+    byte-stable file (content-hashable version id), bad files and
+    invalid merge lists rejected."""
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        load_artifact, save_artifact,
+    )
+    p = str(tmp_path / "tok.json")
+    save_artifact(p)
+    merges, base = load_artifact(p)
+    assert merges == COMMITTED_MERGES and base == BPE_BASE_CHARS
+    assert build_vocab(merges, base) == build_vocab()
+    save_artifact(str(tmp_path / "tok2.json"))
+    assert (open(p, "rb").read()
+            == open(str(tmp_path / "tok2.json"), "rb").read())
+    import json
+    (tmp_path / "bad.json").write_text(json.dumps({"format": "nope"}))
+    with pytest.raises(ValueError):
+        load_artifact(str(tmp_path / "bad.json"))
+    with pytest.raises(ValueError):
+        save_artifact(str(tmp_path / "x.json"),
+                      merges=[("a", "bc"), ("ab", "c")])
+
+
 def test_byte_fallback_oracle_fragment_parity(spark):
     """The driver oracle expands OOV symbols arithmetically in DuckDB
     (hex(encode(tok)) -> strpos base-16 digits); that rendering must
