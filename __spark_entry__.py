@@ -2329,7 +2329,14 @@ def _q_x2_dedup_clusters(spark, sf):
     Common-Crawl host-ranking input shape: direction survives the
     host lift, sink hosts keep the kernel's dangling-mass correction,
     and the oracle runs the directed unroll (per-iteration
-    dangling-share CTEs, prefix 'hd')."""
+    dangling-share CTEs, prefix 'hd').
+
+    `hquota` (r9): `host_quota_sample` — the curation step that
+    consumes host signals (per-domain caps, the C4/RefinedWeb
+    discipline): src0 capped at 5 docs, src1 at 12, all other hosts
+    at the default 8, picked by a seeded deterministic md5 rank;
+    every kept (doc, within-host rank) pair value-checked against
+    the identical window replayed in the oracle."""
     pairs = _capped_pairs(spark, sf).localCheckpoint(eager=True)
     nmetric = F.lit(None).cast("double").alias("metric")
     nh = F.lit(None).cast("string").alias("h")
@@ -2393,9 +2400,25 @@ def _q_x2_dedup_clusters(spark, sf):
                       nulll.alias("id_a"), nulll.alias("id_b"),
                       F.col("rank").alias("metric"),
                       F.col("id").alias("h")))
+    # hquota arm (r9): the curation step that CONSUMES host signals —
+    # per-host doc caps (src0 capped at 5, src1 at 12, every other
+    # host at the default 8) picked by the seeded md5 rank, every
+    # kept (doc, rank) value-checked; the oracle replays the identical
+    # window over the same dhost map
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_quota_sample,
+    )
+    hq = (host_quota_sample(dochost,
+                            {"src0.example.com": 5,
+                             "src1.example.com": 12},
+                            default_quota=8, seed=7)
+          .select(F.lit("hquota").alias("algo"),
+                  F.col("doc_id").alias("id_a"),
+                  F.col("host_rank_pos").cast("long").alias("id_b"),
+                  nmetric, F.col("host").alias("h")))
     return (pair_rows.unionAll(label).unionAll(star).unionAll(pr)
             .unionAll(csize).unionAll(url_rows).unionAll(hrank)
-            .unionAll(hrankd))
+            .unionAll(hrankd).unionAll(hq))
 
 
 def _clusters_flavour(spark, sf, algorithm):
@@ -3639,7 +3662,23 @@ _CLUSTERS_ORACLE = f"""
             SELECT 'hostrankd' AS algo, CAST(NULL AS BIGINT) AS id_a,
                    CAST(NULL AS BIGINT) AS id_b,
                    CAST(r AS DOUBLE) / 1000000.0 AS metric, id AS h
-            FROM hdpr3"""
+            FROM hdpr3
+            UNION ALL
+            -- r9 hquota: per-host quota sampling — the same seeded
+            -- md5 rank window host_quota_sample runs
+            SELECT 'hquota' AS algo, doc_id AS id_a,
+                   CAST(rn AS BIGINT) AS id_b,
+                   CAST(NULL AS DOUBLE) AS metric, h
+            FROM (SELECT doc_id, h,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY h
+                             ORDER BY md5('7:' || CAST(doc_id
+                                                       AS VARCHAR)),
+                                      doc_id) AS rn
+                  FROM dhost)
+            WHERE rn <= CASE h WHEN 'src0.example.com' THEN 5
+                               WHEN 'src1.example.com' THEN 12
+                               ELSE 8 END"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -26,13 +26,13 @@ step is a narrow codegen'd projection — no shuffle, linear at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.operators.graph import pagerank
 
 __all__ = ["canonicalize_url", "canonicalize_url_sql", "url_host",
-           "url_host_sql", "host_rank"]
+           "url_host_sql", "host_rank", "host_quota_sample"]
 
 _SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
 _PREFIX_RE = "^([^/?#]*://[^/?#]*)(.*)$"
@@ -178,3 +178,55 @@ def host_rank(pairs: DataFrame, doc_host: DataFrame, *,
              .filter(F.col("src") != F.col("dst")))
     return pagerank(edges, undirected=not directed, iters=iters,
                     damping=damping)
+
+
+def host_quota_sample(docs: DataFrame, quotas, *,
+                      host_col: str = "host", id_col: str = "doc_id",
+                      default_quota: int | None = None,
+                      seed: int = 0,
+                      rank_col: str = "host_rank_pos") -> DataFrame:
+    """Per-host document caps — the curation step that CONSUMES host
+    signals: web corpora cap docs per domain so no single host
+    dominates the mixture (the per-domain quota discipline of
+    C4/RefinedWeb-style pipelines), with the quota typically derived
+    from `host_rank` centrality or an allow-list. Keeps at most
+    quota(host) docs per host, selected by a SEEDED deterministic
+    md5 rank (same discipline as `corpus_mix`: the decision depends
+    only on (seed, doc id), never on partitioning or arrival order —
+    re-running the sample on a recrawl keeps the same docs).
+
+    ``quotas``: a (host, quota) DataFrame or a plain dict. Hosts with
+    no quota row keep ``default_quota`` docs (None = unlimited).
+    Docs whose host is NULL form their own group (null-safe join) —
+    give them an explicit NULL-host quota row to cap them. Adds
+    ``rank_col`` (the doc's 1-based rank within its host) on the
+    kept rows.
+
+    Scale shape: ONE hash exchange on the host (the ranking window)
+    plus a broadcast of the quota frame (|hosts| rows). A mega-host's
+    partition is bounded by sortWithinPartitions semantics — the
+    window sorts only that host's rows; pair with AQE skew handling
+    when one host is a double-digit fraction of the corpus."""
+    spark = docs.sparkSession
+    if isinstance(quotas, dict):
+        quotas = spark.createDataFrame(
+            [(h, int(q)) for h, q in quotas.items()],
+            f"{host_col} string, __quota long")
+    else:
+        cols = quotas.columns
+        quotas = quotas.select(F.col(cols[0]).alias(host_col),
+                               F.col(cols[1]).cast("long")
+                               .alias("__quota"))
+    w = (Window.partitionBy(host_col)
+         .orderBy(F.md5(F.concat_ws(":", F.lit(str(seed)),
+                                    F.col(id_col).cast("string"))),
+                  F.col(id_col)))
+    ranked = docs.withColumn(rank_col, F.row_number().over(w))
+    j = ranked.join(
+        F.broadcast(quotas.withColumnRenamed(host_col, "__qh")),
+        F.col(host_col).eqNullSafe(F.col("__qh")), "left").drop("__qh")
+    cap = (F.coalesce(F.col("__quota"),
+                      F.lit(default_quota).cast("long"))
+           if default_quota is not None else F.col("__quota"))
+    return (j.filter(cap.isNull() | (F.col(rank_col) <= cap))
+            .drop("__quota"))

@@ -146,6 +146,52 @@ def test_host_rank_directed_hyperlinks_with_dangling_host(spark):
     assert abs(sum(got.values()) - 1.0) < 0.001
 
 
+def test_host_quota_sample(spark):
+    """Per-host caps: quota respected per host, selection is a seeded
+    deterministic function of (seed, doc_id) — partitioning-proof and
+    stable across reruns; dict and DataFrame quota forms agree;
+    default_quota covers unlisted hosts; NULL hosts cap via an
+    explicit NULL row; no default = unlisted hosts unlimited."""
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_quota_sample,
+    )
+    rows = ([(i, "a") for i in range(10)]
+            + [(i + 100, "b") for i in range(6)]
+            + [(i + 200, None) for i in range(4)])
+    docs = spark.createDataFrame(rows, "doc_id long, host string")
+    got = host_quota_sample(docs, {"a": 3, "b": 5},
+                            default_quota=2, seed=7)
+    by_host = {}
+    for r in got.collect():
+        by_host.setdefault(r.host, set()).add(r.doc_id)
+        assert r.host_rank_pos <= {"a": 3, "b": 5}.get(r.host, 2)
+    assert len(by_host["a"]) == 3 and len(by_host["b"]) == 5
+    assert len(by_host[None]) == 2            # default covers NULL too
+    # deterministic: same seed -> same picks, regardless of layout
+    again = host_quota_sample(docs.repartition(7), {"a": 3, "b": 5},
+                              default_quota=2, seed=7)
+    assert {r.doc_id for r in again.collect()} == {
+        d for s in by_host.values() for d in s}
+    # a different seed picks a different 'a' subset (10 choose 3 —
+    # the md5 rank actually depends on the seed)
+    other = host_quota_sample(docs, {"a": 3, "b": 5},
+                              default_quota=2, seed=8)
+    a_other = {r.doc_id for r in other.collect() if r.host == "a"}
+    assert a_other != by_host["a"]
+    # DataFrame quota form == dict form
+    qdf = spark.createDataFrame([("a", 3), ("b", 5)],
+                                "host string, quota long")
+    dfq = host_quota_sample(docs, qdf, default_quota=2, seed=7)
+    assert ({r.doc_id for r in dfq.collect()}
+            == {d for s in by_host.values() for d in s})
+    # explicit NULL-host quota row; no default = unlimited others
+    qnull = spark.createDataFrame([(None, 1)],
+                                  "host string, quota long")
+    limited = host_quota_sample(docs, qnull, seed=7).collect()
+    assert sum(1 for r in limited if r.host is None) == 1
+    assert sum(1 for r in limited if r.host == "a") == 10  # unlimited
+
+
 def test_canonicalize_cross_engine_parity_on_generated_urls(spark):
     """The two dialect renderings must agree byte-for-byte on a seeded
     zoo of messy URLs (mixed-case schemes/hosts, repeated www, default
