@@ -494,3 +494,9 @@ def test_drift_monitor_never_rescans_reference(spark, tmp_path):
     assert len(rows) >= 2                # several epochs all succeeded
     assert all(r.n_cat_ref == 2 for r in rows)   # counts frame intact
     assert sum(r.n_rows for r in rows) == 40     # every batch compared
+    # neither a corpus nor a histogram = a usage error, caught early
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        start_drift_monitor_stream(stream, None, "event_type",
+                                   str(tmp_path / "m2"),
+                                   str(tmp_path / "ck2"))
