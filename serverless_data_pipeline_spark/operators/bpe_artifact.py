@@ -124,6 +124,18 @@ def load_artifact(path: str) -> tuple[list[tuple[str, str]], list[str]]:
         doc = json.load(fh)
     if doc.get("format") != "bpe-artifact-v1":
         raise ValueError(f"not a bpe artifact: {path}")
+    # the in-process END/UNK constants are what build_vocab will use —
+    # an artifact written with different markers would silently
+    # reconstruct a DIFFERENT vocab than the one saved, defeating the
+    # content-hashable-version contract (r9 ADVICE)
+    if doc.get("end_of_word") != END:
+        raise ValueError(
+            f"artifact end_of_word {doc.get('end_of_word')!r} != "
+            f"engine marker {END!r}: {path}")
+    if doc.get("unk") != UNK:
+        raise ValueError(
+            f"artifact unk {doc.get('unk')!r} != engine marker "
+            f"{UNK!r}: {path}")
     merges = [(l, r) for l, r in doc["merges"]]
     assert_rank_sequential_ok(merges)
     return merges, list(doc["base_chars"])

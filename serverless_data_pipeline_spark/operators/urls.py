@@ -217,6 +217,16 @@ def host_quota_sample(docs: DataFrame, quotas, *,
         quotas = quotas.select(F.col(cols[0]).alias(host_col),
                                F.col(cols[1]).cast("long")
                                .alias("__quota"))
+        # the quota frame must be one row per host — a duplicate host
+        # row would fan out the left join below and emit duplicate
+        # kept docs (the dict form can't express this; r9 ADVICE).
+        # |hosts| rows, so the check is a tiny aggregate.
+        dup = (quotas.groupBy(host_col).count()
+               .filter("count > 1").select(host_col).first())
+        if dup is not None:
+            raise ValueError(
+                f"duplicate quota rows for host {dup[0]!r} — "
+                "deduplicate the quota frame (one row per host)")
     w = (Window.partitionBy(host_col)
          .orderBy(F.md5(F.concat_ws(":", F.lit(str(seed)),
                                     F.col(id_col).cast("string"))),

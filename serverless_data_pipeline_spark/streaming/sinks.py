@@ -117,15 +117,20 @@ def redeliver_batch(batch: DataFrame, epoch_id: int, good_path: str,
     replay identically — which the queue-contract semantics already
     assume.
 
-    The whole ``epoch=E`` prefix is cleared BEFORE the attempt loop:
-    per-attempt overwrites alone only replace attempt dirs the replay
-    re-executes, so a replay running FEWER attempts (e.g.
-    ``max_receive_count`` lowered between runs, or every row now
-    succeeding earlier) would leave the first run's stale
-    higher-attempt dirs inside the epoch and re-surface duplicate rows
-    on read — the epoch-grain delete makes the epoch's contents
-    exactly the replay's output regardless of config drift."""
+    BOTH ``epoch=E`` prefixes (good AND dlq) are cleared BEFORE the
+    attempt loop: per-attempt overwrites alone only replace attempt
+    dirs the replay re-executes, so a replay running FEWER attempts
+    (``max_receive_count`` lowered, or every row now succeeding
+    earlier) would leave the first run's stale higher-attempt dirs
+    inside the good epoch — and symmetrically, a replay where
+    previously-DLQ'd rows now SUCCEED (``max_receive_count`` raised,
+    or a transient downstream recovered) would leave the first run's
+    stale DLQ epoch dir in place, surfacing the same row in both
+    sinks. The epoch-grain delete on both paths makes each epoch's
+    contents exactly the replay's output regardless of config
+    drift."""
     _delete_prefix(batch, f"{good_path}/epoch={int(epoch_id)}")
+    _delete_prefix(batch, f"{dlq_path}/epoch={int(epoch_id)}")
     pending = batch
     cached = []
     try:

@@ -386,6 +386,17 @@ def test_artifact_save_load_round_trip(tmp_path):
     with pytest.raises(ValueError):
         save_artifact(str(tmp_path / "x.json"),
                       merges=[("a", "bc"), ("ab", "c")])
+    # marker drift (r9 ADVICE): an artifact carrying non-default
+    # end_of_word/unk would reconstruct a DIFFERENT vocab than the one
+    # saved — load must reject it, not silently ignore the fields
+    import json as _json
+    doc = _json.load(open(p, encoding="utf-8"))
+    for field, bad in (("end_of_word", "<eow>"), ("unk", "[UNK]")):
+        mutated = dict(doc, **{field: bad})
+        bp = tmp_path / f"marker_{field}.json"
+        bp.write_text(_json.dumps(mutated), encoding="utf-8")
+        with pytest.raises(ValueError, match="engine marker"):
+            load_artifact(str(bp))
 
 
 def test_byte_fallback_oracle_fragment_parity(spark):

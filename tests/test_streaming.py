@@ -375,6 +375,15 @@ def test_redelivery_batch_replay_idempotent(spark, tmp_path):
     assert g2.agg(F.max("attempt")).first()[0] == 1
     d2 = spark.read.json(dlq)                     # transients now DLQ'd
     assert sorted(r.event_id for r in d2.collect()) == [3, 7, 13, 17]
+    # ...and the SYMMETRIC drift (r9 ADVICE): max_receive_count RAISED
+    # back — previously-DLQ'd transients now succeed, so the stale DLQ
+    # epoch dir must be cleared too or rows 3/13 would appear in BOTH
+    # sinks after the replay
+    redeliver_batch(batch, 0, good, dlq, succeeds_at, 3)
+    g3 = spark.read.parquet(good)
+    assert g3.count() == 18
+    d3 = spark.read.json(dlq)
+    assert sorted(r.event_id for r in d3.collect()) == [7, 17]
 
 
 def test_drift_monitor_stream_flags_and_replay(spark, tmp_path):

@@ -190,6 +190,12 @@ def test_host_quota_sample(spark):
     limited = host_quota_sample(docs, qnull, seed=7).collect()
     assert sum(1 for r in limited if r.host is None) == 1
     assert sum(1 for r in limited if r.host == "a") == 10  # unlimited
+    # duplicate host rows in the quota frame would fan out the join
+    # and emit duplicate kept docs — rejected up front (r9 ADVICE)
+    qdup = spark.createDataFrame([("a", 3), ("a", 5), ("b", 2)],
+                                 "host string, quota long")
+    with pytest.raises(ValueError, match="duplicate quota"):
+        host_quota_sample(docs, qdup, seed=7)
 
 
 def test_canonicalize_cross_engine_parity_on_generated_urls(spark):
