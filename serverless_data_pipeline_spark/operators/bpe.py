@@ -297,7 +297,8 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
 
 def bpe_decode_ids(df: DataFrame, ids_col: str,
                    vocab: dict[str, int], *,
-                   out_col: str = "decoded_text") -> DataFrame:
+                   out_col: str = "decoded_text",
+                   strict: bool = True) -> DataFrame:
     """Detokenize an ``array<int>`` id column back to text — the
     inspection/debugging path every real tokenizer ships next to
     encode. Exact inverse of ``bpe_encode_ids`` over normalized input
@@ -309,6 +310,17 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
     whitespace-normalized lowercase of ``text``. UNK id 0 renders as
     the literal ``<unk>`` (the information byte fallback exists to
     preserve is already gone).
+
+    Ids absent from the vocab (a corrupted or mismatched ids file):
+
+    - ``strict=True`` (default) — the job FAILS with the offending id
+      in the error message. The alternative — ``element_at`` → NULL
+      propagating through the concat fold — would silently NULL the
+      whole doc's decode, i.e. corrupted data vanishing instead of
+      erroring (r9 verdict #4).
+    - ``strict=False`` — the unknown id renders as the literal
+      ``<unk>`` placeholder and decode proceeds (the triage mode for
+      inspecting a partially-corrupt ids table).
 
     JVM-side throughout: one foldable id→bytes map literal, one
     ``aggregate`` binary concat, one ``decode`` — a narrow projection,
@@ -323,8 +335,18 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
             # the word boundary
             pieces.append((i, tok.replace(END, " ").encode("utf-8")))
     m = F.create_map(*[F.lit(x) for i, b in pieces for x in (i, b)])
+    if strict:
+        def piece_of(i):
+            return F.coalesce(
+                F.element_at(m, i),
+                F.raise_error(F.concat(
+                    F.lit("bpe_decode_ids: id not in vocab: "),
+                    i.cast("string"))).cast("binary"))
+    else:
+        def piece_of(i):
+            return F.coalesce(F.element_at(m, i), F.lit(b"<unk>"))
     joined = F.aggregate(
         F.col(ids_col), F.lit(b""),
-        lambda acc, i: F.concat(acc, F.element_at(m, i)))
+        lambda acc, i: F.concat(acc, piece_of(i)))
     return df.withColumn(
         out_col, F.rtrim(F.decode(joined, "UTF-8")))

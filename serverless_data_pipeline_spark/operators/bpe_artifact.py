@@ -90,9 +90,35 @@ def assert_rank_sequential_ok(
             "equivalent to the canonical rescan for this merge list")
 
 
+def _fs_write_bytes(spark, path: str, data: bytes) -> None:
+    """Write bytes through the JVM Hadoop FileSystem — the boundary a
+    cluster driver ships artifacts across (file:, s3a:, abfs:, hdfs:
+    all resolve through the same API). Same pattern as
+    ``streaming.sinks._delete_prefix``."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
+def _fs_read_bytes(spark, path: str) -> bytes:
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        return bytes(spark._jvm.org.apache.commons.io.IOUtils
+                     .toByteArray(stream))
+    finally:
+        stream.close()
+
+
 def save_artifact(path: str,
                   merges: list[tuple[str, str]] | None = None,
-                  base_chars: list[str] | None = None) -> None:
+                  base_chars: list[str] | None = None, *,
+                  spark=None) -> None:
     """Write the tokenizer artifact as one JSON file — the
     version-and-ship step after ``train_bpe``. The file holds exactly
     the constants the vocab derives from (merges in rank order + base
@@ -100,28 +126,45 @@ def save_artifact(path: str,
     reconstructs the identical token→id map. Validated on write (the
     rank-sequential guard), UTF-8, sorted keys — byte-stable for the
     same artifact, so the file itself can be content-hashed as the
-    tokenizer version id."""
+    tokenizer version id.
+
+    ``spark`` — when given, the write goes through the JVM Hadoop
+    FileSystem, so ``path`` may be any Hadoop URI (``file:``,
+    ``s3a://``, ``abfs://``, ``hdfs://``): a cluster driver ships the
+    tokenizer to the object store next to the data, not to executor-
+    local disk. Without it, a plain local ``open()``. Byte-identical
+    output either way."""
     import json
 
     merges = COMMITTED_MERGES if merges is None else merges
     base_chars = BPE_BASE_CHARS if base_chars is None else base_chars
     assert_rank_sequential_ok(merges)
-    with open(path, "w", encoding="utf-8") as fh:
-        json.dump({"format": "bpe-artifact-v1",
-                   "end_of_word": END,
-                   "unk": UNK,
-                   "base_chars": list(base_chars),
-                   "merges": [[l, r] for l, r in merges]},
-                  fh, ensure_ascii=False, sort_keys=True, indent=1)
+    payload = json.dumps({"format": "bpe-artifact-v1",
+                          "end_of_word": END,
+                          "unk": UNK,
+                          "base_chars": list(base_chars),
+                          "merges": [[l, r] for l, r in merges]},
+                         ensure_ascii=False, sort_keys=True, indent=1)
+    if spark is not None:
+        _fs_write_bytes(spark, path, payload.encode("utf-8"))
+    else:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(payload)
 
 
-def load_artifact(path: str) -> tuple[list[tuple[str, str]], list[str]]:
+def load_artifact(path: str, *,
+                  spark=None) -> tuple[list[tuple[str, str]], list[str]]:
     """Read a ``save_artifact`` file back as (merges, base_chars),
-    re-validated — feed straight into ``build_vocab``/``bpe_encode_ids``."""
+    re-validated — feed straight into ``build_vocab``/``bpe_encode_ids``.
+    ``spark`` routes the read through the Hadoop FS (any ``file:``/
+    object-store URI), mirroring ``save_artifact``."""
     import json
 
-    with open(path, encoding="utf-8") as fh:
-        doc = json.load(fh)
+    if spark is not None:
+        doc = json.loads(_fs_read_bytes(spark, path).decode("utf-8"))
+    else:
+        with open(path, encoding="utf-8") as fh:
+            doc = json.load(fh)
     if doc.get("format") != "bpe-artifact-v1":
         raise ValueError(f"not a bpe artifact: {path}")
     # the in-process END/UNK constants are what build_vocab will use —

@@ -399,6 +399,52 @@ def test_artifact_save_load_round_trip(tmp_path):
             load_artifact(str(bp))
 
 
+def test_artifact_hadoop_fs_round_trip(spark, tmp_path):
+    """Artifact I/O through the JVM Hadoop FileSystem (the object-store
+    boundary a cluster driver ships tokenizers across): a ``file:`` URI
+    round-trips byte-identically to the local-open path (r9 verdict
+    #5), and load via the FS enforces the same validations."""
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        load_artifact, save_artifact,
+    )
+    local = str(tmp_path / "tok_local.json")
+    save_artifact(local)
+    uri = f"file:{tmp_path}/tok_fs.json"
+    save_artifact(uri, spark=spark)
+    # byte-stable across the two write paths (content-hash contract)
+    assert (open(local, "rb").read()
+            == open(str(tmp_path / "tok_fs.json"), "rb").read())
+    merges, base = load_artifact(uri, spark=spark)
+    assert merges == COMMITTED_MERGES and base == BPE_BASE_CHARS
+    assert build_vocab(merges, base) == build_vocab()
+
+
+def test_bpe_decode_strict_vs_lenient(spark):
+    """Unknown ids in decode (r9 verdict #4): strict (default) FAILS
+    with the offending id — corrupted ids files must error, not vanish
+    via NULL-propagating concat; strict=False substitutes the literal
+    <unk> and keeps going."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids,
+    )
+    v = build_vocab()
+    good_ids = [v["s"], v["can</w>"]]
+    bad = spark.createDataFrame(
+        [(1, good_ids), (2, good_ids + [999_999])],
+        "id int, token_ids array<int>")
+    with pytest.raises(Exception, match="id not in vocab: 999999"):
+        bpe_decode_ids(bad, "token_ids", v).collect()
+    lenient = {r.id: r.decoded_text
+               for r in bpe_decode_ids(bad, "token_ids", v,
+                                       strict=False).collect()}
+    assert lenient[1] == "scan"
+    assert lenient[2] == "scan <unk>"
+    # valid ids decode identically under both modes
+    strict_ok = bpe_decode_ids(bad.filter("id = 1"), "token_ids",
+                               v).first().decoded_text
+    assert strict_ok == "scan"
+
+
 def test_byte_fallback_oracle_fragment_parity(spark):
     """The driver oracle expands OOV symbols arithmetically in DuckDB
     (hex(encode(tok)) -> strpos base-16 digits); that rendering must
