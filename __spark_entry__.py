@@ -2009,6 +2009,7 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # packed bins) and t5 the dataset-version drift report —
         # attribute both
         "x8_corpus_utils.tok": _x8_flavour_tok,
+        "x8_corpus_utils.rtok": _x8_flavour_rtok,
         "t5_quality_score.drift": _t5_flavour_drift,
         "x2_dedup_clusters.hostrank": _x2_flavour_hostrank,
         # r9: the directed (hyperlink-semantics) host-rank sibling
@@ -2107,6 +2108,26 @@ def _x8_flavour_tok(spark, sf):
     return pack_bins(encd.withColumn("ntok", F.size("token_ids")),
                      "doc_id", None, budget=1024, n_shards=8,
                      weight_col="ntok")
+
+
+def _x8_flavour_rtok(spark, sf):
+    # times exactly the r10 rtok arm's plan: raw-mode encode over the
+    # planted case/whitespace text, raw decode, round-trip compare
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        COMMITTED_MERGES, build_vocab,
+    )
+    rencd = bpe_encode_ids(
+        _t(spark, sf, "documents")
+        .select("doc_id", F.expr(_X8_RAW_TEXT_SQL).alias("text")),
+        "text", COMMITTED_MERGES, build_vocab(),
+        byte_fallback=True, raw=True, unk_col="unk_rate")
+    return (bpe_decode_ids(rencd, "token_ids", build_vocab(),
+                           raw=True, out_col="__rt")
+            .select("doc_id", F.size("token_ids").alias("ntok"),
+                    (F.col("__rt") == F.col("text")).alias("rt_ok")))
 
 
 def _x3_flavour_hardneg(spark, sf):
@@ -2818,12 +2839,47 @@ def _q_x8_corpus_utils(spark, sf):
                    F.col("shard").cast("long").alias("a"),
                    F.col("bin_id").cast("long").alias("b"),
                    F.col("c").cast("long").alias("c"), "h"))
+    # rtok arm (r10 — raw-text tokenizer fidelity): the LOSSLESS
+    # byte-level mode over text with planted mixed case, tabs,
+    # newlines and whitespace runs (_X8_RAW_TEXT_SQL, derived
+    # identically in both engines). Per doc:
+    #   a = n token ids (whitespace/uppercase symbols byte-expand),
+    #   b = the EXACT-RAW ROUND-TRIP LAW — 1 iff
+    #       bpe_decode_ids(raw=True) reproduces the raw input
+    #       byte-for-byte (the oracle emits constant 1, so the value
+    #       check FAILS if any doc's round trip breaks),
+    #   c = round6 byte-escape rate in micro-units,
+    #   h = md5 of the comma-joined id stream, independently replayed
+    #       by the oracle's raw merge recursion (no END marker, case
+    #       preserved, explicit whitespace byte tokens).
+    # Narrow from encode to union — no new exchange.
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids,
+    )
+    rencd = bpe_encode_ids(
+        docs.select("doc_id", F.expr(_X8_RAW_TEXT_SQL).alias("text")),
+        "text", COMMITTED_MERGES, build_vocab(),
+        byte_fallback=True, raw=True, unk_col="unk_rate")
+    rtok = (bpe_decode_ids(rencd, "token_ids", build_vocab(),
+                           raw=True, out_col="__rt")
+            .select(
+                F.lit("rtok").alias("kind"), "doc_id",
+                F.size("token_ids").cast("long").alias("a"),
+                F.when(F.col("text").isNull(), F.lit(1).cast("long"))
+                 .otherwise((F.col("__rt") == F.col("text"))
+                            .cast("long")).alias("b"),
+                F.round(F.col("unk_rate") * 1000000).cast("long")
+                 .alias("c"),
+                F.md5(F.array_join(
+                    F.transform("token_ids",
+                                lambda i: i.cast("string")), ",")
+                      .cast("binary")).alias("h")))
     return (vocab.unionAll(pack).unionAll(bins).unionAll(chunk)
             .unionAll(mix)
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
             .unionAll(sheet2).unionAll(jac).unionAll(diff)
-            .unionAll(tok).unionAll(ids))
+            .unionAll(tok).unionAll(ids).unionAll(rtok))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -3230,6 +3286,25 @@ _X8_TOK_TEXT_SQL = (
     "text || ' 42 $9.99 (a-b_c) [v' || (doc_id % 10) || '.0]! "
     "café 汉' || CASE WHEN doc_id % 3 = 0 "
     "THEN ' \U0001f642' ELSE ' +1;' END")
+
+# x8 rtok arm input (r10 — raw-text tokenizer fidelity): the fixture
+# text with planted MIXED CASE, a tab, a newline, double spaces, and
+# leading/variable-trailing whitespace — everything the normalized
+# tok arm destroys and raw mode must carry byte-for-byte. chr(9)/
+# chr(10) render identically in both engines, so the derivation stays
+# engine-identical by construction.
+_X8_RAW_TEXT_SQL = (
+    "' Lead ' || text || ' MiXeD CASE' || chr(9) || 'tab  two-sp' "
+    "|| chr(10) || '42 $9.99 (A-b_C)! café 汉' "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' \U0001f642' ELSE ' +1;' END "
+    "|| CASE WHEN doc_id % 2 = 0 THEN '  ' ELSE chr(10) END")
+
+# the raw pretokenizer's piece regex (one ASCII-whitespace char OR a
+# maximal non-whitespace run), built with chr() so the oracle string
+# holds no literal control characters
+_RAW_WS_SQL = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+_RAW_PIECE_PAT = (f"'[' || {_RAW_WS_SQL} || ']|[^' || {_RAW_WS_SQL} "
+                  "|| ']+'")
 
 # x2 url/hostrank arms (r8): ONE messy-URL derivation, valid in both
 # engines verbatim (|| auto-casts the numeric operands in each), so
@@ -4807,7 +4882,100 @@ def oracle_sql() -> dict[str, str]:
                                 THEN nb.n_tokens
                                 ELSE nf.fill + nb.n_tokens END
                     FROM bnf nf JOIN bnfb nb
-                      ON nb.shard = nf.shard AND nb.rn = nf.rn + 1)
+                      ON nb.shard = nf.shard AND nb.rn = nf.rn + 1),
+                  -- rtok arm (r10): raw-mode replay. Pieces = one
+                  -- whitespace char OR a maximal non-whitespace run
+                  -- (the raw pretokenizer); words replay the merge
+                  -- recursion WITHOUT the end-of-word marker and with
+                  -- case preserved; whitespace pieces byte-expand
+                  -- directly (always out-of-vocab by design). The
+                  -- Spark arm's b column asserts decode(encode(x))==x
+                  -- per doc; the oracle emits constant 1 so the value
+                  -- check fails if the law breaks anywhere.
+                  rtxt AS (
+                    SELECT doc_id, {_X8_RAW_TEXT_SQL} AS text
+                    FROM documents),
+                  rpiece AS (
+                    SELECT doc_id, unnest(range(1, len(ps) + 1)) AS p,
+                           unnest(ps) AS pc
+                    FROM (SELECT doc_id,
+                                 regexp_extract_all(
+                                     text, {_RAW_PIECE_PAT}) AS ps
+                          FROM rtxt)),
+                  rpiecef AS (
+                    SELECT doc_id, p, pc,
+                           (pc IN (' ', chr(9), chr(10), chr(11),
+                                   chr(12), chr(13))) AS is_ws
+                    FROM rpiece),
+                  rwseed AS (
+                    SELECT w,
+                           chr(1) || array_to_string(
+                               string_split(w, ''),
+                               chr(2) || ' ' || chr(1))
+                                  || chr(2) AS s
+                    FROM (SELECT DISTINCT pc AS w FROM rpiecef
+                          WHERE NOT is_ws)),
+                  renc AS (
+                    SELECT w, 0 AS rk, s FROM rwseed
+                    UNION ALL
+                    SELECT e.w, e.rk + 1, replace(e.s, m.pat, m.rep)
+                    FROM renc e
+                    JOIN (SELECT * FROM ({_BPE_MERGES_SQL})
+                          t(rk, pat, rep)) m ON m.rk = e.rk),
+                  rwtok AS (
+                    SELECT w,
+                           unnest(range(1, len(string_split(s, ' '))
+                                           + 1)) AS p,
+                           unnest(list_transform(
+                               string_split(s, ' '),
+                               t -> replace(replace(t, chr(1), ''),
+                                            chr(2), ''))) AS tok
+                    FROM renc WHERE rk = {_BPE_NM}),
+                  rwids AS (
+                    SELECT w,
+                           string_agg(
+                               CASE WHEN v.id IS NOT NULL
+                                    THEN CAST(v.id AS VARCHAR)
+                                    ELSE {_bpe_fallback_idstr_duckdb(
+                                        'rwtok.tok')} END,
+                               ',' ORDER BY p) AS idstr,
+                           CAST(SUM(CASE WHEN v.id IS NOT NULL THEN 1
+                                    ELSE octet_length(encode(rwtok.tok))
+                                    END) AS BIGINT) AS ntok,
+                           CAST(SUM(CASE WHEN v.id IS NULL THEN 1
+                                    ELSE 0 END) AS BIGINT) AS noov,
+                           CAST(COUNT(*) AS BIGINT) AS nsym
+                    FROM rwtok
+                    LEFT JOIN (SELECT * FROM ({_BPE_VOCAB_SQL})
+                               t(tok, id)) v ON v.tok = rwtok.tok
+                    GROUP BY w),
+                  rdoc0 AS (
+                    SELECT pp.doc_id,
+                           string_agg(
+                               CASE WHEN pp.is_ws
+                                    THEN {_bpe_fallback_idstr_duckdb(
+                                        'pp.pc')}
+                                    ELSE wi.idstr END,
+                               ',' ORDER BY pp.p) AS ids,
+                           CAST(SUM(CASE WHEN pp.is_ws THEN 1
+                                    ELSE wi.ntok END) AS BIGINT)
+                               AS n_tokens,
+                           CAST(SUM(CASE WHEN pp.is_ws THEN 1
+                                    ELSE wi.noov END) AS BIGINT)
+                               AS noov,
+                           CAST(SUM(CASE WHEN pp.is_ws THEN 1
+                                    ELSE wi.nsym END) AS BIGINT)
+                               AS nsym
+                    FROM rpiecef pp
+                    LEFT JOIN rwids wi
+                      ON NOT pp.is_ws AND wi.w = pp.pc
+                    GROUP BY pp.doc_id),
+                  rdoc AS (
+                    SELECT d.doc_id, COALESCE(b.ids, '') AS ids,
+                           COALESCE(b.n_tokens, 0) AS n_tokens,
+                           COALESCE(b.noov, 0) AS noov,
+                           COALESCE(b.nsym, 0) AS nsym
+                    FROM documents d LEFT JOIN rdoc0 b USING (doc_id))
                   SELECT 'tok' AS kind, doc_id, n_tokens AS a,
                          -- unk_rate micro-units: round6 of noov/nsym
                          -- (0.0 for symbol-less docs), then * 1e6 and
@@ -4824,7 +4992,17 @@ def oracle_sql() -> dict[str, str]:
                          nf.bin_id, CAST(SUM(nf.n_tokens) AS BIGINT),
                          md5(string_agg(d.ids, ',' ORDER BY nf.doc_id))
                   FROM bnf nf JOIN bdids d USING (doc_id)
-                  GROUP BY nf.shard, nf.bin_id)""",
+                  GROUP BY nf.shard, nf.bin_id
+                  UNION ALL
+                  SELECT 'rtok', doc_id, n_tokens AS a,
+                         CAST(1 AS BIGINT) AS b,
+                         CASE WHEN nsym > 0
+                              THEN CAST(ROUND(ROUND(CAST(noov AS DOUBLE)
+                                                    / nsym, 6) * 1000000)
+                                        AS BIGINT)
+                              ELSE 0 END AS c,
+                         md5(ids) AS h
+                  FROM rdoc)""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,

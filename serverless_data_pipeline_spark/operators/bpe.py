@@ -152,14 +152,42 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     return merges
 
 
+_RAW_WS = " \t\n\x0b\f\r"
+_RAW_PIECE_RE = re.compile(
+    "[" + _RAW_WS + "]|[^" + _RAW_WS + "]+")
+
+
 def bpe_encode(df: DataFrame, text_col: str,
                merges: list[tuple[str, str]], *,
-               out_col: str = "bpe_tokens") -> DataFrame:
+               out_col: str = "bpe_tokens",
+               raw: bool = False) -> DataFrame:
     """Apply a learned merge list: adds ``out_col`` (array<string> of
     subword units, END-marked). Arrow-batched pandas UDF — the merge
     loop is inherently sequential per word, so this is the honest
     Python boundary (same loop a C++ tokenizer runs), amortized over
-    Arrow batches; one narrow pass, no shuffle."""
+    Arrow batches; one narrow pass, no shuffle.
+
+    ``raw=True`` (r9 verdict #1) is the LOSSLESS pretokenization mode
+    — the byte-level discipline of GPT-2/SentencePiece tokenizers,
+    where decode(encode(x)) must equal x over RAW text:
+
+    - no lowercasing, no whitespace collapse — every input character
+      reaches the symbol stream;
+    - each ASCII-whitespace character is its own standalone symbol
+      (out-of-vocab by construction, so it id-encodes as its UTF-8
+      byte token under ``byte_fallback``);
+    - words (maximal non-whitespace runs) run the same greedy merge
+      loop but WITHOUT the end-of-word marker appended — the word
+      boundary is carried by the explicit whitespace symbols, not by
+      ``</w>``, so no information is invented or dropped.
+
+    Merges learned over normalized text still apply verbatim (a
+    lowercase pair simply never fires inside an uppercase span, and
+    ``</w>``-bearing merges never fire at all since no symbol can
+    equal the marker); compression is accordingly lower than in
+    normalized mode — a merge list trained for raw service plugs in
+    the same way. Concatenating a raw symbol stream reproduces the
+    input text byte-for-byte."""
     ranks = {tuple(m): i for i, m in enumerate(merges)}
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -172,7 +200,7 @@ def bpe_encode(df: DataFrame, text_col: str,
             got = cache.get(w)
             if got is not None:
                 return got
-            sym = list(w) + [END]
+            sym = list(w) if raw else list(w) + [END]
             while len(sym) > 1:
                 # canonical algorithm: find the EARLIEST-learned pair
                 # present, merge all its occurrences left-to-right,
@@ -204,6 +232,16 @@ def bpe_encode(df: DataFrame, text_col: str,
             if text is None:
                 return []
             toks: list[str] = []
+            if raw:
+                # alternating whitespace-char / word pieces cover every
+                # character of the input exactly once, in order — the
+                # round-trip invariant is structural
+                for piece in _RAW_PIECE_RE.findall(text):
+                    if piece in _RAW_WS:
+                        toks.append(piece)
+                    else:
+                        toks.extend(enc_word(piece))
+                return toks
             # split on ASCII whitespace only — the exact Java-regex \s+
             # class tokens() trained the merges over; Python's
             # str.split() is Unicode-aware and would diverge on e.g.
@@ -225,7 +263,8 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
                    out_col: str = "token_ids",
                    sym_col: str | None = None,
                    byte_fallback: bool = False,
-                   unk_col: str | None = None) -> DataFrame:
+                   unk_col: str | None = None,
+                   raw: bool = False) -> DataFrame:
     """Encode to integer token ids — the tokenizer's ACTUAL output
     artifact (what a pretraining pipeline packs and trains on). Adds
     ``out_col`` (array<int>). Keeps the subword-string column too when
@@ -247,12 +286,25 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
       the dashboard metric a curator watches whichever fallback mode
       is on (under byte_fallback it reads as the byte-escape rate).
 
+    ``raw=True`` — lossless byte-level pretokenization (see
+    ``bpe_encode``): case and every whitespace character survive as
+    symbols, so ``bpe_decode_ids(..., raw=True)`` reproduces the raw
+    input exactly. Requires ``byte_fallback`` (whitespace and
+    uppercase symbols are out-of-vocab by design and MUST byte-escape
+    — mapping them to UNK would destroy the very information raw mode
+    exists to keep); ``unk_col`` then reads as the byte-escape rate.
+
     The id lookup is a JVM-side ``transform`` over a foldable map
     literal (vocab files are small — base alphabet + one entry per
     merge + the byte inventory), so the only Python boundary stays the
     merge loop inside ``bpe_encode``."""
+    if raw and not byte_fallback:
+        raise ValueError(
+            "raw=True requires byte_fallback=True: whitespace and "
+            "case symbols are out-of-vocab and must byte-escape for "
+            "the raw round trip to hold")
     keep = sym_col or "__bpe_sym"
-    enc = bpe_encode(df, text_col, merges, out_col=keep)
+    enc = bpe_encode(df, text_col, merges, out_col=keep, raw=raw)
     vmap = F.create_map(*[F.lit(x) for t, i in vocab.items()
                           for x in (t, i)])
     if byte_fallback:
@@ -298,7 +350,8 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
 def bpe_decode_ids(df: DataFrame, ids_col: str,
                    vocab: dict[str, int], *,
                    out_col: str = "decoded_text",
-                   strict: bool = True) -> DataFrame:
+                   strict: bool = True,
+                   raw: bool = False) -> DataFrame:
     """Detokenize an ``array<int>`` id column back to text — the
     inspection/debugging path every real tokenizer ships next to
     encode. Exact inverse of ``bpe_encode_ids`` over normalized input
@@ -322,6 +375,13 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
       ``<unk>`` placeholder and decode proceeds (the triage mode for
       inspecting a partially-corrupt ids table).
 
+    ``raw=True`` decodes a stream produced by ``bpe_encode_ids(...,
+    raw=True)``: tokens render as their EXACT UTF-8 bytes (no
+    end-of-word→space rewrite — raw streams carry word boundaries as
+    explicit whitespace byte tokens and can never contain a marker
+    token) and nothing is trimmed, so the output is byte-for-byte the
+    original raw text — the exact round-trip law, pytest-pinned.
+
     JVM-side throughout: one foldable id→bytes map literal, one
     ``aggregate`` binary concat, one ``decode`` — a narrow projection,
     no Python, no shuffle."""
@@ -329,6 +389,8 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
     for tok, i in vocab.items():
         if tok.startswith("<0x") and tok.endswith(">") and len(tok) == 6:
             pieces.append((i, bytes([int(tok[3:5], 16)])))
+        elif raw:
+            pieces.append((i, tok.encode("utf-8")))
         else:
             # the end-of-word marker appears standalone AND as the
             # suffix of merged tokens ("scan</w>") — both render as
@@ -348,5 +410,5 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
     joined = F.aggregate(
         F.col(ids_col), F.lit(b""),
         lambda acc, i: F.concat(acc, piece_of(i)))
-    return df.withColumn(
-        out_col, F.rtrim(F.decode(joined, "UTF-8")))
+    text = F.decode(joined, "UTF-8")
+    return df.withColumn(out_col, text if raw else F.rtrim(text))

@@ -399,6 +399,79 @@ def test_artifact_save_load_round_trip(tmp_path):
             load_artifact(str(bp))
 
 
+_RAW_ZOO = [
+    "Hello World",                      # case survives
+    "two  spaces\tand a tab",           # whitespace runs survive
+    "  leading and trailing  ",
+    "line\none\n\nline two\r\n",
+    "MiXeD CaSe 42 $9.99 (A-b_C)!",
+    "literal </w> marker in text",      # marker chars are just chars
+    "café 汉字 \U0001f642 €5",            # multi-byte UTF-8
+    "nbsp inside",                 # unicode ws is a word char
+    "a scan low lower colu",            # words the merges DO compress
+    "", " ", " \t\n ", "x",
+    " ".join(_OOV_ZOO),
+]
+
+
+def test_bpe_raw_mode_exact_round_trip(spark):
+    """The raw-text tokenizer law (r9 verdict #1): with raw=True,
+    decode(encode(x)) == x BYTE-FOR-BYTE over raw text — case,
+    whitespace runs, leading/trailing whitespace, newlines/tabs,
+    literal marker text and arbitrary Unicode all survive; and the
+    symbol stream itself concatenates back to the input (the
+    structural invariant behind the law). Normalized mode on the same
+    texts round-trips only the normalized form — pinned side-by-side
+    so the modes can't silently swap."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode, bpe_encode_ids,
+    )
+    v = build_vocab()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_RAW_ZOO)] + [(999, None)],
+        "id int, text string")
+    enc = bpe_encode_ids(df, "text", COMMITTED_MERGES, v,
+                         byte_fallback=True, raw=True,
+                         sym_col="sym", unk_col="unk_rate")
+    out = bpe_decode_ids(enc, "token_ids", v, raw=True)
+    got = {r.id: r for r in out.collect()}
+    for i, t in enumerate(_RAW_ZOO):
+        assert got[i].decoded_text == t, repr(t)
+        assert "".join(got[i].sym) == t, repr(t)   # structural law
+        # no symbol ever maps to UNK id 0 under byte fallback
+        assert 0 not in got[i].token_ids
+    assert got[999].decoded_text == ""             # null -> empty stream
+    # whitespace/uppercase symbols byte-escape: the unk_rate column is
+    # the byte-escape rate (> 0 whenever the text deviates from the
+    # normalized form, 0 for purely in-vocab text)
+    assert got[8].unk_rate > 0                     # spaces escape
+    lowered = bpe_encode_ids(
+        spark.createDataFrame([("lower",)], "text string"),
+        "text", COMMITTED_MERGES, v, byte_fallback=True, raw=True,
+        unk_col="u").first()
+    assert lowered.u == 0.0
+    # END-free merges (ow, er) still fire on lowercase spans in raw
+    # mode — raw mode compresses, not just escapes (END-dependent
+    # merges like scan</w> never fire: no symbol can equal the marker)
+    assert len(lowered.token_ids) < len("lower")
+    # normalized mode, same zoo: round trip equals the NORMALIZED text
+    norm = bpe_decode_ids(
+        bpe_encode_ids(df.filter("id = 4"), "text", COMMITTED_MERGES,
+                       v, byte_fallback=True),
+        "token_ids", v).first().decoded_text
+    assert norm == "mixed case 42 $9.99 (a-b_c)!"
+    # raw mode without byte_fallback cannot hold the law -> rejected
+    with pytest.raises(ValueError, match="byte_fallback"):
+        bpe_encode_ids(df, "text", COMMITTED_MERGES, v, raw=True)
+    # bpe_encode raw symbol streams: whitespace chars are standalone
+    # symbols, words carry no END marker
+    syms = bpe_encode(
+        spark.createDataFrame([("A  b\tc",)], "text string"),
+        "text", COMMITTED_MERGES, raw=True).first().bpe_tokens
+    assert syms == ["A", " ", " ", "b", "\t", "c"]
+    assert not any(END in s for s in syms)
+
+
 def test_artifact_hadoop_fs_round_trip(spark, tmp_path):
     """Artifact I/O through the JVM Hadoop FileSystem (the object-store
     boundary a cluster driver ships tokenizers across): a ``file:`` URI
