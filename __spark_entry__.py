@@ -1318,6 +1318,35 @@ def _q_streaming_ops_suite(spark, sf):
     mhot = _mrows(base + "/mdrift_hot", "mdrift_hot")
     mok = _mrows(base + "/mdrift_ok", "mdrift_ok")
 
+    # mdrift_num arm (r10 verdict #2): NUMERIC profile drift in the
+    # monitor — the reference carries a planted mean shift (+10) and
+    # null surge (every 4th id) on `value` (_MDRIFT_NUM_REF_SQL, same
+    # derivation text both engines) while its event_type mix matches
+    # the stream exactly, so the row must read categorical-stable
+    # (psi 0) but numeric-drifted, with BOTH max-abs deltas
+    # value-checked: event_type = numdrift|numstable, value =
+    # max_abs_vavg_delta, attempts = micro-units of
+    # max_abs_null_frac_delta. The reference profile is aggregated
+    # ONCE at stream start (no-rescan pinned in pytest).
+    ref_num = ev_static.select(
+        "event_type", F.expr(_MDRIFT_NUM_REF_SQL).alias("value"))
+    qm3 = start_drift_monitor_stream(
+        _events_readstream(spark, sf), ref_num,
+        "event_type", base + "/mdrift_num", base + "/ckm3",
+        numeric_cols=["value"], trigger={"availableNow": True})
+    qm3.awaitTermination(300)
+    mnum = (spark.read.parquet(base + "/mdrift_num")
+            .select(F.lit("mdrift_num").alias("kind"),
+                    F.col("epoch").cast("long").alias("event_id"),
+                    F.col("n_categories").cast("long")
+                    .alias("user_id"),
+                    F.when(F.col("numeric_drifted"),
+                           F.lit("numdrift"))
+                    .otherwise(F.lit("numstable")).alias("event_type"),
+                    F.col("max_abs_vavg_delta").alias("value"),
+                    F.round(F.col("max_abs_null_frac_delta")
+                            * 1000000).cast("long").alias("attempts")))
+
     land, out4, ck4 = base + "/late_land", base + "/late_out", base + "/ck4"
     evs = _t(spark, sf, "events").select("ts", "value")
     evs.write.parquet(land)
@@ -1345,7 +1374,7 @@ def _q_streaming_ops_suite(spark, sf):
                     F.col("sum_value").alias("value"), natt))
     return (good.unionAll(bad).unionAll(st2).unionAll(late)
             .unionAll(dgood).unionAll(ddead).unionAll(enrich)
-            .unionAll(mhot).unionAll(mok))
+            .unionAll(mhot).unionAll(mok).unionAll(mnum))
 
 
 def _q_s8_s9_suite(spark, sf):
@@ -3305,6 +3334,14 @@ _X8_RAW_TEXT_SQL = (
 _RAW_WS_SQL = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
 _RAW_PIECE_PAT = (f"'[' || {_RAW_WS_SQL} || ']|[^' || {_RAW_WS_SQL} "
                   "|| ']+'")
+
+# streaming_ops mdrift_num arm (r10): the numeric-drift reference's
+# value derivation — a planted mean shift (+10.0) and null surge
+# (every 4th id NULL) relative to the stream — identical text in both
+# engines, so the profile deltas are value-checkable by construction.
+_MDRIFT_NUM_REF_SQL = (
+    "CASE WHEN event_id % 4 = 0 THEN CAST(NULL AS DOUBLE) "
+    "ELSE value + 10.0 END")
 
 # x2 url/hostrank arms (r8): ONE messy-URL derivation, valid in both
 # engines verbatim (|| auto-casts the numeric operands in each), so
@@ -5352,7 +5389,44 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_mixterms_sql(
                   'event_type',
                   a_from='(SELECT event_type FROM events)',
-                  b_from='(SELECT event_type FROM events)')}))""",
+                  b_from='(SELECT event_type FROM events)')}))
+            UNION ALL
+            -- mdrift_num arm (r10): numeric profile drift — the
+            -- reference's value carries the planted +10 mean shift
+            -- and 1-in-4 null surge; deltas mirror profile_columns'
+            -- micro-unit vavg and round-6 null_frac verbatim (the
+            -- _drift_col_sql discipline), batch-minus-reference,
+            -- then abs (the monitor's max over ONE watched column)
+            SELECT 'mdrift_num' AS kind, CAST(0 AS BIGINT) AS event_id,
+                   (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                    FROM events) AS user_id,
+                   CASE WHEN ABS(nfd) > 0.05 OR ABS(vad) > 1.0
+                        THEN 'numdrift' ELSE 'numstable' END
+                       AS event_type,
+                   ABS(vad) AS value,
+                   CAST(ROUND(ABS(nfd) * 1000000) AS BIGINT)
+                       AS attempts
+            FROM (
+              SELECT ROUND(ROUND(CAST(b.nr - b.nn AS DOUBLE) / b.nr, 6)
+                           - ROUND(CAST(a.nr - a.nn AS DOUBLE)
+                                   / a.nr, 6), 6) AS nfd,
+                     ROUND(b.va - a.va, 6) AS vad
+              FROM (SELECT COUNT(*) AS nr, COUNT(v) AS nn,
+                           ROUND(CAST(SUM(CAST(ROUND(v * 1000000)
+                                              AS DECIMAL(38,0)))
+                                      AS DOUBLE)
+                                 / (CAST(COUNT(v) AS DOUBLE) * 1e6), 6)
+                               AS va
+                    FROM (SELECT {_MDRIFT_NUM_REF_SQL} AS v
+                          FROM events)) a
+              CROSS JOIN
+                   (SELECT COUNT(*) AS nr, COUNT(value) AS nn,
+                           ROUND(CAST(SUM(CAST(ROUND(value * 1000000)
+                                              AS DECIMAL(38,0)))
+                                      AS DOUBLE)
+                                 / (CAST(COUNT(value) AS DOUBLE) * 1e6),
+                                 6) AS va
+                    FROM events) b)""",
         "s8_s9_suite": f"""
             SELECT 'retain' AS kind, CAST(day(ts) AS BIGINT) AS a,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,

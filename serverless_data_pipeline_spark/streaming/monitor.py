@@ -23,6 +23,15 @@ stream start). Callers holding a persisted histogram (a corpus
 registry) pass it directly as ``reference_counts``. Writes are
 epoch-scoped overwrites (the ``redeliver_batch`` discipline), so
 foreachBatch's at-least-once replay is idempotent.
+
+Numeric drift (r10, verdict #2): ``numeric_cols`` watches numeric
+columns the same way — the reference's ``profile_columns`` frame is
+computed ONCE at stream start (or passed precomputed as
+``reference_profile``), each epoch profiles the BATCH only and runs
+``profile_drift_from_profiles`` (bit-identical to the corpus-form
+``profile_drift``, pytest-pinned), and the summary row carries the
+max-abs null-fraction/mean shifts plus a ``numeric_drifted`` flag
+next to PSI.
 """
 
 from __future__ import annotations
@@ -33,6 +42,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from serverless_data_pipeline_spark.operators.stages import (
     category_counts, mix_shift_from_counts, mix_shift_summarize,
+    profile_columns, profile_drift_from_profiles,
 )
 
 __all__ = ["drift_monitor_batch", "start_drift_monitor_stream"]
@@ -42,21 +52,40 @@ def drift_monitor_batch(batch: DataFrame, epoch_id: int,
                         reference_counts: DataFrame, col: str,
                         out_path: str, *,
                         psi_threshold: float = 0.25,
-                        eps: float = 1e-6) -> None:
+                        eps: float = 1e-6,
+                        reference_profile: DataFrame | None = None,
+                        numeric_cols: list[str] | None = None,
+                        null_frac_delta_threshold: float = 0.05,
+                        vavg_delta_threshold: float = 1.0) -> None:
     """One epoch of the monitor: reference (side A, given as its
     precomputed ``category_counts`` frame) vs this batch (side B) —
     deltas read as batch-relative-to-reference. Writes one row
     (n_rows, n_categories, n_cat_ref, n_cat_batch, n_added,
-    n_removed, psi, js, tvd, drifted) to ``out_path/epoch=E`` with
+    n_removed, psi, js, tvd, drifted, max_abs_null_frac_delta,
+    max_abs_vavg_delta, numeric_drifted) to ``out_path/epoch=E`` with
     overwrite, so a replayed epoch overwrites itself; the epoch
     surfaces as a partition column on read (a duplicate data column
     would make the parent-path read ambiguous).
 
+    Numeric drift (r9 verdict #2): when ``numeric_cols`` is set,
+    ``reference_profile`` (the reference's precomputed
+    ``profile_columns`` frame over those columns — computed once at
+    stream start, same discipline as the counts) is compared against
+    this batch's profile via ``profile_drift_from_profiles``; the
+    summary row gains the max absolute null-fraction and mean shifts
+    across the watched columns plus the ``numeric_drifted`` flag
+    (either max over its threshold). A mean creep or a null surge in
+    a numeric feed column then pages in-flight, next to the
+    categorical PSI. Without ``numeric_cols`` the three columns are
+    written as NULL/false, keeping the sink schema stable.
+
     ``n_rows`` (the batch row count) falls out of the SAME aggregation
-    as the shift statistics — one batch scan per epoch, never a
-    separate count() job. An EMPTY micro-batch (a tick with no new
-    rows) is NOT a distribution shift: its row carries n_rows=0 with
-    NULL psi/js/tvd and drifted=false — without the guard the eps
+    as the shift statistics; the numeric profile adds ONE more
+    single-scan aggregation over the micro-batch (never over the
+    reference). An EMPTY micro-batch (a tick with no new rows) is NOT
+    a distribution shift: its row carries n_rows=0 with NULL
+    psi/js/tvd (and NULL numeric deltas — an empty profile has no
+    mean) and both drift flags false — without the guard the eps
     clamp would inflate PSI to 'every category vanished' and page the
     mix alarm for a liveness condition (pair the monitor with a
     liveness alarm on n_rows if silence matters)."""
@@ -75,6 +104,38 @@ def drift_monitor_batch(batch: DataFrame, epoch_id: int,
                     (has_rows
                      & (F.col("psi") > F.lit(float(psi_threshold))))
                     .alias("drifted")))
+    if numeric_cols:
+        if reference_profile is None:
+            raise ValueError(
+                "numeric_cols needs a reference_profile (the "
+                "reference's profile_columns frame over those "
+                "columns)")
+        pd = profile_drift_from_profiles(
+            reference_profile, profile_columns(batch, numeric_cols))
+        ndel = pd.agg(
+            F.max(F.abs(F.col("null_frac_delta")))
+             .alias("max_abs_null_frac_delta"),
+            F.max(F.abs(F.col("vavg_delta")))
+             .alias("max_abs_vavg_delta"))
+        hb = F.col("n_rows") > 0
+        summ = (summ.crossJoin(ndel)            # two one-row frames
+                .withColumn(
+                    "numeric_drifted",
+                    hb & (F.coalesce(
+                        F.col("max_abs_null_frac_delta")
+                        > F.lit(float(null_frac_delta_threshold)),
+                        F.lit(False))
+                        | F.coalesce(
+                            F.col("max_abs_vavg_delta")
+                            > F.lit(float(vavg_delta_threshold)),
+                            F.lit(False)))))
+    else:
+        summ = (summ
+                .withColumn("max_abs_null_frac_delta",
+                            F.lit(None).cast("double"))
+                .withColumn("max_abs_vavg_delta",
+                            F.lit(None).cast("double"))
+                .withColumn("numeric_drifted", F.lit(False)))
     (summ.write.mode("overwrite")
      .parquet(f"{out_path}/epoch={int(epoch_id)}"))
 
@@ -85,6 +146,10 @@ def start_drift_monitor_stream(stream: DataFrame, reference: DataFrame,
                                psi_threshold: float = 0.25,
                                eps: float = 1e-6,
                                reference_counts: DataFrame | None = None,
+                               numeric_cols: list[str] | None = None,
+                               reference_profile: DataFrame | None = None,
+                               null_frac_delta_threshold: float = 0.05,
+                               vavg_delta_threshold: float = 1.0,
                                trigger: dict | None = None
                                ) -> StreamingQuery:
     """Attach the per-epoch drift monitor to a stream. ``reference``
@@ -94,7 +159,16 @@ def start_drift_monitor_stream(stream: DataFrame, reference: DataFrame,
     module docstring). Pass ``reference_counts`` — a persisted
     (category, n) histogram, e.g. from a corpus registry — to skip
     even that single scan (``reference`` is then ignored and may be
-    None)."""
+    None unless ``numeric_cols`` needs it).
+
+    ``numeric_cols`` (r9 verdict #2) additionally watches those
+    numeric columns for null-fraction/mean drift: the reference's
+    ``profile_columns`` frame is computed ONCE here (same eager-
+    checkpoint discipline as the counts — the no-rescan pin covers
+    both), or passed precomputed as ``reference_profile`` (a corpus
+    registry's persisted per-version profile). Each epoch then adds
+    max-abs deltas and a ``numeric_drifted`` flag to the summary row
+    (see ``drift_monitor_batch``)."""
     if reference_counts is None:
         if reference is None:
             raise ValueError(
@@ -102,11 +176,23 @@ def start_drift_monitor_stream(stream: DataFrame, reference: DataFrame,
                 "(category, n) histogram")
         reference_counts = (category_counts(reference, col)
                             .localCheckpoint(eager=True))
+    if numeric_cols and reference_profile is None:
+        if reference is None:
+            raise ValueError(
+                "numeric_cols needs a reference corpus or a "
+                "precomputed reference_profile")
+        reference_profile = (profile_columns(reference,
+                                             list(numeric_cols))
+                             .localCheckpoint(eager=True))
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
-        drift_monitor_batch(batch, epoch_id, reference_counts, col,
-                            out_path, psi_threshold=psi_threshold,
-                            eps=eps)
+        drift_monitor_batch(
+            batch, epoch_id, reference_counts, col, out_path,
+            psi_threshold=psi_threshold, eps=eps,
+            reference_profile=reference_profile,
+            numeric_cols=numeric_cols,
+            null_frac_delta_threshold=null_frac_delta_threshold,
+            vavg_delta_threshold=vavg_delta_threshold)
 
     return (stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", checkpoint)

@@ -330,6 +330,28 @@ def test_profile_drift_deltas_and_schema_drift(spark):
     assert out["lang"].vavg_delta is None  # string column
 
 
+def test_profile_drift_from_profiles_equals_corpus_form(spark):
+    """The precomputed-profiles form (r10 verdict #2) is BIT-IDENTICAL
+    to the corpus form — every delta derives from the profile rows
+    alone, including added/removed schema drift and string columns."""
+    from serverless_data_pipeline_spark.operators.stages import (
+        profile_columns, profile_drift, profile_drift_from_profiles,
+    )
+    a = spark.createDataFrame(
+        [(1, 10.0, "en"), (2, 20.0, "en"), (3, None, "de"),
+         (4, 30.0, "de")],
+        "id long, v double, lang string")
+    b = spark.createDataFrame(
+        [(10.0, "en", 1), (None, "en", 2), (None, "de", 3),
+         (10.0, "de", 4)],
+        "v double, lang string, extra long")
+    corpus = {r.column: r.asDict() for r in profile_drift(a, b).collect()}
+    prof = {r.column: r.asDict()
+            for r in profile_drift_from_profiles(
+                profile_columns(a), profile_columns(b)).collect()}
+    assert corpus == prof
+
+
 def test_mix_shift_terms_and_summary(spark):
     import math
 

@@ -475,13 +475,77 @@ def test_mix_shift_from_counts_equals_corpus_form(spark):
     assert s1 == s2
 
 
+def test_drift_monitor_numeric_profile_drift(spark, tmp_path):
+    """Numeric drift in the monitor (r10 verdict #2): a reference whose
+    `value` carries a planted +10 mean shift and a 1-in-4 null surge
+    — while its categorical mix matches the batch exactly — must
+    produce an epoch row that is categorical-stable (psi 0) yet
+    numeric-drifted, with BOTH max-abs deltas exact; self-comparison
+    reads zero deltas and no flag; an empty batch carries NULL deltas
+    and no flag (liveness, not drift); numeric_cols without a
+    reference profile is a usage error."""
+    from serverless_data_pipeline_spark.operators.stages import (
+        category_counts, profile_columns,
+    )
+    from serverless_data_pipeline_spark.streaming.monitor import (
+        drift_monitor_batch,
+    )
+    src = str(tmp_path / "src")
+    batch = _write_drips(spark, src)     # value = 0..39, mean 19.5
+    ref = batch.select(
+        "event_type",
+        F.when(F.col("event_id") % 4 == 0,
+               F.lit(None).cast("double"))
+         .otherwise(F.col("value") + 10.0).alias("value"))
+    rc = category_counts(ref, "event_type")
+    rp = profile_columns(ref, ["value"])
+    drift_monitor_batch(batch, 0, rc, "event_type",
+                        str(tmp_path / "m"), reference_profile=rp,
+                        numeric_cols=["value"])
+    r = spark.read.parquet(str(tmp_path / "m")).collect()[0]
+    assert r.psi == 0.0 and not r.drifted      # categorical stable
+    # ref mean: (sum(0..39) - sum(0,4..36) + 30*10)/30 = 30.0
+    assert r.max_abs_vavg_delta == 10.5        # |19.5 - 30.0|
+    assert r.max_abs_null_frac_delta == 0.25   # |0 - 10/40|
+    assert r.numeric_drifted
+    # self-comparison: zero deltas, no flag
+    drift_monitor_batch(batch, 1, category_counts(batch, "event_type"),
+                        "event_type", str(tmp_path / "m_self"),
+                        reference_profile=profile_columns(
+                            batch, ["value"]),
+                        numeric_cols=["value"])
+    s = spark.read.parquet(str(tmp_path / "m_self")).collect()[0]
+    assert s.max_abs_vavg_delta == 0.0
+    assert s.max_abs_null_frac_delta == 0.0
+    assert not s.numeric_drifted
+    # empty batch: NULL deltas, both flags false (liveness, not drift)
+    empty = spark.createDataFrame([], SCHEMA)
+    drift_monitor_batch(empty, 2, rc, "event_type",
+                        str(tmp_path / "m_empty"),
+                        reference_profile=rp, numeric_cols=["value"])
+    e = spark.read.parquet(str(tmp_path / "m_empty")).collect()[0]
+    assert e.n_rows == 0 and not e.drifted and not e.numeric_drifted
+    assert e.max_abs_vavg_delta is None
+    # without numeric_cols the columns exist as NULL/false (stable
+    # sink schema across monitor configs)
+    drift_monitor_batch(batch, 3, rc, "event_type",
+                        str(tmp_path / "m_nonum"))
+    n = spark.read.parquet(str(tmp_path / "m_nonum")).collect()[0]
+    assert n.max_abs_vavg_delta is None and not n.numeric_drifted
+    import pytest
+    with pytest.raises(ValueError, match="reference_profile"):
+        drift_monitor_batch(batch, 4, rc, "event_type",
+                            str(tmp_path / "m_bad"),
+                            numeric_cols=["value"])
+
+
 def test_drift_monitor_never_rescans_reference(spark, tmp_path):
     """start_drift_monitor_stream aggregates the static reference ONCE
-    (eager checkpoint of its category counts). Functional proof that
-    no epoch rescans the reference corpus: the reference's parquet
-    files are DELETED after stream start, and the monitor still
-    produces correct per-epoch rows — any per-epoch rescan would
-    throw FileNotFound."""
+    (eager checkpoint of its category counts AND, with numeric_cols,
+    of its column profile). Functional proof that no epoch rescans
+    the reference corpus: the reference's parquet files are DELETED
+    after stream start, and the monitor still produces correct
+    per-epoch rows — any per-epoch rescan would throw FileNotFound."""
     import shutil
 
     from serverless_data_pipeline_spark.streaming.monitor import (
@@ -496,13 +560,17 @@ def test_drift_monitor_never_rescans_reference(spark, tmp_path):
                                max_files_per_trigger=2)
     q = start_drift_monitor_stream(
         stream, reference, "event_type", str(tmp_path / "mon"),
-        str(tmp_path / "ck"), trigger={"availableNow": True})
+        str(tmp_path / "ck"), numeric_cols=["value"],
+        trigger={"availableNow": True})
     shutil.rmtree(ref_path)              # reference gone mid-stream
     q.awaitTermination(120)
     rows = spark.read.parquet(str(tmp_path / "mon")).collect()
     assert len(rows) >= 2                # several epochs all succeeded
     assert all(r.n_cat_ref == 2 for r in rows)   # counts frame intact
     assert sum(r.n_rows for r in rows) == 40     # every batch compared
+    # the numeric profile was checkpointed too: every epoch computed
+    # a real vavg delta against the vanished reference
+    assert all(r.max_abs_vavg_delta is not None for r in rows)
     # neither a corpus nor a histogram = a usage error, caught early
     import pytest as _pt
     with _pt.raises(ValueError):
