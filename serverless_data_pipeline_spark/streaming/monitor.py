@@ -36,7 +36,7 @@ next to PSI.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -45,7 +45,8 @@ from serverless_data_pipeline_spark.operators.stages import (
     profile_columns, profile_drift_from_profiles,
 )
 
-__all__ = ["drift_monitor_batch", "start_drift_monitor_stream"]
+__all__ = ["drift_monitor_batch", "start_drift_monitor_stream",
+           "liveness_alarm"]
 
 
 def drift_monitor_batch(batch: DataFrame, epoch_id: int,
@@ -138,6 +139,50 @@ def drift_monitor_batch(batch: DataFrame, epoch_id: int,
                 .withColumn("numeric_drifted", F.lit(False)))
     (summ.write.mode("overwrite")
      .parquet(f"{out_path}/epoch={int(epoch_id)}"))
+
+
+def liveness_alarm(monitor: DataFrame, *, k: int = 3) -> DataFrame:
+    """The drift monitor's LIVENESS companion (r9 verdict #6): the
+    monitor deliberately reports an empty epoch as n_rows=0 /
+    not-drifted (silence is not a distribution shift), so a feed that
+    stops producing would never page the mix alarm — this is the other
+    half of the reference's CloudWatch alarm pair (the DLQ-depth alarm
+    analogue, py:552-562): flag when the stream has gone quiet.
+
+    ``monitor`` is the monitor sink read back (one row per epoch with
+    ``epoch`` and ``n_rows``). Returns ONE row:
+
+    - ``n_epochs``, ``last_epoch``
+    - ``last_live_epoch`` — the latest epoch that carried rows (NULL
+      if none ever did)
+    - ``empty_tail`` — how many epochs have elapsed since then (every
+      epoch when nothing was ever live)
+    - ``silent`` — ``empty_tail >= k``, the page condition
+
+    An EMPTY monitor sink (no epochs at all) reports n_epochs=0 and
+    silent=false — no epochs is "the monitor never ran", a deployment
+    condition, not evidence the FEED died; alarm on the monitor's own
+    freshness for that. Scale shape: the sink is |epochs| rows, so the
+    SUM OVER () totals window and the final one-row aggregate are over
+    a tiny frame by construction (the mix-kernel totals discipline)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy()
+    live = F.max(F.when(F.col("n_rows") > 0, F.col("epoch"))).over(w)
+    return (monitor
+            .withColumn("__last_live", live)
+            .agg(F.count("*").cast("long").alias("n_epochs"),
+                 F.max("epoch").cast("long").alias("last_epoch"),
+                 F.max("__last_live").cast("long")
+                  .alias("last_live_epoch"),
+                 F.coalesce(
+                     F.sum(F.when(F.col("__last_live").isNull()
+                                  | (F.col("epoch")
+                                     > F.col("__last_live")), 1)
+                            .otherwise(0)),
+                     F.lit(0)).cast("long").alias("empty_tail"))
+            .withColumn("silent",
+                        F.col("empty_tail") >= F.lit(int(k))))
 
 
 def start_drift_monitor_stream(stream: DataFrame, reference: DataFrame,

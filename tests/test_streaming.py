@@ -539,6 +539,54 @@ def test_drift_monitor_numeric_profile_drift(spark, tmp_path):
                             numeric_cols=["value"])
 
 
+def test_liveness_alarm_on_silent_stream(spark, tmp_path):
+    """The monitor's liveness companion (r10 verdict #6): a feed that
+    goes quiet produces k consecutive empty monitor epochs — the mix
+    alarm stays silent by design, the liveness alarm pages. Planted
+    silent stream: live epochs then empty ones through the REAL
+    monitor sink; plus the edge laws (recovery resets the tail,
+    never-live sinks count every epoch, an empty sink is a deployment
+    condition not a page, k validated)."""
+    from serverless_data_pipeline_spark.operators.stages import (
+        category_counts,
+    )
+    from serverless_data_pipeline_spark.streaming.monitor import (
+        drift_monitor_batch, liveness_alarm,
+    )
+    src = str(tmp_path / "src")
+    batch = _write_drips(spark, src)
+    rc = category_counts(batch, "event_type").localCheckpoint()
+    mon = str(tmp_path / "mon")
+    empty = spark.createDataFrame([], SCHEMA)
+    # epochs 0-1 live, then the feed dies: 2-4 empty
+    for ep, b in [(0, batch), (1, batch), (2, empty), (3, empty),
+                  (4, empty)]:
+        drift_monitor_batch(b, ep, rc, "event_type", mon)
+    sink = spark.read.parquet(mon)
+    a = liveness_alarm(sink, k=3).collect()[0]
+    assert a.n_epochs == 5 and a.last_epoch == 4
+    assert a.last_live_epoch == 1 and a.empty_tail == 3
+    assert a.silent
+    assert not liveness_alarm(sink, k=4).first().silent
+    # recovery: a live epoch resets the tail
+    drift_monitor_batch(batch, 5, rc, "event_type", mon)
+    r = liveness_alarm(spark.read.parquet(mon), k=3).first()
+    assert r.empty_tail == 0 and not r.silent
+    assert r.last_live_epoch == 5
+    # never-live sink: every epoch counts toward the tail
+    mon2 = str(tmp_path / "mon2")
+    drift_monitor_batch(empty, 0, rc, "event_type", mon2)
+    drift_monitor_batch(empty, 1, rc, "event_type", mon2)
+    n = liveness_alarm(spark.read.parquet(mon2), k=2).first()
+    assert n.last_live_epoch is None and n.empty_tail == 2 and n.silent
+    # empty monitor sink: no evidence, no page
+    z = liveness_alarm(sink.filter("epoch < 0"), k=1).first()
+    assert z.n_epochs == 0 and z.empty_tail == 0 and not z.silent
+    import pytest
+    with pytest.raises(ValueError):
+        liveness_alarm(sink, k=0)
+
+
 def test_drift_monitor_never_rescans_reference(spark, tmp_path):
     """start_drift_monitor_stream aggregates the static reference ONCE
     (eager checkpoint of its category counts AND, with numeric_cols,
