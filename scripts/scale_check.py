@@ -308,6 +308,31 @@ def main() -> None:
         r["host_rank_3it"] = timed(
             lambda: host_rank(pairs, dochost, iters=3)
             .agg(F.max("rank")).first())
+        # Mega-host quota skew (r9 verdict #3): ONE host holds 50% of
+        # a 500k-doc corpus (5M at 10x), quota 1000, everyone else
+        # default-capped at 50. The window path sorts the mega-host's
+        # whole row set in one partition; the bucketed path splits it
+        # across 256 prefix buckets and drops past-cap buckets BEFORE
+        # any sort, so its wall should stay near-flat as the mega
+        # host grows.
+        from serverless_data_pipeline_spark.operators.urls import (
+            host_quota_sample,
+        )
+        mega = (spark.range(500_000 * factor)
+                .select(F.col("id").alias("doc_id"),
+                        F.when(F.col("id") % 2 == 0,
+                               F.lit("mega.example.com"))
+                        .otherwise(F.concat(
+                            F.lit("h"), (F.col("id") % 9973)
+                            .cast("string"))).alias("host"))
+                .localCheckpoint(eager=True))
+        r["n_mega_docs"] = mega.count()
+        for mode in ("window", "bucketed"):
+            r[f"hquota_mega_{mode}"] = timed(
+                lambda m=mode: host_quota_sample(
+                    mega, {"mega.example.com": 1000},
+                    default_quota=50, rank_via=m).count())
+        mega.unpersist()
         # Version drift (r8): two single-scan profiles + the tag-union
         # category aggregation — flat per-row, output |categories| rows.
         from serverless_data_pipeline_spark.operators.stages import (

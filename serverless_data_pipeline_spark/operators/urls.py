@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from serverless_data_pipeline_spark.operators.graph import pagerank
 
 __all__ = ["canonicalize_url", "canonicalize_url_sql", "url_host",
-           "url_host_sql", "host_rank", "host_quota_sample"]
+           "url_host_sql", "host_rank", "host_quota_sample",
+           "host_rank_choice"]
 
 _SCHEME_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
 _PREFIX_RE = "^([^/?#]*://[^/?#]*)(.*)$"
@@ -180,11 +181,34 @@ def host_rank(pairs: DataFrame, doc_host: DataFrame, *,
                     damping=damping)
 
 
+def host_rank_choice(docs: DataFrame, host_col: str = "host", *,
+                     hot_host_threshold: int = 100_000,
+                     probe_fraction: float = 0.05) -> str:
+    """The ``rank_via="auto"`` decision for ``host_quota_sample``,
+    factored so tests can assert the choice directly (the
+    ``passage_rank_choice`` discipline): estimate the max per-host row
+    count from a ``probe_fraction`` sample and return "bucketed" above
+    ``hot_host_threshold``, else "window". The probe's shuffle is
+    ``probe_fraction`` of the corpus and partial-aggregates map-side;
+    the estimate max(sampled count)/fraction is upward-biased by
+    design — uncertainty resolves toward the skew-safe path.
+    Correctness never depends on the choice (the two modes are
+    equivalence-tested); only task skew does."""
+    row = (docs.sample(fraction=probe_fraction, seed=42)
+           .groupBy(host_col).agg(F.count(F.lit(1)).alias("__c"))
+           .agg(F.max("__c").alias("m")).first())
+    est = (row["m"] or 0) / probe_fraction
+    return "bucketed" if est > hot_host_threshold else "window"
+
+
 def host_quota_sample(docs: DataFrame, quotas, *,
                       host_col: str = "host", id_col: str = "doc_id",
                       default_quota: int | None = None,
                       seed: int = 0,
-                      rank_col: str = "host_rank_pos") -> DataFrame:
+                      rank_col: str = "host_rank_pos",
+                      rank_via: str = "auto",
+                      hot_host_threshold: int = 100_000,
+                      probe_fraction: float = 0.05) -> DataFrame:
     """Per-host document caps — the curation step that CONSUMES host
     signals: web corpora cap docs per domain so no single host
     dominates the mixture (the per-domain quota discipline of
@@ -202,11 +226,25 @@ def host_quota_sample(docs: DataFrame, quotas, *,
     ``rank_col`` (the doc's 1-based rank within its host) on the
     kept rows.
 
-    Scale shape: ONE hash exchange on the host (the ranking window)
-    plus a broadcast of the quota frame (|hosts| rows). A mega-host's
-    partition is bounded by sortWithinPartitions semantics — the
-    window sorts only that host's rows; pair with AQE skew handling
-    when one host is a double-digit fraction of the corpus."""
+    ``rank_via`` picks the ranking strategy (equivalence-tested —
+    identical kept docs AND ranks; r9 verdict #3):
+
+    - "window" — ONE hash exchange on the host plus a broadcast of
+      the quota frame (|hosts| rows). Correct always, but a MEGA-host
+      (one domain holding a double-digit corpus fraction) lands its
+      entire row set in one sorted window partition.
+    - "bucketed" — the skew-safe two-phase path: rows bucket by the
+      first two hex chars of their own md5 rank key (256 buckets, and
+      the bucket is a PREFIX of the sort key, so bucket order IS key
+      order), a (host, bucket) count frame computes each bucket's
+      exact rank offset, buckets entirely past their host's cap are
+      dropped BEFORE any sort, and the final exact rank is the bucket
+      offset + a row_number over (host, bucket) — the mega-host's
+      sort splits across 256 partitions, each bounded by
+      ~max(n_host/256, quota). Costs one extra count aggregation.
+    - "auto" (default) — a sampled skew probe (``host_rank_choice``)
+      picks "bucketed" when the estimated max per-host count exceeds
+      ``hot_host_threshold``, else "window"."""
     spark = docs.sparkSession
     if isinstance(quotas, dict):
         quotas = spark.createDataFrame(
@@ -227,16 +265,55 @@ def host_quota_sample(docs: DataFrame, quotas, *,
             raise ValueError(
                 f"duplicate quota rows for host {dup[0]!r} — "
                 "deduplicate the quota frame (one row per host)")
-    w = (Window.partitionBy(host_col)
-         .orderBy(F.md5(F.concat_ws(":", F.lit(str(seed)),
-                                    F.col(id_col).cast("string"))),
-                  F.col(id_col)))
-    ranked = docs.withColumn(rank_col, F.row_number().over(w))
-    j = ranked.join(
-        F.broadcast(quotas.withColumnRenamed(host_col, "__qh")),
-        F.col(host_col).eqNullSafe(F.col("__qh")), "left").drop("__qh")
+    if rank_via == "auto":
+        rank_via = host_rank_choice(
+            docs, host_col, hot_host_threshold=hot_host_threshold,
+            probe_fraction=probe_fraction)
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                            F.col(id_col).cast("string")))
     cap = (F.coalesce(F.col("__quota"),
                       F.lit(default_quota).cast("long"))
            if default_quota is not None else F.col("__quota"))
-    return (j.filter(cap.isNull() | (F.col(rank_col) <= cap))
-            .drop("__quota"))
+    qbc = F.broadcast(quotas.withColumnRenamed(host_col, "__qh"))
+    if rank_via == "window":
+        w = Window.partitionBy(host_col).orderBy(key, F.col(id_col))
+        ranked = docs.withColumn(rank_col, F.row_number().over(w))
+        j = ranked.join(qbc, F.col(host_col).eqNullSafe(F.col("__qh")),
+                        "left").drop("__qh")
+        return (j.filter(cap.isNull() | (F.col(rank_col) <= cap))
+                .drop("__quota"))
+    if rank_via != "bucketed":
+        raise ValueError(f"rank_via must be 'auto', 'window' or "
+                         f"'bucketed', got {rank_via!r}")
+    keyed = (docs.withColumn("__k", key)
+             .withColumn("__bk", F.substring("__k", 1, 2)))
+    # exact per-bucket rank offsets: |hosts| x <=256 rows; the offsets
+    # window partitions by host over <=256 rows per host
+    wb = (Window.partitionBy(host_col).orderBy("__bk")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = (keyed.groupBy(host_col, "__bk")
+               .agg(F.count(F.lit(1)).alias("__bc"))
+               .withColumn("__off", F.coalesce(F.sum("__bc").over(wb),
+                                               F.lit(0)))
+               .join(qbc, F.col(host_col).eqNullSafe(F.col("__qh")),
+                     "left").drop("__qh")
+               .withColumn("__cap", cap)
+               # a bucket whose offset already reaches the cap holds
+               # only ranks > cap: drop its rows before any sort
+               .filter(F.col("__cap").isNull()
+                       | (F.col("__off") < F.col("__cap")))
+               .select(F.col(host_col).alias("__oh"),
+                       F.col("__bk").alias("__obk"),
+                       "__off", "__cap"))
+    j = (keyed.join(offsets,
+                    (F.col(host_col).eqNullSafe(F.col("__oh")))
+                    & (F.col("__bk") == F.col("__obk")), "inner")
+         .drop("__oh", "__obk"))
+    w2 = (Window.partitionBy(host_col, "__bk")
+          .orderBy("__k", F.col(id_col)))
+    ranked = j.withColumn(
+        rank_col,
+        (F.col("__off") + F.row_number().over(w2)).cast("int"))
+    return (ranked.filter(F.col("__cap").isNull()
+                          | (F.col(rank_col) <= F.col("__cap")))
+            .drop("__k", "__bk", "__off", "__cap"))
