@@ -40,18 +40,23 @@ __all__ = ["train_bpe", "bpe_encode", "bpe_encode_ids",
 END = "</w>"          # Sennrich end-of-word marker
 
 
-def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+def _word_counts(df: DataFrame, text_col: str, *,
+                 raw: bool = False) -> DataFrame:
     """Corpus -> distinct-word frequency table: the ONE corpus-sized
-    aggregation in BPE training."""
-    return (df.select(F.explode(tokens(F.lower(F.col(text_col))))
-                      .alias("w"))
+    aggregation in BPE training. ``raw`` keeps case (the raw-mode
+    word universe); the word boundary is the same ASCII-whitespace
+    class either way, so raw training counts exactly the word pieces
+    the raw pretokenizer will emit."""
+    col = F.col(text_col) if raw else F.lower(F.col(text_col))
+    return (df.select(F.explode(tokens(col)).alias("w"))
             .groupBy("w").agg(F.count("*").alias("n")))
 
 
 def train_bpe(df: DataFrame, text_col: str = "text", *,
               n_merges: int = 32,
               checkpoint_every: int = 8,
-              merges_per_round: int = 1) -> list[tuple[str, str]]:
+              merges_per_round: int = 1,
+              raw: bool = False) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from a corpus. Returns the
     ordered merge list [(left, right), ...] — the artifact a tokenizer
     ships (apply with ``bpe_encode``).
@@ -82,14 +87,25 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     true BPE would re-rank after every merge and might prefer a pair
     involving a just-formed token; the batch defers those to the next
     round (the standard trade scalable BPE trainers make). K=1 is
-    bit-identical to the canonical algorithm."""
+    bit-identical to the canonical algorithm.
+
+    ``raw=True`` (r10) learns the merge list for RAW-mode service
+    (``bpe_encode(raw=True)``): words keep their case and the
+    end-of-word marker is never appended — exactly the symbol streams
+    the raw pretokenizer produces, so every learned pair can actually
+    fire at encode time (a lowercase normalized-mode list applied to
+    raw text only compresses lowercase spans, and its ``</w>``-bearing
+    merges never fire at all). Whitespace symbols never enter training
+    — the raw encoder emits them as standalone byte-escaped symbols
+    that, by design, never merge. Same plan shape, same determinism."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if merges_per_round < 1:
         raise ValueError("merges_per_round must be >= 1")
-    words = (_word_counts(df, text_col)
-             .select(F.concat(F.split("w", ""), F.array(F.lit(END)))
-                     .alias("sym"), "n")
+    seed = (F.split("w", "") if raw
+            else F.concat(F.split("w", ""), F.array(F.lit(END))))
+    words = (_word_counts(df, text_col, raw=raw)
+             .select(seed.alias("sym"), "n")
              .localCheckpoint(eager=False))
     merges: list[tuple[str, str]] = []
     rounds = 0

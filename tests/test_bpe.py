@@ -472,6 +472,49 @@ def test_bpe_raw_mode_exact_round_trip(spark):
     assert not any(END in s for s in syms)
 
 
+def test_train_bpe_raw_mode(spark):
+    """Raw-mode training (r10): merges are learned over case-preserved,
+    END-free symbol streams — exactly what the raw pretokenizer emits —
+    so the learned pairs actually fire on raw text: a raw-trained list
+    compresses case-mixed words AND the exact round-trip law still
+    holds (merges only ever concatenate symbols within words)."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode, bpe_encode_ids, train_bpe,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        build_vocab,
+    )
+    corpus = (["Low"] * 5 + ["Lower"] * 2 + ["Newest"] * 6
+              + ["Widest"] * 3)
+    df = spark.createDataFrame([(w,) for w in corpus], "text string")
+    m = train_bpe(df, "text", n_merges=5, raw=True)
+    # the Sennrich worked example WITHOUT the end marker, case kept:
+    # es(9) -> est(9) -> Lo(7) -> Low(7) -> st? ... pin the laws, not
+    # the full list: case survives, END never appears
+    assert m[0] == ("e", "s") and m[1] == ("es", "t")
+    assert any(l[0].isupper() or r[0].isupper() for l, r in m)
+    assert not any(END in l or END in r for l, r in m)
+    # determinism under partitioning, same as normalized mode
+    assert m == train_bpe(df.repartition(7), "text", n_merges=5,
+                          raw=True)
+    # raw-trained merges fire on raw text: "Lowest" compresses even
+    # though it was never trained, and the round trip stays exact
+    probe = spark.createDataFrame(
+        [("Lowest  Newest\tLow",)], "text string")
+    syms = bpe_encode(probe, "text", m, raw=True).first().bpe_tokens
+    assert "".join(syms) == "Lowest  Newest\tLow"
+    assert len(syms) < len("Lowest  Newest\tLow")
+    v = build_vocab(m)
+    out = bpe_decode_ids(
+        bpe_encode_ids(probe, "text", m, v, byte_fallback=True,
+                       raw=True),
+        "token_ids", v, raw=True).first().decoded_text
+    assert out == "Lowest  Newest\tLow"
+    # normalized-mode training is unchanged by the parameter's default
+    assert train_bpe(df, "text", n_merges=5) == train_bpe(
+        df, "text", n_merges=5, raw=False)
+
+
 def test_artifact_hadoop_fs_round_trip(spark, tmp_path):
     """Artifact I/O through the JVM Hadoop FileSystem (the object-store
     boundary a cluster driver ships tokenizers across): a ``file:`` URI
