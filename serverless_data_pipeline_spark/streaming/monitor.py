@@ -46,7 +46,7 @@ from serverless_data_pipeline_spark.operators.stages import (
 )
 
 __all__ = ["drift_monitor_batch", "start_drift_monitor_stream",
-           "liveness_alarm"]
+           "liveness_alarm", "dlq_depth_alarm", "throughput_alarm"]
 
 
 def drift_monitor_batch(batch: DataFrame, epoch_id: int,
@@ -183,6 +183,73 @@ def liveness_alarm(monitor: DataFrame, *, k: int = 3) -> DataFrame:
                      F.lit(0)).cast("long").alias("empty_tail"))
             .withColumn("silent",
                         F.col("empty_tail") >= F.lit(int(k))))
+
+
+def dlq_depth_alarm(dlq: DataFrame, *, threshold: int = 1,
+                    reason_col: str = "_error_reason") -> DataFrame:
+    """The reference's DLQ-depth alarm (py:551-562: threshold 1 — ANY
+    visible dead-letter message pages) over the engine's dead-letter /
+    quarantine sinks. Returns ONE row: ``depth`` (row count),
+    ``n_reasons`` and ``top_reason`` (the modal ``reason_col`` value —
+    the first triage question; NULL when the column is absent or the
+    queue is empty), and ``alarm`` = depth >= threshold.
+
+    One aggregation over the DLQ table — which is small by the
+    system's own success criteria; if the DLQ is corpus-sized the
+    alarm is the least of the problems."""
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    if reason_col in dlq.columns:
+        per = (dlq.groupBy(F.col(reason_col).alias("__r"))
+               .agg(F.count(F.lit(1)).alias("__c")))
+        top = (per.orderBy(F.desc("__c"), F.asc("__r")).limit(1)
+               .select(F.col("__r").alias("top_reason"),
+                       F.lit(1).alias("__j")))
+        return (per.agg(F.coalesce(F.sum("__c"), F.lit(0))
+                        .cast("long").alias("depth"),
+                        F.count(F.lit(1)).cast("long")
+                        .alias("n_reasons"))
+                .withColumn("__j", F.lit(1))
+                .join(top, "__j", "left").drop("__j")
+                .withColumn("alarm",
+                            F.col("depth") >= F.lit(int(threshold))))
+    return (dlq.agg(F.count(F.lit(1)).cast("long").alias("depth"))
+            .select("depth",
+                    F.lit(0).cast("long").alias("n_reasons"),
+                    F.lit(None).cast("string").alias("top_reason"),
+                    (F.col("depth") >= F.lit(int(threshold)))
+                    .alias("alarm")))
+
+
+def throughput_alarm(monitor: DataFrame, *, threshold: int = 1000,
+                     k: int = 2) -> DataFrame:
+    """The reference's high-incoming-records alarm (py:565-575:
+    threshold 1000 records, 2 evaluation periods) over the monitor
+    sink — the HIGH-side sibling of ``liveness_alarm``: flag when the
+    last ``k`` consecutive epochs each carried more than ``threshold``
+    rows (a feed stuck in a replay loop, a scraper gone hot, an
+    upstream fanout bug). Returns ONE row: ``n_epochs``,
+    ``last_epoch``, ``hot_tail`` (trailing consecutive over-threshold
+    epochs) and ``alarm`` = hot_tail >= k. Same tiny-frame shape as
+    ``liveness_alarm``."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if threshold < 0:
+        raise ValueError("threshold must be >= 0")
+    w = Window.partitionBy()
+    calm = F.max(F.when(F.col("n_rows") <= threshold,
+                        F.col("epoch"))).over(w)
+    return (monitor
+            .withColumn("__last_calm", calm)
+            .agg(F.count("*").cast("long").alias("n_epochs"),
+                 F.max("epoch").cast("long").alias("last_epoch"),
+                 F.coalesce(
+                     F.sum(F.when(F.col("__last_calm").isNull()
+                                  | (F.col("epoch")
+                                     > F.col("__last_calm")), 1)
+                            .otherwise(0)),
+                     F.lit(0)).cast("long").alias("hot_tail"))
+            .withColumn("alarm", F.col("hot_tail") >= F.lit(int(k))))
 
 
 def start_drift_monitor_stream(stream: DataFrame, reference: DataFrame,

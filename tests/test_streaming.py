@@ -587,6 +587,47 @@ def test_liveness_alarm_on_silent_stream(spark, tmp_path):
         liveness_alarm(sink, k=0)
 
 
+def test_dlq_depth_and_throughput_alarms(spark, tmp_path):
+    """The other two CloudWatch-alarm analogues (reference py:551-575):
+    DLQ depth (threshold 1 — any dead-letter row pages, with the modal
+    reason surfaced for triage) and the high-throughput alarm (k
+    consecutive epochs over the record threshold)."""
+    from serverless_data_pipeline_spark.streaming.monitor import (
+        dlq_depth_alarm, throughput_alarm,
+    )
+    dlq = spark.createDataFrame(
+        [(1, "sink_failed"), (2, "sink_failed"), (3, "poison_row")],
+        "event_id long, _error_reason string")
+    a = dlq_depth_alarm(dlq).first()
+    assert a.depth == 3 and a.n_reasons == 2 and a.alarm
+    assert a.top_reason == "sink_failed"
+    assert not dlq_depth_alarm(dlq, threshold=4).first().alarm
+    # empty queue: depth 0, no page, NULL triage
+    e = dlq_depth_alarm(dlq.filter("event_id < 0")).first()
+    assert e.depth == 0 and not e.alarm and e.top_reason is None
+    # sinks without a reason column still alarm on depth
+    nr = dlq_depth_alarm(dlq.select("event_id")).first()
+    assert nr.depth == 3 and nr.alarm and nr.top_reason is None
+    # throughput: epochs 0-1 calm, 2-3 hot -> hot_tail 2 pages at k=2
+    mon = spark.createDataFrame(
+        [(0, 100), (1, 900), (2, 1500), (3, 2000)],
+        "epoch long, n_rows long")
+    t = throughput_alarm(mon, threshold=1000, k=2).first()
+    assert t.hot_tail == 2 and t.alarm and t.last_epoch == 3
+    assert not throughput_alarm(mon, threshold=1000, k=3).first().alarm
+    # a calm epoch resets the tail; all-hot counts every epoch
+    calm = mon.union(spark.createDataFrame([(4, 10)], mon.schema))
+    assert throughput_alarm(calm, threshold=1000, k=1).first().hot_tail == 0
+    hot = throughput_alarm(mon.filter("epoch >= 2"),
+                           threshold=1000, k=2).first()
+    assert hot.hot_tail == 2 and hot.alarm
+    import pytest
+    with pytest.raises(ValueError):
+        throughput_alarm(mon, k=0)
+    with pytest.raises(ValueError):
+        dlq_depth_alarm(dlq, threshold=0)
+
+
 def test_drift_monitor_never_rescans_reference(spark, tmp_path):
     """start_drift_monitor_stream aggregates the static reference ONCE
     (eager checkpoint of its category counts AND, with numeric_cols,
