@@ -1347,6 +1347,36 @@ def _q_streaming_ops_suite(spark, sf):
                     F.round(F.col("max_abs_null_frac_delta")
                             * 1000000).cast("long").alias("attempts")))
 
+    # alarm arms (r10): the remaining CloudWatch-alarm analogues run
+    # against the sinks this suite ALREADY produced. `alarm` =
+    # dlq_depth_alarm over the redelivery DLQ (depth = the permanent
+    # poison population event_id % 50 == 7, modal reason =
+    # failed_after_3_deliveries, pages at the reference's threshold 1);
+    # `alarm2` = throughput_alarm over the mdrift_ok monitor sink
+    # (single-file source -> exactly one epoch carrying every event
+    # row, so threshold=0/k=1 must read hot_tail=1 and page). The
+    # oracle derives both rows from the events table directly.
+    from serverless_data_pipeline_spark.streaming.monitor import (
+        dlq_depth_alarm, throughput_alarm,
+    )
+    dlqr = spark.read.schema(
+        "event_id long, _error_reason string").json(base + "/dlq_dead")
+    al = (dlq_depth_alarm(dlqr)
+          .select(F.lit("alarm").alias("kind"),
+                  F.col("depth").alias("event_id"),
+                  F.col("n_reasons").alias("user_id"),
+                  F.col("top_reason").alias("event_type"),
+                  F.lit(None).cast("double").alias("value"),
+                  F.col("alarm").cast("long").alias("attempts")))
+    al2 = (throughput_alarm(spark.read.parquet(base + "/mdrift_ok"),
+                            threshold=0, k=1)
+           .select(F.lit("alarm2").alias("kind"),
+                   F.col("n_epochs").alias("event_id"),
+                   F.col("hot_tail").alias("user_id"),
+                   F.lit(None).cast("string").alias("event_type"),
+                   F.lit(None).cast("double").alias("value"),
+                   F.col("alarm").cast("long").alias("attempts")))
+
     land, out4, ck4 = base + "/late_land", base + "/late_out", base + "/ck4"
     evs = _t(spark, sf, "events").select("ts", "value")
     evs.write.parquet(land)
@@ -1374,7 +1404,8 @@ def _q_streaming_ops_suite(spark, sf):
                     F.col("sum_value").alias("value"), natt))
     return (good.unionAll(bad).unionAll(st2).unionAll(late)
             .unionAll(dgood).unionAll(ddead).unionAll(enrich)
-            .unionAll(mhot).unionAll(mok).unionAll(mnum))
+            .unionAll(mhot).unionAll(mok).unionAll(mnum)
+            .unionAll(al).unionAll(al2))
 
 
 def _q_s8_s9_suite(spark, sf):
@@ -5426,7 +5457,28 @@ def oracle_sql() -> dict[str, str]:
                                       AS DOUBLE)
                                  / (CAST(COUNT(value) AS DOUBLE) * 1e6),
                                  6) AS va
-                    FROM events) b)""",
+                    FROM events) b)
+            UNION ALL
+            -- alarm arms (r10): DLQ depth (the permanent-poison
+            -- population, modal reason, pages at threshold 1) and
+            -- the single-epoch throughput alarm (threshold 0, k 1)
+            SELECT 'alarm' AS kind,
+                   CAST(pp AS BIGINT) AS event_id,
+                   CAST(CASE WHEN pp > 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS user_id,
+                   CASE WHEN pp > 0 THEN 'failed_after_3_deliveries'
+                        END AS event_type,
+                   CAST(NULL AS DOUBLE) AS value,
+                   CAST(CASE WHEN pp >= 1 THEN 1 ELSE 0 END AS BIGINT)
+                       AS attempts
+            FROM (SELECT COUNT(*) AS pp FROM events
+                  WHERE event_id % 50 = 7)
+            UNION ALL
+            SELECT 'alarm2', CAST(1 AS BIGINT),
+                   CAST(CASE WHEN ne > 0 THEN 1 ELSE 0 END AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+                   CAST(CASE WHEN ne > 0 THEN 1 ELSE 0 END AS BIGINT)
+            FROM (SELECT COUNT(*) AS ne FROM events)""",
         "s8_s9_suite": f"""
             SELECT 'retain' AS kind, CAST(day(ts) AS BIGINT) AS a,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
