@@ -410,3 +410,38 @@ def test_repeat_by_epochs_total_count_law(spark, groups, n_per):
             per.setdefault(r.doc_id, set()).add(r.epoch)
         assert all(v == set(range(len(v))) for v in per.values())
         assert all(len(v) in (base, base + 1) for v in per.values())
+
+
+@given(texts=st.lists(
+    st.text(
+        # any codepoint except surrogates (unencodable in UTF-8);
+        # includes control chars, unicode whitespace, emoji, CJK
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=40),
+    min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_bpe_raw_round_trip_is_exact_on_arbitrary_unicode(spark, texts):
+    """The r10 raw-tokenizer law as a property: for ARBITRARY unicode
+    text (control chars, unicode whitespace, emoji, combining marks —
+    anything UTF-8 can carry), decode(encode(x, raw)) == x exactly,
+    the symbol stream concatenates back to x, and UNK id 0 never
+    appears. One Spark job per example set (texts batched into a
+    single frame)."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        COMMITTED_MERGES, build_vocab,
+    )
+    v = build_vocab()
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id int, text string")
+    out = bpe_decode_ids(
+        bpe_encode_ids(df, "text", COMMITTED_MERGES, v,
+                       byte_fallback=True, raw=True, sym_col="sym"),
+        "token_ids", v, raw=True)
+    for r in out.collect():
+        want = texts[r.id]
+        assert r.decoded_text == want
+        assert "".join(r.sym) == want
+        assert 0 not in r.token_ids
