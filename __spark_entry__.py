@@ -2070,6 +2070,7 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # attribute both
         "x8_corpus_utils.tok": _x8_flavour_tok,
         "x8_corpus_utils.rtok": _x8_flavour_rtok,
+        "x8_corpus_utils.atok": _x8_flavour_atok,
         "t5_quality_score.drift": _t5_flavour_drift,
         "x2_dedup_clusters.hostrank": _x2_flavour_hostrank,
         # r9: the directed (hyperlink-semantics) host-rank sibling
@@ -2185,6 +2186,28 @@ def _x8_flavour_rtok(spark, sf):
         "text", COMMITTED_MERGES, build_vocab(),
         byte_fallback=True, raw=True, unk_col="unk_rate")
     return (bpe_decode_ids(rencd, "token_ids", build_vocab(),
+                           raw=True, out_col="__rt")
+            .select("doc_id", F.size("token_ids").alias("ntok"),
+                    (F.col("__rt") == F.col("text")).alias("rt_ok")))
+
+
+def _x8_flavour_atok(spark, sf):
+    # times exactly the r10 atok arm's plan: the raw-service artifact
+    # (attached pretokens, space-prefixed merges) end-to-end
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BPE_RAW_BASE_CHARS, RAW_COMMITTED_MERGES, build_vocab,
+    )
+    rvocab = build_vocab(RAW_COMMITTED_MERGES, BPE_RAW_BASE_CHARS)
+    aencd = bpe_encode_ids(
+        _t(spark, sf, "documents")
+        .select("doc_id", F.expr(_X8_RAW_TEXT_SQL).alias("text")),
+        "text", RAW_COMMITTED_MERGES, rvocab,
+        byte_fallback=True, raw=True, attach_ws=True,
+        unk_col="unk_rate")
+    return (bpe_decode_ids(aencd, "token_ids", rvocab,
                            raw=True, out_col="__rt")
             .select("doc_id", F.size("token_ids").alias("ntok"),
                     (F.col("__rt") == F.col("text")).alias("rt_ok")))
@@ -2934,12 +2957,43 @@ def _q_x8_corpus_utils(spark, sf):
                     F.transform("token_ids",
                                 lambda i: i.cast("string")), ",")
                       .cast("binary")).alias("h")))
+    # atok arm (r10): the RAW-SERVICE artifact — RAW_COMMITTED_MERGES
+    # trained case-preserved with ATTACHED-whitespace pretokens (the
+    # GPT-2 vocab shape: space-prefixed merges like ' s'), over the
+    # SAME planted raw text. Same columns as rtok; the exact-raw
+    # round-trip law must hold here too, and the id streams are
+    # ~14% shorter than rtok's (space tokens fold into words) —
+    # directly visible in the two arms' a columns.
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BPE_RAW_BASE_CHARS, RAW_COMMITTED_MERGES,
+    )
+    rvocab = build_vocab(RAW_COMMITTED_MERGES, BPE_RAW_BASE_CHARS)
+    aencd = bpe_encode_ids(
+        docs.select("doc_id", F.expr(_X8_RAW_TEXT_SQL).alias("text")),
+        "text", RAW_COMMITTED_MERGES, rvocab,
+        byte_fallback=True, raw=True, attach_ws=True,
+        unk_col="unk_rate")
+    atok = (bpe_decode_ids(aencd, "token_ids", rvocab,
+                           raw=True, out_col="__rt")
+            .select(
+                F.lit("atok").alias("kind"), "doc_id",
+                F.size("token_ids").cast("long").alias("a"),
+                F.when(F.col("text").isNull(), F.lit(1).cast("long"))
+                 .otherwise((F.col("__rt") == F.col("text"))
+                            .cast("long")).alias("b"),
+                F.round(F.col("unk_rate") * 1000000).cast("long")
+                 .alias("c"),
+                F.md5(F.array_join(
+                    F.transform("token_ids",
+                                lambda i: i.cast("string")), ",")
+                      .cast("binary")).alias("h")))
     return (vocab.unionAll(pack).unionAll(bins).unionAll(chunk)
             .unionAll(mix)
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
             .unionAll(sheet2).unionAll(jac).unionAll(diff)
-            .unionAll(tok).unionAll(ids).unionAll(rtok))
+            .unionAll(tok).unionAll(ids).unionAll(rtok)
+            .unionAll(atok))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -3315,7 +3369,8 @@ _BPE_VOCAB_SQL = "VALUES " + ", ".join(
 _BPE_BYTE_BASE = _bpe_build_vocab()["<0x00>"]
 
 
-def _bpe_fallback_idstr_duckdb(tok: str) -> str:
+def _bpe_fallback_idstr_duckdb(tok: str,
+                               byte_base: int | None = None) -> str:
     """The byte-fallback expansion of ONE out-of-vocab symbol as a
     comma-joined id string, RE2/DuckDB rendering: hex(encode(tok)) is
     the symbol's UTF-8 bytes as hex pairs, and each pair maps to
@@ -3323,7 +3378,11 @@ def _bpe_fallback_idstr_duckdb(tok: str) -> str:
     byte-token VALUES table. The Spark operator computes the same ids
     through a 256-entry hex-pair map literal; the two renderings are
     pinned id-for-id over a unicode zoo in
-    tests/test_bpe.py::test_byte_fallback_oracle_fragment_parity."""
+    tests/test_bpe.py::test_byte_fallback_oracle_fragment_parity.
+    ``byte_base`` selects the vocab whose byte inventory is addressed
+    (default: the normalized artifact's; the raw artifact's byte
+    tokens sit at a different offset)."""
+    base = _BPE_BYTE_BASE if byte_base is None else byte_base
     h = f"hex(encode({tok}))"
 
     def nib(pos: str) -> str:
@@ -3332,8 +3391,34 @@ def _bpe_fallback_idstr_duckdb(tok: str) -> str:
 
     return ("array_to_string(list_transform("
             f"range(1, len({h}) // 2 + 1), "
-            f"i -> CAST({_BPE_BYTE_BASE} + {nib('2 * i - 1')} * 16 "
+            f"i -> CAST({base} + {nib('2 * i - 1')} * 16 "
             f"+ {nib('2 * i')} AS VARCHAR)), ',')")
+
+
+# x8 atok arm (r10): the RAW-SERVICE committed artifact — case kept,
+# no end-of-word marker, attached-whitespace pretokens, space-prefixed
+# merges. Its oracle replay separates symbols with chr(3) (NOT the
+# space the normalized replay uses — a symbol can now BE a space) and
+# escapes every token through _sq.
+from serverless_data_pipeline_spark.operators.bpe_artifact import (  # noqa: E402,E501
+    BPE_RAW_BASE_CHARS as _BPE_RAW_BASE,
+    RAW_COMMITTED_MERGES as _BPE_RAW_MERGES,
+)
+
+
+def _bpe_wrap3_sql(tok: str) -> str:
+    return f"chr(1) || '{_sq(tok)}' || chr(2)"
+
+
+_BPE_RAW_NM = len(_BPE_RAW_MERGES)
+_BPE_RAW_MERGES_SQL = "VALUES " + ", ".join(
+    f"({i}, {_bpe_wrap3_sql(l)} || chr(3) || {_bpe_wrap3_sql(r)}, "
+    f"{_bpe_wrap3_sql(l + r)})"
+    for i, (l, r) in enumerate(_BPE_RAW_MERGES))
+_BPE_RAW_VOCAB = _bpe_build_vocab(_BPE_RAW_MERGES, _BPE_RAW_BASE)
+_BPE_RAW_VOCAB_SQL = "VALUES " + ", ".join(
+    f"('{_sq(t)}', {i})" for t, i in _BPE_RAW_VOCAB.items())
+_BPE_RAW_BYTE_BASE = _BPE_RAW_VOCAB["<0x00>"]
 
 
 # x8 tok/ids arm input (r9 OOV hardening): the fixture text with a
@@ -5043,7 +5128,82 @@ def oracle_sql() -> dict[str, str]:
                            COALESCE(b.n_tokens, 0) AS n_tokens,
                            COALESCE(b.noov, 0) AS noov,
                            COALESCE(b.nsym, 0) AS nsym
-                    FROM documents d LEFT JOIN rdoc0 b USING (doc_id))
+                    FROM documents d LEFT JOIN rdoc0 b USING (doc_id)),
+                  -- atok arm (r10): the raw-service artifact replay.
+                  -- Attached pretokens (a word carries its leading
+                  -- whitespace run; a trailing run stands alone), the
+                  -- raw merge list applied rank-by-rank with chr(3)
+                  -- as the inter-symbol separator — a symbol can BE
+                  -- a space now, so the normalized replay's
+                  -- space-separator would split inside symbols.
+                  apiece AS (
+                    SELECT doc_id, unnest(range(1, len(ps) + 1)) AS p,
+                           unnest(ps) AS pc
+                    FROM (SELECT doc_id,
+                                 regexp_extract_all(
+                                     {_X8_RAW_TEXT_SQL},
+                                     '[' || {_RAW_WS_SQL} || ']*[^'
+                                         || {_RAW_WS_SQL} || ']+|['
+                                         || {_RAW_WS_SQL} || ']+')
+                                     AS ps
+                          FROM documents)),
+                  awseed AS (
+                    SELECT w,
+                           chr(1) || array_to_string(
+                               string_split(w, ''),
+                               chr(2) || chr(3) || chr(1))
+                                  || chr(2) AS s
+                    FROM (SELECT DISTINCT pc AS w FROM apiece)),
+                  aenc AS (
+                    SELECT w, 0 AS rk, s FROM awseed
+                    UNION ALL
+                    SELECT e.w, e.rk + 1, replace(e.s, m.pat, m.rep)
+                    FROM aenc e
+                    JOIN (SELECT * FROM ({_BPE_RAW_MERGES_SQL})
+                          t(rk, pat, rep)) m ON m.rk = e.rk),
+                  awtok AS (
+                    SELECT w,
+                           unnest(range(1, len(string_split(s, chr(3)))
+                                           + 1)) AS p,
+                           unnest(list_transform(
+                               string_split(s, chr(3)),
+                               t -> replace(replace(t, chr(1), ''),
+                                            chr(2), ''))) AS tok
+                    FROM aenc WHERE rk = {_BPE_RAW_NM}),
+                  awids AS (
+                    SELECT w,
+                           string_agg(
+                               CASE WHEN v.id IS NOT NULL
+                                    THEN CAST(v.id AS VARCHAR)
+                                    ELSE {_bpe_fallback_idstr_duckdb(
+                                        'awtok.tok',
+                                        _BPE_RAW_BYTE_BASE)} END,
+                               ',' ORDER BY p) AS idstr,
+                           CAST(SUM(CASE WHEN v.id IS NOT NULL THEN 1
+                                    ELSE octet_length(encode(awtok.tok))
+                                    END) AS BIGINT) AS ntok,
+                           CAST(SUM(CASE WHEN v.id IS NULL THEN 1
+                                    ELSE 0 END) AS BIGINT) AS noov,
+                           CAST(COUNT(*) AS BIGINT) AS nsym
+                    FROM awtok
+                    LEFT JOIN (SELECT * FROM ({_BPE_RAW_VOCAB_SQL})
+                               t(tok, id)) v ON v.tok = awtok.tok
+                    GROUP BY w),
+                  adoc0 AS (
+                    SELECT pp.doc_id,
+                           string_agg(wi.idstr, ',' ORDER BY pp.p)
+                               AS ids,
+                           CAST(SUM(wi.ntok) AS BIGINT) AS n_tokens,
+                           CAST(SUM(wi.noov) AS BIGINT) AS noov,
+                           CAST(SUM(wi.nsym) AS BIGINT) AS nsym
+                    FROM apiece pp JOIN awids wi ON wi.w = pp.pc
+                    GROUP BY pp.doc_id),
+                  adoc AS (
+                    SELECT d.doc_id, COALESCE(b.ids, '') AS ids,
+                           COALESCE(b.n_tokens, 0) AS n_tokens,
+                           COALESCE(b.noov, 0) AS noov,
+                           COALESCE(b.nsym, 0) AS nsym
+                    FROM documents d LEFT JOIN adoc0 b USING (doc_id))
                   SELECT 'tok' AS kind, doc_id, n_tokens AS a,
                          -- unk_rate micro-units: round6 of noov/nsym
                          -- (0.0 for symbol-less docs), then * 1e6 and
@@ -5070,7 +5230,17 @@ def oracle_sql() -> dict[str, str]:
                                         AS BIGINT)
                               ELSE 0 END AS c,
                          md5(ids) AS h
-                  FROM rdoc)""",
+                  FROM rdoc
+                  UNION ALL
+                  SELECT 'atok', doc_id, n_tokens AS a,
+                         CAST(1 AS BIGINT) AS b,
+                         CASE WHEN nsym > 0
+                              THEN CAST(ROUND(ROUND(CAST(noov AS DOUBLE)
+                                                    / nsym, 6) * 1000000)
+                                        AS BIGINT)
+                              ELSE 0 END AS c,
+                         md5(ids) AS h
+                  FROM adoc)""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,

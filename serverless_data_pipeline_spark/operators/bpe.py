@@ -41,12 +41,20 @@ END = "</w>"          # Sennrich end-of-word marker
 
 
 def _word_counts(df: DataFrame, text_col: str, *,
-                 raw: bool = False) -> DataFrame:
+                 raw: bool = False,
+                 attach_ws: bool = False) -> DataFrame:
     """Corpus -> distinct-word frequency table: the ONE corpus-sized
     aggregation in BPE training. ``raw`` keeps case (the raw-mode
     word universe); the word boundary is the same ASCII-whitespace
     class either way, so raw training counts exactly the word pieces
-    the raw pretokenizer will emit."""
+    the raw pretokenizer will emit. ``attach_ws`` counts the
+    leading-whitespace-attached pretokens instead (see
+    ``bpe_encode``) — spaces then participate in merge statistics."""
+    if attach_ws:
+        pieces = F.regexp_extract_all(
+            F.col(text_col), F.lit(_RAW_ATTACHED_RE.pattern), 0)
+        return (df.select(F.explode(pieces).alias("w"))
+                .groupBy("w").agg(F.count("*").alias("n")))
     col = F.col(text_col) if raw else F.lower(F.col(text_col))
     return (df.select(F.explode(tokens(col)).alias("w"))
             .groupBy("w").agg(F.count("*").alias("n")))
@@ -56,7 +64,8 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
               n_merges: int = 32,
               checkpoint_every: int = 8,
               merges_per_round: int = 1,
-              raw: bool = False) -> list[tuple[str, str]]:
+              raw: bool = False,
+              attach_ws: bool = False) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from a corpus. Returns the
     ordered merge list [(left, right), ...] — the artifact a tokenizer
     ships (apply with ``bpe_encode``).
@@ -97,14 +106,20 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     raw text only compresses lowercase spans, and its ``</w>``-bearing
     merges never fire at all). Whitespace symbols never enter training
     — the raw encoder emits them as standalone byte-escaped symbols
-    that, by design, never merge. Same plan shape, same determinism."""
+    that, by design, never merge. Same plan shape, same determinism.
+    ``attach_ws=True`` (raw only) trains over the leading-whitespace-
+    attached pretokens instead — whitespace becomes a symbol and the
+    learner discovers space-prefixed tokens (' the'), the GPT-2 vocab
+    shape; pair with ``bpe_encode(raw=True, attach_ws=True)``."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if merges_per_round < 1:
         raise ValueError("merges_per_round must be >= 1")
+    if attach_ws and not raw:
+        raise ValueError("attach_ws applies to raw mode only")
     seed = (F.split("w", "") if raw
             else F.concat(F.split("w", ""), F.array(F.lit(END))))
-    words = (_word_counts(df, text_col, raw=raw)
+    words = (_word_counts(df, text_col, raw=raw, attach_ws=attach_ws)
              .select(seed.alias("sym"), "n")
              .localCheckpoint(eager=False))
     merges: list[tuple[str, str]] = []
@@ -171,12 +186,20 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
 _RAW_WS = " \t\n\x0b\f\r"
 _RAW_PIECE_RE = re.compile(
     "[" + _RAW_WS + "]|[^" + _RAW_WS + "]+")
+# attached pretokens (GPT-2 discipline): a word CARRIES its leading
+# whitespace run, a trailing run with no following word stands alone —
+# still an exact partition of the input, so the round-trip argument is
+# unchanged, but merges can now learn space-prefixed tokens (' the')
+# and prose stops paying one byte token per space
+_RAW_ATTACHED_RE = re.compile(
+    "[" + _RAW_WS + "]*[^" + _RAW_WS + "]+|[" + _RAW_WS + "]+")
 
 
 def bpe_encode(df: DataFrame, text_col: str,
                merges: list[tuple[str, str]], *,
                out_col: str = "bpe_tokens",
-               raw: bool = False) -> DataFrame:
+               raw: bool = False,
+               attach_ws: bool = False) -> DataFrame:
     """Apply a learned merge list: adds ``out_col`` (array<string> of
     subword units, END-marked). Arrow-batched pandas UDF — the merge
     loop is inherently sequential per word, so this is the honest
@@ -203,7 +226,20 @@ def bpe_encode(df: DataFrame, text_col: str,
     equal the marker); compression is accordingly lower than in
     normalized mode — a merge list trained for raw service plugs in
     the same way. Concatenating a raw symbol stream reproduces the
-    input text byte-for-byte."""
+    input text byte-for-byte.
+
+    ``attach_ws=True`` (raw mode only, r10) switches the raw
+    pretokenizer to the GPT-2 discipline: a word carries its LEADING
+    whitespace run as part of its pretoken (a trailing run with no
+    following word stands alone), so each character still belongs to
+    exactly one pretoken — the round trip stays exact — but a merge
+    list trained with the same setting (``train_bpe(raw=True,
+    attach_ws=True)``, e.g. the committed ``RAW_COMMITTED_MERGES``)
+    learns space-prefixed tokens and prose stops paying one byte
+    token per interior space. With a split-trained list the flag only
+    changes pretoken boundaries, not compression."""
+    if attach_ws and not raw:
+        raise ValueError("attach_ws applies to raw mode only")
     ranks = {tuple(m): i for i, m in enumerate(merges)}
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -249,9 +285,13 @@ def bpe_encode(df: DataFrame, text_col: str,
                 return []
             toks: list[str] = []
             if raw:
-                # alternating whitespace-char / word pieces cover every
-                # character of the input exactly once, in order — the
-                # round-trip invariant is structural
+                # either pretokenization covers every character of the
+                # input exactly once, in order — the round-trip
+                # invariant is structural
+                if attach_ws:
+                    for piece in _RAW_ATTACHED_RE.findall(text):
+                        toks.extend(enc_word(piece))
+                    return toks
                 for piece in _RAW_PIECE_RE.findall(text):
                     if piece in _RAW_WS:
                         toks.append(piece)
@@ -280,7 +320,8 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
                    sym_col: str | None = None,
                    byte_fallback: bool = False,
                    unk_col: str | None = None,
-                   raw: bool = False) -> DataFrame:
+                   raw: bool = False,
+                   attach_ws: bool = False) -> DataFrame:
     """Encode to integer token ids — the tokenizer's ACTUAL output
     artifact (what a pretraining pipeline packs and trains on). Adds
     ``out_col`` (array<int>). Keeps the subword-string column too when
@@ -309,6 +350,9 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
     uppercase symbols are out-of-vocab by design and MUST byte-escape
     — mapping them to UNK would destroy the very information raw mode
     exists to keep); ``unk_col`` then reads as the byte-escape rate.
+    ``attach_ws`` selects the GPT-2 attached-whitespace pretokenizer
+    (see ``bpe_encode``) — pair it with a merge list trained the same
+    way so interior spaces fold into space-prefixed tokens.
 
     The id lookup is a JVM-side ``transform`` over a foldable map
     literal (vocab files are small — base alphabet + one entry per
@@ -320,7 +364,8 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
             "case symbols are out-of-vocab and must byte-escape for "
             "the raw round trip to hold")
     keep = sym_col or "__bpe_sym"
-    enc = bpe_encode(df, text_col, merges, out_col=keep, raw=raw)
+    enc = bpe_encode(df, text_col, merges, out_col=keep, raw=raw,
+                     attach_ws=attach_ws)
     vmap = F.create_map(*[F.lit(x) for t, i in vocab.items()
                           for x in (t, i)])
     if byte_fallback:

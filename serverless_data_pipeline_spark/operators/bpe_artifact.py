@@ -39,8 +39,9 @@ from __future__ import annotations
 
 from serverless_data_pipeline_spark.operators.bpe import END
 
-__all__ = ["COMMITTED_MERGES", "BPE_BASE_CHARS", "BYTE_TOKENS", "UNK",
-           "build_vocab", "assert_rank_sequential_ok",
+__all__ = ["COMMITTED_MERGES", "RAW_COMMITTED_MERGES",
+           "BPE_BASE_CHARS", "BPE_RAW_BASE_CHARS", "BYTE_TOKENS",
+           "UNK", "build_vocab", "assert_rank_sequential_ok",
            "save_artifact", "load_artifact"]
 
 UNK = "<unk>"
@@ -69,6 +70,31 @@ BPE_BASE_CHARS: list[str] = (
     [chr(c) for c in range(ord("a"), ord("z") + 1)]
     + [chr(c) for c in range(ord("0"), ord("9") + 1)]
     + list("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"))
+
+# RAW-service artifact (r10): learned once with
+#   train_bpe(spark.read.parquet(".../sf0.001/documents.parquet"),
+#             "text", n_merges=24, raw=True, attach_ws=True)
+# over the SAME fixture and frozen — the GPT-2-shaped sibling of
+# COMMITTED_MERGES: case preserved, no end-of-word marker, and the
+# attached-whitespace pretokenizer lets the learner discover
+# SPACE-PREFIXED tokens (' s', ' a', ' c', ...), so prose encoded with
+# bpe_encode_ids(raw=True, attach_ws=True) folds interior spaces into
+# word tokens instead of paying one byte token per space. Passes the
+# rank-sequential-equivalence guard (pytest-pinned), so the driver
+# oracle can replay it rank-by-rank.
+RAW_COMMITTED_MERGES: list[tuple[str, str]] = [
+    (" ", "s"), ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), (" ", "a"), (" ", "v"),
+    ("a", "s"), (" ", "c"), ("m", "er"), ("a", "t"), (" ", "f"),
+    (" ", "t"), (" ", "b"), ("a", "n"), ("c", "an"), ("lu", "m"),
+    ("lum", "n"), ("o", "lumn"), ("d", "ow"), ("in", "dow"),
+]
+
+# Raw base alphabet: every printable ASCII character INCLUDING space
+# and uppercase — raw mode destroys nothing, so everything printable
+# deserves a real id (a leftover un-merged space must not byte-escape).
+# Non-ASCII still byte-escapes via BYTE_TOKENS.
+BPE_RAW_BASE_CHARS: list[str] = [chr(c) for c in range(32, 127)]
 
 # Byte-fallback inventory: one token per byte value, appended AFTER the
 # merges so the core vocab's ids never move when fallback is enabled.

@@ -515,6 +515,85 @@ def test_train_bpe_raw_mode(spark):
         df, "text", n_merges=5, raw=False)
 
 
+def test_bpe_attached_ws_mode(spark):
+    """The GPT-2 attached-whitespace discipline (r10): with the
+    raw-service artifact (RAW_COMMITTED_MERGES — case-preserved,
+    END-free, space-prefixed merges), attach_ws=True still satisfies
+    the exact-raw round-trip law over the whole zoo AND actually
+    compresses prose better than split mode with the normalized-
+    trained list (interior spaces fold into word tokens instead of
+    costing one byte token each). Committed constants re-validated;
+    mode misuse rejected."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode, bpe_encode_ids, train_bpe,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BPE_RAW_BASE_CHARS, RAW_COMMITTED_MERGES,
+    )
+    # committed raw artifact: guard holds, space-prefixed merges
+    # present, END never appears, space has a REAL id in the raw base
+    assert_rank_sequential_ok(RAW_COMMITTED_MERGES)
+    assert any(l == " " for l, _ in RAW_COMMITTED_MERGES)
+    assert not any(END in l + r for l, r in RAW_COMMITTED_MERGES)
+    rvocab = build_vocab(RAW_COMMITTED_MERGES, BPE_RAW_BASE_CHARS)
+    assert " " in rvocab and "A" in rvocab
+    # exact round trip over the zoo, attached pretokens
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_RAW_ZOO)],
+        "id int, text string")
+    out = bpe_decode_ids(
+        bpe_encode_ids(df, "text", RAW_COMMITTED_MERGES, rvocab,
+                       byte_fallback=True, raw=True, attach_ws=True,
+                       sym_col="sym"),
+        "token_ids", rvocab, raw=True)
+    for r in out.collect():
+        assert r.decoded_text == _RAW_ZOO[r.id], repr(_RAW_ZOO[r.id])
+        assert "".join(r.sym) == _RAW_ZOO[r.id]
+        assert 0 not in r.token_ids
+    # pretokens: words CARRY their leading whitespace run; a trailing
+    # run stands alone — and trained space merges fire (' s...' etc.)
+    syms = bpe_encode(
+        spark.createDataFrame([("a scan  low \t",)], "text string"),
+        "text", RAW_COMMITTED_MERGES, raw=True,
+        attach_ws=True).first().bpe_tokens
+    assert "".join(syms) == "a scan  low \t"
+    assert " s" in "".join(syms)            # structural (concat) law
+    assert any(s.startswith(" ") and len(s) > 1 for s in syms)
+    # compression: attached + raw-trained beats split + normalized-
+    # trained on spacey prose (the arm-visible a-column comparison)
+    probe = spark.createDataFrame(
+        [("a scan can lower column as at par low",)], "text string")
+    att = bpe_encode_ids(probe, "text", RAW_COMMITTED_MERGES, rvocab,
+                         byte_fallback=True, raw=True,
+                         attach_ws=True).first().token_ids
+    spl = bpe_encode_ids(probe, "text", COMMITTED_MERGES,
+                         build_vocab(), byte_fallback=True,
+                         raw=True).first().token_ids
+    assert len(att) < len(spl)
+    # misuse rejected: attach_ws is a raw-mode refinement
+    with pytest.raises(ValueError, match="raw mode"):
+        bpe_encode(probe, "text", RAW_COMMITTED_MERGES,
+                   attach_ws=True)
+    with pytest.raises(ValueError, match="raw mode"):
+        train_bpe(probe, "text", n_merges=2, attach_ws=True)
+
+
+def test_raw_committed_merges_provenance(spark):
+    """RAW_COMMITTED_MERGES is exactly what train_bpe(raw=True,
+    attach_ws=True, n_merges=24) learns over the sf0.001 documents
+    fixture — the same frozen-artifact provenance discipline as
+    COMMITTED_MERGES."""
+    from serverless_data_pipeline_spark.operators.bpe import train_bpe
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        RAW_COMMITTED_MERGES,
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    got = train_bpe(docs, "text", n_merges=24, raw=True,
+                    attach_ws=True)
+    assert got == RAW_COMMITTED_MERGES
+
+
 def test_artifact_hadoop_fs_round_trip(spark, tmp_path):
     """Artifact I/O through the JVM Hadoop FileSystem (the object-store
     boundary a cluster driver ships tokenizers across): a ``file:`` URI

@@ -130,11 +130,12 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all seventeen arms exactly
-    twenty-one hash exchanges exist (the r10 rtok arm — raw-mode
-    encode + decode + round-trip compare — is deliberately NARROW
-    end-to-end: one pandas-UDF projection plus foldable-map lookups,
-    zero exchanges) (vocab token groupBy + the per-shard
+    O(top_n) heap (no global sort); across all eighteen arms exactly
+    twenty-one hash exchanges exist (the r10 rtok/atok arms — raw-mode
+    encode + decode + round-trip compare, split and attached
+    pretokenization — are deliberately NARROW end-to-end: one
+    pandas-UDF projection plus foldable-map lookups each, zero
+    exchanges) (vocab token groupBy + the per-shard
     packing window + the mix/tmix/wmix/rep per-language ranking windows —
     wmix's rank and running-sum windows share ONE exchange+sort, and
     rep's rank and group-count windows share one exchange too — + the
