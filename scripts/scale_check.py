@@ -327,15 +327,16 @@ def main() -> None:
                             .cast("string"))).alias("host"))
                 .localCheckpoint(eager=True))
         r["n_mega_docs"] = mega.count()
-        # min-of-2 warm (the bench.py discipline): the first pass pays
-        # JIT/codegen warm-up that swings 2-4x on this synthetic frame
-        # and would mask the mode comparison the row exists to make
+        # min-of-3 (the standalone probe's discipline, and what the
+        # README row records): the first pass pays JIT/codegen warm-up
+        # that swings 2-4x on this synthetic frame and would mask the
+        # mode comparison the row exists to make
         for mode in ("window", "bucketed"):
             r[f"hquota_mega_{mode}"] = min(
                 timed(lambda m=mode: host_quota_sample(
                     mega, {"mega.example.com": 1000},
                     default_quota=50, rank_via=m).count())
-                for _ in range(2))
+                for _ in range(3))
         mega.unpersist()
         # Version drift (r8): two single-scan profiles + the tag-union
         # category aggregation — flat per-row, output |categories| rows.

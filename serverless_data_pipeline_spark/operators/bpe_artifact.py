@@ -119,10 +119,11 @@ def assert_rank_sequential_ok(
 def _fs_write_bytes(spark, path: str, data: bytes) -> None:
     """Write bytes through the JVM Hadoop FileSystem — the boundary a
     cluster driver ships artifacts across (file:, s3a:, abfs:, hdfs:
-    all resolve through the same API). Same pattern as
-    ``streaming.sinks._delete_prefix``."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    all resolve through the same API; plumbing shared via
+    ``operators.util.hadoop_fs``)."""
+    from serverless_data_pipeline_spark.operators.util import hadoop_fs
+
+    fs, jpath = hadoop_fs(spark, path)
     out = fs.create(jpath, True)
     try:
         out.write(bytearray(data))
@@ -131,8 +132,9 @@ def _fs_write_bytes(spark, path: str, data: bytes) -> None:
 
 
 def _fs_read_bytes(spark, path: str) -> bytes:
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    from serverless_data_pipeline_spark.operators.util import hadoop_fs
+
+    fs, jpath = hadoop_fs(spark, path)
     stream = fs.open(jpath)
     try:
         return bytes(spark._jvm.org.apache.commons.io.IOUtils

@@ -456,7 +456,10 @@ def profile_drift_from_profiles(pa: DataFrame,
     |columns|-row frame here every epoch, and a corpus registry that
     persists per-version profiles can diff any two versions without
     touching either corpus."""
-    stats = ["n_rows", "n_null", "null_frac", "n_distinct",
+    # n_null deliberately absent: the report derives nothing from it
+    # (null_frac is already a profile stat), so carrying it would be
+    # dead weight in every join this function plans
+    stats = ["n_rows", "null_frac", "n_distinct",
              "vmin", "vmax", "vavg"]
     pa2 = pa.select(F.col("column").alias("__ca"),
                     *[F.col(s).alias(f"{s}_a") for s in stats])

@@ -182,19 +182,27 @@ def host_rank(pairs: DataFrame, doc_host: DataFrame, *,
 
 
 def host_rank_choice(docs: DataFrame, host_col: str = "host", *,
-                     hot_host_threshold: int = 100_000,
+                     hot_host_threshold: int = 1_000_000,
                      probe_fraction: float = 0.05) -> str:
     """The ``rank_via="auto"`` decision for ``host_quota_sample``,
     factored so tests can assert the choice directly (the
     ``passage_rank_choice`` discipline): estimate the max per-host row
-    count from a ``probe_fraction`` sample and return "bucketed" above
-    ``hot_host_threshold``, else "window". The probe's shuffle is
-    ``probe_fraction`` of the corpus and partial-aggregates map-side;
-    the estimate max(sampled count)/fraction is upward-biased by
-    design — uncertainty resolves toward the skew-safe path.
+    count from a ``probe_fraction`` sample of the HOST COLUMN ONLY
+    (column-pruned before sampling, so a docs frame with a wide or
+    expensive lineage never re-materializes its other columns for the
+    probe) and return "bucketed" above ``hot_host_threshold``, else
+    "window". The probe's shuffle is ``probe_fraction`` of one column
+    and partial-aggregates map-side; the estimate max(sampled
+    count)/fraction is upward-biased by design — uncertainty resolves
+    toward the skew-safe path. The default threshold sits at the
+    measured window/bucketed crossover (README mega-host row: at
+    ~250k rows per host the bucketed path's extra count aggregation
+    still costs more than the one-partition sort saves; at ~2.5M the
+    bucketed path wins 2.5x and bounds the sort partition).
     Correctness never depends on the choice (the two modes are
     equivalence-tested); only task skew does."""
-    row = (docs.sample(fraction=probe_fraction, seed=42)
+    row = (docs.select(host_col)
+           .sample(fraction=probe_fraction, seed=42)
            .groupBy(host_col).agg(F.count(F.lit(1)).alias("__c"))
            .agg(F.max("__c").alias("m")).first())
     est = (row["m"] or 0) / probe_fraction
@@ -207,7 +215,7 @@ def host_quota_sample(docs: DataFrame, quotas, *,
                       seed: int = 0,
                       rank_col: str = "host_rank_pos",
                       rank_via: str = "auto",
-                      hot_host_threshold: int = 100_000,
+                      hot_host_threshold: int = 1_000_000,
                       probe_fraction: float = 0.05) -> DataFrame:
     """Per-host document caps — the curation step that CONSUMES host
     signals: web corpora cap docs per domain so no single host

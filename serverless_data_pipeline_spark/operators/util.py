@@ -27,3 +27,13 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     if 0 < n_files < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def hadoop_fs(spark, path: str):
+    """Resolve ``path`` through the JVM Hadoop FileSystem API: returns
+    (fs, jpath). ONE home for the ``spark._jvm``/``spark._jsc`` py4j
+    plumbing (private internals that may shift across Spark versions)
+    — artifact I/O, sink prefix deletes and partition maintenance all
+    route here, so a compatibility fix lands once."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath

@@ -111,8 +111,25 @@ def drift_monitor_batch(batch: DataFrame, epoch_id: int,
                 "numeric_cols needs a reference_profile (the "
                 "reference's profile_columns frame over those "
                 "columns)")
+        # the profile join matches on COLUMN NAME — a reference
+        # profile built over a renamed/different column set would
+        # leave every delta NULL and silently disable the numeric
+        # alarm forever (the decode-NULL failure class). The frame is
+        # |columns| rows, so the guard is a tiny collect.
+        refcols = {r[0]
+                   for r in reference_profile.select("column").collect()}
+        missing = [c for c in numeric_cols if c not in refcols]
+        if missing:
+            raise ValueError(
+                f"reference_profile has no rows for numeric_cols "
+                f"{missing} (it profiles {sorted(refcols)}) — the "
+                "numeric alarm would never fire")
+        # approx_distinct: the monitor consumes only null_frac/vavg
+        # deltas, and the exact-distinct mode would plan an Expand
+        # over EVERY micro-batch for a statistic nothing reads
         pd = profile_drift_from_profiles(
-            reference_profile, profile_columns(batch, numeric_cols))
+            reference_profile,
+            profile_columns(batch, numeric_cols, approx_distinct=True))
         ndel = pd.agg(
             F.max(F.abs(F.col("null_frac_delta")))
              .alias("max_abs_null_frac_delta"),
@@ -141,6 +158,35 @@ def drift_monitor_batch(batch: DataFrame, epoch_id: int,
      .parquet(f"{out_path}/epoch={int(epoch_id)}"))
 
 
+def _tail_alarm(monitor: DataFrame, ok_pred, k: int,
+                marker_col: str | None, tail_col: str,
+                flag_col: str) -> DataFrame:
+    """Shared skeleton of the two evaluation-period alarms: find the
+    latest epoch satisfying ``ok_pred`` (the condition that RESETS the
+    alarm), count the trailing epochs after it (every epoch when none
+    ever satisfied it), flag when that tail reaches ``k``. The monitor
+    sink is |epochs| rows, so the SUM OVER () marker window and the
+    one-row aggregate are over a tiny frame by construction (the
+    mix-kernel totals discipline)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy()
+    marker = F.max(F.when(ok_pred, F.col("epoch"))).over(w)
+    aggs = [F.count("*").cast("long").alias("n_epochs"),
+            F.max("epoch").cast("long").alias("last_epoch")]
+    if marker_col:
+        aggs.append(F.max("__marker").cast("long").alias(marker_col))
+    aggs.append(
+        F.coalesce(
+            F.sum(F.when(F.col("__marker").isNull()
+                         | (F.col("epoch") > F.col("__marker")), 1)
+                   .otherwise(0)),
+            F.lit(0)).cast("long").alias(tail_col))
+    return (monitor.withColumn("__marker", marker)
+            .agg(*aggs)
+            .withColumn(flag_col, F.col(tail_col) >= F.lit(int(k))))
+
+
 def liveness_alarm(monitor: DataFrame, *, k: int = 3) -> DataFrame:
     """The drift monitor's LIVENESS companion (r9 verdict #6): the
     monitor deliberately reports an empty epoch as n_rows=0 /
@@ -162,27 +208,9 @@ def liveness_alarm(monitor: DataFrame, *, k: int = 3) -> DataFrame:
     An EMPTY monitor sink (no epochs at all) reports n_epochs=0 and
     silent=false — no epochs is "the monitor never ran", a deployment
     condition, not evidence the FEED died; alarm on the monitor's own
-    freshness for that. Scale shape: the sink is |epochs| rows, so the
-    SUM OVER () totals window and the final one-row aggregate are over
-    a tiny frame by construction (the mix-kernel totals discipline)."""
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    w = Window.partitionBy()
-    live = F.max(F.when(F.col("n_rows") > 0, F.col("epoch"))).over(w)
-    return (monitor
-            .withColumn("__last_live", live)
-            .agg(F.count("*").cast("long").alias("n_epochs"),
-                 F.max("epoch").cast("long").alias("last_epoch"),
-                 F.max("__last_live").cast("long")
-                  .alias("last_live_epoch"),
-                 F.coalesce(
-                     F.sum(F.when(F.col("__last_live").isNull()
-                                  | (F.col("epoch")
-                                     > F.col("__last_live")), 1)
-                            .otherwise(0)),
-                     F.lit(0)).cast("long").alias("empty_tail"))
-            .withColumn("silent",
-                        F.col("empty_tail") >= F.lit(int(k))))
+    freshness for that. Tiny-frame shape: see ``_tail_alarm``."""
+    return _tail_alarm(monitor, F.col("n_rows") > 0, k,
+                       "last_live_epoch", "empty_tail", "silent")
 
 
 def dlq_depth_alarm(dlq: DataFrame, *, threshold: int = 1,
@@ -231,25 +259,12 @@ def throughput_alarm(monitor: DataFrame, *, threshold: int = 1000,
     upstream fanout bug). Returns ONE row: ``n_epochs``,
     ``last_epoch``, ``hot_tail`` (trailing consecutive over-threshold
     epochs) and ``alarm`` = hot_tail >= k. Same tiny-frame shape as
-    ``liveness_alarm``."""
-    if k < 1:
-        raise ValueError("k must be >= 1")
+    ``liveness_alarm`` (shared ``_tail_alarm`` skeleton: an alarm
+    resets at the latest CALM epoch)."""
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
-    w = Window.partitionBy()
-    calm = F.max(F.when(F.col("n_rows") <= threshold,
-                        F.col("epoch"))).over(w)
-    return (monitor
-            .withColumn("__last_calm", calm)
-            .agg(F.count("*").cast("long").alias("n_epochs"),
-                 F.max("epoch").cast("long").alias("last_epoch"),
-                 F.coalesce(
-                     F.sum(F.when(F.col("__last_calm").isNull()
-                                  | (F.col("epoch")
-                                     > F.col("__last_calm")), 1)
-                            .otherwise(0)),
-                     F.lit(0)).cast("long").alias("hot_tail"))
-            .withColumn("alarm", F.col("hot_tail") >= F.lit(int(k))))
+    return _tail_alarm(monitor, F.col("n_rows") <= threshold, k,
+                       None, "hot_tail", "alarm")
 
 
 def start_drift_monitor_stream(stream: DataFrame, reference: DataFrame,
@@ -294,7 +309,8 @@ def start_drift_monitor_stream(stream: DataFrame, reference: DataFrame,
                 "numeric_cols needs a reference corpus or a "
                 "precomputed reference_profile")
         reference_profile = (profile_columns(reference,
-                                             list(numeric_cols))
+                                             list(numeric_cols),
+                                             approx_distinct=True)
                              .localCheckpoint(eager=True))
 
     def _process(batch: DataFrame, epoch_id: int) -> None:

@@ -92,10 +92,10 @@ def start_quarantining_stream(df: DataFrame, good_path: str, error_path: str,
 def _delete_prefix(df: DataFrame, path: str) -> None:
     """Recursively delete a sink prefix via the Hadoop FileSystem API
     (no-op when absent) — the epoch-scoped commit discipline's reset
-    step."""
-    spark = df.sparkSession
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    step. Plumbing shared via ``operators.util.hadoop_fs``."""
+    from serverless_data_pipeline_spark.operators.util import hadoop_fs
+
+    fs, jpath = hadoop_fs(df.sparkSession, path)
     fs.delete(jpath, True)
 
 

@@ -537,6 +537,16 @@ def test_drift_monitor_numeric_profile_drift(spark, tmp_path):
         drift_monitor_batch(batch, 4, rc, "event_type",
                             str(tmp_path / "m_bad"),
                             numeric_cols=["value"])
+    # coverage guard (r10 review): a reference profile built over a
+    # DIFFERENT column set would leave every delta NULL and silently
+    # disable the numeric alarm forever — rejected up front instead
+    renamed = profile_columns(ref.withColumnRenamed("value", "val"),
+                              ["val"])
+    with pytest.raises(ValueError, match="no rows for numeric_cols"):
+        drift_monitor_batch(batch, 5, rc, "event_type",
+                            str(tmp_path / "m_mis"),
+                            reference_profile=renamed,
+                            numeric_cols=["value"])
 
 
 def test_liveness_alarm_on_silent_stream(spark, tmp_path):
