@@ -445,3 +445,60 @@ def test_bpe_raw_round_trip_is_exact_on_arbitrary_unicode(spark, texts):
         assert r.decoded_text == want
         assert "".join(r.sym) == want
         assert 0 not in r.token_ids
+
+
+@given(texts=st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=40),
+    min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_bpe_attached_round_trip_is_exact_on_arbitrary_unicode(
+        spark, texts):
+    """The attach_ws refinement preserves the exact-raw law on
+    arbitrary unicode: attached pretokens are still a partition of the
+    input, so decode(encode(x)) == x byte-for-byte under the
+    raw-service artifact too."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BPE_RAW_BASE_CHARS, RAW_COMMITTED_MERGES, build_vocab,
+    )
+    rvocab = build_vocab(RAW_COMMITTED_MERGES, BPE_RAW_BASE_CHARS)
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id int, text string")
+    out = bpe_decode_ids(
+        bpe_encode_ids(df, "text", RAW_COMMITTED_MERGES, rvocab,
+                       byte_fallback=True, raw=True, attach_ws=True,
+                       sym_col="sym"),
+        "token_ids", rvocab, raw=True)
+    for r in out.collect():
+        assert r.decoded_text == texts[r.id]
+        assert "".join(r.sym) == texts[r.id]
+        assert 0 not in r.token_ids
+
+
+@given(hosts=st.lists(st.sampled_from(["a", "b", "c", "mega", None]),
+                      min_size=1, max_size=40),
+       quota=st.integers(1, 5),
+       default=st.one_of(st.none(), st.integers(1, 3)),
+       seed=st.integers(0, 3))
+@settings(**SETTINGS)
+def test_host_quota_bucketed_equals_window_property(
+        spark, hosts, quota, default, seed):
+    """The skew-safe bucketed ranking is EXACTLY the window ranking —
+    same kept docs, same rank values — for arbitrary host mixes (NULL
+    hosts included), quotas, defaults and seeds."""
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_quota_sample,
+    )
+    docs = spark.createDataFrame(list(enumerate(hosts)),
+                                 "doc_id long, host string")
+    q = {"mega": quota, "a": quota + 1}
+    res = []
+    for mode in ("window", "bucketed"):
+        got = host_quota_sample(docs, q, default_quota=default,
+                                seed=seed, rank_via=mode)
+        res.append({(r.doc_id, r.host, r.host_rank_pos)
+                    for r in got.collect()})
+    assert res[0] == res[1]
