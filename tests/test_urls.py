@@ -292,3 +292,48 @@ def test_canonicalize_cross_engine_parity_on_generated_urls(spark):
         spark.createDataFrame([(c,) for c in got_spark], "cu string"),
         "cu").collect()]
     assert hosts_spark == hosts_duck
+
+
+def test_host_curation_loop_rank_to_quota_to_sample(spark):
+    """The full X18 curation loop composed end-to-end from existing
+    pieces: hyperlink pairs -> host_rank (directed) -> a quota frame
+    DERIVED from centrality (low-rank hosts capped tighter, the
+    RefinedWeb-style per-domain discipline) -> host_quota_sample.
+    Pins that the three operators actually compose — rank output
+    feeds the quota join untouched — and that the derived caps bind
+    per host."""
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_quota_sample, host_rank,
+    )
+    # host h0 is the hub (linked to by everyone), h3 is peripheral
+    docs = spark.createDataFrame(
+        [(i, f"h{i % 4}") for i in range(40)],
+        "doc_id long, host string")
+    pairs = spark.createDataFrame(
+        [(i, 0) for i in range(1, 16)]          # everyone links doc 0
+        + [(16, 17), (18, 19)],                 # sparse periphery
+        "id_a long, id_b long")
+    rank = host_rank(pairs, docs, directed=True)
+    ranks = {r.id: r.rank for r in rank.collect()}
+    assert ranks["h0"] == max(ranks.values())   # hub ranks first
+    # derive quotas IN-PLAN from centrality: above-median hosts keep
+    # 8 docs, the rest 2 (a deterministic, engine-portable rule)
+    med = rank.agg(F.expr("percentile(rank, 0.5)")).first()[0]
+    quotas = rank.select(
+        F.col("id").alias("host"),
+        F.when(F.col("rank") > med, F.lit(8))
+         .otherwise(F.lit(2)).cast("long").alias("quota"))
+    kept = host_quota_sample(docs, quotas, default_quota=1,
+                             seed=3).collect()
+    per = {}
+    for r in kept:
+        per.setdefault(r.host, []).append(r.host_rank_pos)
+    hi = {h for h, q in ((r.host, r.quota)
+                         for r in quotas.collect()) if q == 8}
+    for h, poss in per.items():
+        cap = 8 if h in hi else 2
+        assert len(poss) <= cap and max(poss) <= cap, (h, poss)
+    # every ranked host contributed docs; unranked hosts would fall
+    # back to default_quota=1 (none exist here: docs cover h0-h3 and
+    # the pair graph ranks all four)
+    assert set(per) == {"h0", "h1", "h2", "h3"}
