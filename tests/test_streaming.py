@@ -676,3 +676,64 @@ def test_drift_monitor_never_rescans_reference(spark, tmp_path):
         start_drift_monitor_stream(stream, None, "event_type",
                                    str(tmp_path / "m2"),
                                    str(tmp_path / "ck2"))
+
+
+def test_tokenizer_health_monitor_composition(spark, tmp_path):
+    """The r10 features compose into tokenizer-health monitoring: a
+    streamed corpus is encoded with the committed artifact
+    (byte_fallback) and the per-doc unk_rate — the byte-escape rate —
+    is watched by the NUMERIC drift monitor against the clean
+    corpus's profile. A batch flooded with non-ASCII garbage must
+    flag numeric drift (mean escape rate jumps); a clean batch must
+    not. This is the dashboard a curator actually runs: encoding
+    health per micro-batch, in-flight."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        COMMITTED_MERGES, build_vocab,
+    )
+    from serverless_data_pipeline_spark.operators.stages import (
+        category_counts, profile_columns,
+    )
+    from serverless_data_pipeline_spark.streaming.monitor import (
+        drift_monitor_batch,
+    )
+    v = build_vocab()
+
+    def encoded(df):
+        return bpe_encode_ids(df, "text", COMMITTED_MERGES, v,
+                              byte_fallback=True,
+                              unk_col="unk_rate").select(
+            "lang", "unk_rate")
+
+    clean = spark.createDataFrame(
+        [(i, "a scan can lower column as at par low", "en")
+         for i in range(40)], "doc_id long, text string, lang string")
+    ref = encoded(clean)
+    rc = category_counts(ref, "lang").localCheckpoint()
+    rp = profile_columns(ref, ["unk_rate"]).localCheckpoint()
+    # clean epoch: escape rate matches the reference -> no flag
+    drift_monitor_batch(encoded(clean), 0, rc, "lang",
+                        str(tmp_path / "tokmon"),
+                        reference_profile=rp,
+                        numeric_cols=["unk_rate"],
+                        vavg_delta_threshold=0.1)
+    ok = spark.read.parquet(str(tmp_path / "tokmon")).collect()[0]
+    assert not ok.numeric_drifted and ok.max_abs_vavg_delta == 0.0
+    # garbage epoch: half the docs are non-ASCII floods -> mean
+    # byte-escape rate jumps -> numeric drift pages while the
+    # categorical lang mix stays stable
+    garbage = spark.createDataFrame(
+        [(i, "汉字" * 10 if i % 2 == 0
+          else "a scan can lower column as at par low", "en")
+         for i in range(40)], "doc_id long, text string, lang string")
+    drift_monitor_batch(encoded(garbage), 1, rc, "lang",
+                        str(tmp_path / "tokmon"),
+                        reference_profile=rp,
+                        numeric_cols=["unk_rate"],
+                        vavg_delta_threshold=0.1)
+    hot = (spark.read.parquet(str(tmp_path / "tokmon"))
+           .filter("epoch = 1").collect()[0])
+    assert hot.numeric_drifted and hot.max_abs_vavg_delta > 0.1
+    assert not hot.drifted                 # lang mix did NOT shift
