@@ -216,7 +216,8 @@ def host_quota_sample(docs: DataFrame, quotas, *,
                       rank_col: str = "host_rank_pos",
                       rank_via: str = "auto",
                       hot_host_threshold: int = 1_000_000,
-                      probe_fraction: float = 0.05) -> DataFrame:
+                      probe_fraction: float = 0.05,
+                      broadcast_quotas: bool = True) -> DataFrame:
     """Per-host document caps — the curation step that CONSUMES host
     signals: web corpora cap docs per domain so no single host
     dominates the mixture (the per-domain quota discipline of
@@ -252,7 +253,14 @@ def host_quota_sample(docs: DataFrame, quotas, *,
       ~max(n_host/256, quota). Costs one extra count aggregation.
     - "auto" (default) — a sampled skew probe (``host_rank_choice``)
       picks "bucketed" when the estimated max per-host count exceeds
-      ``hot_host_threshold``, else "window"."""
+      ``hot_host_threshold``, else "window".
+
+    ``broadcast_quotas`` — quota frames are usually |curated hosts|
+    rows and broadcast (the default). A quota frame covering the FULL
+    host universe of a web crawl (~10^8 rows) must not be forced
+    through a broadcast: pass False to leave the join strategy to the
+    optimizer/AQE (it becomes an ordinary hash join co-keyed on the
+    host)."""
     spark = docs.sparkSession
     if isinstance(quotas, dict):
         quotas = spark.createDataFrame(
@@ -282,7 +290,9 @@ def host_quota_sample(docs: DataFrame, quotas, *,
     cap = (F.coalesce(F.col("__quota"),
                       F.lit(default_quota).cast("long"))
            if default_quota is not None else F.col("__quota"))
-    qbc = F.broadcast(quotas.withColumnRenamed(host_col, "__qh"))
+    qbc = quotas.withColumnRenamed(host_col, "__qh")
+    if broadcast_quotas:
+        qbc = F.broadcast(qbc)
     if rank_via == "window":
         w = Window.partitionBy(host_col).orderBy(key, F.col(id_col))
         ranked = docs.withColumn(rank_col, F.row_number().over(w))

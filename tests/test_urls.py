@@ -230,6 +230,17 @@ def test_host_quota_sample_bucketed_equivalence(spark):
     cw = host_quota_sample(docs, {"mega": 3}, rank_via="window")
     cb = host_quota_sample(docs, {"mega": 3}, rank_via="bucketed")
     assert cw.schema == cb.schema
+    # broadcast_quotas=False (a quota frame covering a full host
+    # universe must not be forced through a broadcast): identical
+    # results in both modes, join strategy left to the optimizer
+    for mode in ("window", "bucketed"):
+        nb = host_quota_sample(docs, {"mega": 50, "b": 5},
+                               default_quota=3, seed=0, rank_via=mode,
+                               broadcast_quotas=False)
+        wb = host_quota_sample(docs, {"mega": 50, "b": 5},
+                               default_quota=3, seed=0, rank_via=mode)
+        assert ({(r.doc_id, r.host_rank_pos) for r in nb.collect()}
+                == {(r.doc_id, r.host_rank_pos) for r in wb.collect()})
     # auto probe: tiny corpus -> window; planted mega-host -> bucketed
     assert host_rank_choice(docs, hot_host_threshold=100_000) == "window"
     assert host_rank_choice(docs, hot_host_threshold=100,
