@@ -2922,6 +2922,30 @@ def _q_x8_corpus_utils(spark, sf):
                    F.col("shard").cast("long").alias("a"),
                    F.col("bin_id").cast("long").alias("b"),
                    F.col("c").cast("long").alias("c"), "h"))
+    # blk arm (r10): pack_token_blocks — the MATERIALIZED packed
+    # pretraining blocks over the same id streams: per-shard concat
+    # (doc-id order) with the reserved EOS id appended per doc,
+    # chunked every _X8_BLK_LEN ids, trailing partial block dropped.
+    # Per (shard=a, block=b) row: c = number of contributing doc
+    # spans, h = md5 of the comma-joined EXACT block ids — so every
+    # block boundary, every EOS position, and the whole packed stream
+    # are value-checked against a token-grain DuckDB replay. The ids
+    # arm checks the bin NUMBERS; this checks the artifact itself.
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks,
+    )
+    blk = (pack_token_blocks(encd.select("doc_id", "token_ids"),
+                             "doc_id", "token_ids",
+                             block_len=_X8_BLK_LEN, eos_id=_BPE_EOS_ID,
+                             n_shards=8)
+           .select(F.lit("blk").alias("kind"), nl.alias("doc_id"),
+                   F.col("shard").cast("long").alias("a"),
+                   F.col("block_id").cast("long").alias("b"),
+                   F.size("doc_spans").cast("long").alias("c"),
+                   F.md5(F.array_join(
+                       F.transform("ids",
+                                   lambda i: i.cast("string")), ",")
+                         .cast("binary")).alias("h")))
     # rtok arm (r10 — raw-text tokenizer fidelity): the LOSSLESS
     # byte-level mode over text with planted mixed case, tabs,
     # newlines and whitespace runs (_X8_RAW_TEXT_SQL, derived
@@ -2992,8 +3016,8 @@ def _q_x8_corpus_utils(spark, sf):
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
             .unionAll(sheet2).unionAll(jac).unionAll(diff)
-            .unionAll(tok).unionAll(ids).unionAll(rtok)
-            .unionAll(atok))
+            .unionAll(tok).unionAll(ids).unionAll(blk)
+            .unionAll(rtok).unionAll(atok))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -3427,6 +3451,13 @@ _BPE_RAW_BYTE_BASE = _BPE_RAW_VOCAB["<0x00>"]
 # valid verbatim in both engines (|| auto-casts the numeric operand),
 # so the tokenizer arms exercise the printable base alphabet AND the
 # byte fallback, value-checked cross-engine.
+# x8 blk arm (r10): pack_token_blocks over the tok arm's REAL id
+# streams — EOS = one id past the committed vocab (the reserved
+# special-token slot), block length sized so sf docs straddle block
+# boundaries and the drop-last rule fires per shard.
+_BPE_EOS_ID = len(_bpe_build_vocab())
+_X8_BLK_LEN = 256
+
 _X8_TOK_TEXT_SQL = (
     "text || ' 42 $9.99 (a-b_c) [v' || (doc_id % 10) || '.0]! "
     "café 汉' || CASE WHEN doc_id % 3 = 0 "
@@ -5203,7 +5234,44 @@ def oracle_sql() -> dict[str, str]:
                            COALESCE(b.n_tokens, 0) AS n_tokens,
                            COALESCE(b.noov, 0) AS noov,
                            COALESCE(b.nsym, 0) AS nsym
-                    FROM documents d LEFT JOIN adoc0 b USING (doc_id))
+                    FROM documents d LEFT JOIN adoc0 b USING (doc_id)),
+                  -- blk arm (r10): token-grain replay of
+                  -- pack_token_blocks — append the reserved EOS id to
+                  -- each doc's id stream, lay streams out per shard
+                  -- in doc-id order, assign every id its global
+                  -- stream position, chunk every {_X8_BLK_LEN}, drop
+                  -- the trailing partial block. The Spark side never
+                  -- touches token grain (doc-grain slices only); the
+                  -- oracle checks it AT token grain.
+                  blkdoc AS (
+                    SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+                           CASE WHEN ids = '' THEN '{_BPE_EOS_ID}'
+                                ELSE ids || ',{_BPE_EOS_ID}' END
+                               AS eids,
+                           n_tokens + 1 AS n
+                    FROM bdids),
+                  blkoff AS (
+                    SELECT doc_id, shard, eids,
+                           SUM(n) OVER (PARTITION BY shard
+                                        ORDER BY doc_id) - n AS s
+                    FROM blkdoc),
+                  blktok AS (
+                    SELECT doc_id, shard,
+                           (s + p - 1) // {_X8_BLK_LEN} AS block_id,
+                           s + p - 1 AS pos, tok
+                    FROM (SELECT doc_id, shard, s,
+                                 unnest(range(1,
+                                     len(string_split(eids, ',')) + 1))
+                                     AS p,
+                                 unnest(string_split(eids, ',')) AS tok
+                          FROM blkoff)),
+                  blkg AS (
+                    SELECT shard, block_id,
+                           CAST(COUNT(*) AS BIGINT) AS nt,
+                           CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                               AS ndocs,
+                           md5(string_agg(tok, ',' ORDER BY pos)) AS h
+                    FROM blktok GROUP BY shard, block_id)
                   SELECT 'tok' AS kind, doc_id, n_tokens AS a,
                          -- unk_rate micro-units: round6 of noov/nsym
                          -- (0.0 for symbol-less docs), then * 1e6 and
@@ -5221,6 +5289,10 @@ def oracle_sql() -> dict[str, str]:
                          md5(string_agg(d.ids, ',' ORDER BY nf.doc_id))
                   FROM bnf nf JOIN bdids d USING (doc_id)
                   GROUP BY nf.shard, nf.bin_id
+                  UNION ALL
+                  SELECT 'blk', CAST(NULL AS BIGINT), shard, block_id,
+                         ndocs, h
+                  FROM blkg WHERE nt = {_X8_BLK_LEN}
                   UNION ALL
                   SELECT 'rtok', doc_id, n_tokens AS a,
                          CAST(1 AS BIGINT) AS b,

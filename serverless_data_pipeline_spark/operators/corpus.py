@@ -18,7 +18,8 @@ from serverless_data_pipeline_spark.functions.text import (
 
 __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
            "corpus_datasheet",
-           "pack_sequences", "corpus_mix", "temperature_mix",
+           "pack_sequences", "pack_token_blocks",
+           "corpus_mix", "temperature_mix",
            "chunk_documents", "decontaminate", "contamination_report",
            "shingle_bloom", "bloom_decontaminate", "segment_dedup",
            "passage_dedup", "passage_rank_choice", "global_shuffle",
@@ -432,6 +433,112 @@ def pack_bins(df: DataFrame, id_col: str, text_col: str | None,
                         F.coalesce(F.sum("n_tokens").over(w),
                                    F.lit(0).cast("long")))
             .withColumnRenamed("id", id_col))
+
+
+def pack_token_blocks(df: DataFrame, id_col: str, ids_col: str, *,
+                      block_len: int = 2048,
+                      eos_id: int | None = None,
+                      n_shards: int = 8,
+                      drop_last: bool = True,
+                      pad_id: int | None = None,
+                      out_col: str = "ids",
+                      spans_col: str = "doc_spans") -> DataFrame:
+    """Emit the ACTUAL packed pretraining blocks: concatenate each
+    shard's token-id streams (in id order, ``eos_id`` appended per
+    document when given — the GPT-2 concat-with-EOS discipline) and
+    chunk the stream every ``block_len`` ids. This is the step after
+    ``bpe_encode_ids`` that produces what a trainer memory-maps:
+    ``pack_sequences`` assigns each document a bin NUMBER from a
+    text-proxy count; this materializes the blocks themselves from the
+    real ids. Returns one row per block:
+
+    - ``shard`` / ``block_id`` — per-shard block index (block 0 starts
+      at the shard's first id);
+    - ``out_col`` — array<int> of exactly ``block_len`` ids (the last,
+      shorter block per shard is dropped when ``drop_last``, kept
+      as-is otherwise, and right-padded with ``pad_id`` up to
+      ``block_len`` when that is given);
+    - ``spans_col`` — array<struct<start,len,doc_id>> in block order:
+      which document supplied ids [start, start+len) of the block (a
+      document crossing a boundary contributes a span to each block it
+      touches) — the metadata a trainer needs to build block-diagonal
+      attention masks and to trace any training sequence back to its
+      source documents.
+
+    Scale shape (the pack_bins discipline, applied end-to-end): the
+    sequential state — each document's start offset in its shard's
+    stream — is a window cumulative sum over TWO LONGS per doc
+    (id, n_ids); the id arrays never enter the window sort. The arrays
+    then move through one co-keyed hash join (doc grain) and one
+    groupBy((shard, block)) whose keys are fine-grained by
+    construction (~stream/block_len groups per shard), so no task ever
+    holds more than a handful of blocks; the boundary slicing is
+    in-expression (`slice`/`flatten`), never a token-grain shuffle or
+    Python. ``n_shards`` is the same memory lever as pack_sequences:
+    size it so one shard's (id, n) frame fits an executor. NOTE: the
+    offsets frame and the arrays frame both descend from ``df``, so an
+    expensive upstream (a tokenizer encode) should be cached or
+    checkpointed by the caller before packing.
+
+    Documents with zero ids (and no ``eos_id``) occupy no stream
+    positions and are skipped; with ``eos_id`` they still contribute
+    their EOS, so decode-side document accounting stays exact."""
+    if block_len < 1:
+        raise ValueError("block_len must be >= 1")
+    if drop_last and pad_id is not None:
+        raise ValueError("pad_id only applies when drop_last=False")
+    L = block_len
+    with_eos = (F.col(ids_col).cast("array<int>") if eos_id is None
+                else F.concat(F.col(ids_col).cast("array<int>"),
+                              F.array(F.lit(int(eos_id)).cast("int"))))
+    base = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        with_eos.alias("__ids"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"))
+    counts = (base.select("__id", "shard", F.size("__ids").alias("__n"))
+              .filter(F.col("__n") > 0))
+    w = Window.partitionBy("shard").orderBy("__id")
+    offs = (counts
+            .withColumn("__end", F.sum("__n").over(w).cast("long"))
+            .withColumn("__s", F.col("__end") - F.col("__n")))
+    j = offs.join(base.select("__id", "__ids"), "__id")
+    gstart = F.greatest(F.col("block_id") * L, F.col("__s"))
+    gend = F.least((F.col("block_id") + 1) * L, F.col("__end"))
+    part = (j.select(
+                "shard", "__id", "__ids", "__s", "__end",
+                F.explode(F.sequence(
+                    F.floor(F.col("__s") / L).cast("long"),
+                    F.floor((F.col("__end") - 1) / L).cast("long")))
+                .alias("block_id"))
+            .select(
+                "shard", "block_id",
+                F.struct(
+                    (gstart - F.col("block_id") * L).cast("int")
+                    .alias("start"),
+                    (gend - gstart).cast("int").alias("len"),
+                    F.col("__id").alias("doc_id"),
+                    F.slice("__ids",
+                            (gstart - F.col("__s") + 1).cast("int"),
+                            (gend - gstart).cast("int")).alias("piece"))
+                .alias("__p")))
+    grp = (part.groupBy("shard", "block_id")
+           .agg(F.array_sort(F.collect_list("__p")).alias("__parts")))
+    out = grp.select(
+        "shard", F.col("block_id").cast("long").alias("block_id"),
+        F.flatten(F.transform("__parts", lambda p: p["piece"]))
+        .alias(out_col),
+        F.transform("__parts", lambda p: F.struct(
+            p["start"].alias("start"), p["len"].alias("len"),
+            p["doc_id"].alias("doc_id"))).alias(spans_col))
+    if drop_last:
+        return out.filter(F.size(out_col) == L)
+    if pad_id is not None:
+        out = out.withColumn(
+            out_col,
+            F.concat(F.col(out_col),
+                     F.array_repeat(F.lit(int(pad_id)).cast("int"),
+                                    L - F.size(out_col))))
+    return out
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame,

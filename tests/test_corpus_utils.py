@@ -1069,3 +1069,111 @@ def test_leakage_safe_split_portable_fullrange_keys_and_validation(spark):
     with _pt.raises(ValueError, match="even"):
         leakage_safe_split(df, "doc_id", group_col="cid", hashed=False,
                            n_splits=9, train_cutoff=6)
+
+
+# ---------------------------------------------------------------------------
+# pack_token_blocks — the materialized packed-pretraining blocks (r10)
+
+
+def _blk_fixture(spark, ids_lists):
+    rows = [(i, ids) for i, ids in enumerate(ids_lists)]
+    return spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+
+
+def test_pack_token_blocks_hand_checked(spark):
+    """One shard, L=4, EOS=99: stream 1,2,3,99,4,5,99,6,99,7,8,9,10,99
+    -> [1,2,3,99] [4,5,99,6] [99,7,8,9]; remainder [10,99] dropped.
+    Spans pin exactly which doc supplied which block positions."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks,
+    )
+    df = _blk_fixture(spark, [[1, 2, 3], [4, 5], [6], [7, 8, 9, 10]])
+    out = sorted(pack_token_blocks(df, "doc_id", "token_ids",
+                                   block_len=4, eos_id=99,
+                                   n_shards=1).collect(),
+                 key=lambda r: r.block_id)
+    assert [r.ids for r in out] == [[1, 2, 3, 99], [4, 5, 99, 6],
+                                    [99, 7, 8, 9]]
+    spans = [[(s.start, s.len, s.doc_id) for s in r.doc_spans]
+             for r in out]
+    assert spans == [[(0, 4, 0)],
+                     [(0, 3, 1), (3, 1, 2)],
+                     [(0, 1, 2), (1, 3, 3)]]
+
+
+def test_pack_token_blocks_completeness_and_span_tiling(spark):
+    """drop_last=False: concatenating a shard's blocks in block order
+    reproduces the per-doc (ids+EOS) streams in id order exactly; in
+    every block the spans tile [0, len) contiguously."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks,
+    )
+    import random
+    rng = random.Random(7)
+    ids_lists = [[rng.randrange(1000) for _ in range(rng.randrange(9))]
+                 for _ in range(60)]
+    df = _blk_fixture(spark, ids_lists)
+    out = pack_token_blocks(df, "doc_id", "token_ids", block_len=7,
+                            eos_id=77, n_shards=3,
+                            drop_last=False).collect()
+    streams, expected = {}, {}
+    for r in sorted(out, key=lambda x: (x.shard, x.block_id)):
+        streams.setdefault(r.shard, []).extend(r.ids)
+        pos = 0
+        for s in r.doc_spans:
+            assert s.start == pos
+            pos += s.len
+        assert pos == len(r.ids)
+        assert len(r.ids) <= 7
+    for i, ids in enumerate(ids_lists):
+        expected.setdefault(i % 3, []).extend(list(ids) + [77])
+    assert streams == expected
+
+
+def test_pack_token_blocks_drop_last_and_pad(spark):
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks,
+    )
+    import pytest
+    df = _blk_fixture(spark, [[1, 2, 3], [4, 5]])   # stream of 7 w/ EOS
+    full = pack_token_blocks(df, "doc_id", "token_ids", block_len=4,
+                             eos_id=9, n_shards=1).collect()
+    assert [r.ids for r in full] == [[1, 2, 3, 9]]   # remainder dropped
+    padded = sorted(pack_token_blocks(
+        df, "doc_id", "token_ids", block_len=4, eos_id=9, n_shards=1,
+        drop_last=False, pad_id=0).collect(), key=lambda r: r.block_id)
+    assert [r.ids for r in padded] == [[1, 2, 3, 9], [4, 5, 9, 0]]
+    # pad never invents a span
+    assert [(s.start, s.len, s.doc_id)
+            for s in padded[1].doc_spans] == [(0, 3, 1)]
+    with pytest.raises(ValueError):
+        pack_token_blocks(df, "doc_id", "token_ids", block_len=0)
+    with pytest.raises(ValueError):
+        pack_token_blocks(df, "doc_id", "token_ids", pad_id=5)
+
+
+def test_pack_token_blocks_empty_docs_and_determinism(spark):
+    """Zero-id docs occupy no positions without EOS but still
+    contribute their EOS token with it; assignment is identical under
+    a different input partitioning."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks,
+    )
+    df = _blk_fixture(spark, [[], [1], [], [2, 3]])
+    no_eos = pack_token_blocks(df, "doc_id", "token_ids", block_len=3,
+                               n_shards=1, drop_last=False).collect()
+    assert [r.ids for r in no_eos] == [[1, 2, 3]]
+    with_eos = sorted(pack_token_blocks(
+        df, "doc_id", "token_ids", block_len=3, eos_id=5, n_shards=1,
+        drop_last=False).collect(), key=lambda r: r.block_id)
+    # stream: 5, 1,5, 5, 2,3,5 -> [5,1,5] [5,2,3] [5]
+    assert [r.ids for r in with_eos] == [[5, 1, 5], [5, 2, 3], [5]]
+    assert [(s.start, s.len, s.doc_id)
+            for s in with_eos[0].doc_spans] == [(0, 1, 0), (1, 2, 1)]
+    base = pack_token_blocks(df, "doc_id", "token_ids", block_len=3,
+                             eos_id=5, n_shards=1, drop_last=False)
+    again = pack_token_blocks(df.repartition(5), "doc_id", "token_ids",
+                              block_len=3, eos_id=5, n_shards=1,
+                              drop_last=False)
+    assert sorted((r.shard, r.block_id, r.ids) for r in base.collect()) \
+        == sorted((r.shard, r.block_id, r.ids) for r in again.collect())
