@@ -2887,7 +2887,7 @@ def _q_x8_corpus_utils(spark, sf):
         COMMITTED_MERGES, build_vocab,
     )
     encd = (bpe_encode_ids(
-                docs.select("doc_id",
+                docs.select("doc_id", "lang",
                             F.expr(_X8_TOK_TEXT_SQL).alias("text")),
                 "text", COMMITTED_MERGES, build_vocab(),
                 sym_col="bpe_sym", byte_fallback=True,
@@ -2946,6 +2946,23 @@ def _q_x8_corpus_utils(spark, sf):
                        F.transform("ids",
                                    lambda i: i.cast("string")), ",")
                          .cast("binary")).alias("h")))
+    # fert arm (r10): tokenizer_fertility — the per-language
+    # compression/fertility dashboard over the SAME encode (one more
+    # tiny aggregate off the checkpointed encd, no new scan): per lang
+    # a = total token ids, b = total UTF-8 bytes of the input text,
+    # c = round6 chars-per-token in micro-units (the "is this script
+    # degenerating to byte fallback" signal), h = lang.
+    from serverless_data_pipeline_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+    fert = (tokenizer_fertility(encd, "text", "token_ids",
+                                group_col="lang")
+            .select(F.lit("fert").alias("kind"), nl.alias("doc_id"),
+                    F.col("total_tokens").cast("long").alias("a"),
+                    F.col("total_bytes").cast("long").alias("b"),
+                    F.round(F.col("chars_per_token") * 1000000)
+                     .cast("long").alias("c"),
+                    F.col("lang").alias("h")))
     # rtok arm (r10 — raw-text tokenizer fidelity): the LOSSLESS
     # byte-level mode over text with planted mixed case, tabs,
     # newlines and whitespace runs (_X8_RAW_TEXT_SQL, derived
@@ -3017,7 +3034,7 @@ def _q_x8_corpus_utils(spark, sf):
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
             .unionAll(sheet2).unionAll(jac).unionAll(diff)
             .unionAll(tok).unionAll(ids).unionAll(blk)
-            .unionAll(rtok).unionAll(atok))
+            .unionAll(fert).unionAll(rtok).unionAll(atok))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -5293,6 +5310,27 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 'blk', CAST(NULL AS BIGINT), shard, block_id,
                          ndocs, h
                   FROM blkg WHERE nt = {_X8_BLK_LEN}
+                  UNION ALL
+                  -- fert arm (r10): tokenizer fertility per language
+                  -- over the same derived text + id counts as tok
+                  SELECT 'fert', CAST(NULL AS BIGINT), ttok, tbytes,
+                         CASE WHEN ttok > 0
+                              THEN CAST(ROUND(ROUND(CAST(tchars AS
+                                                         DOUBLE)
+                                                    / ttok, 6)
+                                              * 1000000) AS BIGINT)
+                              END,
+                         lang
+                  FROM (SELECT d.lang,
+                               CAST(SUM(b.n_tokens) AS BIGINT) AS ttok,
+                               CAST(SUM(length({_X8_TOK_TEXT_SQL}))
+                                    AS BIGINT) AS tchars,
+                               CAST(SUM(octet_length(encode(
+                                   {_X8_TOK_TEXT_SQL}))) AS BIGINT)
+                                   AS tbytes
+                        FROM documents d
+                        JOIN bdids b USING (doc_id)
+                        GROUP BY d.lang)
                   UNION ALL
                   SELECT 'rtok', doc_id, n_tokens AS a,
                          CAST(1 AS BIGINT) AS b,

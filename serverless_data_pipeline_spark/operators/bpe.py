@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from serverless_data_pipeline_spark.functions.text import tokens
 
 __all__ = ["train_bpe", "bpe_encode", "bpe_encode_ids",
-           "bpe_decode_ids"]
+           "bpe_decode_ids", "tokenizer_fertility"]
 
 END = "</w>"          # Sennrich end-of-word marker
 
@@ -473,3 +473,48 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
         lambda acc, i: F.concat(acc, piece_of(i)))
     text = F.decode(joined, "UTF-8")
     return df.withColumn(out_col, text if raw else F.rtrim(text))
+
+
+def tokenizer_fertility(df: DataFrame, text_col: str, ids_col: str, *,
+                        group_col: str | None = None,
+                        unk_col: str | None = None) -> DataFrame:
+    """Tokenizer QA report — the compression/fertility dashboard a
+    tokenizer team watches per language before committing an artifact
+    (SentencePiece's "chars per piece", HF's fertility): one row per
+    ``group_col`` value (or one corpus row) with
+
+    - ``n_docs``, ``total_tokens``, ``total_chars``, ``total_bytes``
+      — exact integer sums (partition-order stable by construction);
+    - ``chars_per_token`` / ``bytes_per_token`` — round6 compression
+      ratios (NULL for a zero-token group rather than a divide error);
+      a language whose bytes_per_token is near 1 is degenerating to
+      byte fallback — the signal that the vocab under-serves it;
+    - ``tokens_per_doc`` — round6 mean document length in tokens (the
+      packing planner's input);
+    - ``mean_unk_rate`` — round6 mean of ``unk_col`` when given (the
+      per-doc OOV/byte-escape rate from ``bpe_encode_ids``).
+
+    One hash aggregation over (group, four longs) with map-side
+    partial combine — scan-speed at any corpus size, no join, no
+    Python."""
+    g = [group_col] if group_col else []
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ids_col)).cast("long").alias("total_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+        F.sum(F.length(F.encode(F.col(text_col), "UTF-8")))
+         .cast("long").alias("total_bytes"),
+    ]
+    if unk_col:
+        aggs.append(F.round(F.avg(unk_col), 6).alias("mean_unk_rate"))
+    out = df.groupBy(*g).agg(*aggs)
+    tok = F.col("total_tokens")
+    return (out
+            .withColumn("chars_per_token",
+                        F.when(tok > 0,
+                               F.round(F.col("total_chars") / tok, 6)))
+            .withColumn("bytes_per_token",
+                        F.when(tok > 0,
+                               F.round(F.col("total_bytes") / tok, 6)))
+            .withColumn("tokens_per_doc",
+                        F.round(tok / F.col("n_docs"), 6)))

@@ -675,3 +675,58 @@ def test_byte_fallback_oracle_fragment_parity(spark):
             LEFT JOIN (SELECT * FROM ({_BPE_VOCAB_SQL}) t(tok, id)) v
             USING (tok)""").fetchone()[0]
         assert got[i] == want, w
+
+
+def test_tokenizer_fertility_hand_checked(spark):
+    """Exact sums and round6 ratios on a tiny fixture; zero-token
+    group gets NULL ratios, not a divide error; unk_col mean."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        tokenizer_fertility,
+    )
+    rows = [
+        ("en", "abcd", [1, 2], 0.5),      # 4 chars, 4 bytes, 2 toks
+        ("en", "ab", [3], 0.0),           # 2 chars, 2 bytes, 1 tok
+        ("zh", "汉字", [4, 5, 6, 7], 1.0),  # 2 chars, 6 bytes, 4 toks
+        ("xx", "", [], 0.0),              # zero-token group
+    ]
+    df = spark.createDataFrame(
+        rows, "lang string, text string, ids array<int>, u double")
+    out = {r.lang: r for r in tokenizer_fertility(
+        df, "text", "ids", group_col="lang", unk_col="u").collect()}
+    en = out["en"]
+    assert (en.n_docs, en.total_tokens, en.total_chars,
+            en.total_bytes) == (2, 3, 6, 6)
+    assert en.chars_per_token == 2.0 and en.bytes_per_token == 2.0
+    assert en.tokens_per_doc == 1.5 and en.mean_unk_rate == 0.25
+    zh = out["zh"]
+    assert (zh.total_chars, zh.total_bytes, zh.total_tokens) == (2, 6, 4)
+    assert zh.bytes_per_token == 1.5 and zh.chars_per_token == 0.5
+    xx = out["xx"]
+    assert xx.chars_per_token is None and xx.bytes_per_token is None
+    # corpus-level form: one row, no group column
+    allr = tokenizer_fertility(df, "text", "ids").collect()
+    assert len(allr) == 1 and allr[0].total_tokens == 7
+
+
+def test_tokenizer_fertility_flags_byte_fallback_degeneration(spark):
+    """The dashboard signal: a script absent from the vocab encodes
+    near bytes_per_token == 1 (pure byte fallback), while covered
+    ASCII text compresses well above it."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_encode_ids, tokenizer_fertility,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        COMMITTED_MERGES, build_vocab,
+    )
+    rows = [("cov", "the scan of the scan"), ("unc", "汉字漢字汉字")]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    enc = bpe_encode_ids(df, "text", COMMITTED_MERGES, build_vocab(),
+                         byte_fallback=True, unk_col="u")
+    out = {r.lang: r for r in tokenizer_fertility(
+        enc, "text", "token_ids", group_col="lang",
+        unk_col="u").collect()}
+    # every non-marker id is a byte: 6 chars -> 18 byte ids + one
+    # in-vocab </w>, so the ratio sits just under 1 — degeneration
+    assert 0.9 < out["unc"].bytes_per_token <= 1.0
+    assert out["cov"].bytes_per_token > 1.5
+    assert out["unc"].mean_unk_rate == round(6 / 7, 6)
