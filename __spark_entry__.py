@@ -2520,9 +2520,25 @@ def _q_x2_dedup_clusters(spark, sf):
                   F.col("doc_id").alias("id_a"),
                   F.col("host_rank_pos").cast("long").alias("id_b"),
                   nmetric, F.col("host").alias("h")))
+    # hquotaq arm (r10): the ORDERED variant — keep each host's
+    # HIGHEST-quality docs (n_chars as the quality proxy) instead of
+    # a random sample, through the skew-safe bucketed path with
+    # score-RANGE buckets (n_score_buckets=16 so many scores share a
+    # bucket and the offset reconstruction is genuinely exercised);
+    # the oracle replays the identical (score DESC, md5, id) window
+    hqq = (host_quota_sample(
+               dochost.join(_t(spark, sf, "documents")
+                            .select("doc_id", "n_chars"), "doc_id"),
+               {"src0.example.com": 5, "src1.example.com": 12},
+               default_quota=8, seed=7, order_col="n_chars",
+               rank_via="bucketed", n_score_buckets=16)
+           .select(F.lit("hquotaq").alias("algo"),
+                   F.col("doc_id").alias("id_a"),
+                   F.col("host_rank_pos").cast("long").alias("id_b"),
+                   nmetric, F.col("host").alias("h")))
     return (pair_rows.unionAll(label).unionAll(star).unionAll(pr)
             .unionAll(csize).unionAll(url_rows).unionAll(hrank)
-            .unionAll(hrankd).unionAll(hq))
+            .unionAll(hrankd).unionAll(hq).unionAll(hqq))
 
 
 def _clusters_flavour(spark, sf, algorithm):
@@ -3952,6 +3968,25 @@ _CLUSTERS_ORACLE = f"""
                                                        AS VARCHAR)),
                                       doc_id) AS rn
                   FROM dhost)
+            WHERE rn <= CASE h WHEN 'src0.example.com' THEN 5
+                               WHEN 'src1.example.com' THEN 12
+                               ELSE 8 END
+            UNION ALL
+            -- r10 hquotaq: the ordered variant — keep each host's
+            -- highest-n_chars docs; same window with the quality
+            -- column prepended to the sort
+            SELECT 'hquotaq' AS algo, doc_id AS id_a,
+                   CAST(rn AS BIGINT) AS id_b,
+                   CAST(NULL AS DOUBLE) AS metric, h
+            FROM (SELECT d.doc_id, d.h,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY d.h
+                             ORDER BY doc.n_chars DESC,
+                                      md5('7:' || CAST(d.doc_id
+                                                       AS VARCHAR)),
+                                      d.doc_id) AS rn
+                  FROM dhost d
+                  JOIN documents doc USING (doc_id))
             WHERE rn <= CASE h WHEN 'src0.example.com' THEN 5
                                WHEN 'src1.example.com' THEN 12
                                ELSE 8 END"""

@@ -217,7 +217,9 @@ def host_quota_sample(docs: DataFrame, quotas, *,
                       rank_via: str = "auto",
                       hot_host_threshold: int = 1_000_000,
                       probe_fraction: float = 0.05,
-                      broadcast_quotas: bool = True) -> DataFrame:
+                      broadcast_quotas: bool = True,
+                      order_col: str | None = None,
+                      n_score_buckets: int = 256) -> DataFrame:
     """Per-host document caps — the curation step that CONSUMES host
     signals: web corpora cap docs per domain so no single host
     dominates the mixture (the per-domain quota discipline of
@@ -254,6 +256,22 @@ def host_quota_sample(docs: DataFrame, quotas, *,
     - "auto" (default) — a sampled skew probe (``host_rank_choice``)
       picks "bucketed" when the estimated max per-host count exceeds
       ``hot_host_threshold``, else "window".
+
+    ``order_col`` (r10) — rank by QUALITY instead of by random
+    sample: keep each host's highest-``order_col`` docs (descending,
+    NULL scores last; negate the column for ascending), with the md5
+    key + id as the deterministic tiebreak so equal scores stay
+    partition- and arrival-order-independent. The bucketed path then
+    buckets by GLOBAL score range instead of md5 prefix: one
+    ``percentile_approx`` aggregate row (``n_score_buckets - 1``
+    fractions) broadcast back assigns each row the count of
+    thresholds <= its score — monotone in the score, so descending
+    bucket order IS score order and the offset-reconstructed ranks
+    stay EXACT regardless of how approximate the thresholds are
+    (threshold quality only affects bucket BALANCE: a host whose
+    scores concentrate inside one global bucket degrades toward its
+    single-partition sort, never past it, and never below window
+    mode).
 
     ``broadcast_quotas`` — quota frames are usually |curated hosts|
     rows and broadcast (the default). A quota frame covering the FULL
@@ -293,8 +311,10 @@ def host_quota_sample(docs: DataFrame, quotas, *,
     qbc = quotas.withColumnRenamed(host_col, "__qh")
     if broadcast_quotas:
         qbc = F.broadcast(qbc)
+    head = ([F.col(order_col).desc_nulls_last()] if order_col else [])
     if rank_via == "window":
-        w = Window.partitionBy(host_col).orderBy(key, F.col(id_col))
+        w = Window.partitionBy(host_col).orderBy(*head, key,
+                                                 F.col(id_col))
         ranked = docs.withColumn(rank_col, F.row_number().over(w))
         j = ranked.join(qbc, F.col(host_col).eqNullSafe(F.col("__qh")),
                         "left").drop("__qh")
@@ -303,11 +323,33 @@ def host_quota_sample(docs: DataFrame, quotas, *,
     if rank_via != "bucketed":
         raise ValueError(f"rank_via must be 'auto', 'window' or "
                          f"'bucketed', got {rank_via!r}")
-    keyed = (docs.withColumn("__k", key)
-             .withColumn("__bk", F.substring("__k", 1, 2)))
-    # exact per-bucket rank offsets: |hosts| x <=256 rows; the offsets
-    # window partitions by host over <=256 rows per host
-    wb = (Window.partitionBy(host_col).orderBy("__bk")
+    if order_col is None:
+        keyed = (docs.withColumn("__k", key)
+                 .withColumn("__bk", F.substring("__k", 1, 2)))
+        bucket_order = F.asc("__bk")
+    else:
+        # score-range buckets: ONE global percentile_approx row
+        # broadcast back; bucket = #thresholds <= score is monotone
+        # in the score, so descending bucket order is score order
+        # and the offset arithmetic below stays exact
+        fr = F.array(*[F.lit(i / n_score_buckets)
+                       for i in range(1, n_score_buckets)])
+        th = docs.agg(F.percentile_approx(
+            order_col, fr, F.lit(10000)).alias("__th"))
+        keyed = (docs.crossJoin(F.broadcast(th))
+                 .withColumn("__k", key)
+                 .withColumn(
+                     "__bk",
+                     F.coalesce(
+                         F.size(F.filter(
+                             "__th",
+                             lambda t: t <= F.col(order_col))),
+                         F.lit(-1)).cast("int"))
+                 .drop("__th"))
+        bucket_order = F.desc("__bk")
+    # exact per-bucket rank offsets: |hosts| x <=n_buckets rows; the
+    # offsets window partitions by host over <=n_buckets rows per host
+    wb = (Window.partitionBy(host_col).orderBy(bucket_order)
           .rowsBetween(Window.unboundedPreceding, -1))
     offsets = (keyed.groupBy(host_col, "__bk")
                .agg(F.count(F.lit(1)).alias("__bc"))
@@ -328,7 +370,7 @@ def host_quota_sample(docs: DataFrame, quotas, *,
                     & (F.col("__bk") == F.col("__obk")), "inner")
          .drop("__oh", "__obk"))
     w2 = (Window.partitionBy(host_col, "__bk")
-          .orderBy("__k", F.col(id_col)))
+          .orderBy(*head, F.col("__k"), F.col(id_col)))
     ranked = j.withColumn(
         rank_col,
         (F.col("__off") + F.row_number().over(w2)).cast("int"))

@@ -348,3 +348,78 @@ def test_host_curation_loop_rank_to_quota_to_sample(spark):
     # back to default_quota=1 (none exist here: docs cover h0-h3 and
     # the pair graph ranks all four)
     assert set(per) == {"h0", "h1", "h2", "h3"}
+
+
+def test_host_quota_sample_ordered_keeps_best(spark):
+    """order_col (r10): keep each host's HIGHEST-scoring docs; exact
+    hand-checked keeps + ranks, NULL scores rank last, equal scores
+    tie-break deterministically, window/bucketed equivalence on the
+    ordered path (score-range buckets), repartition-proof."""
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_quota_sample,
+    )
+    rows = [(1, "a", 0.9), (2, "a", 0.1), (3, "a", 0.5),
+            (4, "a", None), (5, "b", 0.2), (6, "b", 0.2),
+            (7, "b", 0.7), (8, "b", None)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, host string, q double")
+    got = {r.doc_id: r.host_rank_pos
+           for r in host_quota_sample(
+               docs, {"a": 2, "b": 3}, order_col="q",
+               rank_via="window").collect()}
+    assert got[1] == 1 and got[3] == 2 and 2 not in got and 4 not in got
+    assert got[7] == 1 and {got[5], got[6]} == {2, 3} and 8 not in got
+    # equal scores: deterministic under relayout, same picks both modes
+    for mode in ("window", "bucketed"):
+        again = {r.doc_id: r.host_rank_pos
+                 for r in host_quota_sample(
+                     docs.repartition(5), {"a": 2, "b": 3},
+                     order_col="q", rank_via=mode).collect()}
+        assert again == got, mode
+    # NULL scores still kept when the quota allows (ranked last)
+    allk = {r.doc_id: r.host_rank_pos
+            for r in host_quota_sample(
+                docs, {"a": 4, "b": 4}, order_col="q",
+                rank_via="bucketed").collect()}
+    assert allk[4] == 4 and allk[8] == 4
+
+
+def test_host_quota_sample_ordered_bucketed_equivalence_fuzz(spark):
+    """Ordered bucketed == ordered window over a random skewed corpus
+    with heavy ties and NULLs, several quota shapes and bucket counts
+    (incl. n_score_buckets smaller than the distinct-score count, so
+    many scores share a range bucket)."""
+    import random
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_quota_sample,
+    )
+    rng = random.Random(3)
+    rows = [(i,
+             rng.choice(["mega"] * 6 + ["b", "c", None]),
+             rng.choice([None, 0.0, 0.25, 0.25, 0.5, 0.9, 1.0]))
+            for i in range(500)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, host string, q double")
+    for quotas, dq in (({"mega": 40, "b": 7}, 5), ({"mega": 3}, None)):
+        w = {(r.doc_id, r.host_rank_pos)
+             for r in host_quota_sample(
+                 docs, quotas, default_quota=dq, order_col="q",
+                 rank_via="window").collect()}
+        for nb in (4, 256):
+            b = {(r.doc_id, r.host_rank_pos)
+                 for r in host_quota_sample(
+                     docs.repartition(9), quotas, default_quota=dq,
+                     order_col="q", rank_via="bucketed",
+                     n_score_buckets=nb).collect()}
+            assert b == w and w
+    # all-NULL score column: single degenerate bucket, still exact
+    nodocs = docs.withColumn("q", F.lit(None).cast("double"))
+    w = {(r.doc_id, r.host_rank_pos)
+         for r in host_quota_sample(nodocs, {"mega": 4},
+                                    default_quota=2, order_col="q",
+                                    rank_via="window").collect()}
+    b = {(r.doc_id, r.host_rank_pos)
+         for r in host_quota_sample(nodocs, {"mega": 4},
+                                    default_quota=2, order_col="q",
+                                    rank_via="bucketed").collect()}
+    assert b == w and w
