@@ -241,6 +241,27 @@ def main() -> None:
                               budget=512, n_shards=32)
             .groupBy("shard").agg(F.max("bin_id")).count())
 
+        # pack_token_blocks (r10): materialize the packed blocks from
+        # a cheap per-doc id proxy (hash-derived ints, ~|tokens| ids
+        # per doc — the packing cost model, not the tokenizer's). The
+        # sequential state is a window over two longs/doc; arrays move
+        # through one join + one fine-keyed groupBy — wall must track
+        # total id volume (~linear in corpus), never a single-
+        # partition sort.
+        from serverless_data_pipeline_spark.operators.corpus import (
+            pack_token_blocks,
+        )
+        ids_proxy = d.select(
+            "doc_id",
+            F.transform(tokens("text"),
+                        lambda t: F.pmod(F.xxhash64(t), F.lit(1000))
+                        .cast("int")).alias("ids"))
+        r["pack_blocks"] = timed(
+            lambda: pack_token_blocks(ids_proxy, "doc_id", "ids",
+                                      block_len=512, eos_id=1000,
+                                      n_shards=32)
+            .groupBy("shard").agg(F.max("block_id")).count())
+
         # PageRank (r7 s6): 5 fixed iterations over the amplified
         # near-dup pair graph — per-iteration cost is one (node, long)
         # join + one map-side-combinable groupBy, so wall must track

@@ -441,6 +441,8 @@ def pack_token_blocks(df: DataFrame, id_col: str, ids_col: str, *,
                       n_shards: int = 8,
                       drop_last: bool = True,
                       pad_id: int | None = None,
+                      order_by: str | None = None,
+                      shard_col: str | None = None,
                       out_col: str = "ids",
                       spans_col: str = "doc_spans") -> DataFrame:
     """Emit the ACTUAL packed pretraining blocks: concatenate each
@@ -482,7 +484,14 @@ def pack_token_blocks(df: DataFrame, id_col: str, ids_col: str, *,
 
     Documents with zero ids (and no ``eos_id``) occupy no stream
     positions and are skipped; with ``eos_id`` they still contribute
-    their EOS, so decode-side document accounting stays exact."""
+    their EOS, so decode-side document accounting stays exact.
+
+    ``order_by`` / ``shard_col`` (r10) — pack in TRAINING order, not
+    id order: real pipelines shuffle before packing so no block is a
+    run of same-source documents. Pass ``global_shuffle``'s outputs
+    (``shard_col="shard"``, ``order_by="pos"``) and the block stream
+    replays the exact seeded training order; ``order_by`` ties break
+    on the id, so the layout stays deterministic for any column."""
     if block_len < 1:
         raise ValueError("block_len must be >= 1")
     if drop_last and pad_id is not None:
@@ -491,13 +500,18 @@ def pack_token_blocks(df: DataFrame, id_col: str, ids_col: str, *,
     with_eos = (F.col(ids_col).cast("array<int>") if eos_id is None
                 else F.concat(F.col(ids_col).cast("array<int>"),
                               F.array(F.lit(int(eos_id)).cast("int"))))
+    shard = (F.col(shard_col) if shard_col
+             else F.pmod(F.col(id_col), F.lit(n_shards)))
+    ordc = ([F.col(order_by).alias("__ord")] if order_by else [])
     base = df.select(
         F.col(id_col).cast("long").alias("__id"),
         with_eos.alias("__ids"),
-        F.pmod(F.col(id_col), F.lit(n_shards)).cast("int").alias("shard"))
-    counts = (base.select("__id", "shard", F.size("__ids").alias("__n"))
+        shard.cast("int").alias("shard"), *ordc)
+    counts = (base.select("__id", "shard", F.size("__ids").alias("__n"),
+                          *(["__ord"] if order_by else []))
               .filter(F.col("__n") > 0))
-    w = Window.partitionBy("shard").orderBy("__id")
+    w = Window.partitionBy("shard").orderBy(
+        *(["__ord"] if order_by else []), "__id")
     offs = (counts
             .withColumn("__end", F.sum("__n").over(w).cast("long"))
             .withColumn("__s", F.col("__end") - F.col("__n")))

@@ -1177,3 +1177,32 @@ def test_pack_token_blocks_empty_docs_and_determinism(spark):
                               drop_last=False)
     assert sorted((r.shard, r.block_id, r.ids) for r in base.collect()) \
         == sorted((r.shard, r.block_id, r.ids) for r in again.collect())
+
+
+def test_pack_token_blocks_in_training_order(spark):
+    """Composition with global_shuffle (the real pipeline: shuffle,
+    THEN pack): with shard_col/order_by from the shuffle, each
+    shard's block stream replays the seeded training order exactly —
+    not doc-id order."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        global_shuffle, pack_token_blocks,
+    )
+    ids_lists = [[100 * i + j for j in range(1 + i % 4)]
+                 for i in range(30)]
+    df = _blk_fixture(spark, ids_lists)
+    shuf = global_shuffle(df, "doc_id", seed=1, num_shards=2)
+    joined = df.join(shuf.select("doc_id", "shard", "pos"), "doc_id")
+    out = pack_token_blocks(joined, "doc_id", "token_ids",
+                            block_len=5, eos_id=9, shard_col="shard",
+                            order_by="pos", drop_last=False)
+    got = {}
+    for r in sorted(out.collect(), key=lambda x: (x.shard, x.block_id)):
+        got.setdefault(r.shard, []).extend(r.ids)
+    expect = {}
+    for row in shuf.orderBy("shard", "pos").collect():
+        expect.setdefault(row.shard, []).extend(
+            list(ids_lists[row.doc_id]) + [9])
+    assert got == expect
+    assert got != {s: [t for i, ids in enumerate(ids_lists)
+                       if i % 2 == s for t in list(ids) + [9]]
+                   for s in (0, 1)}   # genuinely not id order
