@@ -500,11 +500,14 @@ def pack_token_blocks(df: DataFrame, id_col: str, ids_col: str, *,
     with_eos = (F.col(ids_col).cast("array<int>") if eos_id is None
                 else F.concat(F.col(ids_col).cast("array<int>"),
                               F.array(F.lit(int(eos_id)).cast("int"))))
+    # the id keeps its native type (a composed string key like
+    # "doc_id:epoch" is a legal packing key with shard_col/order_by);
+    # only the DERIVED pmod sharding needs a numeric id
     shard = (F.col(shard_col) if shard_col
              else F.pmod(F.col(id_col), F.lit(n_shards)))
     ordc = ([F.col(order_by).alias("__ord")] if order_by else [])
     base = df.select(
-        F.col(id_col).cast("long").alias("__id"),
+        F.col(id_col).alias("__id"),
         with_eos.alias("__ids"),
         shard.cast("int").alias("shard"), *ordc)
     counts = (base.select("__id", "shard", F.size("__ids").alias("__n"),

@@ -1206,3 +1206,28 @@ def test_pack_token_blocks_in_training_order(spark):
     assert got != {s: [t for i, ids in enumerate(ids_lists)
                        if i % 2 == s for t in list(ids) + [9]]
                    for s in (0, 1)}   # genuinely not id order
+
+
+def test_pack_token_blocks_string_keys(spark):
+    """A composed string key ("doc_id:epoch", the repeat_by_epochs
+    shape) packs fine with shard_col/order_by — the id keeps its
+    native type and appears verbatim in the spans."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks,
+    )
+    import pytest
+    rows = [("1:0", 0, 1, [1, 2]), ("1:1", 0, 2, [1, 2]),
+            ("2:0", 0, 0, [3])]
+    df = spark.createDataFrame(
+        rows, "rid string, shard int, pos long, token_ids array<int>")
+    out = sorted(pack_token_blocks(
+        df, "rid", "token_ids", block_len=4, eos_id=9,
+        shard_col="shard", order_by="pos",
+        drop_last=False).collect(), key=lambda r: r.block_id)
+    # pos order: 2:0 -> [3,9], 1:0 -> [1,2,9], 1:1 -> [1,2,9]
+    assert [r.ids for r in out] == [[3, 9, 1, 2], [9, 1, 2, 9]]
+    assert [s.doc_id for s in out[0].doc_spans] == ["2:0", "1:0"]
+    # without shard_col, a string id cannot derive a pmod shard
+    with pytest.raises(Exception):
+        pack_token_blocks(df, "rid", "token_ids",
+                          block_len=4).collect()
