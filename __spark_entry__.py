@@ -2521,16 +2521,20 @@ def _q_x2_dedup_clusters(spark, sf):
                   F.col("host_rank_pos").cast("long").alias("id_b"),
                   nmetric, F.col("host").alias("h")))
     # hquotaq arm (r10): the ORDERED variant — keep each host's
-    # HIGHEST-quality docs (n_chars as the quality proxy) instead of
-    # a random sample, through the skew-safe bucketed path with
-    # score-RANGE buckets (n_score_buckets=16 so many scores share a
-    # bucket and the offset reconstruction is genuinely exercised);
-    # the oracle replays the identical (score DESC, md5, id) window
+    # HIGHEST-quality docs instead of a random sample, through the
+    # skew-safe bucketed path with score-RANGE buckets
+    # (n_score_buckets=16 so many scores share a bucket and the
+    # offset reconstruction is genuinely exercised). The quality
+    # score is the deterministic (doc_id*37)%101 — derived, not a
+    # documents re-scan (x2's checkpoint-only/no-FileScan plan pin),
+    # and 101 distinct values over the corpus guarantee heavy ties so
+    # the md5 tiebreak is genuinely value-checked; the oracle replays
+    # the identical (score DESC, md5, id) window
     hqq = (host_quota_sample(
-               dochost.join(_t(spark, sf, "documents")
-                            .select("doc_id", "n_chars"), "doc_id"),
+               dochost.withColumn(
+                   "q", F.pmod(F.col("doc_id") * 37, F.lit(101))),
                {"src0.example.com": 5, "src1.example.com": 12},
-               default_quota=8, seed=7, order_col="n_chars",
+               default_quota=8, seed=7, order_col="q",
                rank_via="bucketed", n_score_buckets=16)
            .select(F.lit("hquotaq").alias("algo"),
                    F.col("doc_id").alias("id_a"),
@@ -3981,12 +3985,11 @@ _CLUSTERS_ORACLE = f"""
             FROM (SELECT d.doc_id, d.h,
                          ROW_NUMBER() OVER (
                              PARTITION BY d.h
-                             ORDER BY doc.n_chars DESC,
+                             ORDER BY (d.doc_id * 37) % 101 DESC,
                                       md5('7:' || CAST(d.doc_id
                                                        AS VARCHAR)),
                                       d.doc_id) AS rn
-                  FROM dhost d
-                  JOIN documents doc USING (doc_id))
+                  FROM dhost d)
             WHERE rn <= CASE h WHEN 'src0.example.com' THEN 5
                                WHEN 'src1.example.com' THEN 12
                                ELSE 8 END"""

@@ -263,8 +263,10 @@ def host_quota_sample(docs: DataFrame, quotas, *,
     key + id as the deterministic tiebreak so equal scores stay
     partition- and arrival-order-independent. The bucketed path then
     buckets by GLOBAL score range instead of md5 prefix: one
-    ``percentile_approx`` aggregate row (``n_score_buckets - 1``
-    fractions) broadcast back assigns each row the count of
+    ``percentile_approx`` aggregate (``n_score_buckets - 1``
+    fractions) is fetched once and folded into the plan as a literal
+    threshold array (control-plane, like the auto skew probe); each
+    row's bucket is the count of
     thresholds <= its score — monotone in the score, so descending
     bucket order IS score order and the offset-reconstructed ranks
     stay EXACT regardless of how approximate the thresholds are
@@ -328,24 +330,27 @@ def host_quota_sample(docs: DataFrame, quotas, *,
                  .withColumn("__bk", F.substring("__k", 1, 2)))
         bucket_order = F.asc("__bk")
     else:
-        # score-range buckets: ONE global percentile_approx row
-        # broadcast back; bucket = #thresholds <= score is monotone
-        # in the score, so descending bucket order is score order
-        # and the offset arithmetic below stays exact
+        # score-range buckets: ONE global percentile_approx aggregate
+        # fetched once (control-plane, like the auto skew probe and
+        # the quota-dup guard above — a BNLJ-free foldable literal,
+        # not a per-row join); bucket = #thresholds <= score is
+        # monotone in the score, so descending bucket order is score
+        # order and the offset arithmetic below stays exact
         fr = F.array(*[F.lit(i / n_score_buckets)
                        for i in range(1, n_score_buckets)])
-        th = docs.agg(F.percentile_approx(
-            order_col, fr, F.lit(10000)).alias("__th"))
-        keyed = (docs.crossJoin(F.broadcast(th))
-                 .withColumn("__k", key)
-                 .withColumn(
-                     "__bk",
-                     F.coalesce(
-                         F.size(F.filter(
-                             "__th",
-                             lambda t: t <= F.col(order_col))),
-                         F.lit(-1)).cast("int"))
-                 .drop("__th"))
+        row = docs.agg(F.percentile_approx(
+            order_col, fr, F.lit(10000)).alias("t")).first()
+        ths = [float(t) for t in (row["t"] or [])]
+        if ths:
+            tharr = F.array(*[F.lit(t) for t in ths])
+            bk = F.coalesce(
+                F.size(F.filter(tharr,
+                                lambda t: t <= F.col(order_col))),
+                F.lit(-1)).cast("int")
+        else:
+            bk = F.lit(-1).cast("int")   # all-NULL score column
+        keyed = (docs.withColumn("__k", key)
+                 .withColumn("__bk", bk))
         bucket_order = F.desc("__bk")
     # exact per-bucket rank offsets: |hosts| x <=n_buckets rows; the
     # offsets window partitions by host over <=n_buckets rows per host

@@ -130,8 +130,8 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all eighteen arms exactly
-    twenty-one hash exchanges exist (the r10 rtok/atok arms — raw-mode
+    O(top_n) heap (no global sort); across all twenty arms exactly
+    twenty-three hash exchanges exist (the r10 rtok/atok arms — raw-mode
     encode + decode + round-trip compare, split and attached
     pretokenization — are deliberately NARROW end-to-end: one
     pandas-UDF projection plus foldable-map lookups each, zero
@@ -155,7 +155,13 @@ def test_corpus_utils_plan_shape(spark):
     the ids groupBy REUSES that (shard, bin_id) partitioning (no third
     exchange) and the idstr join back is a broadcast, so the token-id
     packing adds exactly two exchanges moving (id, n_tokens) longs and
-    the final md5 strings, never the corpus text)
+    the final md5 strings, never the corpus text,
+    + the r10 blk arm's per-shard offsets window exchange —
+    pack_token_blocks' sequential state is (id, n) longs; the id
+    arrays join back via BROADCAST at registry scale and the
+    (shard, block) groupBy reuses the shard partitioning, no second
+    or third exchange — + the r10 fert arm's per-language fertility
+    aggregation)
     and three SinglePartition exchanges (the tmix and wmix all-rows
     totals windows over their |groups|-row sizes frames and jac's
     final one-row set-size aggregate — all tiny by construction; the
@@ -167,7 +173,7 @@ def test_corpus_utils_plan_shape(spark):
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 21
+    assert plan.count("Exchange hashpartitioning") == 23
     assert plan.count("Exchange SinglePartition") == 3
     # exactly ONE SortMergeJoin is allowed AND it must be the diff
     # arm's FULL OUTER itself (full outers cannot broadcast; SMJ is the
