@@ -2075,6 +2075,11 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_dedup_clusters.hostrank": _x2_flavour_hostrank,
         # r9: the directed (hyperlink-semantics) host-rank sibling
         "x2_dedup_clusters.hostrankd": _x2_flavour_hostrankd,
+        # r10: packed-block materialization, tokenizer fertility, and
+        # the ordered host-quota path — attribute each
+        "x8_corpus_utils.blk": _x8_flavour_blk,
+        "x8_corpus_utils.fert": _x8_flavour_fert,
+        "x2_dedup_clusters.hquotaq": _x2_flavour_hquotaq,
     }
 
 
@@ -2169,6 +2174,61 @@ def _x8_flavour_tok(spark, sf):
     return pack_bins(encd.withColumn("ntok", F.size("token_ids")),
                      "doc_id", None, budget=1024, n_shards=8,
                      weight_col="ntok")
+
+
+def _x8_flavour_blk(spark, sf):
+    # times exactly the r10 blk arm's plan: encode -> EOS-appended
+    # per-shard concat -> fixed-length block materialization
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        COMMITTED_MERGES, build_vocab,
+    )
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks,
+    )
+    encd = bpe_encode_ids(
+        _t(spark, sf, "documents")
+        .select("doc_id", F.expr(_X8_TOK_TEXT_SQL).alias("text")),
+        "text", COMMITTED_MERGES, build_vocab(), byte_fallback=True)
+    return pack_token_blocks(encd.select("doc_id", "token_ids"),
+                             "doc_id", "token_ids",
+                             block_len=_X8_BLK_LEN,
+                             eos_id=_BPE_EOS_ID, n_shards=8)
+
+
+def _x8_flavour_fert(spark, sf):
+    # times exactly the r10 fert arm's plan: encode -> one
+    # per-language fertility aggregation
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_encode_ids, tokenizer_fertility,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        COMMITTED_MERGES, build_vocab,
+    )
+    encd = bpe_encode_ids(
+        _t(spark, sf, "documents")
+        .select("doc_id", "lang", F.expr(_X8_TOK_TEXT_SQL).alias("text")),
+        "text", COMMITTED_MERGES, build_vocab(), byte_fallback=True)
+    return tokenizer_fertility(encd, "text", "token_ids",
+                               group_col="lang")
+
+
+def _x2_flavour_hquotaq(spark, sf):
+    # times exactly the r10 hquotaq arm's plan: derived score,
+    # ordered bucketed path with 16 score-range buckets
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_quota_sample, url_host_sql,
+    )
+    dochost = _x2_curl(spark, sf).select(
+        "doc_id", F.expr(url_host_sql("cu", "spark")).alias("host"))
+    return host_quota_sample(
+        dochost.withColumn("q", F.pmod(F.col("doc_id") * 37,
+                                       F.lit(101))),
+        {"src0.example.com": 5, "src1.example.com": 12},
+        default_quota=8, seed=7, order_col="q",
+        rank_via="bucketed", n_score_buckets=16)
 
 
 def _x8_flavour_rtok(spark, sf):

@@ -358,6 +358,25 @@ def main() -> None:
                     mega, {"mega.example.com": 1000},
                     default_quota=50, rank_via=m).count())
                 for _ in range(3))
+        # Ordered variant (r10): same skew, keep-the-BEST by a score.
+        # The window path sorts the mega-host's whole set by score in
+        # one partition; the ordered bucketed path range-buckets on
+        # the GLOBAL score distribution, so only the top buckets
+        # survive the past-cap drop and the surviving sorts are
+        # bounded — wall should fall well below window as the host
+        # grows.
+        megaq = (mega.withColumn(
+                     "q", F.pmod(F.xxhash64("doc_id"), F.lit(100_000))
+                     .cast("double"))
+                 .localCheckpoint(eager=True))
+        for mode in ("window", "bucketed"):
+            r[f"hquota_mega_{mode}_ordered"] = min(
+                timed(lambda m=mode: host_quota_sample(
+                    megaq, {"mega.example.com": 1000},
+                    default_quota=50, rank_via=m,
+                    order_col="q").count())
+                for _ in range(3))
+        megaq.unpersist()
         mega.unpersist()
         # Version drift (r8): two single-scan profiles + the tag-union
         # category aggregation — flat per-row, output |categories| rows.
