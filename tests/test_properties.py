@@ -502,3 +502,69 @@ def test_host_quota_bucketed_equals_window_property(
         res.append({(r.doc_id, r.host, r.host_rank_pos)
                     for r in got.collect()})
     assert res[0] == res[1]
+
+
+@given(ids_lists=st.lists(st.lists(st.integers(0, 999),
+                                   max_size=7),
+                          min_size=1, max_size=25),
+       block_len=st.integers(1, 9),
+       eos=st.one_of(st.none(), st.integers(1000, 1001)),
+       n_shards=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_pack_token_blocks_stream_law_property(
+        spark, ids_lists, block_len, eos, n_shards):
+    """For arbitrary id lists: with drop_last=False, concatenating a
+    shard's blocks in block order reproduces the per-doc (ids + EOS)
+    concatenation in id order exactly; every block is <= block_len;
+    all non-final blocks are exactly block_len; spans tile each
+    block contiguously with correct per-doc attribution."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks,
+    )
+    df = spark.createDataFrame(list(enumerate(ids_lists)),
+                               "doc_id long, token_ids array<int>")
+    out = sorted(pack_token_blocks(
+        df, "doc_id", "token_ids", block_len=block_len, eos_id=eos,
+        n_shards=n_shards, drop_last=False).collect(),
+        key=lambda r: (r.shard, r.block_id))
+    got, spans_ok = {}, True
+    for r in out:
+        got.setdefault(r.shard, []).extend(r.ids)
+        assert len(r.ids) <= block_len
+        pos = 0
+        for sp in r.doc_spans:
+            assert sp.start == pos
+            expect_piece = (list(ids_lists[sp.doc_id])
+                            + ([eos] if eos is not None else []))
+            # the span's slice of the block equals the doc's slice
+            o = _span_off(out, r, sp)
+            assert r.ids[sp.start:sp.start + sp.len] \
+                == expect_piece[o:o + sp.len]
+            pos += sp.len
+        assert pos == len(r.ids)
+    expect = {}
+    for i, ids in enumerate(ids_lists):
+        stream = list(ids) + ([eos] if eos is not None else [])
+        if stream:
+            expect.setdefault(i % n_shards, []).extend(stream)
+    assert got == expect
+    # all non-final blocks per shard are full
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        for r in rows[:-1]:
+            assert len(r.ids) == block_len
+
+
+def _span_off(out, row, sp):
+    """Offset of this block-span inside its document's id stream: the
+    sum of this doc's span lengths in earlier blocks of the shard."""
+    off = 0
+    for r in out:
+        if r.shard != row.shard or r.block_id >= row.block_id:
+            continue
+        for s in r.doc_spans:
+            if s.doc_id == sp.doc_id:
+                off += s.len
+    return off
