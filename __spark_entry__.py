@@ -2191,7 +2191,8 @@ def _x8_flavour_blk(spark, sf):
     encd = bpe_encode_ids(
         _t(spark, sf, "documents")
         .select("doc_id", F.expr(_X8_TOK_TEXT_SQL).alias("text")),
-        "text", COMMITTED_MERGES, build_vocab(), byte_fallback=True)
+        "text", COMMITTED_MERGES, build_vocab(),
+        byte_fallback=True).localCheckpoint(eager=False)
     return pack_token_blocks(encd.select("doc_id", "token_ids"),
                              "doc_id", "token_ids",
                              block_len=_X8_BLK_LEN,

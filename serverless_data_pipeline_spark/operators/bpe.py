@@ -502,8 +502,8 @@ def tokenizer_fertility(df: DataFrame, text_col: str, ids_col: str, *,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(ids_col)).cast("long").alias("total_tokens"),
         F.sum(F.length(text_col)).cast("long").alias("total_chars"),
-        F.sum(F.length(F.encode(F.col(text_col), "UTF-8")))
-         .cast("long").alias("total_bytes"),
+        F.sum(F.octet_length(text_col)).cast("long")
+         .alias("total_bytes"),
     ]
     if unk_col:
         aggs.append(F.round(F.avg(unk_col), 6).alias("mean_unk_rate"))

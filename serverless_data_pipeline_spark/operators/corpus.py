@@ -497,8 +497,13 @@ def pack_token_blocks(df: DataFrame, id_col: str, ids_col: str, *,
     if drop_last and pad_id is not None:
         raise ValueError("pad_id only applies when drop_last=False")
     L = block_len
-    with_eos = (F.col(ids_col).cast("array<int>") if eos_id is None
-                else F.concat(F.col(ids_col).cast("array<int>"),
+    # NULL id arrays normalize to empty FIRST: concat(NULL, [eos])
+    # would be NULL and the doc would silently vanish instead of
+    # contributing its EOS (the exact-accounting guarantee above)
+    ids0 = F.coalesce(F.col(ids_col).cast("array<int>"),
+                      F.array().cast("array<int>"))
+    with_eos = (ids0 if eos_id is None
+                else F.concat(ids0,
                               F.array(F.lit(int(eos_id)).cast("int"))))
     # the id keeps its native type (a composed string key like
     # "doc_id:epoch" is a legal packing key with shard_col/order_by);

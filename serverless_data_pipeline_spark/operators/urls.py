@@ -273,7 +273,11 @@ def host_quota_sample(docs: DataFrame, quotas, *,
     (threshold quality only affects bucket BALANCE: a host whose
     scores concentrate inside one global bucket degrades toward its
     single-partition sort, never past it, and never below window
-    mode). ``n_score_buckets`` defaults to 64 — a mega-host's sort
+    mode). The threshold fetch is an EAGER job at call time (like the
+    quota-dup guard and the auto probe), and the input is then read
+    again for the offsets aggregate and the final join — CACHE or
+    checkpoint ``docs`` before calling when its lineage is expensive.
+    ``n_score_buckets`` defaults to 64 — a mega-host's sort
     splits 64-way (bounded at ~max(n_host/64, quota)) while the
     unrolled binary-search bucket expression stays inside JVM
     whole-stage-codegen limits; measured on the 5M-row 50%-mega

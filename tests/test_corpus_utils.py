@@ -1231,3 +1231,23 @@ def test_pack_token_blocks_string_keys(spark):
     with pytest.raises(Exception):
         pack_token_blocks(df, "rid", "token_ids",
                           block_len=4).collect()
+
+
+def test_pack_token_blocks_null_ids_contribute_eos(spark):
+    """A NULL id array (e.g. the encode of a NULL text) must behave
+    exactly like an empty one: skipped without EOS, but with eos_id
+    it still contributes its EOS token — never silently vanishing."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks,
+    )
+    df = spark.createDataFrame([(0, [1, 2]), (1, None), (2, [3])],
+                               "doc_id long, token_ids array<int>")
+    out = sorted(pack_token_blocks(
+        df, "doc_id", "token_ids", block_len=3, eos_id=9, n_shards=1,
+        drop_last=False).collect(), key=lambda r: r.block_id)
+    # stream: 1,2,9, 9, 3,9 -> [1,2,9] [9,3,9]
+    assert [r.ids for r in out] == [[1, 2, 9], [9, 3, 9]]
+    assert [s.doc_id for s in out[1].doc_spans] == [1, 2]
+    no_eos = pack_token_blocks(df, "doc_id", "token_ids", block_len=3,
+                               n_shards=1, drop_last=False).collect()
+    assert [r.ids for r in no_eos] == [[1, 2, 3]]
