@@ -19,6 +19,7 @@ from serverless_data_pipeline_spark.functions.text import (
 __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
            "corpus_datasheet",
            "pack_sequences", "pack_token_blocks",
+           "unpack_token_blocks",
            "corpus_mix", "temperature_mix",
            "chunk_documents", "decontaminate", "contamination_report",
            "shingle_bloom", "bloom_decontaminate", "segment_dedup",
@@ -560,6 +561,54 @@ def pack_token_blocks(df: DataFrame, id_col: str, ids_col: str, *,
             F.concat(F.col(out_col),
                      F.array_repeat(F.lit(int(pad_id)).cast("int"),
                                     L - F.size(out_col))))
+    return out
+
+
+def unpack_token_blocks(blocks: DataFrame, *,
+                        ids_col: str = "ids",
+                        spans_col: str = "doc_spans",
+                        strip_eos: int | None = None,
+                        id_out: str = "doc_id",
+                        out_col: str = "token_ids") -> DataFrame:
+    """Exact inverse of ``pack_token_blocks`` — reassemble each
+    document's id stream from the packed blocks via the span
+    provenance (the audit/debug path: verify a packed dataset, trace
+    a training sequence back to its sources, or recover documents
+    from shards without the original table). Returns (``id_out``,
+    ``out_col``); ``strip_eos`` drops one trailing EOS id when it was
+    appended at pack time, so unpack(pack(x)) == x exactly over the
+    documents whose streams packing kept whole (``drop_last=True``
+    truncates each shard's tail documents by design — those come back
+    with their surviving prefix). Pad ids never appear (pads carry no
+    span).
+
+    One explode (block -> span grain, ~docs-touching-block rows, NOT
+    token grain), per-span slices in-expression, and one groupBy on
+    the doc id reassembling ordered pieces — the same
+    fine-keyed-shuffle discipline as the packer."""
+    part = blocks.select(
+        F.col("shard"), F.col("block_id"),
+        F.explode(spans_col).alias("__sp"),
+        F.col(ids_col).alias("__bids"))
+    piece = part.select(
+        F.col("__sp.doc_id").alias(id_out),
+        F.struct(F.col("shard"), F.col("block_id"),
+                 F.col("__sp.start").alias("start")).alias("__ord"),
+        F.slice("__bids", F.col("__sp.start") + 1,
+                F.col("__sp.len")).alias("__piece"))
+    out = (piece.groupBy(id_out)
+           .agg(F.flatten(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct("__ord", "__piece"))),
+               lambda x: x["__piece"])).alias(out_col)))
+    if strip_eos is not None:
+        n = F.size(out_col)
+        out = out.withColumn(
+            out_col,
+            F.when((n > 0) & (F.element_at(out_col, -1)
+                              == int(strip_eos)),
+                   F.slice(out_col, 1, n - 1))
+            .otherwise(F.col(out_col)))
     return out
 
 

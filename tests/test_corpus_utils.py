@@ -1251,3 +1251,45 @@ def test_pack_token_blocks_null_ids_contribute_eos(spark):
     no_eos = pack_token_blocks(df, "doc_id", "token_ids", block_len=3,
                                n_shards=1, drop_last=False).collect()
     assert [r.ids for r in no_eos] == [[1, 2, 3]]
+
+
+def test_unpack_token_blocks_round_trip(spark):
+    """unpack(pack(x)) == x exactly with drop_last=False (+EOS strip);
+    with drop_last=True the shard-tail docs come back as the surviving
+    prefix and everything else is untouched; pads never leak."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks, unpack_token_blocks,
+    )
+    import random
+    rng = random.Random(11)
+    ids_lists = [[rng.randrange(500) for _ in range(rng.randrange(9))]
+                 for _ in range(50)]
+    df = _blk_fixture(spark, ids_lists)
+    full = pack_token_blocks(df, "doc_id", "token_ids", block_len=7,
+                             eos_id=777, n_shards=3, drop_last=False)
+    back = {r.doc_id: r.token_ids
+            for r in unpack_token_blocks(full,
+                                         strip_eos=777).collect()}
+    assert back == {i: list(ids) for i, ids in enumerate(ids_lists)}
+    # padded variant: pad ids carry no span, so unpack is identical
+    padded = pack_token_blocks(df, "doc_id", "token_ids", block_len=7,
+                               eos_id=777, n_shards=3,
+                               drop_last=False, pad_id=0)
+    backp = {r.doc_id: r.token_ids
+             for r in unpack_token_blocks(padded,
+                                          strip_eos=777).collect()}
+    assert backp == back
+    # drop_last: every returned doc is a prefix of its original
+    dropped = pack_token_blocks(df, "doc_id", "token_ids", block_len=7,
+                                eos_id=777, n_shards=3)
+    backd = {r.doc_id: r.token_ids
+             for r in unpack_token_blocks(dropped,
+                                          strip_eos=777).collect()}
+    for i, ids in backd.items():
+        orig = list(ids_lists[i]) + [777]
+        assert orig[:len(ids)] == list(ids) or \
+            list(ids) == list(ids_lists[i])
+    # without strip_eos the EOS stays on every whole doc
+    raw = {r.doc_id: r.token_ids
+           for r in unpack_token_blocks(full).collect()}
+    assert all(v[-1] == 777 for v in raw.values())
