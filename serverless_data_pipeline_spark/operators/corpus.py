@@ -19,7 +19,7 @@ from serverless_data_pipeline_spark.functions.text import (
 __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
            "corpus_datasheet",
            "pack_sequences", "pack_token_blocks",
-           "unpack_token_blocks",
+           "resume_token_blocks", "unpack_token_blocks",
            "corpus_mix", "temperature_mix",
            "chunk_documents", "decontaminate", "contamination_report",
            "shingle_bloom", "bloom_decontaminate", "segment_dedup",
@@ -525,9 +525,26 @@ def pack_token_blocks(df: DataFrame, id_col: str, ids_col: str, *,
             .withColumn("__end", F.sum("__n").over(w).cast("long"))
             .withColumn("__s", F.col("__end") - F.col("__n")))
     j = offs.join(base.select("__id", "__ids"), "__id")
+    part = _block_parts(j, L)
+    out = _assemble_blocks(part, out_col, spans_col)
+    if drop_last:
+        return out.filter(F.size(out_col) == L)
+    if pad_id is not None:
+        out = out.withColumn(
+            out_col,
+            F.concat(F.col(out_col),
+                     F.array_repeat(F.lit(int(pad_id)).cast("int"),
+                                    L - F.size(out_col))))
+    return out
+
+
+def _block_parts(j: DataFrame, L: int) -> DataFrame:
+    """(shard, __id, __ids, __s, __end) doc rows -> one
+    (shard, block_id, __p) row per block the doc intersects, where
+    __p = struct(start-in-block, len, doc_id, piece)."""
     gstart = F.greatest(F.col("block_id") * L, F.col("__s"))
     gend = F.least((F.col("block_id") + 1) * L, F.col("__end"))
-    part = (j.select(
+    return (j.select(
                 "shard", "__id", "__ids", "__s", "__end",
                 F.explode(F.sequence(
                     F.floor(F.col("__s") / L).cast("long"),
@@ -544,24 +561,119 @@ def pack_token_blocks(df: DataFrame, id_col: str, ids_col: str, *,
                             (gstart - F.col("__s") + 1).cast("int"),
                             (gend - gstart).cast("int")).alias("piece"))
                 .alias("__p")))
+
+
+def _assemble_blocks(part: DataFrame, out_col: str,
+                     spans_col: str) -> DataFrame:
     grp = (part.groupBy("shard", "block_id")
            .agg(F.array_sort(F.collect_list("__p")).alias("__parts")))
-    out = grp.select(
+    return grp.select(
         "shard", F.col("block_id").cast("long").alias("block_id"),
         F.flatten(F.transform("__parts", lambda p: p["piece"]))
         .alias(out_col),
         F.transform("__parts", lambda p: F.struct(
             p["start"].alias("start"), p["len"].alias("len"),
             p["doc_id"].alias("doc_id"))).alias(spans_col))
-    if drop_last:
-        return out.filter(F.size(out_col) == L)
-    if pad_id is not None:
-        out = out.withColumn(
-            out_col,
-            F.concat(F.col(out_col),
-                     F.array_repeat(F.lit(int(pad_id)).cast("int"),
-                                    L - F.size(out_col))))
-    return out
+
+
+def resume_token_blocks(state: DataFrame, df: DataFrame,
+                        id_col: str, ids_col: str, *,
+                        block_len: int = 2048,
+                        eos_id: int | None = None,
+                        n_shards: int = 8,
+                        order_by: str | None = None,
+                        shard_col: str | None = None,
+                        out_col: str = "ids",
+                        spans_col: str = "doc_spans") -> DataFrame:
+    """INCREMENTAL packing — append a newly-landed batch to an
+    existing packed state without repacking the corpus (the X7
+    incremental-maintenance discipline applied to the packing
+    artifact: a daily batch must not re-read 100 TB of blocks).
+    ``state`` is the prior ``pack_token_blocks(..., drop_last=False,
+    pad_id=None)`` output (tail blocks present and unpadded — both
+    validated on the |shards| tail rows); ``df`` is the new batch,
+    packed with the SAME block_len/eos_id/shard discipline. New
+    documents must sort AFTER the packed ones within their shard
+    (append-only batches with increasing ids/positions — the same
+    contract as the X7 index: commit batches in order).
+
+    Returns only the CHANGED + NEW rows: each shard's tail block
+    re-emitted with the new stream merged in (unchanged when the
+    shard got no new docs), plus the fresh blocks after it. Replace
+    the state's tail rows with the returned rows, i.e.
+
+        new_state = state.filter(block < tail) UNION resume(...)
+
+    equals ``pack_token_blocks(all_docs, drop_last=False)`` exactly —
+    the equivalence law is pytest-pinned.
+
+    Cost: the prior state contributes |shards| tail rows (one
+    broadcast); everything else touches the NEW batch only."""
+    if block_len < 1:
+        raise ValueError("block_len must be >= 1")
+    L = block_len
+    tb = (state.groupBy("shard").agg(F.max("block_id").alias("__tb"))
+          .withColumnRenamed("shard", "__tbs"))
+    tail = (state.join(F.broadcast(tb),
+                       (F.col("shard") == F.col("__tbs"))
+                       & (F.col("block_id") == F.col("__tb")))
+            .select("shard", "block_id",
+                    F.col(out_col).alias("__tids"),
+                    F.col(spans_col).alias("__tspans")))
+    bad = tail.filter(
+        (F.size("__tids") > L)
+        | (F.size("__tids") != F.aggregate(
+            "__tspans", F.lit(0),
+            lambda a, s: a + s["len"]))).first()
+    if bad is not None:
+        raise ValueError(
+            f"state tail block (shard={bad['shard']}, "
+            f"block={bad['block_id']}) is padded or oversized — "
+            "resume needs the drop_last=False, pad_id=None state")
+    prior = tail.select(
+        F.col("shard").alias("__ps"),
+        (F.col("block_id") * L + F.size("__tids")).alias("__prior"))
+    ids0 = F.coalesce(F.col(ids_col).cast("array<int>"),
+                      F.array().cast("array<int>"))
+    with_eos = (ids0 if eos_id is None
+                else F.concat(ids0,
+                              F.array(F.lit(int(eos_id)).cast("int"))))
+    shard = (F.col(shard_col) if shard_col
+             else F.pmod(F.col(id_col), F.lit(n_shards)))
+    ordc = ([F.col(order_by).alias("__ord")] if order_by else [])
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        with_eos.alias("__ids"),
+        shard.cast("int").alias("shard"), *ordc)
+    counts = (base.select("__id", "shard", F.size("__ids").alias("__n"),
+                          *(["__ord"] if order_by else []))
+              .filter(F.col("__n") > 0))
+    w = Window.partitionBy("shard").orderBy(
+        *(["__ord"] if order_by else []), "__id")
+    offs = (counts
+            .withColumn("__cum", F.sum("__n").over(w).cast("long"))
+            .join(F.broadcast(prior),
+                  F.col("shard") == F.col("__ps"), "left")
+            .withColumn("__end", F.coalesce("__prior", F.lit(0))
+                        + F.col("__cum"))
+            .withColumn("__s", F.col("__end") - F.col("__n")))
+    j = offs.join(base.select("__id", "__ids"), "__id")
+    newparts = _block_parts(j, L)
+    tailparts = (tail
+                 .select("shard", "block_id",
+                         F.explode("__tspans").alias("__sp"), "__tids")
+                 .select("shard", F.col("block_id").cast("long"),
+                         F.struct(
+                             F.col("__sp.start").cast("int")
+                             .alias("start"),
+                             F.col("__sp.len").cast("int").alias("len"),
+                             F.col("__sp.doc_id").alias("doc_id"),
+                             F.slice("__tids",
+                                     F.col("__sp.start") + 1,
+                                     F.col("__sp.len")).alias("piece"))
+                         .alias("__p")))
+    return _assemble_blocks(newparts.unionByName(tailparts),
+                            out_col, spans_col)
 
 
 def unpack_token_blocks(blocks: DataFrame, *,

@@ -1293,3 +1293,49 @@ def test_unpack_token_blocks_round_trip(spark):
     raw = {r.doc_id: r.token_ids
            for r in unpack_token_blocks(full).collect()}
     assert all(v[-1] == 777 for v in raw.values())
+
+
+def test_resume_token_blocks_equals_full_repack(spark):
+    """The incremental-packing law: prior-state non-tail blocks plus
+    resume(state, new_batch) equals pack(all docs) exactly — ids AND
+    spans — including shards that get no new docs (tail re-emitted
+    unchanged) and a shard that appears only in the new batch."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks, resume_token_blocks,
+    )
+    import random
+    rng = random.Random(23)
+    a_lists = [[rng.randrange(500) for _ in range(rng.randrange(9))]
+               for _ in range(40)]
+    # shard 2 gets no new docs; doc 90 lands in shard 0 only via B
+    b_lists = {90 + i: [rng.randrange(500)
+                        for _ in range(rng.randrange(9))]
+               for i in range(12) if (90 + i) % 3 != 2}
+    A = _blk_fixture(spark, a_lists)
+    B = spark.createDataFrame(sorted(b_lists.items()),
+                              "doc_id long, token_ids array<int>")
+    kw = dict(block_len=7, eos_id=777, n_shards=3)
+    state = pack_token_blocks(A, "doc_id", "token_ids",
+                              drop_last=False, **kw)
+    out = resume_token_blocks(state, B, "doc_id", "token_ids", **kw)
+
+    def key(rows):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rows}
+    st = state.collect()
+    tails = {}
+    for r in st:
+        tails[r.shard] = max(tails.get(r.shard, -1), r.block_id)
+    merged = key([r for r in st if r.block_id < tails[r.shard]]) \
+        | key(out.collect())
+    full = key(pack_token_blocks(
+        A.unionByName(B), "doc_id", "token_ids",
+        drop_last=False, **kw).collect())
+    assert merged == full
+    # padded state rejected up front
+    import pytest
+    padded = pack_token_blocks(A, "doc_id", "token_ids",
+                               drop_last=False, pad_id=0, **kw)
+    with pytest.raises(ValueError, match="padded"):
+        resume_token_blocks(padded, B, "doc_id", "token_ids", **kw)
