@@ -737,3 +737,77 @@ def test_tokenizer_health_monitor_composition(spark, tmp_path):
            .filter("epoch = 1").collect()[0])
     assert hot.numeric_drifted and hot.max_abs_vavg_delta > 0.1
     assert not hot.drifted                 # lang mix did NOT shift
+
+
+def test_streaming_incremental_packing_loop(spark, tmp_path):
+    """The packing artifact maintained by a STREAM (the X7 loop shape
+    applied to pack_token_blocks): each landing batch runs
+    resume_token_blocks against the persisted packed state inside
+    foreachBatch — tick 1 bootstraps, tick N touches only the tail
+    rows + the new docs — and after two ticks the on-disk state
+    equals one batch repack of everything, ids and spans."""
+    import json
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks, resume_token_blocks,
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    state_dir = str(tmp_path / "packed")
+    kw = dict(block_len=5, eos_id=99, n_shards=2)
+
+    def write_batch(names_rows):
+        for name, rows in names_rows.items():
+            with open(land / name, "w") as fh:
+                for doc_id, ids in rows:
+                    fh.write(json.dumps(
+                        {"doc_id": doc_id, "token_ids": ids}) + "\n")
+
+    def pack_epoch(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        try:
+            state = batch.sparkSession.read.parquet(state_dir)
+            out = resume_token_blocks(state, batch, "doc_id",
+                                      "token_ids", **kw)
+            tails = (state.groupBy("shard")
+                     .agg(F.max("block_id").alias("tb")))
+            keep = (state.join(tails, "shard")
+                    .filter(F.col("block_id") < F.col("tb"))
+                    .drop("tb"))
+            merged = keep.unionByName(out).localCheckpoint()
+        except Exception as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            merged = pack_token_blocks(batch, "doc_id", "token_ids",
+                                       drop_last=False, **kw)
+        merged.write.mode("overwrite").parquet(state_dir)
+
+    a = [(i, list(range(3 * i, 3 * i + i % 4))) for i in range(10)]
+    b = [(i, list(range(7 * i, 7 * i + i % 5))) for i in range(10, 18)]
+    write_batch({"b1.jsonl": a})
+    q = (spark.readStream
+         .schema("doc_id long, token_ids array<int>")
+         .json(str(land))
+         .writeStream.foreachBatch(pack_epoch)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    write_batch({"b2.jsonl": b})
+    q = (spark.readStream
+         .schema("doc_id long, token_ids array<int>")
+         .json(str(land))
+         .writeStream.foreachBatch(pack_epoch)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    def key(rows):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rows}
+    allb = spark.createDataFrame(a + b,
+                                 "doc_id long, token_ids array<int>")
+    assert key(spark.read.parquet(state_dir).collect()) == key(
+        pack_token_blocks(allb, "doc_id", "token_ids",
+                          drop_last=False, **kw).collect())
