@@ -382,6 +382,11 @@ def test_host_quota_sample_ordered_keeps_best(spark):
                 docs, {"a": 4, "b": 4}, order_col="q",
                 rank_via="bucketed").collect()}
     assert allk[4] == 4 and allk[8] == 4
+    # the default auto probe composes with order_col too
+    auto = {r.doc_id: r.host_rank_pos
+            for r in host_quota_sample(
+                docs, {"a": 2, "b": 3}, order_col="q").collect()}
+    assert auto == got
 
 
 def test_host_quota_sample_ordered_bucketed_equivalence_fuzz(spark):
