@@ -3027,6 +3027,42 @@ def _q_x8_corpus_utils(spark, sf):
                        F.transform("ids",
                                    lambda i: i.cast("string")), ",")
                          .cast("binary")).alias("h")))
+    # rblk arm (r10): the INCREMENTAL packing path, driver-oracled —
+    # pack the low-id half as the prior state, resume with the
+    # high-id half (the append-only batch contract), and emit
+    # non-tail state + resume output. By the resume==full-repack law
+    # the merged rows must equal pack(all, drop_last=False), so the
+    # oracle is the SAME token-grain blkg replay WITHOUT the
+    # drop-last filter — the whole incremental merge value-checked
+    # cross-engine, partial tails included. The id-half split is one
+    # tiny max(doc_id) aggregate (control-plane).
+    from serverless_data_pipeline_spark.operators.corpus import (
+        resume_token_blocks,
+    )
+    half = (docs.agg(F.max("doc_id")).first()[0] or 0) // 2
+    rstate = pack_token_blocks(
+        encd.filter(F.col("doc_id") < half)
+        .select("doc_id", "token_ids"),
+        "doc_id", "token_ids", block_len=_X8_BLK_LEN,
+        eos_id=_BPE_EOS_ID, n_shards=8,
+        drop_last=False).localCheckpoint(eager=False)
+    rout = resume_token_blocks(
+        rstate, encd.filter(F.col("doc_id") >= half)
+        .select("doc_id", "token_ids"),
+        "doc_id", "token_ids", block_len=_X8_BLK_LEN,
+        eos_id=_BPE_EOS_ID, n_shards=8)
+    rtails = rstate.groupBy("shard").agg(F.max("block_id").alias("tb"))
+    rkeep = (rstate.join(F.broadcast(rtails), "shard")
+             .filter(F.col("block_id") < F.col("tb")).drop("tb"))
+    rblk = (rkeep.unionByName(rout)
+            .select(F.lit("rblk").alias("kind"), nl.alias("doc_id"),
+                    F.col("shard").cast("long").alias("a"),
+                    F.col("block_id").cast("long").alias("b"),
+                    F.size("doc_spans").cast("long").alias("c"),
+                    F.md5(F.array_join(
+                        F.transform("ids",
+                                    lambda i: i.cast("string")), ",")
+                          .cast("binary")).alias("h")))
     # fert arm (r10): tokenizer_fertility — the per-language
     # compression/fertility dashboard over the SAME encode (one more
     # tiny aggregate off the checkpointed encd, no new scan): per lang
@@ -3115,7 +3151,8 @@ def _q_x8_corpus_utils(spark, sf):
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
             .unionAll(sheet2).unionAll(jac).unionAll(diff)
             .unionAll(tok).unionAll(ids).unionAll(blk)
-            .unionAll(fert).unionAll(rtok).unionAll(atok))
+            .unionAll(rblk).unionAll(fert).unionAll(rtok)
+            .unionAll(atok))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -5409,6 +5446,13 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 'blk', CAST(NULL AS BIGINT), shard, block_id,
                          ndocs, h
                   FROM blkg WHERE nt = {_X8_BLK_LEN}
+                  UNION ALL
+                  -- rblk: the incremental resume path must merge to
+                  -- EXACTLY the full repack (law), so its oracle is
+                  -- the same replay without the drop-last filter
+                  SELECT 'rblk', CAST(NULL AS BIGINT), shard,
+                         block_id, ndocs, h
+                  FROM blkg
                   UNION ALL
                   -- fert arm (r10): tokenizer fertility per language
                   -- over the same derived text + id counts as tok
