@@ -568,3 +568,42 @@ def _span_off(out, row, sp):
             if s.doc_id == sp.doc_id:
                 off += s.len
     return off
+
+
+@given(ids_lists=st.lists(st.lists(st.integers(0, 99), max_size=5),
+                          min_size=1, max_size=20),
+       split=st.integers(0, 20),
+       block_len=st.integers(1, 7),
+       n_shards=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_resume_token_blocks_equivalence_property(
+        spark, ids_lists, split, block_len, n_shards):
+    """resume == full repack for arbitrary id lists and ANY id-ordered
+    split point (empty prior state and empty new batch included)."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks, resume_token_blocks,
+    )
+    split = min(split, len(ids_lists))
+    rows = list(enumerate(ids_lists))
+    schema = "doc_id long, token_ids array<int>"
+    A = spark.createDataFrame(rows[:split] or [], schema)
+    B = spark.createDataFrame(rows[split:] or [], schema)
+    kw = dict(block_len=block_len, eos_id=100, n_shards=n_shards)
+    state = pack_token_blocks(A, "doc_id", "token_ids",
+                              drop_last=False, **kw)
+    out = resume_token_blocks(state, B, "doc_id", "token_ids", **kw)
+
+    def key(rows):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rows}
+    st_rows = state.collect()
+    tails = {}
+    for r in st_rows:
+        tails[r.shard] = max(tails.get(r.shard, -1), r.block_id)
+    merged = key(r for r in st_rows
+                 if r.block_id < tails[r.shard]) | key(out.collect())
+    full = key(pack_token_blocks(
+        spark.createDataFrame(rows, schema), "doc_id", "token_ids",
+        drop_last=False, **kw).collect())
+    assert merged == full
