@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from serverless_data_pipeline_spark.functions.text import (
     fingerprint, shingles_from_tokens, token_count, tokens,
@@ -337,9 +338,12 @@ def pack_sequences(df: DataFrame, id_col: str, text_col: str,
                       shard.alias("shard"))
               .withColumn("__cum", F.sum("n_tokens").over(w))
               .select(F.col(id_col), "n_tokens", "shard",
-                      F.floor((F.col("__cum") - F.col("n_tokens"))
-                              / F.lit(float(budget))).cast("long")
-                       .alias("bin_id")))
+                      # exact integer division (`div`), not float `/`
+                      # + floor: Spark's `/` on longs is double-valued
+                      # and would misassign bins once per-shard streams
+                      # approach 2^53 tokens (r10 ADVICE)
+                      F.expr(f"(__cum - n_tokens) div {int(budget)}")
+                       .cast("long").alias("bin_id")))
 
 
 def pack_bins(df: DataFrame, id_col: str, text_col: str | None,
@@ -546,9 +550,13 @@ def _block_parts(j: DataFrame, L: int) -> DataFrame:
     gend = F.least((F.col("block_id") + 1) * L, F.col("__end"))
     return (j.select(
                 "shard", "__id", "__ids", "__s", "__end",
+                # exact integer `div`, not float `/` + floor: double
+                # division misassigns a block once a shard's stream
+                # nears 2^53 ids, breaking the exact-replay guarantee
+                # (r10 ADVICE)
                 F.explode(F.sequence(
-                    F.floor(F.col("__s") / L).cast("long"),
-                    F.floor((F.col("__end") - 1) / L).cast("long")))
+                    F.expr(f"__s div {int(L)}").cast("long"),
+                    F.expr(f"(__end - 1) div {int(L)}").cast("long")))
                 .alias("block_id"))
             .select(
                 "shard", "block_id",
@@ -607,32 +615,43 @@ def resume_token_blocks(state: DataFrame, df: DataFrame,
     equals ``pack_token_blocks(all_docs, drop_last=False)`` exactly —
     the equivalence law is pytest-pinned.
 
-    Cost: the prior state contributes |shards| tail rows (one
-    broadcast); everything else touches the NEW batch only."""
+    Cost: the prior state is scanned EXACTLY ONCE — a single
+    ``max_by`` aggregation (map-side partial combine) fetches each
+    shard's tail block to the driver: |shards| rows of at most
+    ``block_len`` ids each (KBs, the control-plane grain). Tail
+    validation, the per-shard resume offsets, and the re-emitted tail
+    spans are all derived from that local copy with zero further
+    state jobs (r10 ADVICE: the previous shape re-derived the tail
+    from the full state lineage 3+ times — tails groupBy + self-join,
+    an eager validation pass, and the tailparts explode — which on a
+    parquet-backed 100 TB state was 3+ full passes per resume tick).
+    Everything distributed touches the NEW batch only."""
     if block_len < 1:
         raise ValueError("block_len must be >= 1")
     L = block_len
-    tb = (state.groupBy("shard").agg(F.max("block_id").alias("__tb"))
-          .withColumnRenamed("shard", "__tbs"))
-    tail = (state.join(F.broadcast(tb),
-                       (F.col("shard") == F.col("__tbs"))
-                       & (F.col("block_id") == F.col("__tb")))
-            .select("shard", "block_id",
-                    F.col(out_col).alias("__tids"),
-                    F.col(spans_col).alias("__tspans")))
-    bad = tail.filter(
-        (F.size("__tids") > L)
-        | (F.size("__tids") != F.aggregate(
-            "__tspans", F.lit(0),
-            lambda a, s: a + s["len"]))).first()
-    if bad is not None:
-        raise ValueError(
-            f"state tail block (shard={bad['shard']}, "
-            f"block={bad['block_id']}) is padded or oversized — "
-            "resume needs the drop_last=False, pad_id=None state")
-    prior = tail.select(
-        F.col("shard").alias("__ps"),
-        (F.col("block_id") * L + F.size("__tids")).alias("__prior"))
+    spark = state.sparkSession
+    # ONE pass over the prior state: per-shard argmax on block_id.
+    # max_by ids/spans under the same agg so the tail block's payload
+    # rides the one aggregation instead of a join back onto state.
+    tail_rows = (state.groupBy("shard")
+                 .agg(F.max("block_id").alias("block_id"),
+                      F.max_by(F.col(out_col), F.col("block_id"))
+                       .alias("__tids"),
+                      F.max_by(F.col(spans_col), F.col("block_id"))
+                       .alias("__tspans"))
+                 .collect())
+    for r in tail_rows:
+        ids, spans = r["__tids"], r["__tspans"]
+        if len(ids) > L or len(ids) != sum(s["len"] for s in spans):
+            raise ValueError(
+                f"state tail block (shard={r['shard']}, "
+                f"block={r['block_id']}) is padded or oversized — "
+                "resume needs the drop_last=False, pad_id=None state")
+    prior = spark.createDataFrame(
+        [(int(r["shard"]),
+          int(r["block_id"]) * L + len(r["__tids"]))
+         for r in tail_rows] or [],
+        "__ps int, __prior long")
     ids0 = F.coalesce(F.col(ids_col).cast("array<int>"),
                       F.array().cast("array<int>"))
     with_eos = (ids0 if eos_id is None
@@ -659,19 +678,26 @@ def resume_token_blocks(state: DataFrame, df: DataFrame,
             .withColumn("__s", F.col("__end") - F.col("__n")))
     j = offs.join(base.select("__id", "__ids"), "__id")
     newparts = _block_parts(j, L)
-    tailparts = (tail
-                 .select("shard", "block_id",
-                         F.explode("__tspans").alias("__sp"), "__tids")
-                 .select("shard", F.col("block_id").cast("long"),
-                         F.struct(
-                             F.col("__sp.start").cast("int")
-                             .alias("start"),
-                             F.col("__sp.len").cast("int").alias("len"),
-                             F.col("__sp.doc_id").alias("doc_id"),
-                             F.slice("__tids",
-                                     F.col("__sp.start") + 1,
-                                     F.col("__sp.len")).alias("piece"))
-                         .alias("__p")))
+    # the re-emitted tail spans come from the already-collected local
+    # rows (no second state scan); the doc-id type is whatever the
+    # state's span structs carry, so the local frame reuses it
+    span_t = state.schema[spans_col].dataType.elementType
+    part_schema = T.StructType([
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("block_id", T.LongType()),
+        T.StructField("__p", T.StructType([
+            T.StructField("start", T.IntegerType()),
+            T.StructField("len", T.IntegerType()),
+            T.StructField("doc_id", span_t["doc_id"].dataType),
+            T.StructField("piece", T.ArrayType(T.IntegerType())),
+        ])),
+    ])
+    tailparts = spark.createDataFrame(
+        [(int(r["shard"]), int(r["block_id"]),
+          (int(sp["start"]), int(sp["len"]), sp["doc_id"],
+           list(r["__tids"][sp["start"]:sp["start"] + sp["len"]])))
+         for r in tail_rows for sp in r["__tspans"]] or [],
+        part_schema)
     return _assemble_blocks(newparts.unionByName(tailparts),
                             out_col, spans_col)
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types
 
 from serverless_data_pipeline_spark.operators.graph import pagerank
 
@@ -312,6 +313,26 @@ def host_quota_sample(docs: DataFrame, quotas, *,
             raise ValueError(
                 f"duplicate quota rows for host {dup[0]!r} — "
                 "deduplicate the quota frame (one row per host)")
+    if order_col is not None:
+        # the bucketed path needs a NUMERIC score (percentile_approx
+        # thresholds + float conversion); validated UP FRONT so an
+        # auto-mode corpus crossing hot_host_threshold can't flip a
+        # string/timestamp-scored call from working (window) into an
+        # opaque analysis error (r10 ADVICE): auto falls back to the
+        # always-correct window path, explicit bucketed raises clearly
+        if n_score_buckets < 2:
+            raise ValueError(
+                f"n_score_buckets must be >= 2, got {n_score_buckets}")
+        numeric = isinstance(docs.schema[order_col].dataType,
+                             types.NumericType)
+        if not numeric and rank_via == "bucketed":
+            raise ValueError(
+                f"rank_via='bucketed' with order_col needs a numeric "
+                f"score column; {order_col!r} is "
+                f"{docs.schema[order_col].dataType.simpleString()} — "
+                "use rank_via='window' or cast the score")
+        if not numeric and rank_via == "auto":
+            rank_via = "window"
     if rank_via == "auto":
         rank_via = host_rank_choice(
             docs, host_col, hot_host_threshold=hot_host_threshold,

@@ -1339,3 +1339,42 @@ def test_resume_token_blocks_equals_full_repack(spark):
                                drop_last=False, pad_id=0, **kw)
     with pytest.raises(ValueError, match="padded"):
         resume_token_blocks(padded, B, "doc_id", "token_ids", **kw)
+
+
+def test_resume_token_blocks_never_rescans_state(spark, tmp_path):
+    """Single-scan law (r10 ADVICE): resume fetches the |shards| tail
+    blocks in ONE aggregation at call time and its OUTPUT plan never
+    references the prior state again — pinned by deleting the state
+    parquet after the call and still evaluating the result. Merged
+    output must still equal the full repack."""
+    import shutil
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks, resume_token_blocks,
+    )
+    A = spark.createDataFrame(
+        [(i, list(range(i % 5 + 1))) for i in range(20)],
+        "doc_id long, token_ids array<int>")
+    B = spark.createDataFrame(
+        [(i, list(range(i % 4 + 1))) for i in range(20, 31)],
+        "doc_id long, token_ids array<int>")
+    kw = dict(block_len=6, eos_id=99, n_shards=3)
+    path = str(tmp_path / "state")
+    pack_token_blocks(A, "doc_id", "token_ids",
+                      drop_last=False, **kw).write.parquet(path)
+    state = spark.read.parquet(path)
+    out = resume_token_blocks(state, B, "doc_id", "token_ids", **kw)
+    tails = {r["shard"]: r["tb"] for r in
+             state.groupBy("shard")
+             .agg(F.max("block_id").alias("tb")).collect()}
+    kept = [r for r in state.collect() if r.block_id < tails[r.shard]]
+    shutil.rmtree(path)  # the state is GONE before evaluation
+
+    def key(rows):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rows}
+    merged = key(kept) | key(out.collect())
+    full = key(pack_token_blocks(
+        A.unionByName(B), "doc_id", "token_ids",
+        drop_last=False, **kw).collect())
+    assert merged == full

@@ -428,3 +428,35 @@ def test_host_quota_sample_ordered_bucketed_equivalence_fuzz(spark):
                                     default_quota=2, order_col="q",
                                     rank_via="bucketed").collect()}
     assert b == w and w
+
+
+def test_host_quota_sample_ordered_validation(spark):
+    """order_col hardening (r10 ADVICE): a non-numeric score raises a
+    CLEAR error on the explicit bucketed path, auto falls back to the
+    window path instead of flipping into an opaque analysis error past
+    the skew threshold, and n_score_buckets < 2 is rejected."""
+    import pytest
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_quota_sample,
+    )
+    rows = [(1, "a", "high"), (2, "a", "low"), (3, "b", "mid")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, host string, s string")
+    with pytest.raises(ValueError, match="numeric"):
+        host_quota_sample(docs, {"a": 1}, order_col="s",
+                          rank_via="bucketed")
+    # auto: quietly rides the (always-correct) window path — string
+    # scores still rank descending with NULLS LAST semantics
+    got = {r.doc_id for r in host_quota_sample(
+        docs, {"a": 1, "b": 1}, order_col="s",
+        hot_host_threshold=1, probe_fraction=1.0).collect()}
+    assert got == {2, 3}  # 'low' > 'high' lexicographically
+    # explicit window mode with a string score keeps working
+    w = {r.doc_id for r in host_quota_sample(
+        docs, {"a": 1, "b": 1}, order_col="s",
+        rank_via="window").collect()}
+    assert w == got
+    num = docs.withColumn("s", F.col("doc_id").cast("double"))
+    with pytest.raises(ValueError, match="n_score_buckets"):
+        host_quota_sample(num, {"a": 1}, order_col="s",
+                          rank_via="bucketed", n_score_buckets=1)
