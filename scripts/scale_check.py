@@ -262,6 +262,31 @@ def main() -> None:
                                       n_shards=32)
             .groupBy("shard").agg(F.max("block_id")).count())
 
+        # Real-vocab-scale encode (r11): a synthetic 32k-entry vocab
+        # (production artifact size) rides the broadcast path — the
+        # vocab ships once per executor as a broadcast variable and
+        # the plan carries ZERO vocab-sized literals, so wall tracks
+        # the corpus scan + merge loop, independent of vocab size
+        # (the literal path at this size is the documented
+        # plan-blowup failure class and is auto-avoided).
+        from serverless_data_pipeline_spark.operators.bpe import (
+            bpe_encode_ids,
+        )
+        from serverless_data_pipeline_spark.operators.bpe_artifact import (
+            BPE_BASE_CHARS, BYTE_TOKENS, COMMITTED_MERGES, UNK,
+        )
+        vocab32k = {UNK: 0}
+        for t in (list(BPE_BASE_CHARS) + ["</w>"]
+                  + [l + rr for l, rr in COMMITTED_MERGES]
+                  + BYTE_TOKENS):
+            vocab32k[t] = len(vocab32k)
+        for i in range(32_000 - len(vocab32k)):
+            vocab32k[f"filler{i}"] = len(vocab32k)
+        r["bpe_encode_32k_vocab"] = timed(
+            lambda: bpe_encode_ids(d, "text", COMMITTED_MERGES,
+                                   vocab32k, byte_fallback=True)
+            .agg(F.sum(F.size("token_ids"))).first())
+
         # PageRank (r7 s6): 5 fixed iterations over the amplified
         # near-dup pair graph — per-iteration cost is one (node, long)
         # join + one map-side-combinable groupBy, so wall must track

@@ -195,6 +195,81 @@ _RAW_ATTACHED_RE = re.compile(
     "[" + _RAW_WS + "]*[^" + _RAW_WS + "]+|[" + _RAW_WS + "]+")
 
 
+def _symbolizer(merges: list[tuple[str, str]], *,
+                raw: bool, attach_ws: bool):
+    """The pure-Python text -> subword-symbol-list encoder shared by
+    ``bpe_encode``'s UDF and the broadcast-vocab fused encoder in
+    ``bpe_encode_ids``: pretokenize (normalized / raw / raw+attached)
+    then run the canonical earliest-rank greedy merge loop per word,
+    memoized per distinct word. The closure (including its memo cache)
+    is cloudpickled into the UDF, so each worker keeps its cache warm
+    ACROSS Arrow batches."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    cache: dict[str, tuple[str, ...]] = {}
+
+    def enc_word(w: str) -> tuple[str, ...]:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        sym = list(w) if raw else list(w) + [END]
+        while len(sym) > 1:
+            # canonical algorithm: find the EARLIEST-learned pair
+            # present, merge all its occurrences left-to-right,
+            # rescan (Sennrich reference / HF tokenizers)
+            best = None
+            for j in range(len(sym) - 1):
+                rk = ranks.get((sym[j], sym[j + 1]))
+                if rk is not None and (best is None or rk < best):
+                    best = rk
+            if best is None:
+                break
+            l, r = merges[best]
+            out: list[str] = []
+            j = 0
+            while j < len(sym):
+                if (j + 1 < len(sym)
+                        and sym[j] == l and sym[j + 1] == r):
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(sym[j])
+                    j += 1
+            sym = out
+        res = tuple(sym)
+        cache[w] = res
+        return res
+
+    def symbolize(text) -> list[str]:
+        if text is None:
+            return []
+        toks: list[str] = []
+        if raw:
+            # either pretokenization covers every character of the
+            # input exactly once, in order — the round-trip
+            # invariant is structural
+            if attach_ws:
+                for piece in _RAW_ATTACHED_RE.findall(text):
+                    toks.extend(enc_word(piece))
+                return toks
+            for piece in _RAW_PIECE_RE.findall(text):
+                if piece in _RAW_WS:
+                    toks.append(piece)
+                else:
+                    toks.extend(enc_word(piece))
+            return toks
+        # split on ASCII whitespace only — the exact Java-regex \s+
+        # class tokens() trained the merges over; Python's
+        # str.split() is Unicode-aware and would diverge on e.g.
+        # non-breaking spaces, producing word boundaries the
+        # learned statistics never saw
+        for w in re.split(r"[ \t\n\x0b\f\r]+", text.lower()):
+            if w:
+                toks.extend(enc_word(w))
+        return toks
+
+    return symbolize
+
+
 def bpe_encode(df: DataFrame, text_col: str,
                merges: list[tuple[str, str]], *,
                out_col: str = "bpe_tokens",
@@ -240,75 +315,13 @@ def bpe_encode(df: DataFrame, text_col: str,
     changes pretoken boundaries, not compression."""
     if attach_ws and not raw:
         raise ValueError("attach_ws applies to raw mode only")
-    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    symbolize = _symbolizer(merges, raw=raw, attach_ws=attach_ws)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _enc(texts):
         import pandas as pd
 
-        cache: dict[str, tuple[str, ...]] = {}
-
-        def enc_word(w: str) -> tuple[str, ...]:
-            got = cache.get(w)
-            if got is not None:
-                return got
-            sym = list(w) if raw else list(w) + [END]
-            while len(sym) > 1:
-                # canonical algorithm: find the EARLIEST-learned pair
-                # present, merge all its occurrences left-to-right,
-                # rescan (Sennrich reference / HF tokenizers)
-                best = None
-                for j in range(len(sym) - 1):
-                    rk = ranks.get((sym[j], sym[j + 1]))
-                    if rk is not None and (best is None or rk < best):
-                        best = rk
-                if best is None:
-                    break
-                l, r = merges[best]
-                out: list[str] = []
-                j = 0
-                while j < len(sym):
-                    if (j + 1 < len(sym)
-                            and sym[j] == l and sym[j + 1] == r):
-                        out.append(l + r)
-                        j += 2
-                    else:
-                        out.append(sym[j])
-                        j += 1
-                sym = out
-            res = tuple(sym)
-            cache[w] = res
-            return res
-
-        def enc(text):
-            if text is None:
-                return []
-            toks: list[str] = []
-            if raw:
-                # either pretokenization covers every character of the
-                # input exactly once, in order — the round-trip
-                # invariant is structural
-                if attach_ws:
-                    for piece in _RAW_ATTACHED_RE.findall(text):
-                        toks.extend(enc_word(piece))
-                    return toks
-                for piece in _RAW_PIECE_RE.findall(text):
-                    if piece in _RAW_WS:
-                        toks.append(piece)
-                    else:
-                        toks.extend(enc_word(piece))
-                return toks
-            # split on ASCII whitespace only — the exact Java-regex \s+
-            # class tokens() trained the merges over; Python's
-            # str.split() is Unicode-aware and would diverge on e.g.
-            # non-breaking spaces, producing word boundaries the
-            # learned statistics never saw
-            for w in re.split(r"[ \t\n\x0b\f\r]+", text.lower()):
-                if w:
-                    toks.extend(enc_word(w))
-            return toks
-
-        return pd.Series([enc(t) for t in texts])
+        return pd.Series([symbolize(t) for t in texts])
 
     return df.withColumn(out_col, _enc(F.col(text_col)))
 
@@ -321,7 +334,9 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
                    byte_fallback: bool = False,
                    unk_col: str | None = None,
                    raw: bool = False,
-                   attach_ws: bool = False) -> DataFrame:
+                   attach_ws: bool = False,
+                   vocab_via: str = "auto",
+                   vocab_literal_max: int = 4096) -> DataFrame:
     """Encode to integer token ids — the tokenizer's ACTUAL output
     artifact (what a pretraining pipeline packs and trains on). Adds
     ``out_col`` (array<int>). Keeps the subword-string column too when
@@ -354,20 +369,41 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
     (see ``bpe_encode``) — pair it with a merge list trained the same
     way so interior spaces fold into space-prefixed tokens.
 
-    The id lookup is a JVM-side ``transform`` over a foldable map
-    literal (vocab files are small — base alphabet + one entry per
-    merge + the byte inventory), so the only Python boundary stays the
-    merge loop inside ``bpe_encode``."""
+    ``vocab_via`` — HOW the token→id map executes (r10 verdict #1,
+    the real-vocab-scale path). Every mode is bit-identical
+    (pytest-pinned); only the physical plan changes:
+
+    - "literal" — the id lookup is a JVM-side ``transform`` over a
+      foldable ``create_map`` literal: the fastest plan for the
+      artifact sizes vocab files usually are at the small end (a few
+      hundred to a few thousand entries), but a production 32k-100k
+      vocab would become a ~200k-argument plan literal — plan-size
+      blowup, codegen fallback, and the serialized expression
+      shipping inside every task binary (the same failure class as
+      the 128+-bucket WHEN tree documented in ``urls.py``).
+    - "broadcast" — the vocab ships ONCE per executor as a Spark
+      broadcast variable and the id mapping (byte fallback and OOV
+      accounting included) FUSES into the same single Arrow-batched
+      pandas UDF that already runs the merge loop, so the symbol
+      stream never re-crosses the Python boundary and the plan stays
+      O(1) in vocab size. This is deliberately a broadcast variable +
+      fused UDF rather than an explode → broadcast-join → regroup:
+      the join itself would be map-side, but re-collecting symbols
+      into per-doc arrays is a symbol-grain shuffle — the exact
+      token-grain exchange this module's scale discipline forbids.
+    - "auto" (default) — "literal" when ``len(vocab) <=
+      vocab_literal_max`` (default 4096, comfortably inside plan/
+      codegen limits), else "broadcast". The committed artifacts ride
+      the literal fast path; a real 32k+ artifact flips
+      automatically."""
     if raw and not byte_fallback:
         raise ValueError(
             "raw=True requires byte_fallback=True: whitespace and "
             "case symbols are out-of-vocab and must byte-escape for "
             "the raw round trip to hold")
-    keep = sym_col or "__bpe_sym"
-    enc = bpe_encode(df, text_col, merges, out_col=keep, raw=raw,
-                     attach_ws=attach_ws)
-    vmap = F.create_map(*[F.lit(x) for t, i in vocab.items()
-                          for x in (t, i)])
+    if vocab_via not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"vocab_via must be 'auto', 'literal' or "
+                         f"'broadcast', got {vocab_via!r}")
     if byte_fallback:
         missing = [t for t in (f"<0x{b:02X}>" for b in range(256))
                    if t not in vocab]
@@ -376,6 +412,20 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
                 "byte_fallback needs the <0xNN> byte-token inventory "
                 f"in vocab (missing e.g. {missing[0]!r}) — build the "
                 "vocab with build_vocab(byte_tokens=True)")
+    if vocab_via == "auto":
+        vocab_via = ("literal" if len(vocab) <= vocab_literal_max
+                     else "broadcast")
+    if vocab_via == "broadcast":
+        return _encode_ids_broadcast(
+            df, text_col, merges, vocab, out_col=out_col,
+            sym_col=sym_col, byte_fallback=byte_fallback,
+            unk_col=unk_col, raw=raw, attach_ws=attach_ws)
+    keep = sym_col or "__bpe_sym"
+    enc = bpe_encode(df, text_col, merges, out_col=keep, raw=raw,
+                     attach_ws=attach_ws)
+    vmap = F.create_map(*[F.lit(x) for t, i in vocab.items()
+                          for x in (t, i)])
+    if byte_fallback:
         bmap = F.create_map(*[F.lit(x) for b in range(256)
                               for x in (f"{b:02X}",
                                         vocab[f"<0x{b:02X}>"])])
@@ -408,11 +458,85 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
     return enc if sym_col else enc.drop(keep)
 
 
+def _encode_ids_broadcast(df: DataFrame, text_col: str,
+                          merges: list[tuple[str, str]],
+                          vocab: dict[str, int], *,
+                          out_col: str, sym_col: str | None,
+                          byte_fallback: bool, unk_col: str | None,
+                          raw: bool, attach_ws: bool) -> DataFrame:
+    """``bpe_encode_ids(vocab_via="broadcast")``: the vocab ships once
+    per executor as a broadcast variable; pretokenize + merge loop +
+    id lookup + byte fallback + OOV counting all run in ONE fused
+    Arrow-batched pandas UDF returning struct(ids, n_oov, n_sym[,
+    sym]) — the plan carries zero vocab literals and the symbol
+    stream crosses the Python boundary zero extra times. The
+    unk-rate division/rounding stays JVM-side on the returned integer
+    counts, the EXACT expression of the literal path, so the two
+    modes are bit-identical (pytest-pinned)."""
+    symbolize = _symbolizer(merges, raw=raw, attach_ws=attach_ws)
+    bv = df.sparkSession.sparkContext.broadcast(dict(vocab))
+    want_sym = sym_col is not None
+    fields = [T.StructField("ids", T.ArrayType(T.IntegerType())),
+              T.StructField("n_oov", T.IntegerType()),
+              T.StructField("n_sym", T.IntegerType())]
+    if want_sym:
+        fields.append(T.StructField("sym",
+                                    T.ArrayType(T.StringType())))
+
+    @F.pandas_udf(T.StructType(fields))
+    def _encids(texts):
+        import pandas as pd
+
+        v = bv.value
+        byte_ids = ([v[f"<0x{b:02X}>"] for b in range(256)]
+                    if byte_fallback else None)
+        out = {"ids": [], "n_oov": [], "n_sym": []}
+        if want_sym:
+            out["sym"] = []
+        for t in texts:
+            syms = symbolize(t)
+            ids: list[int] = []
+            n_oov = 0
+            for s in syms:
+                i = v.get(s)
+                if i is not None:
+                    ids.append(i)
+                    continue
+                n_oov += 1
+                if byte_fallback:
+                    ids.extend(byte_ids[b] for b in s.encode("utf-8"))
+                else:
+                    ids.append(0)
+            out["ids"].append(ids)
+            out["n_oov"].append(n_oov)
+            out["n_sym"].append(len(syms))
+            if want_sym:
+                out["sym"].append(list(syms))
+        return pd.DataFrame(out)
+
+    st = "__bpe_st"
+    enc = df.withColumn(st, _encids(F.col(text_col)))
+    # same column order as the literal path: sym, ids, unk
+    if want_sym:
+        enc = enc.withColumn(sym_col, F.col(f"{st}.sym"))
+    enc = enc.withColumn(out_col, F.col(f"{st}.ids"))
+    if unk_col:
+        n_syms = F.col(f"{st}.n_sym")
+        enc = enc.withColumn(
+            unk_col,
+            F.when(n_syms > 0,
+                   F.round(F.col(f"{st}.n_oov") / n_syms, 6))
+            .otherwise(F.lit(0.0)))
+    return enc.drop(st)
+
+
 def bpe_decode_ids(df: DataFrame, ids_col: str,
                    vocab: dict[str, int], *,
                    out_col: str = "decoded_text",
                    strict: bool = True,
-                   raw: bool = False) -> DataFrame:
+                   raw: bool = False,
+                   vocab_via: str = "auto",
+                   vocab_literal_max: int = 4096) -> DataFrame:
     """Detokenize an ``array<int>`` id column back to text — the
     inspection/debugging path every real tokenizer ships next to
     encode. Exact inverse of ``bpe_encode_ids`` over normalized input
@@ -443,9 +567,26 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
     token) and nothing is trimmed, so the output is byte-for-byte the
     original raw text — the exact round-trip law, pytest-pinned.
 
-    JVM-side throughout: one foldable id→bytes map literal, one
-    ``aggregate`` binary concat, one ``decode`` — a narrow projection,
-    no Python, no shuffle."""
+    ``vocab_via`` — same plan-scale switch as ``bpe_encode_ids``. The
+    "literal" mode is JVM-side throughout: one foldable id→bytes map
+    literal, one ``aggregate`` binary concat, one ``decode`` — a
+    narrow projection, no Python, no shuffle; right for small
+    artifacts, but a 32k+ vocab's map literal blows up the plan. The
+    "broadcast" mode ships the id→bytes table once per executor and
+    decodes inside one Arrow-batched pandas UDF (strict/raw semantics
+    identical, bit-identity pytest-pinned). "auto" (default) flips at
+    ``vocab_literal_max`` entries. Composition note: feeding the
+    broadcast decode DIRECTLY from a literal-mode encode in one
+    unmaterialized plan fuses the pandas UDF's input projection with
+    the encode's map-literal expression — if that oversized
+    projection falls out of codegen, Spark's interpreted fallback
+    cannot evaluate the embedded Python UDF (INTERNAL_ERROR). Mixed
+    modes across one pipeline should materialize the ids column
+    between them (cache/checkpoint/write) — matched modes (both
+    literal or both broadcast) compose freely."""
+    if vocab_via not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"vocab_via must be 'auto', 'literal' or "
+                         f"'broadcast', got {vocab_via!r}")
     pieces: list[tuple[int, bytes]] = []
     for tok, i in vocab.items():
         if tok.startswith("<0x") and tok.endswith(">") and len(tok) == 6:
@@ -457,6 +598,42 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
             # suffix of merged tokens ("scan</w>") — both render as
             # the word boundary
             pieces.append((i, tok.replace(END, " ").encode("utf-8")))
+    if vocab_via == "auto":
+        vocab_via = ("literal" if len(vocab) <= vocab_literal_max
+                     else "broadcast")
+    if vocab_via == "broadcast":
+        bv = df.sparkSession.sparkContext.broadcast(dict(pieces))
+
+        @F.pandas_udf(T.StringType())
+        def _dec(ids_series):
+            import pandas as pd
+
+            m = bv.value
+            out = []
+            for ids in ids_series:
+                if ids is None:
+                    out.append(None)
+                    continue
+                buf = bytearray()
+                for i in ids:
+                    b = m.get(int(i))
+                    if b is None:
+                        if strict:
+                            raise ValueError(
+                                "bpe_decode_ids: id not in vocab: "
+                                f"{int(i)}")
+                        buf += b"<unk>"
+                    else:
+                        buf += b
+                # errors='replace' == Spark decode()'s malformed-input
+                # behavior (U+FFFD), keeping the modes bit-identical
+                # even on corrupt byte streams
+                out.append(bytes(buf).decode("utf-8",
+                                             errors="replace"))
+            return pd.Series(out)
+
+        text = _dec(F.col(ids_col))
+        return df.withColumn(out_col, text if raw else F.rtrim(text))
     m = F.create_map(*[F.lit(x) for i, b in pieces for x in (i, b)])
     if strict:
         def piece_of(i):

@@ -750,6 +750,83 @@ def unpack_token_blocks(blocks: DataFrame, *,
     return out
 
 
+def block_positions(blocks: DataFrame, *,
+                    spans_col: str = "doc_spans",
+                    pos_col: str = "position_ids",
+                    seq_col: str = "sequence_ids") -> DataFrame:
+    """Per-block trainer companions derived from the span provenance
+    (r10 verdict #3) — the two columns a block-diagonal-attention
+    trainer consumes next to the packed ids:
+
+    - ``pos_col``: array<int>, the position id of every token in the
+      block, RESET to 0 at each document-span start (the standard
+      packed-pretraining position-id discipline, so a document that
+      starts mid-block still sees positions 0..len-1 and a document
+      carried over from the previous block restarts at 0 — each
+      block is self-contained);
+    - ``seq_col``: array<int>, the span ordinal (0-based, in block
+      order) of every token — the segment id from which the trainer
+      builds the block-diagonal attention mask (attend only where
+      sequence_ids match).
+
+    Pure arithmetic over ``spans_col`` — a narrow in-expression
+    projection (flatten/transform/sequence), no shuffle, no Python,
+    no join; positions are exactly reproducible from the spans, so
+    the driver oracle value-checks them at token grain."""
+    pos = F.flatten(F.transform(
+        spans_col, lambda s: F.sequence(F.lit(0), s["len"] - 1)))
+    seq = F.flatten(F.transform(
+        spans_col,
+        lambda s, i: F.array_repeat(i.cast("int"), s["len"])))
+    return (blocks.withColumn(pos_col, pos)
+            .withColumn(seq_col, seq))
+
+
+def reshuffle_blocks(blocks: DataFrame, *, seed: int = 0,
+                     epoch: int = 0, num_shards: int = 8,
+                     shard_in: str = "shard",
+                     block_col: str = "block_id",
+                     key_col: str = "sort_key",
+                     shard_col: str = "train_shard",
+                     pos_col: str = "pos") -> DataFrame:
+    """Block-grain epoch reshuffle (r10 verdict #2): a NEW
+    deterministic training order per (seed, epoch) WITHOUT repacking —
+    ``pack_token_blocks`` runs once, every epoch is a cheap reorder of
+    the block ROWS (the multi-epoch discipline of GPT/T5-style runs:
+    epoch k streams the same blocks in a fresh seeded order).
+
+    Exactly the ``global_shuffle`` contract applied at block grain,
+    keyed by the block's identity (packing shard, block_id):
+
+    - ``key_col``   md5("seed:epoch:shard:block") — portable (md5 hex
+                    is identical in Spark and DuckDB, so the whole
+                    epoch order is driver-oracled);
+    - ``shard_col`` hex-prefix of the key mod ``num_shards`` — the
+                    TRAINING shard layout, independent of the packing
+                    shards;
+    - ``pos_col``   1-based read position within the training shard.
+
+    A data loader reading training shards in ``pos`` order replays the
+    exact epoch order on any engine, any partitioning. Scale shape:
+    one narrow key projection + ONE hash exchange + per-shard sorts —
+    blocks are ~tokens/block_len rows, so this is orders of magnitude
+    lighter than the pack itself; there is no global single-partition
+    sort."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    key = F.md5(F.concat_ws(
+        ":", F.lit(str(int(seed))), F.lit(str(int(epoch))),
+        F.col(shard_in).cast("string"),
+        F.col(block_col).cast("string")).cast("binary"))
+    out = blocks.withColumn(key_col, key)
+    shard_sql = (f"CAST({hex_prefix_long_sql(key_col)} % "
+                 f"{int(num_shards)} AS INT)")
+    out = out.withColumn(shard_col, F.expr(shard_sql))
+    w = Window.partitionBy(shard_col).orderBy(
+        key_col, F.col(shard_in), F.col(block_col))
+    return out.withColumn(pos_col, F.row_number().over(w))
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   id_col: str, text_col: str,
                   n: int = 5, min_overlap: int = 1,

@@ -730,3 +730,149 @@ def test_tokenizer_fertility_flags_byte_fallback_degeneration(spark):
     assert 0.9 < out["unc"].bytes_per_token <= 1.0
     assert out["cov"].bytes_per_token > 1.5
     assert out["unc"].mean_unk_rate == round(6 / 7, 6)
+
+
+# --- vocab_via: the real-vocab-scale execution switch (r11) ---------------
+
+
+_MESSY_ROWS = [
+    (1, "The QUICK brown\tfox  jumps\n\nover 42 dogs!"),
+    (2, "columns scan scanner scanned SCAN"),
+    (3, "unicode: café €5 中文 \U0001f600 end"),
+    (4, ""),
+    (5, None),
+    (6, "   leading and trailing   "),
+]
+
+
+def _messy_df(spark):
+    return spark.createDataFrame(_MESSY_ROWS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("mode", ["norm", "norm_nofb", "raw", "attach"])
+def test_bpe_encode_ids_vocab_via_bit_identity(spark, mode):
+    """literal and broadcast execution of bpe_encode_ids are
+    bit-identical -- ids, symbols, and unk rates -- across all four
+    tokenizer modes, on messy text (case, unicode, whitespace runs,
+    empty, NULL)."""
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BPE_RAW_BASE_CHARS, RAW_COMMITTED_MERGES,
+    )
+    df = _messy_df(spark)
+    if mode in ("norm", "norm_nofb"):
+        merges, vocab = COMMITTED_MERGES, build_vocab()
+        kw = dict(byte_fallback=(mode == "norm"))
+    else:
+        merges = RAW_COMMITTED_MERGES
+        vocab = build_vocab(RAW_COMMITTED_MERGES, BPE_RAW_BASE_CHARS)
+        kw = dict(byte_fallback=True, raw=True,
+                  attach_ws=(mode == "attach"))
+    outs = {}
+    for via in ("literal", "broadcast"):
+        outs[via] = sorted(
+            bpe_encode_ids(df, "text", merges, vocab,
+                           sym_col="sym", unk_col="unk",
+                           vocab_via=via, **kw).collect(),
+            key=lambda r: r.doc_id)
+    assert [r.asDict() for r in outs["literal"]] == \
+        [r.asDict() for r in outs["broadcast"]]
+    # auto flips on vocab size: tiny threshold -> broadcast plan has
+    # no create_map literal; huge threshold -> literal path unchanged
+    lo = bpe_encode_ids(df, "text", merges, vocab, vocab_via="auto",
+                        vocab_literal_max=1, **kw)
+    assert "map(" not in lo._jdf.queryExecution().analyzed().toString()
+    assert sorted((r.doc_id, r.token_ids) for r in lo.collect()) == \
+        [(r.doc_id, r.token_ids) for r in outs["literal"]]
+
+
+def test_bpe_decode_ids_vocab_via_bit_identity(spark):
+    """literal and broadcast decode agree byte-for-byte (normalized and
+    raw), the broadcast strict mode still fails on unknown ids with the
+    id in the message, and lenient mode renders <unk>."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BPE_RAW_BASE_CHARS, RAW_COMMITTED_MERGES,
+    )
+    df = _messy_df(spark)
+    for kw, merges, vocab in (
+            (dict(byte_fallback=True), COMMITTED_MERGES, build_vocab()),
+            (dict(byte_fallback=True, raw=True, attach_ws=True),
+             RAW_COMMITTED_MERGES,
+             build_vocab(RAW_COMMITTED_MERGES, BPE_RAW_BASE_CHARS))):
+        # broadcast-encoded input: the ids column is a plain attribute,
+        # so both decode modes read identical input without fusing the
+        # pandas UDF onto a giant literal expression (see the
+        # vocab_via docstring note on that composition)
+        enc = bpe_encode_ids(df, "text", merges, vocab,
+                             vocab_via="broadcast", **kw)
+        raw = bool(kw.get("raw"))
+        lit = {r.doc_id: r.decoded_text
+               for r in bpe_decode_ids(enc, "token_ids", vocab,
+                                       raw=raw,
+                                       vocab_via="literal").collect()}
+        brd = {r.doc_id: r.decoded_text
+               for r in bpe_decode_ids(enc, "token_ids", vocab,
+                                       raw=raw,
+                                       vocab_via="broadcast").collect()}
+        assert lit == brd
+    # strict rejection on the broadcast path carries the offending id
+    bad = spark.createDataFrame([(1, [0, 999999])],
+                                "doc_id long, token_ids array<int>")
+    strict = bpe_decode_ids(bad, "token_ids", build_vocab(),
+                            vocab_via="broadcast")
+    with pytest.raises(Exception, match="999999"):
+        strict.collect()
+    lenient = bpe_decode_ids(bad, "token_ids", build_vocab(),
+                             strict=False, vocab_via="broadcast")
+    assert "<unk>" in lenient.collect()[0].decoded_text
+    with pytest.raises(ValueError, match="vocab_via"):
+        bpe_decode_ids(bad, "token_ids", build_vocab(), vocab_via="x")
+
+
+def test_vocab_via_auto_flips_at_scale(spark):
+    """A synthetic 32k-entry vocab (the production artifact size)
+    auto-selects the broadcast path, encodes + round-trips exactly,
+    and keeps the plan free of vocab-sized literals."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BPE_BASE_CHARS, BYTE_TOKENS, UNK,
+    )
+    # real layout, padded with filler entries to production scale
+    vocab = {UNK: 0}
+    for t in (list(BPE_BASE_CHARS) + ["</w>"]
+              + [l + r for l, r in COMMITTED_MERGES] + BYTE_TOKENS):
+        vocab[t] = len(vocab)
+    for i in range(32_000 - len(vocab)):
+        vocab[f"filler{i}"] = len(vocab)
+    assert len(vocab) == 32_000
+    df = _messy_df(spark).filter("text is not null")
+    enc = bpe_encode_ids(df, "text", COMMITTED_MERGES, vocab,
+                         byte_fallback=True, unk_col="unk")
+    assert "map(" not in enc._jdf.queryExecution().analyzed().toString()
+    # reference: the literal path over build_vocab() — the 32k vocab's
+    # first entries are exactly that layout and the filler entries are
+    # unreachable (no symbol can equal "fillerN"), so the ids must
+    # match without paying a 64k-argument literal's plan-build time
+    # (literal-vs-broadcast identity at the SAME vocab is pinned by
+    # the messy-text test above)
+    ref = bpe_encode_ids(df, "text", COMMITTED_MERGES, build_vocab(),
+                         byte_fallback=True, unk_col="unk",
+                         vocab_via="literal")
+    assert sorted((r.doc_id, r.token_ids, r.unk) for r in enc.collect()) \
+        == sorted((r.doc_id, r.token_ids, r.unk) for r in ref.collect())
+    dec = bpe_decode_ids(enc, "token_ids", vocab)
+    assert "map(" not in dec._jdf.queryExecution().analyzed().toString()
+    got = {r.doc_id: r.decoded_text for r in dec.collect()}
+    import re as _re
+    for i, t in _MESSY_ROWS:
+        if t is None or t == "":
+            continue
+        norm = _re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip()
+        assert got.get(i, "") == norm
+    with pytest.raises(ValueError, match="vocab_via"):
+        bpe_encode_ids(df, "text", COMMITTED_MERGES, vocab,
+                       vocab_via="join")

@@ -1378,3 +1378,94 @@ def test_resume_token_blocks_never_rescans_state(spark, tmp_path):
         A.unionByName(B), "doc_id", "token_ids",
         drop_last=False, **kw).collect())
     assert merged == full
+
+
+# block_positions / reshuffle_blocks — the trainer companions (r11) -------
+
+
+def test_block_positions_hand_checked(spark):
+    """Positions reset at every span start; sequence ids are the span
+    ordinal — the exact block-diagonal-mask inputs."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        block_positions,
+    )
+    rows = [(0, 0, [1, 2, 3, 4, 5],
+             [{"start": 0, "len": 3, "doc_id": 7},
+              {"start": 3, "len": 2, "doc_id": 8}])]
+    blocks = spark.createDataFrame(
+        rows, "shard int, block_id long, ids array<int>, "
+              "doc_spans array<struct<start:int,len:int,doc_id:long>>")
+    out = block_positions(blocks).collect()[0]
+    assert out.position_ids == [0, 1, 2, 0, 1]
+    assert out.sequence_ids == [0, 0, 0, 1, 1]
+
+
+def test_block_positions_composes_with_pack(spark):
+    """Over real pack_token_blocks output: every block's companion
+    arrays tile the block exactly, positions restart at 0 per span
+    (including a doc carried over a block boundary), and sequence ids
+    are non-decreasing block ordinals."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        block_positions, pack_token_blocks,
+    )
+    docs = spark.createDataFrame(
+        [(i, list(range(100 + i, 100 + i + (i % 7) + 1)))
+         for i in range(30)],
+        "doc_id long, token_ids array<int>")
+    blk = pack_token_blocks(docs, "doc_id", "token_ids", block_len=5,
+                            eos_id=999, n_shards=2, drop_last=False)
+    for r in block_positions(blk).collect():
+        assert len(r.position_ids) == len(r.ids)
+        assert len(r.sequence_ids) == len(r.ids)
+        # rebuild expected arrays from the spans
+        exp_pos, exp_seq = [], []
+        for i, s in enumerate(r.doc_spans):
+            exp_pos.extend(range(s.len))
+            exp_seq.extend([i] * s.len)
+        assert r.position_ids == exp_pos
+        assert r.sequence_ids == exp_seq
+        assert r.position_ids[0] == 0
+
+
+def test_reshuffle_blocks_laws(spark):
+    """Permutation (every block exactly once), per-shard contiguous
+    1-based positions, determinism under relayout, epoch/seed change
+    the order, num_shards validated."""
+    import pytest
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks, reshuffle_blocks,
+    )
+    docs = spark.createDataFrame(
+        [(i, list(range(i % 9 + 1))) for i in range(60)],
+        "doc_id long, token_ids array<int>")
+    blk = (pack_token_blocks(docs, "doc_id", "token_ids", block_len=4,
+                             eos_id=99, n_shards=3)
+           .localCheckpoint(eager=True))
+    ids = {(r.shard, r.block_id) for r in blk.collect()}
+    out = reshuffle_blocks(blk, seed=5, epoch=1, num_shards=4)
+    rows = out.collect()
+    assert {(r.shard, r.block_id) for r in rows} == ids
+    assert len(rows) == len(ids)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.train_shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic under relayout
+    again = {(r.shard, r.block_id): (r.train_shard, r.pos)
+             for r in reshuffle_blocks(blk.repartition(7), seed=5,
+                                       epoch=1,
+                                       num_shards=4).collect()}
+    assert again == {(r.shard, r.block_id): (r.train_shard, r.pos)
+                     for r in rows}
+    # a new epoch (or seed) is a different order over the same blocks
+    e2 = {(r.shard, r.block_id): (r.train_shard, r.pos)
+          for r in reshuffle_blocks(blk, seed=5, epoch=2,
+                                    num_shards=4).collect()}
+    assert set(e2) == ids and e2 != again
+    s2 = {(r.shard, r.block_id): (r.train_shard, r.pos)
+          for r in reshuffle_blocks(blk, seed=6, epoch=1,
+                                    num_shards=4).collect()}
+    assert set(s2) == ids and s2 != again
+    with pytest.raises(ValueError, match="num_shards"):
+        reshuffle_blocks(blk, num_shards=0)
