@@ -3013,12 +3013,14 @@ def _q_x8_corpus_utils(spark, sf):
     # are value-checked against a token-grain DuckDB replay. The ids
     # arm checks the bin NUMBERS; this checks the artifact itself.
     from serverless_data_pipeline_spark.operators.corpus import (
-        pack_token_blocks,
+        block_positions, pack_token_blocks, reshuffle_blocks,
     )
-    blk = (pack_token_blocks(encd.select("doc_id", "token_ids"),
-                             "doc_id", "token_ids",
-                             block_len=_X8_BLK_LEN, eos_id=_BPE_EOS_ID,
-                             n_shards=8)
+    blkraw = (pack_token_blocks(encd.select("doc_id", "token_ids"),
+                                "doc_id", "token_ids",
+                                block_len=_X8_BLK_LEN,
+                                eos_id=_BPE_EOS_ID, n_shards=8)
+              .localCheckpoint(eager=False))
+    blk = (blkraw
            .select(F.lit("blk").alias("kind"), nl.alias("doc_id"),
                    F.col("shard").cast("long").alias("a"),
                    F.col("block_id").cast("long").alias("b"),
@@ -3027,6 +3029,36 @@ def _q_x8_corpus_utils(spark, sf):
                        F.transform("ids",
                                    lambda i: i.cast("string")), ",")
                          .cast("binary")).alias("h")))
+    # pos arm (r11): block_positions — the per-block position_ids
+    # (reset at each doc-span start) and sequence_ids (span ordinal)
+    # a block-diagonal-attention trainer consumes; pure span
+    # arithmetic, so the oracle replays BOTH arrays at token grain
+    # from its own stream positions. h = md5(positions '|' seqids).
+    pos = (block_positions(blkraw)
+           .select(F.lit("pos").alias("kind"), nl.alias("doc_id"),
+                   F.col("shard").cast("long").alias("a"),
+                   F.col("block_id").cast("long").alias("b"),
+                   nl.alias("c"),
+                   F.md5(F.concat(
+                       F.array_join(F.transform(
+                           "position_ids",
+                           lambda i: i.cast("string")), ","),
+                       F.lit("|"),
+                       F.array_join(F.transform(
+                           "sequence_ids",
+                           lambda i: i.cast("string")), ","))
+                       .cast("binary")).alias("h")))
+    # eshuf arm (r11): reshuffle_blocks — the per-epoch deterministic
+    # block reorder WITHOUT repacking (seed 1, epoch 2, 4 training
+    # shards). The oracle recomputes the md5 epoch key and the SAME
+    # hex-prefix shard expression, then replays the per-shard
+    # row_number — every (train_shard, pos) value-checked.
+    eshuf = (reshuffle_blocks(blkraw, seed=1, epoch=2, num_shards=4)
+             .select(F.lit("eshuf").alias("kind"), nl.alias("doc_id"),
+                     F.col("shard").cast("long").alias("a"),
+                     F.col("block_id").cast("long").alias("b"),
+                     F.col("train_shard").cast("long").alias("c"),
+                     F.col("pos").cast("string").alias("h")))
     # rblk arm (r10): the INCREMENTAL packing path, driver-oracled —
     # pack the low-id half as the prior state, resume with the
     # high-id half (the append-only batch contract), and emit
@@ -3151,6 +3183,7 @@ def _q_x8_corpus_utils(spark, sf):
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
             .unionAll(sheet2).unionAll(jac).unionAll(diff)
             .unionAll(tok).unionAll(ids).unionAll(blk)
+            .unionAll(pos).unionAll(eshuf)
             .unionAll(rblk).unionAll(fert).unionAll(rtok)
             .unionAll(atok))
 
@@ -5409,7 +5442,7 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY doc_id) - n AS s
                     FROM blkdoc),
                   blktok AS (
-                    SELECT doc_id, shard,
+                    SELECT doc_id, shard, s,
                            (s + p - 1) // {_X8_BLK_LEN} AS block_id,
                            s + p - 1 AS pos, tok
                     FROM (SELECT doc_id, shard, s,
@@ -5424,7 +5457,42 @@ def oracle_sql() -> dict[str, str]:
                            CAST(COUNT(DISTINCT doc_id) AS BIGINT)
                                AS ndocs,
                            md5(string_agg(tok, ',' ORDER BY pos)) AS h
-                    FROM blktok GROUP BY shard, block_id)
+                    FROM blktok GROUP BY shard, block_id),
+                  -- pos arm (r11): token-grain replay of
+                  -- block_positions — a token at global stream pos p
+                  -- in block b of a doc starting at s has position id
+                  -- p - greatest(s, b*L) (reset at each span start),
+                  -- and its sequence id is the doc's span ordinal in
+                  -- block order (dense rank by stream start).
+                  posg AS (
+                    SELECT shard, block_id,
+                           CAST(COUNT(*) AS BIGINT) AS nt,
+                           md5(string_agg(
+                                   CAST(pos - greatest(
+                                       s, block_id * {_X8_BLK_LEN})
+                                       AS VARCHAR),
+                                   ',' ORDER BY pos)
+                               || '|' ||
+                               string_agg(CAST(dr - 1 AS VARCHAR),
+                                          ',' ORDER BY pos)) AS h
+                    FROM (SELECT shard, block_id, pos, s,
+                                 DENSE_RANK() OVER (
+                                     PARTITION BY shard, block_id
+                                     ORDER BY s) AS dr
+                          FROM blktok)
+                    GROUP BY shard, block_id),
+                  -- eshuf arm (r11): reshuffle_blocks replay — the
+                  -- SAME md5 epoch key ('seed:epoch:shard:block') and
+                  -- hex-prefix shard expression the operator runs,
+                  -- then a per-training-shard row_number
+                  eshufs AS (
+                    SELECT shard, block_id, k,
+                           CAST({_hexlong('k')} % 4 AS BIGINT) AS ts
+                    FROM (SELECT shard, block_id,
+                                 md5('1:2:' || CAST(shard AS VARCHAR)
+                                     || ':'
+                                     || CAST(block_id AS VARCHAR)) AS k
+                          FROM blkg WHERE nt = {_X8_BLK_LEN}))
                   SELECT 'tok' AS kind, doc_id, n_tokens AS a,
                          -- unk_rate micro-units: round6 of noov/nsym
                          -- (0.0 for symbol-less docs), then * 1e6 and
@@ -5446,6 +5514,17 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 'blk', CAST(NULL AS BIGINT), shard, block_id,
                          ndocs, h
                   FROM blkg WHERE nt = {_X8_BLK_LEN}
+                  UNION ALL
+                  SELECT 'pos', CAST(NULL AS BIGINT), shard, block_id,
+                         CAST(NULL AS BIGINT), h
+                  FROM posg WHERE nt = {_X8_BLK_LEN}
+                  UNION ALL
+                  SELECT 'eshuf', CAST(NULL AS BIGINT), shard,
+                         block_id, ts,
+                         CAST(ROW_NUMBER() OVER (
+                             PARTITION BY ts
+                             ORDER BY k, shard, block_id) AS VARCHAR)
+                  FROM eshufs
                   UNION ALL
                   -- rblk: the incremental resume path must merge to
                   -- EXACTLY the full repack (law), so its oracle is
