@@ -1690,11 +1690,18 @@ def _q_x6_multimodal(spark, sf):
       closed form, so a mis-parsed header, wrong endianness, or dropped
       frame hash-mismatches.
 
+    - `img` (r11, closing the image half): a REAL image decode —
+      synthesize_bmp_payload builds a genuine 24-bit uncompressed BMP
+      per doc, extract_image_features parses headers + pixel array
+      (bottom-up rows, 4-byte padding, BGR all undone); the oracle
+      recomputes order-sensitive statistics from the closed form.
+
     Columns harmonized to (kind, key, a, b, c, v, h): media rows carry
     (mime|src_label, n_items, total_bytes, NULL, avg_bytes, NULL);
     binary rows carry (media_id, n_bytes, n_frames, last_offset, NULL,
     counts_csv); decoded rows carry (media_id, n_frames, sample_rate,
-    sample_sum, rms, NULL)."""
+    sample_sum, rms, NULL); img rows carry (media_id, pixel_sum,
+    corner_rgb, wsum, NULL, 'WxH')."""
     joined = multimodal_join(_t(spark, sf, "documents"),
                              _t(spark, sf, "embeddings"))
     joined = joined.withColumn(
@@ -1745,7 +1752,29 @@ def _q_x6_multimodal(spark, sf):
                        F.col("sample_sum").alias("c"),
                        F.col("rms").alias("v"),
                        F.lit(None).cast("string").alias("h")))
-    return media.unionAll(binary).unionAll(decoded)
+    # img arm (r11, closing the image half of the decode stub): a REAL
+    # image decode — synthesize_bmp_payload builds a genuine 24-bit
+    # uncompressed BMP per doc, extract_image_features parses it back
+    # (headers, bottom-up row storage, 4-byte padding, BGR order); the
+    # oracle recomputes pixel_sum / corner_rgb / wsum from the
+    # generator's closed form, so a scrambled row or channel order
+    # hash-mismatches even when the order-invariant sum agrees.
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        extract_image_features, synthesize_bmp_payload,
+    )
+    bmp = synthesize_bmp_payload(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id")
+    img = (extract_image_features(bmp)
+           .select(F.lit("img").alias("kind"),
+                   F.col("media_id").cast("string").alias("key"),
+                   F.col("pixel_sum").alias("a"),
+                   F.col("corner_rgb").alias("b"),
+                   F.col("wsum").alias("c"),
+                   F.lit(None).cast("double").alias("v"),
+                   F.concat_ws("x", F.col("width").cast("string"),
+                               F.col("height").cast("string"))
+                   .alias("h")))
+    return media.unionAll(binary).unionAll(decoded).unionAll(img)
 
 
 def _q_udf_pandas_vectorized(spark, sf):
@@ -6178,7 +6207,35 @@ def oracle_sql() -> dict[str, str]:
                              i -> (doc_id * 31 + i * 17) % 2048 - 1024)
                              AS s
                   FROM (SELECT doc_id, 50 + doc_id % 100 AS n
-                        FROM documents))""",
+                        FROM documents))
+            UNION ALL
+            -- img half (r11): what a CORRECT BMP decode must find,
+            -- from synthesize_bmp_payload's closed form (top-down
+            -- coords; the payload stores rows bottom-up in BGR, which
+            -- the decoder must undo for corner_rgb/wsum to match).
+            SELECT 'img' AS kind, CAST(doc_id AS VARCHAR) AS key,
+                   CAST(SUM(r + g + b2) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN x = 0 AND y = 0
+                            THEN r * 65536 + g * 256 + b2
+                            ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM((x + 10 * y) * (r + g + b2)) AS BIGINT)
+                       AS c,
+                   CAST(NULL AS DOUBLE) AS v,
+                   CAST(w AS VARCHAR) || 'x' || CAST(hh AS VARCHAR)
+                       AS h
+            FROM (SELECT doc_id, w, hh, x, y,
+                         (doc_id * 7 + x * 3 + y * 5) % 256 AS r,
+                         (doc_id * 11 + x * 5 + y * 7) % 256 AS g,
+                         (doc_id * 13 + x * 7 + y * 11) % 256 AS b2
+                  FROM (SELECT doc_id, w, hh, x,
+                               unnest(range(0, hh)) AS y
+                        FROM (SELECT doc_id, w, hh,
+                                     unnest(range(0, w)) AS x
+                              FROM (SELECT doc_id,
+                                           4 + doc_id % 5 AS w,
+                                           3 + doc_id % 4 AS hh
+                                    FROM documents))))
+            GROUP BY doc_id, w, hh""",
         "x10_decontaminate": (
             "WITH s AS (SELECT doc_id, text,"
             "                  CASE WHEN doc_id % 10 < 8 THEN 'train'"

@@ -105,3 +105,59 @@ def test_multimodal_join_aligns_ids(spark):
     out = multimodal_join(docs, emb)
     assert out.count() == 1
     assert set(out.columns) >= {"doc_id", "text", "embedding", "label"}
+
+
+# real BMP image decode (r11) ---------------------------------------------
+
+
+def test_bmp_synthesize_and_decode_round_trip(spark):
+    """The generated BMP is a genuine container and the decoder's
+    statistics equal the generator's closed form — header parse,
+    bottom-up row order, 4-byte padding and BGR undo all verified
+    (an order bug fails corner_rgb/wsum even when pixel_sum matches)."""
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        extract_image_features, synthesize_bmp_payload,
+    )
+    ids = spark.createDataFrame([(i,) for i in range(1, 40)],
+                                "doc_id long")
+    media = synthesize_bmp_payload(ids, "doc_id")
+    got = {r.media_id: r for r in extract_image_features(media).collect()}
+    assert len(got) == 39
+    for i in range(1, 40):
+        w, h = 4 + i % 5, 3 + i % 4
+        psum = corner = wsum = 0
+        for y in range(h):
+            for x in range(w):
+                r = (i * 7 + x * 3 + y * 5) % 256
+                g = (i * 11 + x * 5 + y * 7) % 256
+                b = (i * 13 + x * 7 + y * 11) % 256
+                psum += r + g + b
+                wsum += (x + 10 * y) * (r + g + b)
+                if x == 0 and y == 0:
+                    corner = r * 65536 + g * 256 + b
+        row = got[i]
+        assert (row.width, row.height) == (w, h)
+        assert row.pixel_sum == psum
+        assert row.corner_rgb == corner
+        assert row.wsum == wsum
+        # genuine container: 54-byte headers + padded bottom-up rows
+        assert row.n_bytes == 54 + ((w * 3 + 3) // 4 * 4) * h
+
+
+def test_bmp_decode_rejects_non_bmp_and_malformed(spark):
+    """The honest boundary: entropy-coded mimes raise where PIL would
+    be called; corrupt BMP bytes raise a clear ValueError."""
+    import pytest
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload, extract_image_features,
+    )
+    docs = spark.createDataFrame([(1, "not an image", "s")],
+                                 "doc_id long, text string, src string")
+    png = attach_binary_payload(docs, "doc_id", "text", "src",
+                                mime="image/png")
+    with pytest.raises(Exception, match="PIL"):
+        extract_image_features(png).collect()
+    fake = attach_binary_payload(docs, "doc_id", "text", "src",
+                                 mime="image/bmp")
+    with pytest.raises(Exception, match="BMP"):
+        extract_image_features(fake).collect()
