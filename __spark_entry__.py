@@ -2109,6 +2109,10 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_corpus_utils.blk": _x8_flavour_blk,
         "x8_corpus_utils.fert": _x8_flavour_fert,
         "x2_dedup_clusters.hquotaq": _x2_flavour_hquotaq,
+        # r11: the block trainer companions (pos + eshuf) and the real
+        # BMP image decode — attribute each
+        "x8_corpus_utils.companions": _x8_flavour_companions,
+        "x6_multimodal.img": _x6_flavour_img,
     }
 
 
@@ -2226,6 +2230,30 @@ def _x8_flavour_blk(spark, sf):
                              "doc_id", "token_ids",
                              block_len=_X8_BLK_LEN,
                              eos_id=_BPE_EOS_ID, n_shards=8)
+
+
+def _x8_flavour_companions(spark, sf):
+    # times exactly the r11 pos+eshuf arms' incremental work beyond
+    # blk: the span-arithmetic companions (no shuffle) and the epoch
+    # reshuffle (one hash exchange over block rows)
+    from serverless_data_pipeline_spark.operators.corpus import (
+        block_positions, reshuffle_blocks,
+    )
+    blkraw = _x8_flavour_blk(spark, sf).localCheckpoint(eager=False)
+    p = block_positions(blkraw).select(
+        "shard", "block_id", F.size("position_ids").alias("n"))
+    e = reshuffle_blocks(blkraw, seed=1, epoch=2, num_shards=4).select(
+        "shard", "block_id", F.col("pos").alias("n"))
+    return p.unionByName(e)
+
+
+def _x6_flavour_img(spark, sf):
+    # times exactly the r11 img arm's plan: BMP synth + real decode
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        extract_image_features, synthesize_bmp_payload,
+    )
+    return extract_image_features(synthesize_bmp_payload(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id"))
 
 
 def _x8_flavour_fert(spark, sf):

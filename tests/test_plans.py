@@ -130,8 +130,8 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all twenty-one arms exactly
-    twenty-eight hash exchanges exist (the r10 rtok/atok arms — raw-mode
+    O(top_n) heap (no global sort); across all twenty-three arms exactly
+    twenty-six hash exchanges exist (the r10 rtok/atok arms — raw-mode
     encode + decode + round-trip compare, split and attached
     pretokenization — are deliberately NARROW end-to-end: one
     pandas-UDF projection plus foldable-map lookups each, zero
@@ -161,12 +161,19 @@ def test_corpus_utils_plan_shape(spark):
     arrays join back via BROADCAST at registry scale and the
     (shard, block) groupBy reuses the shard partitioning, no second
     or third exchange — + the r10 fert arm's per-language fertility
-    aggregation + the r10 rblk (incremental resume) arm's five:
-    the state pack's offsets window, the resume batch's offsets
-    window, the resume assembly groupBy (its tail-parts union breaks
-    co-partitioning by construction), the state-tails max aggregate
-    and the post-checkpoint keep-side regroup — every one keyed on
-    shard or (shard, block), none moving corpus text)
+    aggregation + the r10 rblk (incremental resume) arm's — r11:
+    shrunk from five to FOUR, because the state TAIL fetch is now ONE
+    eager max_by aggregation executed at call time (before the
+    returned plan exists; the no-rescan deletion test pins that the
+    plan never references the prior state again) — the resume batch's
+    offsets window, its doc-id join pair, the resume assembly groupBy
+    (its locally-built tail-parts union breaks co-partitioning by
+    construction), and the entry's keep-side tails aggregate — every
+    one keyed on shard, (shard, block) or the doc id, none moving
+    corpus text — + the r11 eshuf arm's single train_shard position
+    window (reshuffle_blocks' ONE exchange over block rows; the pos
+    arm adds ZERO — position/sequence ids are in-expression span
+    arithmetic over the same checkpointed pack))
     and three SinglePartition exchanges (the tmix and wmix all-rows
     totals windows over their |groups|-row sizes frames and jac's
     final one-row set-size aggregate — all tiny by construction; the
@@ -178,7 +185,7 @@ def test_corpus_utils_plan_shape(spark):
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 28
+    assert plan.count("Exchange hashpartitioning") == 26
     assert plan.count("Exchange SinglePartition") == 3
     # exactly ONE SortMergeJoin is allowed AND it must be the diff
     # arm's FULL OUTER itself (full outers cannot broadcast; SMJ is the
