@@ -752,8 +752,10 @@ def unpack_token_blocks(blocks: DataFrame, *,
 
 def block_positions(blocks: DataFrame, *,
                     spans_col: str = "doc_spans",
+                    ids_col: str = "ids",
                     pos_col: str = "position_ids",
-                    seq_col: str = "sequence_ids") -> DataFrame:
+                    seq_col: str = "sequence_ids",
+                    pad_seq_id: int = -1) -> DataFrame:
     """Per-block trainer companions derived from the span provenance
     (r10 verdict #3) — the two columns a block-diagonal-attention
     trainer consumes next to the packed ids:
@@ -769,6 +771,12 @@ def block_positions(blocks: DataFrame, *,
       builds the block-diagonal attention mask (attend only where
       sequence_ids match).
 
+    PAD positions (a ``pack_token_blocks(drop_last=False, pad_id=...)``
+    tail block's right padding carries no doc span) are masked with
+    ``pad_seq_id`` (default -1, the no-attention/no-loss sentinel
+    convention) in BOTH companions, so the arrays always tile
+    ``ids_col`` exactly — a trainer masks where sequence_ids < 0.
+
     Pure arithmetic over ``spans_col`` — a narrow in-expression
     projection (flatten/transform/sequence), no shuffle, no Python,
     no join; positions are exactly reproducible from the spans, so
@@ -778,8 +786,11 @@ def block_positions(blocks: DataFrame, *,
     seq = F.flatten(F.transform(
         spans_col,
         lambda s, i: F.array_repeat(i.cast("int"), s["len"])))
-    return (blocks.withColumn(pos_col, pos)
-            .withColumn(seq_col, seq))
+    n_pad = F.size(ids_col) - F.size(pos)
+    fill = F.array_repeat(F.lit(int(pad_seq_id)).cast("int"), n_pad)
+    pad = F.when(n_pad > 0, fill).otherwise(F.array().cast("array<int>"))
+    return (blocks.withColumn(pos_col, F.concat(pos, pad))
+            .withColumn(seq_col, F.concat(seq, pad)))
 
 
 def reshuffle_blocks(blocks: DataFrame, *, seed: int = 0,

@@ -1427,6 +1427,25 @@ def test_block_positions_composes_with_pack(spark):
         assert r.position_ids[0] == 0
 
 
+def test_block_positions_masks_padding(spark):
+    """On a padded tail block (drop_last=False + pad_id) the companions
+    still tile the ids array exactly: pad positions carry the -1
+    mask sentinel in BOTH arrays."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        block_positions, pack_token_blocks,
+    )
+    docs = spark.createDataFrame([(1, [7, 8, 9]), (2, [5])],
+                                 "doc_id long, token_ids array<int>")
+    blk = pack_token_blocks(docs, "doc_id", "token_ids", block_len=8,
+                            n_shards=1, drop_last=False, pad_id=0)
+    rows = block_positions(blk).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert len(r.ids) == 8
+    assert r.position_ids == [0, 1, 2, 0, -1, -1, -1, -1]
+    assert r.sequence_ids == [0, 0, 0, 1, -1, -1, -1, -1]
+
+
 def test_reshuffle_blocks_laws(spark):
     """Permutation (every block exactly once), per-shard contiguous
     1-based positions, determinism under relayout, epoch/seed change
