@@ -607,3 +607,49 @@ def test_resume_token_blocks_equivalence_property(
         spark.createDataFrame(rows, schema), "doc_id", "token_ids",
         drop_last=False, **kw).collect())
     assert merged == full
+
+
+# vocab_via bit-identity over ARBITRARY artifacts (r11) --------------------
+
+_word = st.text(alphabet="abc xy\t", min_size=0, max_size=12)
+
+
+@given(texts=st.lists(_word, min_size=1, max_size=5),
+       merge_pool=st.lists(
+           st.tuples(st.sampled_from("abcxy"), st.sampled_from("abcxy")),
+           min_size=0, max_size=6),
+       raw=st.booleans())
+@settings(**SETTINGS)
+def test_bpe_vocab_via_modes_bit_identical_property(spark, texts,
+                                                    merge_pool, raw):
+    """literal and broadcast encode produce identical ids / unk rates
+    for ARBITRARY merge lists and messy text — not just the committed
+    artifacts; and decode inverts both identically."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BPE_BASE_CHARS, BPE_RAW_BASE_CHARS, build_vocab,
+    )
+    # dedupe merge outputs so the artifact passes the guard
+    merges, seen = [], set()
+    for l, r in merge_pool:
+        if l + r not in seen:
+            seen.add(l + r)
+            merges.append((l, r))
+    vocab = build_vocab(merges,
+                        BPE_RAW_BASE_CHARS if raw else BPE_BASE_CHARS)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    outs = {}
+    for via in ("literal", "broadcast"):
+        enc = bpe_encode_ids(df, "text", merges, vocab,
+                             byte_fallback=True, unk_col="unk",
+                             raw=raw, vocab_via=via)
+        dec = bpe_decode_ids(enc, "token_ids", vocab, raw=raw,
+                             vocab_via=via)
+        outs[via] = sorted(
+            (r.doc_id, r.token_ids, r.unk, r.decoded_text)
+            for r in dec.collect())
+    assert outs["literal"] == outs["broadcast"]
