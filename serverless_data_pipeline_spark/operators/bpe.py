@@ -616,12 +616,15 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
                     continue
                 buf = bytearray()
                 for i in ids:
-                    b = m.get(int(i))
+                    # a NULL element follows the same unknown-id
+                    # semantics as the literal path (element_at(m,
+                    # NULL) is NULL there)
+                    b = None if i is None else m.get(int(i))
                     if b is None:
                         if strict:
                             raise ValueError(
                                 "bpe_decode_ids: id not in vocab: "
-                                f"{int(i)}")
+                                f"{i}")
                         buf += b"<unk>"
                     else:
                         buf += b
