@@ -22,6 +22,12 @@ Scale design — the shape that survives 100 TB:
 - Encoding (``bpe_encode``) is an Arrow-batched pandas UDF applying the
   learned merge list with the reference greedy algorithm — one narrow
   pass, no shuffle, linear at any corpus size.
+- The token→id lookup scales with the artifact (r11 ``vocab_via``):
+  small vocabs ride a foldable JVM map literal; production 32k-100k
+  vocabs ship ONCE per executor as a broadcast variable fused into the
+  same single Python crossing — the plan stays O(1) in vocab size and
+  there is never a symbol-grain shuffle. Modes are bit-identical
+  (pytest- and hypothesis-pinned).
 """
 
 from __future__ import annotations
