@@ -838,6 +838,146 @@ def reshuffle_blocks(blocks: DataFrame, *, seed: int = 0,
     return out.withColumn(pos_col, F.row_number().over(w))
 
 
+def _packed_versions(spark, state_path: str) -> list[int]:
+    """Committed (``_SUCCESS``-bearing) version numbers under a
+    ``packing_stream`` state root, ascending."""
+    from serverless_data_pipeline_spark.operators.util import hadoop_fs
+
+    fs, root = hadoop_fs(spark, state_path)
+    if not fs.exists(root):
+        return []
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (name.startswith("v") and name[1:].isdigit()
+                and fs.exists(jpath(st.getPath(), "_SUCCESS"))):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def latest_packed_state(spark, state_path: str) -> DataFrame:
+    """Read the newest COMMITTED packed state written by
+    ``packing_stream`` / ``commit_packed_batch`` (the consumer's
+    entry point — a trainer's data loader or an audit job points
+    here)."""
+    versions = _packed_versions(spark, state_path)
+    if not versions:
+        raise FileNotFoundError(
+            f"no committed packed state under {state_path}")
+    return spark.read.parquet(f"{state_path}/v{versions[-1]:012d}")
+
+
+def commit_packed_batch(spark, batch: DataFrame, state_path: str,
+                        tick_id: int, *, id_col: str = "doc_id",
+                        ids_col: str = "token_ids",
+                        block_len: int = 2048,
+                        eos_id: int | None = None,
+                        n_shards: int = 8,
+                        order_by: str | None = None,
+                        shard_col: str | None = None,
+                        keep_versions: int = 2) -> bool:
+    """ONE idempotent packing commit: fold a landed batch into the
+    versioned packed state at ``state_path`` (the unit of work
+    ``packing_stream`` runs per tick, exposed so a driver-loop
+    scheduler or a test can call it directly).
+
+    Versioned-state protocol (the at-least-once hardening the manual
+    foreachBatch loop lacks — a crash between a plain overwrite and
+    the stream checkpoint would double-append the re-delivered
+    batch, and a crash MID-overwrite would corrupt the only copy):
+
+    - each tick writes a NEW directory ``v{tick_id}`` and never
+      touches prior versions — a mid-write crash leaves an
+      uncommitted (no ``_SUCCESS``) directory that the next attempt
+      simply overwrites;
+    - the resume basis is the newest COMMITTED version STRICTLY BELOW
+      ``tick_id``, so a re-delivered tick re-derives the same output
+      from the same basis (idempotent by construction);
+    - a re-delivered tick whose own version already committed is a
+      no-op (returns False);
+    - versions older than the ``keep_versions`` newest are pruned
+      best-effort AFTER the new commit (readers of
+      ``latest_packed_state`` never observe a gap).
+
+    First-ever commit bootstraps ``pack_token_blocks(...,
+    drop_last=False)``; later commits run ``resume_token_blocks``
+    against the basis and keep its non-tail rows — by the
+    resume==full-repack law the state always equals a one-shot repack
+    of everything landed so far. Returns True when a new version was
+    written."""
+    from serverless_data_pipeline_spark.operators.util import hadoop_fs
+
+    versions = _packed_versions(spark, state_path)
+    if tick_id in versions:
+        return False
+    basis = [v for v in versions if v < tick_id]
+    kw = dict(block_len=block_len, eos_id=eos_id, n_shards=n_shards,
+              order_by=order_by, shard_col=shard_col)
+    if not basis:
+        merged = pack_token_blocks(batch, id_col, ids_col,
+                                   drop_last=False, **kw)
+    else:
+        state = spark.read.parquet(
+            f"{state_path}/v{basis[-1]:012d}")
+        out = resume_token_blocks(state, batch, id_col, ids_col, **kw)
+        tails = (state.groupBy("shard")
+                 .agg(F.max("block_id").alias("__tb")))
+        keep = (state.join(F.broadcast(tails), "shard")
+                .filter(F.col("block_id") < F.col("__tb"))
+                .drop("__tb"))
+        merged = keep.unionByName(out)
+    merged.write.mode("overwrite").parquet(
+        f"{state_path}/v{tick_id:012d}")
+    live = _packed_versions(spark, state_path)
+    fs, _root = hadoop_fs(spark, state_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    for v in live[:-keep_versions] if keep_versions > 0 else []:
+        fs.delete(jpath(f"{state_path}/v{v:012d}"), True)
+    return True
+
+
+def packing_stream(spark, landing_path: str, schema, state_path: str,
+                   checkpoint: str, *, id_col: str = "doc_id",
+                   ids_col: str = "token_ids",
+                   block_len: int = 2048, eos_id: int | None = None,
+                   n_shards: int = 8, order_by: str | None = None,
+                   shard_col: str | None = None,
+                   keep_versions: int = 2, fmt: str = "json",
+                   available_now: bool = True,
+                   interval_s: float = 3600.0,
+                   max_files_per_tick: int | None = None):
+    """The packed-pretraining artifact maintained by ONE streaming
+    query — the X7 ``maintenance_stream`` discipline applied to the
+    packing state: each tick's micro-batch is exactly the id files
+    landed since the last tick (checkpointed file source), and
+    ``commit_packed_batch`` folds it into the versioned state — tick 1
+    bootstraps, tick N touches only the |shards| tail blocks + the new
+    docs (``resume_token_blocks``' single-scan contract), and a
+    re-delivered tick is a provable no-op (see the commit protocol).
+    Consumers read ``latest_packed_state``; batches must respect the
+    append-only contract (new ids sort after packed ones within their
+    shard). ``available_now=True`` drains the backlog and stops
+    (backfill/test mode); ``False`` fires on the fixed-rate grid."""
+    from serverless_data_pipeline_spark.plans.scheduler import (
+        scheduled_batch_query,
+    )
+
+    def _tick(batch_df, tick_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        commit_packed_batch(
+            spark, batch_df, state_path, int(tick_id),
+            id_col=id_col, ids_col=ids_col, block_len=block_len,
+            eos_id=eos_id, n_shards=n_shards, order_by=order_by,
+            shard_col=shard_col, keep_versions=keep_versions)
+
+    return scheduled_batch_query(
+        spark, landing_path, schema, _tick, checkpoint,
+        interval_s=interval_s, fmt=fmt, available_now=available_now,
+        max_files_per_tick=max_files_per_tick)
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame,
                   id_col: str, text_col: str,
                   n: int = 5, min_overlap: int = 1,

@@ -811,3 +811,89 @@ def test_streaming_incremental_packing_loop(spark, tmp_path):
     assert key(spark.read.parquet(state_dir).collect()) == key(
         pack_token_blocks(allb, "doc_id", "token_ids",
                           drop_last=False, **kw).collect())
+
+
+def test_commit_packed_batch_idempotent_and_crash_safe(spark, tmp_path):
+    """The versioned packing commit: re-delivered ticks are no-ops,
+    an uncommitted (crashed) version directory is ignored as a basis
+    and simply overwritten, old versions prune after commit, and the
+    final state equals a one-shot repack."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        commit_packed_batch, latest_packed_state, pack_token_blocks,
+    )
+    sp = str(tmp_path / "state")
+    kw = dict(block_len=5, eos_id=99, n_shards=2)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, token_ids array<int>")
+    a = [(i, list(range(i % 4))) for i in range(10)]
+    b = [(i, list(range(i % 5))) for i in range(10, 18)]
+    c = [(i, list(range(i % 3 + 1))) for i in range(18, 24)]
+
+    assert commit_packed_batch(spark, mk(a), sp, 0, **kw) is True
+    assert commit_packed_batch(spark, mk(b), sp, 1, **kw) is True
+    # re-delivery of tick 1: provable no-op
+    st1 = {(r.shard, r.block_id, tuple(r.ids))
+           for r in latest_packed_state(spark, sp).collect()}
+    assert commit_packed_batch(spark, mk(b), sp, 1, **kw) is False
+    assert {(r.shard, r.block_id, tuple(r.ids))
+            for r in latest_packed_state(spark, sp).collect()} == st1
+    # crash simulation: a partial (uncommitted) v2 must not become the
+    # basis and must be overwritable by the real tick 2
+    import os
+    part = tmp_path / "state" / "v000000000002"
+    part.mkdir()
+    (part / "garbage.parquet").write_bytes(b"not parquet")
+    assert commit_packed_batch(spark, mk(c), sp, 2, **kw) is True
+    got = {(r.shard, r.block_id, tuple(r.ids),
+            tuple((s.start, s.len, s.doc_id) for s in r.doc_spans))
+           for r in latest_packed_state(spark, sp).collect()}
+    full = {(r.shard, r.block_id, tuple(r.ids),
+             tuple((s.start, s.len, s.doc_id) for s in r.doc_spans))
+            for r in pack_token_blocks(
+                mk(a + b + c), "doc_id", "token_ids",
+                drop_last=False, **kw).collect()}
+    assert got == full
+    # pruning: only keep_versions=2 newest committed versions remain
+    names = sorted(p for p in os.listdir(sp) if p.startswith("v"))
+    assert names == ["v000000000001", "v000000000002"]
+
+
+def test_packing_stream_end_to_end(spark, tmp_path):
+    """The whole loop as ONE streaming query (availableNow drain per
+    landing wave): the maintained state equals a one-shot repack of
+    everything landed."""
+    import json
+    from serverless_data_pipeline_spark.operators.corpus import (
+        latest_packed_state, pack_token_blocks, packing_stream,
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    sp = str(tmp_path / "state")
+    kw = dict(block_len=5, eos_id=99, n_shards=2)
+
+    def write_batch(name, rows):
+        with open(land / name, "w") as fh:
+            for doc_id, ids in rows:
+                fh.write(json.dumps(
+                    {"doc_id": doc_id, "token_ids": ids}) + "\n")
+
+    a = [(i, list(range(3 * i, 3 * i + i % 4))) for i in range(10)]
+    b = [(i, list(range(7 * i, 7 * i + i % 5))) for i in range(10, 18)]
+    write_batch("b1.jsonl", a)
+    for _ in range(2):
+        q = packing_stream(
+            spark, str(land), "doc_id long, token_ids array<int>",
+            sp, str(tmp_path / "ck"), available_now=True, **kw)
+        q.awaitTermination(120)
+        if _ == 0:
+            write_batch("b2.jsonl", b)
+
+    def key(rows):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rows}
+    assert key(latest_packed_state(spark, sp).collect()) == key(
+        pack_token_blocks(
+            spark.createDataFrame(a + b,
+                                  "doc_id long, token_ids array<int>"),
+            "doc_id", "token_ids", drop_last=False, **kw).collect())
