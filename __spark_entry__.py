@@ -2109,10 +2109,12 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_corpus_utils.blk": _x8_flavour_blk,
         "x8_corpus_utils.fert": _x8_flavour_fert,
         "x2_dedup_clusters.hquotaq": _x2_flavour_hquotaq,
-        # r11: the block trainer companions (pos + eshuf) and the real
-        # BMP image decode — attribute each
+        # r11: the block trainer companions (pos + eshuf), the real
+        # BMP image decode, and the byte-level tokenizer — attribute
+        # each
         "x8_corpus_utils.companions": _x8_flavour_companions,
         "x6_multimodal.img": _x6_flavour_img,
+        "x8_corpus_utils.btok": _x8_flavour_btok,
     }
 
 
@@ -2245,6 +2247,24 @@ def _x8_flavour_companions(spark, sf):
     e = reshuffle_blocks(blkraw, seed=1, epoch=2, num_shards=4).select(
         "shard", "block_id", F.col("pos").alias("n"))
     return p.unionByName(e)
+
+
+def _x8_flavour_btok(spark, sf):
+    # times exactly the r11 btok arm's plan: byte-level encode over
+    # the planted raw text + decode + round-trip compare — one Python
+    # crossing, foldable-map lookups, zero exchanges
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BYTE_LEVEL_COMMITTED_MERGES, build_byte_level_vocab,
+    )
+    bvocab = build_byte_level_vocab()
+    enc = bpe_encode_ids(
+        _t(spark, sf, "documents")
+        .select("doc_id", F.expr(_X8_RAW_TEXT_SQL).alias("text")),
+        "text", BYTE_LEVEL_COMMITTED_MERGES, bvocab, byte_level=True)
+    return bpe_decode_ids(enc, "token_ids", bvocab, byte_level=True)
 
 
 def _x6_flavour_img(spark, sf):
@@ -3234,6 +3254,41 @@ def _q_x8_corpus_utils(spark, sf):
                     F.transform("token_ids",
                                 lambda i: i.cast("string")), ",")
                       .cast("binary")).alias("h")))
+    # btok arm (r11): GPT-2 PROPER — byte-level BPE over the SAME
+    # planted raw text: attached pretokens remapped to printable BYTE
+    # symbols (bytes_to_unicode), merges over bytes from the committed
+    # byte-level artifact, 256-symbol base covering every input. No
+    # UNK and no escape inventory exist, so:
+    #   a = n token ids,
+    #   b = the exact round-trip flag (decode must equal the raw
+    #       input byte-for-byte; the oracle requires 1),
+    #   c = the unk/escape rate in micro-units — IDENTICALLY 0 by
+    #       construction (the oracle emits constant 0, so a single
+    #       escape/UNK anywhere value-fails the arm),
+    #   h = md5 of the comma-joined id stream, replayed by the
+    #       oracle's arithmetic byte-remap + rank recursion.
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BYTE_LEVEL_COMMITTED_MERGES, build_byte_level_vocab,
+    )
+    bvocab = build_byte_level_vocab()
+    bencd = bpe_encode_ids(
+        docs.select("doc_id", F.expr(_X8_RAW_TEXT_SQL).alias("text")),
+        "text", BYTE_LEVEL_COMMITTED_MERGES, bvocab,
+        byte_level=True, unk_col="unk_rate")
+    btok = (bpe_decode_ids(bencd, "token_ids", bvocab,
+                           byte_level=True, out_col="__rt")
+            .select(
+                F.lit("btok").alias("kind"), "doc_id",
+                F.size("token_ids").cast("long").alias("a"),
+                F.when(F.col("text").isNull(), F.lit(1).cast("long"))
+                 .otherwise((F.col("__rt") == F.col("text"))
+                            .cast("long")).alias("b"),
+                F.round(F.col("unk_rate") * 1000000).cast("long")
+                 .alias("c"),
+                F.md5(F.array_join(
+                    F.transform("token_ids",
+                                lambda i: i.cast("string")), ",")
+                      .cast("binary")).alias("h")))
     return (vocab.unionAll(pack).unionAll(bins).unionAll(chunk)
             .unionAll(mix)
             .unionAll(gsplit).unionAll(tmix).unionAll(shuf)
@@ -3242,7 +3297,7 @@ def _q_x8_corpus_utils(spark, sf):
             .unionAll(tok).unionAll(ids).unionAll(blk)
             .unionAll(pos).unionAll(eshuf)
             .unionAll(rblk).unionAll(fert).unionAll(rtok)
-            .unionAll(atok))
+            .unionAll(atok).unionAll(btok))
 
 
 def _q_x10_decontaminate(spark, sf):
@@ -3668,6 +3723,42 @@ _BPE_RAW_VOCAB = _bpe_build_vocab(_BPE_RAW_MERGES, _BPE_RAW_BASE)
 _BPE_RAW_VOCAB_SQL = "VALUES " + ", ".join(
     f"('{_sq(t)}', {i})" for t, i in _BPE_RAW_VOCAB.items())
 _BPE_RAW_BYTE_BASE = _BPE_RAW_VOCAB["<0x00>"]
+
+# x8 btok arm (r11): GPT-2 PROPER — the byte-level committed artifact.
+# Symbols are bytes_to_unicode-remapped BYTES; the oracle recomputes
+# the remap ARITHMETICALLY (the mapping is piecewise by construction:
+# byte b is remapped iff b < 33, 127 <= b <= 160, or b = 173, to
+# chr(256 + #remapped-bytes-below-b)) — no table, parity with the
+# Python/Spark dict by construction (spot-pinned in test_bpe).
+from serverless_data_pipeline_spark.operators.bpe_artifact import (  # noqa: E402,E501
+    BYTE_LEVEL_COMMITTED_MERGES as _BPE_BL_MERGES,
+    build_byte_level_vocab as _bpe_bl_vocab,
+)
+
+_BPE_BL_NM = len(_BPE_BL_MERGES)
+_BPE_BL_MERGES_SQL = "VALUES " + ", ".join(
+    f"({i}, {_bpe_wrap3_sql(l)} || chr(3) || {_bpe_wrap3_sql(r)}, "
+    f"{_bpe_wrap3_sql(l + r)})"
+    for i, (l, r) in enumerate(_BPE_BL_MERGES))
+_BPE_BL_VOCAB_SQL = "VALUES " + ", ".join(
+    f"('{_sq(t)}', {i})" for t, i in _bpe_bl_vocab().items())
+
+# byte value of UTF-8 byte i (1-based) of word w, via hex-pair strpos
+# arithmetic — the same rendering discipline as the fallback fragment
+_BL_B = ("((strpos('0123456789ABCDEF', "
+         "substr(hex(encode(w)), CAST(2*i-1 AS INTEGER), 1)) - 1) * 16"
+         " + strpos('0123456789ABCDEF', "
+         "substr(hex(encode(w)), CAST(2*i AS INTEGER), 1)) - 1)")
+# bytes_to_unicode as arithmetic: chr(b) for kept bytes, else
+# chr(256 + E(b)) with E(b) = |remapped bytes strictly below b|
+_BL_REMAP_SQL = (
+    f"CASE WHEN {_BL_B} < 33 OR ({_BL_B} BETWEEN 127 AND 160) "
+    f"OR {_BL_B} = 173 "
+    f"THEN chr(CAST(256 + LEAST({_BL_B}, 33) "
+    f"+ CASE WHEN {_BL_B} > 127 THEN LEAST({_BL_B} - 127, 34) "
+    f"ELSE 0 END "
+    f"+ CASE WHEN {_BL_B} > 173 THEN 1 ELSE 0 END AS INTEGER)) "
+    f"ELSE chr(CAST({_BL_B} AS INTEGER)) END")
 
 
 # x8 tok/ids arm input (r9 OOV hardening): the fixture text with a
@@ -5478,6 +5569,59 @@ def oracle_sql() -> dict[str, str]:
                            COALESCE(b.noov, 0) AS noov,
                            COALESCE(b.nsym, 0) AS nsym
                     FROM documents d LEFT JOIN adoc0 b USING (doc_id)),
+                  -- btok arm (r11): GPT-2-proper byte-level replay.
+                  -- Same attached pretokens (apiece) but each word
+                  -- seeds as its bytes_to_unicode-REMAPPED byte
+                  -- symbols — the remap recomputed arithmetically
+                  -- per byte — then the byte-level merge recursion.
+                  -- The vocab join is INNER: every symbol must be in
+                  -- vocab (the no-OOV law), so a miss drops a token
+                  -- and value-fails the arm instead of escaping.
+                  blseed AS (
+                    SELECT w,
+                           chr(1) || array_to_string(
+                               list_transform(
+                                   range(1, octet_length(encode(w))
+                                            + 1),
+                                   i -> {_BL_REMAP_SQL}),
+                               chr(2) || chr(3) || chr(1))
+                                  || chr(2) AS s
+                    FROM (SELECT DISTINCT pc AS w FROM apiece)),
+                  blenc AS (
+                    SELECT w, 0 AS rk, s FROM blseed
+                    UNION ALL
+                    SELECT e.w, e.rk + 1, replace(e.s, m.pat, m.rep)
+                    FROM blenc e
+                    JOIN (SELECT * FROM ({_BPE_BL_MERGES_SQL})
+                          t(rk, pat, rep)) m ON m.rk = e.rk),
+                  blwids AS (
+                    SELECT w,
+                           string_agg(CAST(v.id AS VARCHAR),
+                                      ',' ORDER BY p) AS idstr,
+                           CAST(COUNT(*) AS BIGINT) AS ntok
+                    FROM (SELECT w,
+                                 unnest(range(1,
+                                     len(string_split(s, chr(3)))
+                                        + 1)) AS p,
+                                 unnest(list_transform(
+                                     string_split(s, chr(3)),
+                                     t -> replace(replace(t, chr(1),
+                                                          ''),
+                                                  chr(2), ''))) AS tok
+                          FROM blenc WHERE rk = {_BPE_BL_NM}) blwtok
+                    JOIN (SELECT * FROM ({_BPE_BL_VOCAB_SQL})
+                          t(tok, id)) v ON v.tok = blwtok.tok
+                    GROUP BY w),
+                  bldoc AS (
+                    SELECT d.doc_id, COALESCE(b.ids, '') AS ids,
+                           COALESCE(b.n_tokens, 0) AS n_tokens
+                    FROM documents d LEFT JOIN (
+                      SELECT pp.doc_id,
+                             string_agg(wi.idstr, ',' ORDER BY pp.p)
+                                 AS ids,
+                             CAST(SUM(wi.ntok) AS BIGINT) AS n_tokens
+                      FROM apiece pp JOIN blwids wi ON wi.w = pp.pc
+                      GROUP BY pp.doc_id) b USING (doc_id)),
                   -- blk arm (r10): token-grain replay of
                   -- pack_token_blocks — append the reserved EOS id to
                   -- each doc's id stream, lay streams out per shard
@@ -5629,7 +5773,15 @@ def oracle_sql() -> dict[str, str]:
                                         AS BIGINT)
                               ELSE 0 END AS c,
                          md5(ids) AS h
-                  FROM adoc)""",
+                  FROM adoc
+                  UNION ALL
+                  -- byte-level: round-trip flag must be 1 and the
+                  -- escape rate must be IDENTICALLY 0 — no-OOV law
+                  SELECT 'btok', doc_id, n_tokens AS a,
+                         CAST(1 AS BIGINT) AS b,
+                         CAST(0 AS BIGINT) AS c,
+                         md5(ids) AS h
+                  FROM bldoc)""",
         "s_sink_suite": f"""
             SELECT 'sink' AS kind,
                    CAST(year(ts) AS BIGINT) AS a,

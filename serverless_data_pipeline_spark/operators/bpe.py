@@ -71,7 +71,8 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
               checkpoint_every: int = 8,
               merges_per_round: int = 1,
               raw: bool = False,
-              attach_ws: bool = False) -> list[tuple[str, str]]:
+              attach_ws: bool = False,
+              byte_level: bool = False) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from a corpus. Returns the
     ordered merge list [(left, right), ...] — the artifact a tokenizer
     ships (apply with ``bpe_encode``).
@@ -116,16 +117,39 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     ``attach_ws=True`` (raw only) trains over the leading-whitespace-
     attached pretokens instead — whitespace becomes a symbol and the
     learner discovers space-prefixed tokens (' the'), the GPT-2 vocab
-    shape; pair with ``bpe_encode(raw=True, attach_ws=True)``."""
+    shape; pair with ``bpe_encode(raw=True, attach_ws=True)``.
+
+    ``byte_level=True`` (r11) is GPT-2 PROPER: attached pretokens
+    remapped to printable BYTE symbols (``bytes_to_unicode``), merges
+    learned over bytes — so merges can span multi-byte characters,
+    the 256-symbol base covers every possible input, and nothing can
+    ever be out-of-vocab. Pair with ``bpe_encode_ids(...,
+    byte_level=True)`` and ``build_byte_level_vocab``. Standalone
+    mode (do not combine with raw/attach_ws flags); same plan shape —
+    the per-word byte remap is a 256-entry foldable hex-pair map."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
     if merges_per_round < 1:
         raise ValueError("merges_per_round must be >= 1")
     if attach_ws and not raw:
         raise ValueError("attach_ws applies to raw mode only")
-    seed = (F.split("w", "") if raw
-            else F.concat(F.split("w", ""), F.array(F.lit(END))))
-    words = (_word_counts(df, text_col, raw=raw, attach_ws=attach_ws)
+    if byte_level and (raw or attach_ws):
+        raise ValueError("byte_level is a standalone mode — it "
+                         "implies its own raw attached-pretoken "
+                         "discipline")
+    if byte_level:
+        hexstr = F.hex(F.encode(F.col("w"), "UTF-8"))
+        u_map = F.create_map(*[F.lit(x) for b in range(256)
+                               for x in (f"{b:02X}", _B2U[b])])
+        seed = F.transform(
+            F.sequence(F.lit(1), (F.length(hexstr) / 2).cast("int")),
+            lambda i: F.element_at(
+                u_map, F.substring(hexstr, i * 2 - 1, 2)))
+    else:
+        seed = (F.split("w", "") if raw
+                else F.concat(F.split("w", ""), F.array(F.lit(END))))
+    words = (_word_counts(df, text_col, raw=raw or byte_level,
+                          attach_ws=attach_ws or byte_level)
              .select(seed.alias("sym"), "n")
              .localCheckpoint(eager=False))
     merges: list[tuple[str, str]] = []
@@ -201,15 +225,46 @@ _RAW_ATTACHED_RE = re.compile(
     "[" + _RAW_WS + "]*[^" + _RAW_WS + "]+|[" + _RAW_WS + "]+")
 
 
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte→printable-unicode remap (Radford et al. 2019,
+    ``encoder.py``): printable Latin-1 bytes map to themselves, the
+    rest (controls, whitespace, 127-160, 173) map to 256+n in byte
+    order — so a byte stream becomes a lossless string of printable
+    symbols the merge learner can treat like characters. Piecewise
+    arithmetic (NOT an arbitrary table): byte b is remapped iff
+    b < 33 or 127 <= b <= 160 or b == 173, to chr(256 + E(b)) where
+    E(b) counts remapped bytes below b — which is exactly how the
+    DuckDB oracle recomputes it, so cross-engine parity is by
+    construction."""
+    out = {}
+    n = 0
+    for b in range(256):
+        if b < 33 or 127 <= b <= 160 or b == 173:
+            out[b] = chr(256 + n)
+            n += 1
+        else:
+            out[b] = chr(b)
+    return out
+
+
+_B2U = bytes_to_unicode()
+_U2B = {c: b for b, c in _B2U.items()}
+
+
 def _symbolizer(merges: list[tuple[str, str]], *,
-                raw: bool, attach_ws: bool):
+                raw: bool, attach_ws: bool,
+                byte_level: bool = False):
     """The pure-Python text -> subword-symbol-list encoder shared by
     ``bpe_encode``'s UDF and the broadcast-vocab fused encoder in
     ``bpe_encode_ids``: pretokenize (normalized / raw / raw+attached)
     then run the canonical earliest-rank greedy merge loop per word,
     memoized per distinct word. The closure (including its memo cache)
     is cloudpickled into the UDF, so each worker keeps its cache warm
-    ACROSS Arrow batches."""
+    ACROSS Arrow batches. ``byte_level`` selects the GPT-2-proper
+    pretokenization (attached pretokens remapped to printable byte
+    symbols; implies raw seeding — no end-of-word marker)."""
+    if byte_level:
+        raw = True
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     cache: dict[str, tuple[str, ...]] = {}
 
@@ -249,6 +304,15 @@ def _symbolizer(merges: list[tuple[str, str]], *,
         if text is None:
             return []
         toks: list[str] = []
+        if byte_level:
+            # GPT-2 proper: attached pretokens, each remapped to its
+            # printable byte-symbol string, merges over BYTE symbols —
+            # every base symbol is one of 256, so nothing is ever
+            # out-of-vocab and multi-byte characters can merge
+            for piece in _RAW_ATTACHED_RE.findall(text):
+                toks.extend(enc_word(
+                    "".join(_B2U[b] for b in piece.encode("utf-8"))))
+            return toks
         if raw:
             # either pretokenization covers every character of the
             # input exactly once, in order — the round-trip
@@ -280,7 +344,8 @@ def bpe_encode(df: DataFrame, text_col: str,
                merges: list[tuple[str, str]], *,
                out_col: str = "bpe_tokens",
                raw: bool = False,
-               attach_ws: bool = False) -> DataFrame:
+               attach_ws: bool = False,
+               byte_level: bool = False) -> DataFrame:
     """Apply a learned merge list: adds ``out_col`` (array<string> of
     subword units, END-marked). Arrow-batched pandas UDF — the merge
     loop is inherently sequential per word, so this is the honest
@@ -318,10 +383,19 @@ def bpe_encode(df: DataFrame, text_col: str,
     attach_ws=True)``, e.g. the committed ``RAW_COMMITTED_MERGES``)
     learns space-prefixed tokens and prose stops paying one byte
     token per interior space. With a split-trained list the flag only
-    changes pretoken boundaries, not compression."""
+    changes pretoken boundaries, not compression.
+
+    ``byte_level=True`` (r11, GPT-2 proper): attached pretokens are
+    remapped to printable BYTE symbols (``bytes_to_unicode``) before
+    the merge loop, so symbols are bytes, merges span multi-byte
+    characters, and the 256-symbol base covers any input — pair with
+    a ``train_bpe(byte_level=True)`` merge list. Standalone mode."""
     if attach_ws and not raw:
         raise ValueError("attach_ws applies to raw mode only")
-    symbolize = _symbolizer(merges, raw=raw, attach_ws=attach_ws)
+    if byte_level and (raw or attach_ws):
+        raise ValueError("byte_level is a standalone mode")
+    symbolize = _symbolizer(merges, raw=raw, attach_ws=attach_ws,
+                            byte_level=byte_level)
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _enc(texts):
@@ -341,6 +415,7 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
                    unk_col: str | None = None,
                    raw: bool = False,
                    attach_ws: bool = False,
+                   byte_level: bool = False,
                    vocab_via: str = "auto",
                    vocab_literal_max: int = 4096) -> DataFrame:
     """Encode to integer token ids — the tokenizer's ACTUAL output
@@ -407,6 +482,23 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
             "raw=True requires byte_fallback=True: whitespace and "
             "case symbols are out-of-vocab and must byte-escape for "
             "the raw round trip to hold")
+    if byte_level:
+        # GPT-2 proper (r11): symbols ARE bytes, so out-of-vocab is
+        # impossible by construction — byte_fallback has nothing to
+        # escape and mixing the modes would be a config error. The
+        # vocab must carry the full byte-symbol base + every merge
+        # output (build_byte_level_vocab), else a silent miss would
+        # map to id 0, which is a REAL token in this layout.
+        if byte_fallback or raw or attach_ws:
+            raise ValueError("byte_level is a standalone mode (no "
+                             "byte_fallback/raw/attach_ws)")
+        need = [c for c in _B2U.values() if c not in vocab]
+        need += [l + r for l, r in merges if l + r not in vocab]
+        if need:
+            raise ValueError(
+                "byte_level vocab must contain the 256 byte symbols "
+                f"and every merge output (missing e.g. {need[0]!r}) "
+                "— build it with build_byte_level_vocab(merges)")
     if vocab_via not in ("auto", "literal", "broadcast"):
         raise ValueError(f"vocab_via must be 'auto', 'literal' or "
                          f"'broadcast', got {vocab_via!r}")
@@ -425,10 +517,11 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
         return _encode_ids_broadcast(
             df, text_col, merges, vocab, out_col=out_col,
             sym_col=sym_col, byte_fallback=byte_fallback,
-            unk_col=unk_col, raw=raw, attach_ws=attach_ws)
+            unk_col=unk_col, raw=raw, attach_ws=attach_ws,
+            byte_level=byte_level)
     keep = sym_col or "__bpe_sym"
     enc = bpe_encode(df, text_col, merges, out_col=keep, raw=raw,
-                     attach_ws=attach_ws)
+                     attach_ws=attach_ws, byte_level=byte_level)
     vmap = F.create_map(*[F.lit(x) for t, i in vocab.items()
                           for x in (t, i)])
     if byte_fallback:
@@ -469,7 +562,8 @@ def _encode_ids_broadcast(df: DataFrame, text_col: str,
                           vocab: dict[str, int], *,
                           out_col: str, sym_col: str | None,
                           byte_fallback: bool, unk_col: str | None,
-                          raw: bool, attach_ws: bool) -> DataFrame:
+                          raw: bool, attach_ws: bool,
+                          byte_level: bool = False) -> DataFrame:
     """``bpe_encode_ids(vocab_via="broadcast")``: the vocab ships once
     per executor as a broadcast variable; pretokenize + merge loop +
     id lookup + byte fallback + OOV counting all run in ONE fused
@@ -479,7 +573,8 @@ def _encode_ids_broadcast(df: DataFrame, text_col: str,
     unk-rate division/rounding stays JVM-side on the returned integer
     counts, the EXACT expression of the literal path, so the two
     modes are bit-identical (pytest-pinned)."""
-    symbolize = _symbolizer(merges, raw=raw, attach_ws=attach_ws)
+    symbolize = _symbolizer(merges, raw=raw, attach_ws=attach_ws,
+                            byte_level=byte_level)
     bv = df.sparkSession.sparkContext.broadcast(dict(vocab))
     want_sym = sym_col is not None
     fields = [T.StructField("ids", T.ArrayType(T.IntegerType())),
@@ -541,6 +636,7 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
                    out_col: str = "decoded_text",
                    strict: bool = True,
                    raw: bool = False,
+                   byte_level: bool = False,
                    vocab_via: str = "auto",
                    vocab_literal_max: int = 4096) -> DataFrame:
     """Detokenize an ``array<int>`` id column back to text — the
@@ -593,9 +689,31 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
     if vocab_via not in ("auto", "literal", "broadcast"):
         raise ValueError(f"vocab_via must be 'auto', 'literal' or "
                          f"'broadcast', got {vocab_via!r}")
+    if byte_level:
+        # a vocab from another mode would "invert" silently wherever
+        # its tokens happen to be printable ASCII — require the full
+        # byte-symbol base up front instead
+        need = [c for c in _B2U.values() if c not in vocab]
+        if need:
+            raise ValueError(
+                "byte_level vocab must contain the 256 byte symbols "
+                f"(missing e.g. {need[0]!r}) — build it with "
+                "build_byte_level_vocab(merges)")
     pieces: list[tuple[int, bytes]] = []
     for tok, i in vocab.items():
-        if tok.startswith("<0x") and tok.endswith(">") and len(tok) == 6:
+        if byte_level:
+            # GPT-2 proper: every token string is a run of remapped
+            # byte symbols — invert the bytes_to_unicode remap; raw
+            # output semantics (nothing trimmed)
+            try:
+                pieces.append((i, bytes(_U2B[c] for c in tok)))
+            except KeyError as exc:
+                raise ValueError(
+                    f"vocab token {tok!r} is not a byte-level token "
+                    "(symbol not in the bytes_to_unicode image) — "
+                    "was this vocab built with "
+                    "build_byte_level_vocab?") from exc
+        elif tok.startswith("<0x") and tok.endswith(">") and len(tok) == 6:
             pieces.append((i, bytes([int(tok[3:5], 16)])))
         elif raw:
             pieces.append((i, tok.encode("utf-8")))
@@ -604,6 +722,7 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
             # suffix of merged tokens ("scan</w>") — both render as
             # the word boundary
             pieces.append((i, tok.replace(END, " ").encode("utf-8")))
+    raw = raw or byte_level
     if vocab_via == "auto":
         vocab_via = ("literal" if len(vocab) <= vocab_literal_max
                      else "broadcast")

@@ -40,8 +40,10 @@ from __future__ import annotations
 from serverless_data_pipeline_spark.operators.bpe import END
 
 __all__ = ["COMMITTED_MERGES", "RAW_COMMITTED_MERGES",
+           "BYTE_LEVEL_COMMITTED_MERGES",
            "BPE_BASE_CHARS", "BPE_RAW_BASE_CHARS", "BYTE_TOKENS",
-           "UNK", "build_vocab", "assert_rank_sequential_ok",
+           "UNK", "build_vocab", "build_byte_level_vocab",
+           "assert_rank_sequential_ok",
            "save_artifact", "load_artifact"]
 
 UNK = "<unk>"
@@ -90,6 +92,24 @@ RAW_COMMITTED_MERGES: list[tuple[str, str]] = [
     ("lum", "n"), ("o", "lumn"), ("d", "ow"), ("in", "dow"),
 ]
 
+# BYTE-LEVEL artifact (r11, GPT-2 proper): learned once with
+#   train_bpe(spark.read.parquet(".../sf0.001/documents.parquet"),
+#             "text", n_merges=24, byte_level=True)
+# over the SAME fixture and frozen. Symbols are bytes_to_unicode-
+# remapped BYTES — 'Ġ' is the remapped space (0x20 -> U+0120, the
+# exact GPT-2 convention), so the learner discovers the same
+# space-prefixed tokens as RAW_COMMITTED_MERGES but over a base
+# alphabet that covers EVERY byte: nothing can be out-of-vocab, and
+# merges could span multi-byte characters if the corpus contained
+# them. Passes the rank-sequential guard (pytest-pinned).
+BYTE_LEVEL_COMMITTED_MERGES: list[tuple[str, str]] = [
+    ("Ġ", "s"), ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("Ġ", "a"), ("Ġ", "v"),
+    ("a", "s"), ("Ġ", "c"), ("m", "er"), ("a", "t"), ("Ġ", "f"),
+    ("Ġ", "t"), ("Ġ", "b"), ("a", "n"), ("c", "an"), ("lu", "m"),
+    ("lum", "n"), ("o", "lumn"), ("d", "ow"), ("in", "dow"),
+]
+
 # Raw base alphabet: every printable ASCII character INCLUDING space
 # and uppercase — raw mode destroys nothing, so everything printable
 # deserves a real id (a leftover un-merged space must not byte-escape).
@@ -102,6 +122,33 @@ BPE_RAW_BASE_CHARS: list[str] = [chr(c) for c in range(32, 127)]
 # symbols are merge outputs, which are all in the vocab by
 # construction), and encodes as the byte tokens of its UTF-8 bytes.
 BYTE_TOKENS: list[str] = [f"<0x{b:02X}>" for b in range(256)]
+
+
+def build_byte_level_vocab(
+        merges: list[tuple[str, str]] | None = None) -> dict[str, int]:
+    """token -> id map for GPT-2-proper byte-level service
+    (``bpe_encode_ids(byte_level=True)``): the 256 remapped byte
+    symbols in byte order (``bytes_to_unicode``), then one entry per
+    merge output in rank order. NO UNK and NO ``<0xNN>`` escape
+    inventory — out-of-vocab is impossible by construction (every
+    base symbol is one of the 256 bytes). Deterministic given the
+    merge list."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bytes_to_unicode,
+    )
+
+    merges = (BYTE_LEVEL_COMMITTED_MERGES if merges is None
+              else merges)
+    assert_rank_sequential_ok(merges)
+    vocab: dict[str, int] = {}
+    for b, c in sorted(bytes_to_unicode().items()):
+        vocab[c] = len(vocab)
+    for l, r in merges:
+        tok = l + r
+        if tok in vocab:
+            raise ValueError(f"vocab collision on {tok!r}")
+        vocab[tok] = len(vocab)
+    return vocab
 
 
 def assert_rank_sequential_ok(

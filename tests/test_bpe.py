@@ -749,19 +749,25 @@ def _messy_df(spark):
     return spark.createDataFrame(_MESSY_ROWS, "doc_id long, text string")
 
 
-@pytest.mark.parametrize("mode", ["norm", "norm_nofb", "raw", "attach"])
+@pytest.mark.parametrize("mode", ["norm", "norm_nofb", "raw", "attach",
+                                  "bytelevel"])
 def test_bpe_encode_ids_vocab_via_bit_identity(spark, mode):
     """literal and broadcast execution of bpe_encode_ids are
-    bit-identical -- ids, symbols, and unk rates -- across all four
+    bit-identical -- ids, symbols, and unk rates -- across all five
     tokenizer modes, on messy text (case, unicode, whitespace runs,
     empty, NULL)."""
     from serverless_data_pipeline_spark.operators.bpe_artifact import (
-        BPE_RAW_BASE_CHARS, RAW_COMMITTED_MERGES,
+        BPE_RAW_BASE_CHARS, BYTE_LEVEL_COMMITTED_MERGES,
+        RAW_COMMITTED_MERGES, build_byte_level_vocab,
     )
     df = _messy_df(spark)
     if mode in ("norm", "norm_nofb"):
         merges, vocab = COMMITTED_MERGES, build_vocab()
         kw = dict(byte_fallback=(mode == "norm"))
+    elif mode == "bytelevel":
+        merges = BYTE_LEVEL_COMMITTED_MERGES
+        vocab = build_byte_level_vocab()
+        kw = dict(byte_level=True)
     else:
         merges = RAW_COMMITTED_MERGES
         vocab = build_vocab(RAW_COMMITTED_MERGES, BPE_RAW_BASE_CHARS)
@@ -876,3 +882,105 @@ def test_vocab_via_auto_flips_at_scale(spark):
     with pytest.raises(ValueError, match="vocab_via"):
         bpe_encode_ids(df, "text", COMMITTED_MERGES, vocab,
                        vocab_via="join")
+
+
+# byte-level BPE (r11, GPT-2 proper) ---------------------------------------
+
+
+def test_byte_level_round_trip_and_no_oov(spark):
+    """The byte-level laws: decode(encode(x)) == x byte-for-byte over a
+    case/whitespace/unicode zoo, the unk/escape rate is IDENTICALLY
+    zero (out-of-vocab is impossible — every base symbol is one of the
+    256 bytes), and multi-byte characters ride real byte merges, never
+    an escape inventory."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BYTE_LEVEL_COMMITTED_MERGES, build_byte_level_vocab,
+    )
+    vocab = build_byte_level_vocab()
+    # 256 byte symbols + 24 merges, NO <unk>, NO <0xNN> inventory
+    assert len(vocab) == 280
+    assert "<unk>" not in vocab and "<0x41>" not in vocab
+    zoo = [(1, " The window scan  MiXeD\tCASE\ncafé €5 中文 \U0001f642 "),
+           (2, "a window scanner columns par"),
+           (3, "\t\t  "), (4, ""),
+           (5, "</w> literal marker text")]
+    df = spark.createDataFrame(zoo, "doc_id long, text string")
+    enc = bpe_encode_ids(df, "text", BYTE_LEVEL_COMMITTED_MERGES,
+                         vocab, byte_level=True, unk_col="unk")
+    dec = {r.doc_id: (r.decoded_text, r.unk) for r in
+           bpe_decode_ids(enc, "token_ids", vocab,
+                          byte_level=True).collect()}
+    for i, t in zoo:
+        assert dec[i][0] == t
+        assert dec[i][1] == 0.0
+    # ' s' merges fire through the remapped space: ' scan' costs
+    # fewer ids than its byte count
+    n = {r.doc_id: len(r.token_ids) for r in enc.collect()}
+    assert n[2] < len(zoo[1][1].encode("utf-8"))
+
+
+def test_byte_level_validation(spark):
+    """Mode guards: standalone (no raw/attach_ws/byte_fallback), and
+    the vocab must carry the byte base + merge outputs."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bpe_decode_ids, bpe_encode_ids, train_bpe,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BYTE_LEVEL_COMMITTED_MERGES, build_byte_level_vocab,
+    )
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    v = build_byte_level_vocab()
+    with pytest.raises(ValueError, match="standalone"):
+        bpe_encode_ids(df, "text", BYTE_LEVEL_COMMITTED_MERGES, v,
+                       byte_level=True, raw=True, byte_fallback=True)
+    with pytest.raises(ValueError, match="standalone"):
+        train_bpe(df, "text", byte_level=True, raw=True)
+    with pytest.raises(ValueError, match="byte_level vocab"):
+        bpe_encode_ids(df, "text", BYTE_LEVEL_COMMITTED_MERGES,
+                       {"a": 0}, byte_level=True)
+    from pyspark.sql import functions as F
+    with pytest.raises(ValueError, match="byte_level vocab"):
+        bpe_decode_ids(df.select(F.array(F.lit(0)).alias("ids")),
+                       "ids", build_vocab(), byte_level=True)
+
+
+def test_byte_level_committed_merges_provenance(spark):
+    """BYTE_LEVEL_COMMITTED_MERGES is exactly what
+    train_bpe(byte_level=True, n_merges=24) learns over the sf0.001
+    documents fixture — and it is the bytes_to_unicode image of the
+    RAW attach_ws artifact on this all-ASCII corpus (the remapped
+    space 'Ġ' replacing ' '), the GPT-2 vocab shape."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bytes_to_unicode, train_bpe,
+    )
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BYTE_LEVEL_COMMITTED_MERGES, RAW_COMMITTED_MERGES,
+    )
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    got = train_bpe(docs, "text", n_merges=24, byte_level=True)
+    assert got == BYTE_LEVEL_COMMITTED_MERGES
+    b2u = bytes_to_unicode()
+
+    def remap(s):
+        return "".join(b2u[b] for b in s.encode("utf-8"))
+    assert [(remap(l), remap(r)) for l, r in RAW_COMMITTED_MERGES] \
+        == BYTE_LEVEL_COMMITTED_MERGES
+
+
+def test_bytes_to_unicode_is_the_gpt2_table():
+    """Spot-pin the remap against the published GPT-2 values and its
+    bijectivity (the decode inverse depends on it)."""
+    from serverless_data_pipeline_spark.operators.bpe import (
+        bytes_to_unicode,
+    )
+    m = bytes_to_unicode()
+    assert len(set(m.values())) == 256
+    assert m[ord(" ")] == "Ġ"     # 'Ġ' — the GPT-2 space
+    assert m[ord("\n")] == "Ċ"    # 'Ċ'
+    assert m[ord("a")] == "a" and m[ord("~")] == "~"
+    assert m[0] == "Ā" and m[173] == "Ń"
+    assert m[161] == "¡" and m[174] == "®"

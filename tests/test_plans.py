@@ -130,10 +130,10 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all twenty-three arms exactly
-    twenty-six hash exchanges exist (the r10 rtok/atok arms — raw-mode
-    encode + decode + round-trip compare, split and attached
-    pretokenization — are deliberately NARROW end-to-end: one
+    O(top_n) heap (no global sort); across all twenty-four arms exactly
+    twenty-six hash exchanges exist (the r10 rtok/atok and r11 btok
+    arms — raw-mode and byte-level encode + decode + round-trip
+    compare — are deliberately NARROW end-to-end: one
     pandas-UDF projection plus foldable-map lookups each, zero
     exchanges) (vocab token groupBy + the per-shard
     packing window + the mix/tmix/wmix/rep per-language ranking windows —
