@@ -193,6 +193,7 @@ def _fs_read_bytes(spark, path: str) -> bytes:
 def save_artifact(path: str,
                   merges: list[tuple[str, str]] | None = None,
                   base_chars: list[str] | None = None, *,
+                  mode: str = "normalized",
                   spark=None) -> None:
     """Write the tokenizer artifact as one JSON file — the
     version-and-ship step after ``train_bpe``. The file holds exactly
@@ -208,13 +209,29 @@ def save_artifact(path: str,
     ``s3a://``, ``abfs://``, ``hdfs://``): a cluster driver ships the
     tokenizer to the object store next to the data, not to executor-
     local disk. Without it, a plain local ``open()``. Byte-identical
-    output either way."""
+    output either way.
+
+    ``mode`` (r11) records WHICH encoder discipline the merge list
+    was trained for — "normalized", "raw", "raw_attached" or
+    "byte_level" — so the file is self-describing and
+    ``load_artifact(expect_mode=...)`` can refuse a mismatched
+    artifact instead of silently producing wrong tokens (a
+    byte-level list applied in normalized mode never fires a single
+    merge). For "byte_level", ``base_chars`` is ignored (the 256-
+    symbol base derives from ``bytes_to_unicode``, not the file)."""
     import json
 
+    if mode not in ("normalized", "raw", "raw_attached", "byte_level"):
+        raise ValueError(f"unknown artifact mode {mode!r}")
     merges = COMMITTED_MERGES if merges is None else merges
-    base_chars = BPE_BASE_CHARS if base_chars is None else base_chars
+    if mode == "byte_level":
+        base_chars = []
+    else:
+        base_chars = (BPE_BASE_CHARS if base_chars is None
+                      else base_chars)
     assert_rank_sequential_ok(merges)
     payload = json.dumps({"format": "bpe-artifact-v1",
+                          "mode": mode,
                           "end_of_word": END,
                           "unk": UNK,
                           "base_chars": list(base_chars),
@@ -228,11 +245,20 @@ def save_artifact(path: str,
 
 
 def load_artifact(path: str, *,
+                  expect_mode: str | None = None,
                   spark=None) -> tuple[list[tuple[str, str]], list[str]]:
     """Read a ``save_artifact`` file back as (merges, base_chars),
-    re-validated — feed straight into ``build_vocab``/``bpe_encode_ids``.
-    ``spark`` routes the read through the Hadoop FS (any ``file:``/
-    object-store URI), mirroring ``save_artifact``."""
+    re-validated — feed straight into ``build_vocab``/``bpe_encode_ids``
+    (or ``build_byte_level_vocab`` for a byte_level artifact, whose
+    base_chars come back empty). ``spark`` routes the read through the
+    Hadoop FS (any ``file:``/object-store URI), mirroring
+    ``save_artifact``.
+
+    ``expect_mode`` — when given, REFUSE an artifact whose recorded
+    mode differs (files written before r11 carry no mode and read as
+    "normalized"): loading a byte-level merge list into a normalized
+    encoder would silently produce zero-merge output, the exact
+    wrong-artifact failure the self-describing file exists to stop."""
     import json
 
     if spark is not None:
@@ -242,6 +268,12 @@ def load_artifact(path: str, *,
             doc = json.load(fh)
     if doc.get("format") != "bpe-artifact-v1":
         raise ValueError(f"not a bpe artifact: {path}")
+    mode = doc.get("mode", "normalized")
+    if expect_mode is not None and mode != expect_mode:
+        raise ValueError(
+            f"artifact mode {mode!r} != expected {expect_mode!r}: "
+            f"{path} — this merge list was trained for a different "
+            "encoder discipline")
     # the in-process END/UNK constants are what build_vocab will use —
     # an artifact written with different markers would silently
     # reconstruct a DIFFERENT vocab than the one saved, defeating the

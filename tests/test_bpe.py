@@ -984,3 +984,33 @@ def test_bytes_to_unicode_is_the_gpt2_table():
     assert m[ord("a")] == "a" and m[ord("~")] == "~"
     assert m[0] == "Ā" and m[173] == "Ń"
     assert m[161] == "¡" and m[174] == "®"
+
+
+def test_artifact_mode_self_description(tmp_path):
+    """r11: the artifact file records its encoder discipline;
+    expect_mode refuses a mismatched load, pre-r11 files (no mode
+    field) read as normalized, and a byte-level artifact round-trips
+    merges-only into build_byte_level_vocab."""
+    import json
+
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        BYTE_LEVEL_COMMITTED_MERGES, build_byte_level_vocab,
+        load_artifact, save_artifact,
+    )
+    p = str(tmp_path / "bl.json")
+    save_artifact(p, BYTE_LEVEL_COMMITTED_MERGES, mode="byte_level")
+    merges, base = load_artifact(p, expect_mode="byte_level")
+    assert merges == BYTE_LEVEL_COMMITTED_MERGES and base == []
+    assert build_byte_level_vocab(merges) == build_byte_level_vocab()
+    with pytest.raises(ValueError, match="mode"):
+        load_artifact(p, expect_mode="normalized")
+    with pytest.raises(ValueError, match="mode"):
+        save_artifact(str(tmp_path / "x.json"), mode="gptx")
+    # pre-r11 file without a mode field reads as normalized
+    legacy = str(tmp_path / "legacy.json")
+    doc = json.load(open(p))
+    del doc["mode"]
+    json.dump(doc, open(legacy, "w"))
+    load_artifact(legacy)  # fine
+    with pytest.raises(ValueError, match="mode"):
+        load_artifact(legacy, expect_mode="byte_level")
