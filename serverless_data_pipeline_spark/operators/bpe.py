@@ -41,7 +41,8 @@ from pyspark.sql import types as T
 from serverless_data_pipeline_spark.functions.text import tokens
 
 __all__ = ["train_bpe", "bpe_encode", "bpe_encode_ids",
-           "bpe_decode_ids", "tokenizer_fertility"]
+           "bpe_decode_ids", "tokenizer_fertility",
+           "bytes_to_unicode"]
 
 END = "</w>"          # Sennrich end-of-word marker
 

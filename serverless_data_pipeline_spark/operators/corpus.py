@@ -21,6 +21,9 @@ __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
            "corpus_datasheet",
            "pack_sequences", "pack_token_blocks",
            "resume_token_blocks", "unpack_token_blocks",
+           "block_positions", "reshuffle_blocks",
+           "packing_stream", "commit_packed_batch",
+           "latest_packed_state",
            "corpus_mix", "temperature_mix",
            "chunk_documents", "decontaminate", "contamination_report",
            "shingle_bloom", "bloom_decontaminate", "segment_dedup",
