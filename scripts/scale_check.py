@@ -273,15 +273,9 @@ def main() -> None:
             bpe_encode_ids,
         )
         from serverless_data_pipeline_spark.operators.bpe_artifact import (
-            BPE_BASE_CHARS, BYTE_TOKENS, COMMITTED_MERGES, UNK,
+            COMMITTED_MERGES, padded_vocab,
         )
-        vocab32k = {UNK: 0}
-        for t in (list(BPE_BASE_CHARS) + ["</w>"]
-                  + [l + rr for l, rr in COMMITTED_MERGES]
-                  + BYTE_TOKENS):
-            vocab32k[t] = len(vocab32k)
-        for i in range(32_000 - len(vocab32k)):
-            vocab32k[f"filler{i}"] = len(vocab32k)
+        vocab32k = padded_vocab(32_000)
         r["bpe_encode_32k_vocab"] = timed(
             lambda: bpe_encode_ids(d, "text", COMMITTED_MERGES,
                                    vocab32k, byte_fallback=True)

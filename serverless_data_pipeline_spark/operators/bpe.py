@@ -686,7 +686,13 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
     cannot evaluate the embedded Python UDF (INTERNAL_ERROR). Mixed
     modes across one pipeline should materialize the ids column
     between them (cache/checkpoint/write) — matched modes (both
-    literal or both broadcast) compose freely."""
+    literal or both broadcast) compose freely. NOTE that "auto" can
+    pick DIFFERENT modes for an encode→decode pair only when the two
+    calls use different-size vocabs straddling ``vocab_literal_max``
+    (a real pipeline decodes with the artifact it encoded with, so
+    matched sizes → matched modes); when mixing artifacts across the
+    threshold, either materialize between the calls or pin
+    ``vocab_via`` explicitly on both."""
     if vocab_via not in ("auto", "literal", "broadcast"):
         raise ValueError(f"vocab_via must be 'auto', 'literal' or "
                          f"'broadcast', got {vocab_via!r}")

@@ -151,6 +151,24 @@ def build_byte_level_vocab(
     return vocab
 
 
+def padded_vocab(n_entries: int,
+                 merges: list[tuple[str, str]] | None = None,
+                 base_chars: list[str] | None = None) -> dict[str, int]:
+    """Diagnostic vocab at a target size: the standard ``build_vocab``
+    layout padded with unreachable filler entries (no text can
+    symbolize to ``fillerN``) up to ``n_entries`` — ONE home for the
+    synthetic production-scale artifact that the vocab_via scale test
+    and ``scripts/scale_check.py`` both measure, so the two can never
+    drift apart."""
+    vocab = build_vocab(merges, base_chars)
+    if n_entries < len(vocab):
+        raise ValueError(f"n_entries {n_entries} < real vocab size "
+                         f"{len(vocab)}")
+    for i in range(n_entries - len(vocab)):
+        vocab[f"filler{i}"] = len(vocab)
+    return vocab
+
+
 def assert_rank_sequential_ok(
         merges: list[tuple[str, str]]) -> None:
     """Raise unless rank-order sequential application of ``merges`` is

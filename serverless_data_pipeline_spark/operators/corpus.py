@@ -645,11 +645,13 @@ def resume_token_blocks(state: DataFrame, df: DataFrame,
                  .collect())
     for r in tail_rows:
         ids, spans = r["__tids"], r["__tspans"]
-        if len(ids) > L or len(ids) != sum(s["len"] for s in spans):
+        if (ids is None or spans is None or len(ids) > L
+                or len(ids) != sum(s["len"] for s in spans)):
             raise ValueError(
                 f"state tail block (shard={r['shard']}, "
-                f"block={r['block_id']}) is padded or oversized — "
-                "resume needs the drop_last=False, pad_id=None state")
+                f"block={r['block_id']}) is padded, oversized or "
+                "carries NULL ids/spans — resume needs the "
+                "drop_last=False, pad_id=None state")
     prior = spark.createDataFrame(
         [(int(r["shard"]),
           int(r["block_id"]) * L + len(r["__tids"]))
@@ -841,9 +843,12 @@ def reshuffle_blocks(blocks: DataFrame, *, seed: int = 0,
     return out.withColumn(pos_col, F.row_number().over(w))
 
 
-def _packed_versions(spark, state_path: str) -> list[int]:
-    """Committed (``_SUCCESS``-bearing) version numbers under a
-    ``packing_stream`` state root, ascending."""
+def _packed_dirs(spark, state_path: str) -> list[tuple[int, bool, bool]]:
+    """Version directories under a ``packing_stream`` state root,
+    ascending: (version, committed, full). ``committed`` =
+    ``_SUCCESS`` present (a parquet write finished); ``full`` =
+    ``_FULL`` marker present (the directory holds the COMPLETE state,
+    not a delta)."""
     from serverless_data_pipeline_spark.operators.util import hadoop_fs
 
     fs, root = hadoop_fs(spark, state_path)
@@ -853,22 +858,57 @@ def _packed_versions(spark, state_path: str) -> list[int]:
     out = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if (name.startswith("v") and name[1:].isdigit()
-                and fs.exists(jpath(st.getPath(), "_SUCCESS"))):
-            out.append(int(name[1:]))
+        if name.startswith("v") and name[1:].isdigit():
+            out.append((int(name[1:]),
+                        fs.exists(jpath(st.getPath(), "_SUCCESS")),
+                        fs.exists(jpath(st.getPath(), "_FULL"))))
     return sorted(out)
 
 
+def _packed_versions(spark, state_path: str) -> list[int]:
+    """Committed version numbers, ascending."""
+    return [v for v, ok, _f in _packed_dirs(spark, state_path) if ok]
+
+
+def _merged_packed_state(spark, state_path: str,
+                         versions: list[tuple[int, bool]]) -> DataFrame:
+    """Merge-on-read over a committed (version, full) chain: read the
+    newest FULL version plus every later delta, keep each
+    (shard, block_id)'s row from the HIGHEST version — one fine-keyed
+    aggregation, the standard log-structured read path. A full
+    directory whose ``_FULL`` marker was lost (crash between the
+    parquet commit and the marker write) merely extends the chain one
+    full further back — its rows still win on version, so the merged
+    state is identical."""
+    from functools import reduce
+
+    fulls = [v for v, f in versions if f]
+    start = max(fulls) if fulls else versions[0][0]
+    use = [v for v, _f in versions if v >= start]
+    dfs = [spark.read.parquet(f"{state_path}/v{v:012d}")
+           .withColumn("__pv", F.lit(v)) for v in use]
+    u = reduce(lambda a, b: a.unionByName(b), dfs)
+    if len(use) == 1:
+        return u.drop("__pv")
+    rest = [c for c in u.columns
+            if c not in ("shard", "block_id", "__pv")]
+    return (u.groupBy("shard", "block_id")
+            .agg(F.max_by(F.struct(*rest), F.col("__pv"))
+                 .alias("__r"))
+            .select("shard", "block_id", "__r.*"))
+
+
 def latest_packed_state(spark, state_path: str) -> DataFrame:
-    """Read the newest COMMITTED packed state written by
-    ``packing_stream`` / ``commit_packed_batch`` (the consumer's
-    entry point — a trainer's data loader or an audit job points
-    here)."""
-    versions = _packed_versions(spark, state_path)
-    if not versions:
+    """Read the current packed state written by ``packing_stream`` /
+    ``commit_packed_batch`` (the consumer's entry point — a trainer's
+    data loader or an audit job points here): the newest committed
+    FULL version merged with every later committed delta."""
+    dirs = [(v, f) for v, ok, f in _packed_dirs(spark, state_path)
+            if ok]
+    if not dirs:
         raise FileNotFoundError(
             f"no committed packed state under {state_path}")
-    return spark.read.parquet(f"{state_path}/v{versions[-1]:012d}")
+    return _merged_packed_state(spark, state_path, dirs)
 
 
 def commit_packed_batch(spark, batch: DataFrame, state_path: str,
@@ -879,64 +919,91 @@ def commit_packed_batch(spark, batch: DataFrame, state_path: str,
                         n_shards: int = 8,
                         order_by: str | None = None,
                         shard_col: str | None = None,
-                        keep_versions: int = 2) -> bool:
+                        compact_every: int = 16) -> bool:
     """ONE idempotent packing commit: fold a landed batch into the
     versioned packed state at ``state_path`` (the unit of work
     ``packing_stream`` runs per tick, exposed so a driver-loop
     scheduler or a test can call it directly).
 
-    Versioned-state protocol (the at-least-once hardening the manual
-    foreachBatch loop lacks — a crash between a plain overwrite and
-    the stream checkpoint would double-append the re-delivered
-    batch, and a crash MID-overwrite would corrupt the only copy):
+    Log-structured versioned-state protocol (the at-least-once
+    hardening the manual foreachBatch loop lacks — a crash between a
+    plain overwrite and the stream checkpoint would double-append the
+    re-delivered batch, and a crash MID-overwrite would corrupt the
+    only copy):
 
+    - the first-ever commit bootstraps ``pack_token_blocks(...,
+      drop_last=False)`` as a FULL version (``_FULL``-marked);
+    - an ordinary tick writes a DELTA directory holding ONLY
+      ``resume_token_blocks``' output — the re-emitted tail blocks
+      plus the new blocks — so per-tick WRITE I/O is O(batch +
+      |shards| tails), never O(state) (the r11 review finding: the
+      first cut rewrote the whole state every tick, negating the
+      single-scan resume one layer up);
+    - every ``compact_every``-th tick instead materializes the merged
+      view as a new FULL version (amortized O(state/compact_every)
+      write — the standard log-structured compaction trade), then
+      prunes every directory older than it, INCLUDING uncommitted
+      crash leftovers;
+    - readers (``latest_packed_state``) merge the newest full with
+      later deltas, newest version winning per (shard, block_id) —
+      one fine-keyed aggregation, delta-chain length bounded by
+      ``compact_every``;
     - each tick writes a NEW directory ``v{tick_id}`` and never
       touches prior versions — a mid-write crash leaves an
-      uncommitted (no ``_SUCCESS``) directory that the next attempt
-      simply overwrites;
-    - the resume basis is the newest COMMITTED version STRICTLY BELOW
+      uncommitted directory the next attempt simply overwrites;
+    - the resume basis is the merged chain STRICTLY BELOW
       ``tick_id``, so a re-delivered tick re-derives the same output
-      from the same basis (idempotent by construction);
-    - a re-delivered tick whose own version already committed is a
-      no-op (returns False);
-    - versions older than the ``keep_versions`` newest are pruned
-      best-effort AFTER the new commit (readers of
-      ``latest_packed_state`` never observe a gap).
+      from the same basis (idempotent by construction); a tick whose
+      own version already committed is a no-op (returns False).
 
-    First-ever commit bootstraps ``pack_token_blocks(...,
-    drop_last=False)``; later commits run ``resume_token_blocks``
-    against the basis and keep its non-tail rows — by the
-    resume==full-repack law the state always equals a one-shot repack
-    of everything landed so far. Returns True when a new version was
+    Per-tick READ stays one pass over the basis chain (the resume
+    tail fetch — inherent without external per-shard manifests, the
+    same contract as ``resume_token_blocks`` itself). By the
+    resume==full-repack law the merged state always equals a one-shot
+    repack of everything landed so far. Single-writer protocol (one
+    stream owns a state root). Returns True when a new version was
     written."""
     from serverless_data_pipeline_spark.operators.util import hadoop_fs
 
-    versions = _packed_versions(spark, state_path)
-    if tick_id in versions:
+    if compact_every < 1:
+        raise ValueError("compact_every must be >= 1")
+    dirs = _packed_dirs(spark, state_path)
+    committed = [(v, f) for v, ok, f in dirs if ok]
+    if tick_id in [v for v, _f in committed]:
         return False
-    basis = [v for v in versions if v < tick_id]
+    basis = [(v, f) for v, f in committed if v < tick_id]
     kw = dict(block_len=block_len, eos_id=eos_id, n_shards=n_shards,
               order_by=order_by, shard_col=shard_col)
+    fs, _root = hadoop_fs(spark, state_path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    vdir = f"{state_path}/v{tick_id:012d}"
     if not basis:
-        merged = pack_token_blocks(batch, id_col, ids_col,
-                                   drop_last=False, **kw)
-    else:
-        state = spark.read.parquet(
-            f"{state_path}/v{basis[-1]:012d}")
-        out = resume_token_blocks(state, batch, id_col, ids_col, **kw)
+        pack_token_blocks(batch, id_col, ids_col, drop_last=False,
+                          **kw).write.mode("overwrite").parquet(vdir)
+        fs.create(jpath(vdir + "/_FULL"), True).close()
+        return True
+    state = _merged_packed_state(spark, state_path, basis)
+    out = resume_token_blocks(state, batch, id_col, ids_col, **kw)
+    fulls = [v for v, f in basis if f]
+    n_deltas = len([v for v, _f in basis
+                    if not fulls or v > max(fulls)])
+    if n_deltas + 1 >= compact_every:
+        # compaction tick: fold the chain + this tick into one FULL
+        # version (the only O(state)-write tick), then prune
+        # everything older — committed deltas AND uncommitted crash
+        # leftovers alike
         tails = (state.groupBy("shard")
                  .agg(F.max("block_id").alias("__tb")))
         keep = (state.join(F.broadcast(tails), "shard")
                 .filter(F.col("block_id") < F.col("__tb"))
                 .drop("__tb"))
-        merged = keep.unionByName(out)
-    merged.write.mode("overwrite").parquet(
-        f"{state_path}/v{tick_id:012d}")
-    live = _packed_versions(spark, state_path)
-    fs, _root = hadoop_fs(spark, state_path)
-    jpath = spark._jvm.org.apache.hadoop.fs.Path
-    for v in live[:-keep_versions] if keep_versions > 0 else []:
-        fs.delete(jpath(f"{state_path}/v{v:012d}"), True)
+        keep.unionByName(out).write.mode("overwrite").parquet(vdir)
+        fs.create(jpath(vdir + "/_FULL"), True).close()
+        for v, _ok, _f in dirs:
+            if v < tick_id:
+                fs.delete(jpath(f"{state_path}/v{v:012d}"), True)
+    else:
+        out.write.mode("overwrite").parquet(vdir)
     return True
 
 
@@ -946,7 +1013,7 @@ def packing_stream(spark, landing_path: str, schema, state_path: str,
                    block_len: int = 2048, eos_id: int | None = None,
                    n_shards: int = 8, order_by: str | None = None,
                    shard_col: str | None = None,
-                   keep_versions: int = 2, fmt: str = "json",
+                   compact_every: int = 16, fmt: str = "json",
                    available_now: bool = True,
                    interval_s: float = 3600.0,
                    max_files_per_tick: int | None = None):
@@ -954,14 +1021,16 @@ def packing_stream(spark, landing_path: str, schema, state_path: str,
     query — the X7 ``maintenance_stream`` discipline applied to the
     packing state: each tick's micro-batch is exactly the id files
     landed since the last tick (checkpointed file source), and
-    ``commit_packed_batch`` folds it into the versioned state — tick 1
-    bootstraps, tick N touches only the |shards| tail blocks + the new
-    docs (``resume_token_blocks``' single-scan contract), and a
-    re-delivered tick is a provable no-op (see the commit protocol).
-    Consumers read ``latest_packed_state``; batches must respect the
-    append-only contract (new ids sort after packed ones within their
-    shard). ``available_now=True`` drains the backlog and stops
-    (backfill/test mode); ``False`` fires on the fixed-rate grid."""
+    ``commit_packed_batch`` folds it into the log-structured
+    versioned state — tick 1 bootstraps a full pack, an ordinary tick
+    WRITES only the re-emitted tails + new blocks (O(batch) write
+    I/O), every ``compact_every``-th tick folds the delta chain into
+    a fresh full version, and a re-delivered tick is a provable no-op
+    (see the commit protocol). Consumers read ``latest_packed_state``;
+    batches must respect the append-only contract (new ids sort after
+    packed ones within their shard). ``available_now=True`` drains the
+    backlog and stops (backfill/test mode); ``False`` fires on the
+    fixed-rate grid."""
     from serverless_data_pipeline_spark.plans.scheduler import (
         scheduled_batch_query,
     )
@@ -973,7 +1042,7 @@ def packing_stream(spark, landing_path: str, schema, state_path: str,
             spark, batch_df, state_path, int(tick_id),
             id_col=id_col, ids_col=ids_col, block_len=block_len,
             eos_id=eos_id, n_shards=n_shards, order_by=order_by,
-            shard_col=shard_col, keep_versions=keep_versions)
+            shard_col=shard_col, compact_every=compact_every)
 
     return scheduled_batch_query(
         spark, landing_path, schema, _tick, checkpoint,

@@ -845,15 +845,11 @@ def test_vocab_via_auto_flips_at_scale(spark):
         bpe_decode_ids,
     )
     from serverless_data_pipeline_spark.operators.bpe_artifact import (
-        BPE_BASE_CHARS, BYTE_TOKENS, UNK,
+        padded_vocab,
     )
-    # real layout, padded with filler entries to production scale
-    vocab = {UNK: 0}
-    for t in (list(BPE_BASE_CHARS) + ["</w>"]
-              + [l + r for l, r in COMMITTED_MERGES] + BYTE_TOKENS):
-        vocab[t] = len(vocab)
-    for i in range(32_000 - len(vocab)):
-        vocab[f"filler{i}"] = len(vocab)
+    # real layout, padded with filler entries to production scale —
+    # the SAME shared builder scripts/scale_check.py measures
+    vocab = padded_vocab(32_000)
     assert len(vocab) == 32_000
     df = _messy_df(spark).filter("text is not null")
     enc = bpe_encode_ids(df, "text", COMMITTED_MERGES, vocab,

@@ -814,48 +814,69 @@ def test_streaming_incremental_packing_loop(spark, tmp_path):
 
 
 def test_commit_packed_batch_idempotent_and_crash_safe(spark, tmp_path):
-    """The versioned packing commit: re-delivered ticks are no-ops,
-    an uncommitted (crashed) version directory is ignored as a basis
-    and simply overwritten, old versions prune after commit, and the
-    final state equals a one-shot repack."""
+    """The log-structured packing commit: bootstrap writes a FULL
+    version, ordinary ticks write DELTAS only (the resume output —
+    O(batch) write), re-delivered ticks are no-ops, an uncommitted
+    (crashed) directory is ignored as a basis and simply overwritten,
+    the compaction tick folds the chain into a fresh full and prunes
+    everything older (crash leftovers included), and at every stage
+    the merged state equals a one-shot repack."""
+    import os
+
     from serverless_data_pipeline_spark.operators.corpus import (
         commit_packed_batch, latest_packed_state, pack_token_blocks,
     )
     sp = str(tmp_path / "state")
-    kw = dict(block_len=5, eos_id=99, n_shards=2)
+    kw = dict(block_len=5, eos_id=99, n_shards=2, compact_every=2)
     mk = lambda rows: spark.createDataFrame(  # noqa: E731
         rows, "doc_id long, token_ids array<int>")
+
+    def key(rows):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rows}
+
+    def repack(rows):
+        return key(pack_token_blocks(
+            mk(rows), "doc_id", "token_ids", drop_last=False,
+            block_len=5, eos_id=99, n_shards=2).collect())
+
     a = [(i, list(range(i % 4))) for i in range(10)]
     b = [(i, list(range(i % 5))) for i in range(10, 18)]
     c = [(i, list(range(i % 3 + 1))) for i in range(18, 24)]
+    d = [(i, list(range(i % 4 + 1))) for i in range(24, 29)]
 
+    # tick 0 bootstraps a FULL version
     assert commit_packed_batch(spark, mk(a), sp, 0, **kw) is True
+    assert os.path.exists(f"{sp}/v000000000000/_FULL")
+    # tick 1 is a DELTA: only tail + new blocks land in its directory
     assert commit_packed_batch(spark, mk(b), sp, 1, **kw) is True
+    assert not os.path.exists(f"{sp}/v000000000001/_FULL")
+    v1 = spark.read.parquet(f"{sp}/v000000000001")
+    full01 = latest_packed_state(spark, sp)
+    assert v1.count() < full01.count()  # delta, not a state rewrite
+    assert key(full01.collect()) == repack(a + b)
     # re-delivery of tick 1: provable no-op
-    st1 = {(r.shard, r.block_id, tuple(r.ids))
-           for r in latest_packed_state(spark, sp).collect()}
+    st1 = key(latest_packed_state(spark, sp).collect())
     assert commit_packed_batch(spark, mk(b), sp, 1, **kw) is False
-    assert {(r.shard, r.block_id, tuple(r.ids))
-            for r in latest_packed_state(spark, sp).collect()} == st1
+    assert key(latest_packed_state(spark, sp).collect()) == st1
     # crash simulation: a partial (uncommitted) v2 must not become the
-    # basis and must be overwritable by the real tick 2
-    import os
+    # basis and must be overwritable by the real tick 2 — which is the
+    # compact_every=2 COMPACTION tick (one delta since the full): it
+    # writes a fresh FULL and prunes v0/v1
     part = tmp_path / "state" / "v000000000002"
     part.mkdir()
     (part / "garbage.parquet").write_bytes(b"not parquet")
     assert commit_packed_batch(spark, mk(c), sp, 2, **kw) is True
-    got = {(r.shard, r.block_id, tuple(r.ids),
-            tuple((s.start, s.len, s.doc_id) for s in r.doc_spans))
-           for r in latest_packed_state(spark, sp).collect()}
-    full = {(r.shard, r.block_id, tuple(r.ids),
-             tuple((s.start, s.len, s.doc_id) for s in r.doc_spans))
-            for r in pack_token_blocks(
-                mk(a + b + c), "doc_id", "token_ids",
-                drop_last=False, **kw).collect()}
-    assert got == full
-    # pruning: only keep_versions=2 newest committed versions remain
+    assert key(latest_packed_state(spark, sp).collect()) == \
+        repack(a + b + c)
     names = sorted(p for p in os.listdir(sp) if p.startswith("v"))
-    assert names == ["v000000000001", "v000000000002"]
+    assert names == ["v000000000002"]
+    assert os.path.exists(f"{sp}/v000000000002/_FULL")
+    # post-compaction delta keeps composing exactly
+    assert commit_packed_batch(spark, mk(d), sp, 3, **kw) is True
+    assert key(latest_packed_state(spark, sp).collect()) == \
+        repack(a + b + c + d)
 
 
 def test_packing_stream_end_to_end(spark, tmp_path):
