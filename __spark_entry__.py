@@ -3254,7 +3254,7 @@ def _q_x8_corpus_utils(spark, sf):
                     F.transform("token_ids",
                                 lambda i: i.cast("string")), ",")
                       .cast("binary")).alias("h")))
-    # btok arm (r11): GPT-2 PROPER — byte-level BPE over the SAME
+    # btok arm (r11): GPT-2-style byte-level BPE over the SAME
     # planted raw text: attached pretokens remapped to printable BYTE
     # symbols (bytes_to_unicode), merges over bytes from the committed
     # byte-level artifact, 256-symbol base covering every input. No
@@ -3724,7 +3724,7 @@ _BPE_RAW_VOCAB_SQL = "VALUES " + ", ".join(
     f"('{_sq(t)}', {i})" for t, i in _BPE_RAW_VOCAB.items())
 _BPE_RAW_BYTE_BASE = _BPE_RAW_VOCAB["<0x00>"]
 
-# x8 btok arm (r11): GPT-2 PROPER — the byte-level committed artifact.
+# x8 btok arm (r11): GPT-2-style byte-level committed artifact.
 # Symbols are bytes_to_unicode-remapped BYTES; the oracle recomputes
 # the remap ARITHMETICALLY (the mapping is piecewise by construction:
 # byte b is remapped iff b < 33, 127 <= b <= 160, or b = 173, to
@@ -5569,7 +5569,7 @@ def oracle_sql() -> dict[str, str]:
                            COALESCE(b.noov, 0) AS noov,
                            COALESCE(b.nsym, 0) AS nsym
                     FROM documents d LEFT JOIN adoc0 b USING (doc_id)),
-                  -- btok arm (r11): GPT-2-proper byte-level replay.
+                  -- btok arm (r11): GPT-2-style byte-level replay.
                   -- Same attached pretokens (apiece) but each word
                   -- seeds as its bytes_to_unicode-REMAPPED byte
                   -- symbols — the remap recomputed arithmetically

@@ -120,11 +120,17 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     learner discovers space-prefixed tokens (' the'), the GPT-2 vocab
     shape; pair with ``bpe_encode(raw=True, attach_ws=True)``.
 
-    ``byte_level=True`` (r11) is GPT-2 PROPER: attached pretokens
-    remapped to printable BYTE symbols (``bytes_to_unicode``), merges
-    learned over bytes — so merges can span multi-byte characters,
-    the 256-symbol base covers every possible input, and nothing can
-    ever be out-of-vocab. Pair with ``bpe_encode_ids(...,
+    ``byte_level=True`` (r11) is GPT-2-STYLE byte-level BPE: attached
+    pretokens remapped to printable BYTE symbols through the exact
+    published ``bytes_to_unicode`` table, merges learned over bytes —
+    so merges can span multi-byte characters, the 256-symbol base
+    covers every possible input, and nothing can ever be
+    out-of-vocab. The byte remap is GPT-2's; the PRETOKENIZER is this
+    framework's whitespace-attached split, NOT GPT-2's contraction/
+    letter/digit/punctuation regex, so segmentation — and therefore
+    the learned merges and emitted token streams — differ from real
+    GPT-2 on punctuation and contractions (r11 ADVICE: do not expect
+    GPT-2-compatible token ids). Pair with ``bpe_encode_ids(...,
     byte_level=True)`` and ``build_byte_level_vocab``. Standalone
     mode (do not combine with raw/attach_ws flags); same plan shape —
     the per-word byte remap is a 256-entry foldable hex-pair map."""
@@ -261,8 +267,8 @@ def _symbolizer(merges: list[tuple[str, str]], *,
     then run the canonical earliest-rank greedy merge loop per word,
     memoized per distinct word. The closure (including its memo cache)
     is cloudpickled into the UDF, so each worker keeps its cache warm
-    ACROSS Arrow batches. ``byte_level`` selects the GPT-2-proper
-    pretokenization (attached pretokens remapped to printable byte
+    ACROSS Arrow batches. ``byte_level`` selects the GPT-2-style
+    byte-level seeding (attached pretokens remapped to printable byte
     symbols; implies raw seeding — no end-of-word marker)."""
     if byte_level:
         raw = True
@@ -306,7 +312,7 @@ def _symbolizer(merges: list[tuple[str, str]], *,
             return []
         toks: list[str] = []
         if byte_level:
-            # GPT-2 proper: attached pretokens, each remapped to its
+            # GPT-2-style byte level: attached pretokens remapped to
             # printable byte-symbol string, merges over BYTE symbols —
             # every base symbol is one of 256, so nothing is ever
             # out-of-vocab and multi-byte characters can merge
@@ -386,8 +392,10 @@ def bpe_encode(df: DataFrame, text_col: str,
     token per interior space. With a split-trained list the flag only
     changes pretoken boundaries, not compression.
 
-    ``byte_level=True`` (r11, GPT-2 proper): attached pretokens are
-    remapped to printable BYTE symbols (``bytes_to_unicode``) before
+    ``byte_level=True`` (r11, GPT-2-style byte level): attached
+    pretokens are remapped to printable BYTE symbols
+    (``bytes_to_unicode`` — GPT-2's exact table; the pretokenizer is
+    this framework's attached split, see ``train_bpe``) before
     the merge loop, so symbols are bytes, merges span multi-byte
     characters, and the 256-symbol base covers any input — pair with
     a ``train_bpe(byte_level=True)`` merge list. Standalone mode."""
@@ -484,7 +492,7 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
             "case symbols are out-of-vocab and must byte-escape for "
             "the raw round trip to hold")
     if byte_level:
-        # GPT-2 proper (r11): symbols ARE bytes, so out-of-vocab is
+        # GPT-2-style byte level (r11): symbols ARE bytes, so OOV is
         # impossible by construction — byte_fallback has nothing to
         # escape and mixing the modes would be a config error. The
         # vocab must carry the full byte-symbol base + every merge
@@ -709,7 +717,7 @@ def bpe_decode_ids(df: DataFrame, ids_col: str,
     pieces: list[tuple[int, bytes]] = []
     for tok, i in vocab.items():
         if byte_level:
-            # GPT-2 proper: every token string is a run of remapped
+            # byte-level mode: every token string is a run of remapped
             # byte symbols — invert the bytes_to_unicode remap; raw
             # output semantics (nothing trimmed)
             try:

@@ -92,7 +92,7 @@ RAW_COMMITTED_MERGES: list[tuple[str, str]] = [
     ("lum", "n"), ("o", "lumn"), ("d", "ow"), ("in", "dow"),
 ]
 
-# BYTE-LEVEL artifact (r11, GPT-2 proper): learned once with
+# BYTE-LEVEL artifact (r11, GPT-2-style byte level): learned once with
 #   train_bpe(spark.read.parquet(".../sf0.001/documents.parquet"),
 #             "text", n_merges=24, byte_level=True)
 # over the SAME fixture and frozen. Symbols are bytes_to_unicode-
@@ -126,7 +126,7 @@ BYTE_TOKENS: list[str] = [f"<0x{b:02X}>" for b in range(256)]
 
 def build_byte_level_vocab(
         merges: list[tuple[str, str]] | None = None) -> dict[str, int]:
-    """token -> id map for GPT-2-proper byte-level service
+    """token -> id map for GPT-2-style byte-level service
     (``bpe_encode_ids(byte_level=True)``): the 256 remapped byte
     symbols in byte order (``bytes_to_unicode``), then one entry per
     merge output in rank order. NO UNK and NO ``<0xNN>`` escape

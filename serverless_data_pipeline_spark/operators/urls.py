@@ -319,10 +319,16 @@ def host_quota_sample(docs: DataFrame, quotas, *,
         # auto-mode corpus crossing hot_host_threshold can't flip a
         # string/timestamp-scored call from working (window) into an
         # opaque analysis error (r10 ADVICE): auto falls back to the
-        # always-correct window path, explicit bucketed raises clearly
-        if n_score_buckets < 2:
+        # always-correct window path, explicit bucketed raises clearly.
+        # n_score_buckets is validated only where it is USED — on the
+        # bucketed path below — so a window-mode call with a stale
+        # bucket count keeps working (r11 ADVICE); a missing score
+        # column gets this module's ValueError style, not the
+        # StructType KeyError (r11 ADVICE).
+        if order_col not in docs.columns:
             raise ValueError(
-                f"n_score_buckets must be >= 2, got {n_score_buckets}")
+                f"order_col {order_col!r} is not a column of docs "
+                f"(columns: {docs.columns})")
         numeric = isinstance(docs.schema[order_col].dataType,
                              types.NumericType)
         if not numeric and rank_via == "bucketed":
@@ -368,6 +374,9 @@ def host_quota_sample(docs: DataFrame, quotas, *,
         # not a per-row join); bucket = #thresholds <= score is
         # monotone in the score, so descending bucket order is score
         # order and the offset arithmetic below stays exact
+        if n_score_buckets < 2:
+            raise ValueError(
+                f"n_score_buckets must be >= 2, got {n_score_buckets}")
         fr = F.array(*[F.lit(i / n_score_buckets)
                        for i in range(1, n_score_buckets)])
         row = docs.agg(F.percentile_approx(

@@ -880,7 +880,7 @@ def test_vocab_via_auto_flips_at_scale(spark):
                        vocab_via="join")
 
 
-# byte-level BPE (r11, GPT-2 proper) ---------------------------------------
+# byte-level BPE (r11, GPT-2-style) ---------------------------------------
 
 
 def test_byte_level_round_trip_and_no_oov(spark):

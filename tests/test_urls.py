@@ -460,3 +460,19 @@ def test_host_quota_sample_ordered_validation(spark):
     with pytest.raises(ValueError, match="n_score_buckets"):
         host_quota_sample(num, {"a": 1}, order_col="s",
                           rank_via="bucketed", n_score_buckets=1)
+    # r11 ADVICE: n_score_buckets is validated only where it is USED —
+    # a window-mode call with a stale/irrelevant bucket count keeps
+    # working instead of newly erroring
+    wn = {r.doc_id for r in host_quota_sample(
+        num, {"a": 1, "b": 1}, order_col="s", rank_via="window",
+        n_score_buckets=1).collect()}
+    assert wn == {2, 3}  # highest numeric score per host
+    # ... and so does the unordered bucketed path (md5 buckets never
+    # touch n_score_buckets)
+    ub = host_quota_sample(num, {"a": 1, "b": 1},
+                           rank_via="bucketed", n_score_buckets=1)
+    assert ub.count() == 2
+    # r11 ADVICE: a missing score column raises this module's clear
+    # ValueError, not a bare StructType KeyError
+    with pytest.raises(ValueError, match="order_col"):
+        host_quota_sample(num, {"a": 1}, order_col="nope")
