@@ -149,7 +149,7 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
         u_map = F.create_map(*[F.lit(x) for b in range(256)
                                for x in (f"{b:02X}", _B2U[b])])
         seed = F.transform(
-            F.sequence(F.lit(1), (F.length(hexstr) / 2).cast("int")),
+            F.sequence(F.lit(1), F.shiftright(F.length(hexstr), 1)),
             lambda i: F.element_at(
                 u_map, F.substring(hexstr, i * 2 - 1, 2)))
     else:
@@ -542,7 +542,7 @@ def bpe_encode_ids(df: DataFrame, text_col: str,
             mapped = F.element_at(vmap, t)
             hexstr = F.hex(F.encode(t, "UTF-8"))
             byte_ids = F.transform(
-                F.sequence(F.lit(1), (F.length(hexstr) / 2).cast("int")),
+                F.sequence(F.lit(1), F.shiftright(F.length(hexstr), 1)),
                 lambda i: F.element_at(
                     bmap, F.substring(hexstr, i * 2 - 1, 2))
                 .cast("int"))

@@ -1111,8 +1111,7 @@ def shingle_bloom(df: DataFrame, text_col: str, n: int = 5,
     pos = sh.select(F.explode(F.array(
         *[F.pmod(F.xxhash64("__sh", F.lit(i)), F.lit(m_bits))
           for i in range(k_hashes)])).alias("__pos"))
-    return (pos.groupBy((F.col("__pos") / 64).cast("long")
-                        .alias("word_idx"))
+    return (pos.groupBy(F.expr("__pos div 64").alias("word_idx"))
             .agg(F.expr("bit_or(shiftleft(1L, cast(__pos % 64 as int)))")
                   .alias("word")))
 

@@ -353,7 +353,7 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64,
     if not decode_stub:
         raise NotImplementedError("real frame sampling requires ffmpeg")
     n_frames = F.greatest(
-        (F.col("meta.n_bytes") / every_n_bytes).cast("long"), F.lit(1))
+        F.expr(f"meta.n_bytes div {int(every_n_bytes)}"), F.lit(1))
     return (media.select(
         "media_id", "meta",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"))

@@ -231,8 +231,7 @@ def key_bloom(df: DataFrame, key_col: str, *, m_bits: int = 1 << 22,
            .select(F.explode(F.array(
                *[F.pmod(F.xxhash64("__k", F.lit(i)), F.lit(m_bits))
                  for i in range(k_hashes)])).alias("__pos")))
-    return (pos.groupBy((F.col("__pos") / 64).cast("long")
-                        .alias("word_idx"))
+    return (pos.groupBy(F.expr("__pos div 64").alias("word_idx"))
             .agg(F.expr("bit_or(shiftleft(1L, cast(__pos % 64 as int)))")
                   .alias("word")))
 
@@ -290,8 +289,7 @@ def bloom_semi_filter(fact: DataFrame, build: DataFrame,
         # between the two hash derivations impossible
         probe = (probe
                  .withColumn(f"__p{i}", p)
-                 .withColumn(f"__w{i}",
-                             (F.col(f"__p{i}") / 64).cast("long"))
+                 .withColumn(f"__w{i}", F.expr(f"__p{i} div 64"))
                  .withColumn(f"__b{i}", F.expr(
                      f"shiftleft(1L, cast(pmod(__p{i}, 64) as int))"))
                  .join(b, f"__w{i}", "left"))
