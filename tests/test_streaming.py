@@ -918,3 +918,168 @@ def test_packing_stream_end_to_end(spark, tmp_path):
             spark.createDataFrame(a + b,
                                   "doc_id long, token_ids array<int>"),
             "doc_id", "token_ids", drop_last=False, **kw).collect())
+
+def test_packing_stream_pins_state_root_ownership(spark, tmp_path):
+    """r11 ADVICE: the stream writes a _STREAM ownership marker; the
+    end-to-end run leaves it in the state root."""
+    import json
+    import os
+    from serverless_data_pipeline_spark.operators.corpus import (
+        packing_stream,
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    sp = str(tmp_path / "state")
+    with open(land / "b1.jsonl", "w") as fh:
+        fh.write(json.dumps({"doc_id": 1, "token_ids": [1, 2, 3]}) + "\n")
+    q = packing_stream(
+        spark, str(land), "doc_id long, token_ids array<int>",
+        sp, str(tmp_path / "ck"), available_now=True,
+        block_len=5, eos_id=99, n_shards=2)
+    q.awaitTermination(120)
+    assert os.path.exists(f"{sp}/_STREAM")
+    with open(f"{sp}/_STREAM") as fh:
+        assert fh.read() == str(tmp_path / "ck")
+
+
+def test_commit_packed_batch_tail_manifest_makes_tick_state_free(
+        spark, tmp_path):
+    """r12 (the last per-tick scale cliff): every version writes a
+    |shards|-row _tails manifest, and an ordinary tick resumes from
+    the NEWEST basis manifest without reading the state parquet at
+    all — pinned by DELETING every basis version's parquet part-files
+    (manifests and markers kept) before the tick. The manifest tick's
+    output is bit-identical to the scan-path tick of an intact twin
+    root."""
+    import os
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        commit_packed_batch,
+    )
+    kw = dict(block_len=5, eos_id=99, n_shards=2, compact_every=100)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, token_ids array<int>")
+
+    def key(rows):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rows}
+
+    a = [(i, list(range(i % 4))) for i in range(10)]
+    b = [(i, list(range(i % 5))) for i in range(10, 18)]
+    c = [(i, list(range(i % 3 + 1))) for i in range(18, 24)]
+    roots = {}
+    for name in ("intact", "gutted"):
+        sp = str(tmp_path / name)
+        assert commit_packed_batch(spark, mk(a), sp, 0, **kw)
+        assert commit_packed_batch(spark, mk(b), sp, 1, **kw)
+        assert os.path.exists(f"{sp}/v000000000000/_tails/_SUCCESS")
+        assert os.path.exists(f"{sp}/v000000000001/_tails/_SUCCESS")
+        roots[name] = sp
+    # gut the basis chain: every state part-file gone, sidecars kept
+    for v in ("v000000000000", "v000000000001"):
+        vd = os.path.join(roots["gutted"], v)
+        removed = 0
+        for f in os.listdir(vd):
+            if not f.startswith(("_", ".")):
+                os.remove(os.path.join(vd, f))
+                removed += 1
+        assert removed > 0
+    # the ordinary tick still commits — zero state-parquet reads
+    assert commit_packed_batch(spark, mk(c), roots["gutted"], 2, **kw)
+    assert commit_packed_batch(spark, mk(c), roots["intact"], 2, **kw)
+    got = spark.read.parquet(f"{roots['gutted']}/v000000000002")
+    want = spark.read.parquet(f"{roots['intact']}/v000000000002")
+    assert key(got.collect()) == key(want.collect())
+
+
+def test_commit_packed_batch_missing_manifest_falls_back_to_scan(
+        spark, tmp_path):
+    """Crash between the version commit and the manifest write leaves
+    a committed version WITHOUT _tails: the next tick falls back to
+    the one-pass state scan and the state still equals a one-shot
+    repack (manifest-vs-scan equivalence)."""
+    import shutil
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        commit_packed_batch, latest_packed_state, pack_token_blocks,
+    )
+    kw = dict(block_len=5, eos_id=99, n_shards=2, compact_every=100)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, token_ids array<int>")
+
+    def key(rows):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rows}
+
+    a = [(i, list(range(i % 4))) for i in range(10)]
+    b = [(i, list(range(i % 5))) for i in range(10, 18)]
+    c = [(i, list(range(i % 3 + 1))) for i in range(18, 24)]
+    sp = str(tmp_path / "state")
+    assert commit_packed_batch(spark, mk(a), sp, 0, **kw)
+    assert commit_packed_batch(spark, mk(b), sp, 1, **kw)
+    shutil.rmtree(f"{sp}/v000000000001/_tails")   # crash simulation
+    assert commit_packed_batch(spark, mk(c), sp, 2, **kw)
+    assert key(latest_packed_state(spark, sp).collect()) == key(
+        pack_token_blocks(mk(a + b + c), "doc_id", "token_ids",
+                          drop_last=False, block_len=5, eos_id=99,
+                          n_shards=2).collect())
+
+
+def test_commit_packed_batch_stream_marker_and_replay_warning(
+        spark, tmp_path):
+    """r11 ADVICE both halves: a commit carrying a different stream_id
+    than the root's _STREAM marker raises (tick-id collisions from a
+    fresh checkpoint would silently drop data), and a NON-EMPTY batch
+    swallowed as a replayed tick warns loudly."""
+    import pytest
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        commit_packed_batch,
+    )
+    kw = dict(block_len=5, eos_id=99, n_shards=2)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, token_ids array<int>")
+    a = [(i, list(range(i % 4))) for i in range(6)]
+    b = [(i, list(range(i % 5))) for i in range(6, 12)]
+    sp = str(tmp_path / "state")
+    assert commit_packed_batch(spark, mk(a), sp, 0, stream_id="ck-A",
+                               **kw)
+    with pytest.raises(ValueError, match="owned by stream"):
+        commit_packed_batch(spark, mk(b), sp, 1, stream_id="ck-B", **kw)
+    # the rightful owner keeps committing
+    assert commit_packed_batch(spark, mk(b), sp, 1, stream_id="ck-A",
+                               **kw)
+    # replayed non-empty tick: no-op, but LOUD
+    with pytest.warns(RuntimeWarning, match="already"):
+        assert commit_packed_batch(spark, mk(b), sp, 1,
+                                   stream_id="ck-A", **kw) is False
+
+
+def test_resume_raises_on_duplicate_distinct_tail_rows(spark):
+    """r11 ADVICE: a corrupt state carrying TWO DISTINCT rows at a
+    shard's max block_id must raise, not resume from an arbitrary
+    max_by survivor."""
+    import pytest
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        pack_token_blocks, resume_token_blocks,
+    )
+    a = [(i, list(range(i % 4 + 1))) for i in range(8)]
+    docs = spark.createDataFrame(a, "doc_id long, token_ids array<int>")
+    state = pack_token_blocks(docs, "doc_id", "token_ids",
+                              drop_last=False, block_len=5, eos_id=99,
+                              n_shards=2)
+    tail = max(state.filter("shard = 0").collect(),
+               key=lambda r: r.block_id)
+    forged = spark.createDataFrame(
+        [(0, int(tail.block_id), [1, 2],
+          [(0, 2, 12345)])],
+        state.schema)
+    newdocs = spark.createDataFrame(
+        [(100, [7, 8, 9])], "doc_id long, token_ids array<int>")
+    with pytest.raises(ValueError, match="multiple distinct rows"):
+        resume_token_blocks(state.unionByName(forged), newdocs,
+                            "doc_id", "token_ids", block_len=5,
+                            eos_id=99, n_shards=2).collect()
