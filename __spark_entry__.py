@@ -1696,12 +1696,19 @@ def _q_x6_multimodal(spark, sf):
       (bottom-up rows, 4-byte padding, BGR all undone); the oracle
       recomputes order-sensitive statistics from the closed form.
 
+    - `vid` (r12, closing the video half — the LAST decode stub): a
+      REAL video demux — synthesize_y4m_payload builds a genuine
+      YUV4MPEG2 stream per doc, extract_video_features +
+      frame_sample(decode_stub=False) parse it back; the oracle
+      recomputes every statistic from the closed form.
+
     Columns harmonized to (kind, key, a, b, c, v, h): media rows carry
     (mime|src_label, n_items, total_bytes, NULL, avg_bytes, NULL);
     binary rows carry (media_id, n_bytes, n_frames, last_offset, NULL,
     counts_csv); decoded rows carry (media_id, n_frames, sample_rate,
     sample_sum, rms, NULL); img rows carry (media_id, pixel_sum,
-    corner_rgb, wsum, NULL, 'WxH')."""
+    corner_rgb, wsum, NULL, 'WxH'); vid rows carry (media_id,
+    plane_sum, corner_yuv, wsum, frame-weighted-luma-sum, 'WxHxN')."""
     joined = multimodal_join(_t(spark, sf, "documents"),
                              _t(spark, sf, "embeddings"))
     joined = joined.withColumn(
@@ -1774,7 +1781,37 @@ def _q_x6_multimodal(spark, sf):
                    F.concat_ws("x", F.col("width").cast("string"),
                                F.col("height").cast("string"))
                    .alias("h")))
-    return media.unionAll(binary).unionAll(decoded).unionAll(img)
+    # vid arm (r12, closing the video half — the LAST decode stub): a
+    # REAL video demux — synthesize_y4m_payload builds a genuine
+    # YUV4MPEG2 stream per doc (ASCII header + FRAME markers + three
+    # raw C444 planes per frame), extract_video_features parses it
+    # back and frame_sample(decode_stub=False) re-demuxes it at frame
+    # grain; the oracle recomputes plane_sum / corner_yuv / wsum AND
+    # the frame-weighted luma sum from the generator's closed form, so
+    # swapped planes, reordered frames, or a mis-seeked FRAME marker
+    # hash-mismatch even when the order-invariant sum agrees.
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        extract_video_features, synthesize_y4m_payload,
+    )
+    y4m = synthesize_y4m_payload(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id")
+    fsum = (frame_sample(y4m, decode_stub=False)
+            .groupBy("media_id")
+            .agg(F.sum((F.col("frame_idx") + 1) * F.col("y_sum"))
+                 .alias("__fy")))
+    vid = (extract_video_features(y4m).join(fsum, "media_id")
+           .select(F.lit("vid").alias("kind"),
+                   F.col("media_id").cast("string").alias("key"),
+                   F.col("plane_sum").alias("a"),
+                   F.col("corner_yuv").alias("b"),
+                   F.col("wsum").alias("c"),
+                   F.col("__fy").cast("double").alias("v"),
+                   F.concat_ws("x", F.col("width").cast("string"),
+                               F.col("height").cast("string"),
+                               F.col("n_frames").cast("string"))
+                   .alias("h")))
+    return (media.unionAll(binary).unionAll(decoded).unionAll(img)
+            .unionAll(vid))
 
 
 def _q_udf_pandas_vectorized(spark, sf):
@@ -2114,6 +2151,7 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each
         "x8_corpus_utils.companions": _x8_flavour_companions,
         "x6_multimodal.img": _x6_flavour_img,
+        "x6_multimodal.vid": _x6_flavour_vid,
         "x8_corpus_utils.btok": _x8_flavour_btok,
     }
 
@@ -2274,6 +2312,21 @@ def _x6_flavour_img(spark, sf):
     )
     return extract_image_features(synthesize_bmp_payload(
         _t(spark, sf, "documents").select("doc_id"), "doc_id"))
+
+
+def _x6_flavour_vid(spark, sf):
+    # times exactly the r12 vid arm's plan: Y4M synth + real demux +
+    # real frame sampling
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        extract_video_features, frame_sample, synthesize_y4m_payload,
+    )
+    y4m = synthesize_y4m_payload(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id")
+    return extract_video_features(y4m).join(
+        frame_sample(y4m, decode_stub=False)
+        .groupBy("media_id")
+        .agg(F.sum((F.col("frame_idx") + 1) * F.col("y_sum"))
+             .alias("fy")), "media_id")
 
 
 def _x8_flavour_fert(spark, sf):
@@ -6415,7 +6468,42 @@ def oracle_sql() -> dict[str, str]:
                                            4 + doc_id % 5 AS w,
                                            3 + doc_id % 4 AS hh
                                     FROM documents))))
-            GROUP BY doc_id, w, hh""",
+            GROUP BY doc_id, w, hh
+            UNION ALL
+            -- vid half (r12): what a CORRECT Y4M demux must find, from
+            -- synthesize_y4m_payload's closed form (top-down coords,
+            -- Y/U/V plane order, frames in stream order). v is the
+            -- frame-weighted luma sum the REAL frame_sample path emits
+            -- per frame: sum over t of (t+1) * sum(Y plane of frame t).
+            SELECT 'vid' AS kind, CAST(doc_id AS VARCHAR) AS key,
+                   CAST(SUM(yv + uv + vv) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN x = 0 AND y = 0 AND t = 0
+                            THEN yv * 65536 + uv * 256 + vv
+                            ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM((x + 10 * y + 100 * t) * (yv + uv + vv))
+                        AS BIGINT) AS c,
+                   CAST(SUM((t + 1) * yv) AS DOUBLE) AS v,
+                   CAST(w AS VARCHAR) || 'x' || CAST(hh AS VARCHAR)
+                       || 'x' || CAST(nf AS VARCHAR) AS h
+            FROM (SELECT doc_id, w, hh, nf, x, y, t,
+                         (doc_id * 7 + x * 3 + y * 5 + t * 11) % 256
+                             AS yv,
+                         (doc_id * 11 + x * 5 + y * 7 + t * 13) % 256
+                             AS uv,
+                         (doc_id * 13 + x * 7 + y * 11 + t * 17) % 256
+                             AS vv
+                  FROM (SELECT doc_id, w, hh, nf, x, y,
+                               unnest(range(0, nf)) AS t
+                        FROM (SELECT doc_id, w, hh, nf, x,
+                                     unnest(range(0, hh)) AS y
+                              FROM (SELECT doc_id, w, hh, nf,
+                                           unnest(range(0, w)) AS x
+                                    FROM (SELECT doc_id,
+                                                 4 + doc_id % 3 AS w,
+                                                 2 + doc_id % 3 AS hh,
+                                                 2 + doc_id % 3 AS nf
+                                          FROM documents)))))
+            GROUP BY doc_id, w, hh, nf""",
         "x10_decontaminate": (
             "WITH s AS (SELECT doc_id, text,"
             "                  CASE WHEN doc_id % 10 < 8 THEN 'train'"

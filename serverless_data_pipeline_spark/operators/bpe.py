@@ -69,7 +69,7 @@ def _word_counts(df: DataFrame, text_col: str, *,
 
 def train_bpe(df: DataFrame, text_col: str = "text", *,
               n_merges: int = 32,
-              checkpoint_every: int = 8,
+              checkpoint_every: int = 1,
               merges_per_round: int = 1,
               raw: bool = False,
               attach_ws: bool = False,
@@ -91,6 +91,15 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     cap), not the full 100 TB corpus; n_merges round-trips of one row
     each are then negligible next to the single corpus-wide word
     count.
+
+    ``checkpoint_every`` defaults to 1 (r12, measured at real merge
+    counts): each round's words frame is localCheckpoint'ed before
+    the next round's pair count, so every rewrite is EVALUATED
+    EXACTLY ONCE — with a sparser cadence, each round's eager pair
+    collect re-runs all rewrites since the last checkpoint (512
+    merges on the vocabulary-rich scale fixture: 259 s at the old
+    every-4 default vs 144 s at 1, merges_per_round=64). Raise it
+    only when checkpoint write I/O, not recompute, dominates.
 
     ``merges_per_round`` > 1 is the batched variant for when the
     round count itself matters: each round accepts up to K of the
@@ -211,9 +220,20 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
                 return expr.otherwise(F.concat(acc, F.array(s)))
             return rewrite
 
+        # touched-word guard (r12): the expensive per-symbol fold only
+        # runs on words that CONTAIN one of the batch's left symbols —
+        # a rule can only fire where its `l` occurs, so untouched
+        # words pass through by identity (exactness preserved). Mid-
+        # training most words match no rule in a given batch, and the
+        # guard (one arrays_overlap against a <=K-literal array) cuts
+        # the round's rewrite cost to the touched minority.
+        lefts = F.array(*[F.lit(l) for l in
+                          sorted({l for l, _r in batch})])
         words = words.select(
-            F.aggregate("sym", F.array().cast("array<string>"),
-                        make_rewrite(tuple(batch))).alias("sym"), "n")
+            F.when(F.arrays_overlap("sym", lefts),
+                   F.aggregate("sym", F.array().cast("array<string>"),
+                               make_rewrite(tuple(batch))))
+            .otherwise(F.col("sym")).alias("sym"), "n")
         rounds += 1
         if rounds % checkpoint_every == 0:
             words = words.localCheckpoint(eager=False)

@@ -161,3 +161,93 @@ def test_bmp_decode_rejects_non_bmp_and_malformed(spark):
                                  mime="image/bmp")
     with pytest.raises(Exception, match="BMP"):
         extract_image_features(fake).collect()
+
+
+def test_y4m_synthesize_and_decode_round_trip(spark):
+    """r12 (closing the video half of the decode stub): the Y4M
+    payload is a genuine YUV4MPEG2 container, and the demux recovers
+    dims / frame count / plane stats matching an independent Python
+    replay of the generator's closed form — plane order and frame
+    order included."""
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        extract_video_features, synthesize_y4m_payload,
+    )
+    docs = spark.createDataFrame([(i,) for i in range(7)],
+                                 "doc_id long")
+    media = synthesize_y4m_payload(docs, "doc_id")
+    got = {r.media_id: r for r in
+           extract_video_features(media).collect()}
+    for i in range(7):
+        w, h, nf = 4 + i % 3, 2 + i % 3, 2 + i % 3
+        psum = wsum = 0
+        corner = None
+        for t in range(nf):
+            for y in range(h):
+                for x in range(w):
+                    yv = (i * 7 + x * 3 + y * 5 + t * 11) % 256
+                    uv = (i * 11 + x * 5 + y * 7 + t * 13) % 256
+                    vv = (i * 13 + x * 7 + y * 11 + t * 17) % 256
+                    psum += yv + uv + vv
+                    wsum += (x + 10 * y + 100 * t) * (yv + uv + vv)
+                    if x == 0 and y == 0 and t == 0:
+                        corner = yv * 65536 + uv * 256 + vv
+        row = got[i]
+        assert (row.width, row.height, row.n_frames) == (w, h, nf)
+        assert row.plane_sum == psum
+        assert row.corner_yuv == corner
+        assert row.wsum == wsum
+        # genuine container: ASCII stream header + per-frame
+        # 'FRAME\n' markers + three raw planes per frame
+        header = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n"
+        assert row.n_bytes == len(header) + nf * (6 + 3 * w * h)
+
+
+def test_y4m_real_frame_sample(spark):
+    """frame_sample(decode_stub=False) demuxes REAL frame boundaries:
+    one row per actual frame, offsets pointing at each FRAME marker,
+    per-frame luma sums matching the closed form."""
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        frame_sample, synthesize_y4m_payload,
+    )
+    docs = spark.createDataFrame([(5,)], "doc_id long")
+    media = synthesize_y4m_payload(docs, "doc_id")
+    rows = sorted(frame_sample(media, decode_stub=False).collect(),
+                  key=lambda r: r.frame_idx)
+    i = 5
+    w, h, nf = 4 + i % 3, 2 + i % 3, 2 + i % 3
+    assert [r.frame_idx for r in rows] == list(range(nf))
+    hdr = len(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n")
+    for t, r in enumerate(rows):
+        assert r.byte_offset == hdr + t * (6 + 3 * w * h)
+        assert r.y_sum == sum(
+            (i * 7 + x * 3 + y * 5 + t * 11) % 256
+            for y in range(h) for x in range(w))
+
+
+def test_y4m_decode_rejects_non_y4m_subsampled_and_malformed(spark):
+    """The honest boundary: compressed video mimes raise where ffmpeg
+    would be called, subsampled chroma (C420, the Y4M default) raises
+    too, and corrupt Y4M bytes raise a clear ValueError."""
+    import pytest
+    from serverless_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload, extract_video_features, frame_sample,
+    )
+    docs = spark.createDataFrame([(1, "not a video", "s")],
+                                 "doc_id long, text string, src string")
+    mp4 = attach_binary_payload(docs, "doc_id", "text", "src",
+                                mime="video/mp4")
+    with pytest.raises(Exception, match="ffmpeg"):
+        extract_video_features(mp4).collect()
+    with pytest.raises(Exception, match="ffmpeg"):
+        frame_sample(mp4, decode_stub=False).collect()
+    sub = spark.createDataFrame(
+        [(1, "YUV4MPEG2 W4 H2 F25:1 C420\n", "s")],
+        "doc_id long, text string, src string")
+    c420 = attach_binary_payload(sub, "doc_id", "text", "src",
+                                 mime="video/y4m")
+    with pytest.raises(Exception, match="C444"):
+        extract_video_features(c420).collect()
+    fake = attach_binary_payload(docs, "doc_id", "text", "src",
+                                 mime="video/y4m")
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        extract_video_features(fake).collect()
