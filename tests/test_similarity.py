@@ -673,3 +673,85 @@ def test_sign_lsh_plan_laws_and_integration(spark):
         n_tables=p["n_tables"], n_planes=p["n_planes"],
         multiprobe=p["multiprobe"], seed=42).collect()}
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_committed_pq_artifact_shape_and_margin_floors(spark):
+    """r12 (oracling the deterministic ANN tail): the committed PQ/IVF
+    artifact has the documented provenance shape, and the float-parity
+    safety floors the x4_pq_exact oracle relies on hold over the
+    fixture — every argmin/argmax margin and rounding-boundary
+    distance is >= 10 orders of magnitude above the ~1e-16
+    summation-order divergence between numpy and a sequential SQL
+    list_sum, so a cross-engine flip is impossible in practice."""
+    import numpy as np
+
+    from serverless_data_pipeline_spark.operators.similarity_artifact import (
+        IVF_COMMITTED_CENTROIDS, PQ_COMMITTED_CODEBOOKS, PQ_ORACLE_QUERY,
+    )
+    assert len(PQ_COMMITTED_CODEBOOKS) == 8
+    assert all(len(cb) == 16 for cb in PQ_COMMITTED_CODEBOOKS)
+    assert all(len(c) == 8 for cb in PQ_COMMITTED_CODEBOOKS for c in cb)
+    assert len(IVF_COMMITTED_CENTROIDS) == 16
+    assert all(len(c) == 64 for c in IVF_COMMITTED_CENTROIDS)
+    assert PQ_ORACLE_QUERY == [((i * 37) % 29 - 14) / 10.0
+                               for i in range(64)]
+    X = np.array([r.embedding for r in spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").collect()],
+        dtype=np.float64)
+    cbs = [np.asarray(cb) for cb in PQ_COMMITTED_CODEBOOKS]
+    for j, cb in enumerate(cbs):
+        d = (np.einsum("kd,kd->k", cb, cb)
+             - 2.0 * (X[:, j * 8:(j + 1) * 8] @ cb.T))
+        s = np.sort(d, axis=1)
+        assert (s[:, 1] - s[:, 0]).min() > 1e-9
+    cents = np.asarray(IVF_COMMITTED_CENTROIDS)
+    sc = (X @ cents.T) / np.linalg.norm(cents, axis=1)
+    ss = np.sort(sc, axis=1)
+    assert (ss[:, -1] - ss[:, -2]).min() > 1e-9
+    q = np.asarray(PQ_ORACLE_QUERY).reshape(8, 8)
+    codes = np.stack([
+        np.argmin(np.einsum("kd,kd->k", cbs[j], cbs[j])
+                  - 2.0 * (X[:, j * 8:(j + 1) * 8] @ cbs[j].T), axis=1)
+        for j in range(8)], axis=1)
+    ip = sum(cbs[j][codes[:, j]] @ q[j] for j in range(8))
+    en = sum(np.einsum("kd,kd->k", cbs[j], cbs[j])[codes[:, j]]
+             for j in range(8))
+    adc = ip / (np.sqrt(en) * np.linalg.norm(q))
+    gaps = np.diff(np.sort(adc))
+    assert gaps[gaps > 0].min() > 1e-12
+    assert np.abs(adc * 1e6 - np.floor(adc * 1e6) - 0.5).min() > 1e-6
+
+
+def test_pq_topk_committed_books_match_numpy_replay(spark):
+    """The production pq_topk(refine=0) probe over the COMMITTED
+    codebooks returns exactly what an independent numpy replay of
+    encode + ADC + (round6, id)-ordered top-k says — the same law the
+    driver's x4_pq_exact row checks cross-engine, pinned here at
+    sf0.001 grain."""
+    import numpy as np
+
+    from serverless_data_pipeline_spark.operators.similarity import pq_topk
+    from serverless_data_pipeline_spark.operators.similarity_artifact import (
+        PQ_COMMITTED_CODEBOOKS, PQ_ORACLE_QUERY,
+    )
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = df.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    cbs = [np.asarray(cb) for cb in PQ_COMMITTED_CODEBOOKS]
+    q = np.asarray(PQ_ORACLE_QUERY).reshape(8, 8)
+    codes = np.stack([
+        np.argmin(np.einsum("kd,kd->k", cbs[j], cbs[j])
+                  - 2.0 * (X[:, j * 8:(j + 1) * 8] @ cbs[j].T), axis=1)
+        for j in range(8)], axis=1)
+    ip = sum(cbs[j][codes[:, j]] @ q[j] for j in range(8))
+    en = sum(np.einsum("kd,kd->k", cbs[j], cbs[j])[codes[:, j]]
+             for j in range(8))
+    adc = np.round(ip / (np.sqrt(en) * np.linalg.norm(q)), 6)
+    want = sorted(zip(-adc, ids))[:10]
+    want = [(int(i), float(-a)) for a, i in want]
+    got = [(r.vec_id, r.cosine) for r in
+           pq_topk(df, "vec_id", "embedding", PQ_ORACLE_QUERY, k=10,
+                   codebooks=PQ_COMMITTED_CODEBOOKS, refine=0)
+           .collect()]
+    assert got == want
