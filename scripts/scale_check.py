@@ -415,6 +415,77 @@ def main() -> None:
             .agg(F.max("null_frac_delta"), F.max("vavg_delta"),
                  F.max("distinct_rate_delta")).first())
 
+        # Packing tick (r12 verdict #1): the log-structured packed
+        # state grows with the corpus, but an ORDINARY tick must read
+        # O(batch) — resume starts from the |shards|-row tail-manifest
+        # sidecar, never the state parquet. Evidence: bootstrap a
+        # state that grows with `factor`, then commit one FIXED
+        # 2k-doc batch. The manifest tick's wall must stay ~flat at
+        # 10x state; the manifest-stripped twin (the scan fallback —
+        # exactly the pre-r12 shape) pays the state scan and grows.
+        import shutil
+        import tempfile
+
+        from serverless_data_pipeline_spark.operators.corpus import (
+            commit_packed_batch,
+        )
+        pkw = dict(block_len=512, eos_id=1000, n_shards=32,
+                   compact_every=10**6)
+        ids40 = F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda i: F.pmod(F.xxhash64(F.col("id"), i),
+                             F.lit(1000)).cast("int"))
+        stdocs = (spark.range(20_000 * factor)
+                  .select(F.col("id").alias("doc_id"),
+                          ids40.alias("token_ids")))
+        tick_batch = (spark.range(2_000)
+                      .select((F.col("id") + 100_000_000)
+                              .alias("doc_id"),
+                              ids40.alias("token_ids")))
+        tick2 = (spark.range(2_000)
+                 .select((F.col("id") + 200_000_000).alias("doc_id"),
+                         ids40.alias("token_ids")))
+        sproot = tempfile.mkdtemp(prefix="spark_graft_packstate_")
+        try:
+            for variant in ("manifest", "scan"):
+                sp = f"{sproot}/{variant}"
+                commit_packed_batch(spark, stdocs, sp, 0, **pkw)
+                if variant == "scan":
+                    shutil.rmtree(f"{sp}/v000000000000/_tails")
+                # tick 1 warms codegen/JIT; tick 2 is the measured
+                # steady-state tick (for the scan twin, strip tick 1's
+                # manifest too so the fallback really rescans)
+                commit_packed_batch(spark, tick_batch, sp, 1, **pkw)
+                if variant == "scan":
+                    shutil.rmtree(f"{sp}/v000000000001/_tails")
+                r[f"packing_tick_{variant}"] = timed(
+                    lambda sp=sp: commit_packed_batch(
+                        spark, tick2, sp, 2, **pkw))
+        finally:
+            shutil.rmtree(sproot, ignore_errors=True)
+
+        # train_bpe at real vocab scale (r12 verdict #4): 4096 merges
+        # over the vocabulary-rich skew corpus (the natural fixtures
+        # saturate at ~110 merges — no pair occurs twice after that).
+        # The batched loop does 32 rounds of 128 disjoint merges, each
+        # round ONE pair-count aggregation + ONE guarded in-expression
+        # rewrite, words localCheckpoint'ed every round so no rewrite
+        # is ever evaluated twice (the r12-tuned defaults: the old
+        # every-4 cadence re-ran up to 3 rewrites per round — 259 s vs
+        # 144 s for 512 merges at 1x). Wall should track the word-
+        # frame size (~linear in corpus), never the merge count
+        # quadratically.
+        from serverless_data_pipeline_spark.operators.bpe import (
+            train_bpe,
+        )
+        learned = []
+
+        def _tb():
+            learned.extend(train_bpe(skew, "text", n_merges=4096,
+                                     merges_per_round=128))
+        r["train_bpe_4096"] = timed(_tb)
+        r["train_bpe_4096_learned"] = len(learned)
+
         # Relational flagships at amplified fact density (r5 verdict #7):
         # same plan shapes as __spark_entry__ q3/q5/q10 (dimension
         # broadcasts, pushed filters, TakeOrderedAndProject) with the
