@@ -1083,3 +1083,50 @@ def test_resume_raises_on_duplicate_distinct_tail_rows(spark):
         resume_token_blocks(state.unionByName(forged), newdocs,
                             "doc_id", "token_ids", block_len=5,
                             eos_id=99, n_shards=2).collect()
+
+
+def test_commit_packed_batch_random_tick_stream_equals_repack(
+        spark, tmp_path):
+    """Randomized composition pin (r12): a stream of ticks with mixed
+    batch sizes, a compaction mid-stream, and manifests randomly
+    stripped (forcing the scan fallback on some ticks) still converges
+    to exactly the one-shot repack — manifest path and scan path are
+    interchangeable at every step."""
+    import os
+    import random
+    import shutil
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        commit_packed_batch, latest_packed_state, pack_token_blocks,
+    )
+    rng = random.Random(1234)
+    kw = dict(block_len=7, eos_id=99, n_shards=3, compact_every=3)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, token_ids array<int>")
+
+    def key(rows):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rows}
+
+    sp = str(tmp_path / "state")
+    all_rows, nxt = [], 0
+    for tick in range(6):
+        n = rng.randint(1, 12)
+        batch = [(i, list(range(rng.randint(0, 9))))
+                 for i in range(nxt, nxt + n)]
+        nxt += n
+        all_rows += batch
+        assert commit_packed_batch(spark, mk(batch), sp, tick, **kw)
+        if rng.random() < 0.5:
+            # crash-simulate the manifest away on a random subset of
+            # versions — later ticks must fall back to the scan path
+            for d in os.listdir(sp):
+                t = os.path.join(sp, d, "_tails")
+                if d.startswith("v") and os.path.isdir(t) \
+                        and rng.random() < 0.5:
+                    shutil.rmtree(t)
+        assert key(latest_packed_state(spark, sp).collect()) == key(
+            pack_token_blocks(mk(all_rows), "doc_id", "token_ids",
+                              drop_last=False, block_len=7, eos_id=99,
+                              n_shards=3).collect())
