@@ -2217,6 +2217,8 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r12: the committed-artifact PQ/IVF-PQ oracle row (outside the
         # headline like btok/img) — attribute its probe cost
         "x4_pq_exact.all": _q_x4_pq_exact,
+        # r12: the SFT loss-mask companion arm
+        "x8_corpus_utils.lmask": _x8_flavour_lmask,
     }
 
 
@@ -2349,6 +2351,24 @@ def _x8_flavour_companions(spark, sf):
     e = reshuffle_blocks(blkraw, seed=1, epoch=2, num_shards=4).select(
         "shard", "block_id", F.col("pos").alias("n"))
     return p.unionByName(e)
+
+
+def _x8_flavour_lmask(spark, sf):
+    # times exactly the r12 lmask arm's incremental work beyond blk:
+    # one span-grain window + broadcast prompt join + one fine-keyed
+    # regroup back to block grain
+    from serverless_data_pipeline_spark.operators.corpus import (
+        block_loss_mask,
+    )
+    blkraw = _x8_flavour_blk(spark, sf).localCheckpoint(eager=False)
+    prompts = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(3)) != 0,
+               F.pmod("doc_id", F.lit(7))).alias("prompt_len"))
+    return block_loss_mask(blkraw, prompts, "doc_id",
+                           "prompt_len").select(
+        "shard", "block_id",
+        F.expr("aggregate(loss_mask, 0L, (s, x) -> s + x)").alias("n"))
 
 
 def _x8_flavour_btok(spark, sf):
@@ -3242,6 +3262,31 @@ def _q_x8_corpus_utils(spark, sf):
                            "sequence_ids",
                            lambda i: i.cast("string")), ","))
                        .cast("binary")).alias("h")))
+    # lmask arm (r12): block_loss_mask — the SFT label flags (prompt
+    # tokens 0, completion+EOS 1, flag gated on the WITHIN-DOC offset
+    # so a doc crossing a block boundary keeps counting). Prompt
+    # lengths are the planted closed form doc_id % 7 for doc_id % 3
+    # != 0 and NULL otherwise (the fully-trainable pretraining-doc
+    # path). Pure span arithmetic, so the oracle replays every flag
+    # at token grain: flag = (pos - doc_start) >= plen. c = trainable
+    # tokens per block, h = md5 of the comma-joined flags.
+    from serverless_data_pipeline_spark.operators.corpus import (
+        block_loss_mask,
+    )
+    prompts = docs.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(3)) != 0,
+               F.pmod("doc_id", F.lit(7))).alias("prompt_len"))
+    lmask = (block_loss_mask(blkraw, prompts, "doc_id", "prompt_len")
+             .select(F.lit("lmask").alias("kind"), nl.alias("doc_id"),
+                     F.col("shard").cast("long").alias("a"),
+                     F.col("block_id").cast("long").alias("b"),
+                     F.expr("aggregate(loss_mask, 0L, (s, x) -> s + x)")
+                      .alias("c"),
+                     F.md5(F.array_join(
+                         F.transform("loss_mask",
+                                     lambda i: i.cast("string")), ",")
+                           .cast("binary")).alias("h")))
     # eshuf arm (r11): reshuffle_blocks — the per-epoch deterministic
     # block reorder WITHOUT repacking (seed 1, epoch 2, 4 training
     # shards). The oracle recomputes the md5 epoch key and the SAME
@@ -3412,7 +3457,7 @@ def _q_x8_corpus_utils(spark, sf):
             .unionAll(wmix).unionAll(rep).unionAll(sheet)
             .unionAll(sheet2).unionAll(jac).unionAll(diff)
             .unionAll(tok).unionAll(ids).unionAll(blk)
-            .unionAll(pos).unionAll(eshuf)
+            .unionAll(pos).unionAll(lmask).unionAll(eshuf)
             .unionAll(rblk).unionAll(fert).unionAll(rtok)
             .unionAll(atok).unionAll(btok))
 
@@ -5936,6 +5981,25 @@ def oracle_sql() -> dict[str, str]:
                                      ORDER BY s) AS dr
                           FROM blktok)
                     GROUP BY shard, block_id),
+                  -- lmask arm (r12): block_loss_mask replay — a token
+                  -- at global stream pos p of a doc starting at s
+                  -- trains iff its within-doc offset p - s is at or
+                  -- past the doc's planted prompt length (doc_id % 7
+                  -- when doc_id % 3 != 0, else no prompt -> 0)
+                  lmaskg AS (
+                    SELECT shard, block_id,
+                           CAST(COUNT(*) AS BIGINT) AS nt,
+                           CAST(SUM(fl) AS BIGINT) AS c,
+                           md5(string_agg(CAST(fl AS VARCHAR),
+                                          ',' ORDER BY pos)) AS h
+                    FROM (SELECT shard, block_id, pos,
+                                 CASE WHEN (pos - s) >=
+                                      (CASE WHEN doc_id % 3 <> 0
+                                            THEN doc_id % 7
+                                            ELSE 0 END)
+                                      THEN 1 ELSE 0 END AS fl
+                          FROM blktok)
+                    GROUP BY shard, block_id),
                   -- eshuf arm (r11): reshuffle_blocks replay — the
                   -- SAME md5 epoch key ('seed:epoch:shard:block') and
                   -- hex-prefix shard expression the operator runs,
@@ -5973,6 +6037,10 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 'pos', CAST(NULL AS BIGINT), shard, block_id,
                          CAST(NULL AS BIGINT), h
                   FROM posg WHERE nt = {_X8_BLK_LEN}
+                  UNION ALL
+                  SELECT 'lmask', CAST(NULL AS BIGINT), shard,
+                         block_id, c, h
+                  FROM lmaskg WHERE nt = {_X8_BLK_LEN}
                   UNION ALL
                   SELECT 'eshuf', CAST(NULL AS BIGINT), shard,
                          block_id, ts,

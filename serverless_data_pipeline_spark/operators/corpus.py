@@ -21,7 +21,7 @@ __all__ = ["train_test_split", "leakage_safe_split", "vocabulary",
            "corpus_datasheet",
            "pack_sequences", "pack_token_blocks",
            "resume_token_blocks", "unpack_token_blocks",
-           "block_positions", "reshuffle_blocks",
+           "block_positions", "block_loss_mask", "reshuffle_blocks",
            "packing_stream", "commit_packed_batch",
            "latest_packed_state",
            "corpus_mix", "temperature_mix",
@@ -902,6 +902,75 @@ def reshuffle_blocks(blocks: DataFrame, *, seed: int = 0,
     w = Window.partitionBy(shard_col).orderBy(
         key_col, F.col(shard_in), F.col(block_col))
     return out.withColumn(pos_col, F.row_number().over(w))
+
+
+def block_loss_mask(blocks: DataFrame, prompts: DataFrame,
+                    id_col: str, prompt_col: str, *,
+                    ids_col: str = "ids",
+                    spans_col: str = "doc_spans",
+                    out_col: str = "loss_mask",
+                    broadcast_prompts: bool = True) -> DataFrame:
+    """The SFT trainer companion to ``block_positions`` (r12): per
+    packed block, an ``array<int>`` of 0/1 label flags — 1 exactly
+    where the CE loss should apply. A token trains iff its WITHIN-
+    DOCUMENT offset is at or past the document's prompt length (the
+    standard instruction-tuning discipline: prompt tokens are context,
+    completion tokens — the appended EOS included — are supervised);
+    pad positions (no covering span) are always 0, and a document with
+    no prompt row / a NULL prompt length trains everywhere (length 0),
+    so pretraining and SFT documents pack into the SAME blocks and the
+    mask sorts them out.
+
+    ``prompts`` is (id, prompt length in TOKENS) — at most one row per
+    document (the quota-frame contract); a prompt longer than the
+    document masks it entirely (an over-long prompt never underflows
+    into training on context).
+
+    Scale shape (the block_positions discipline): a span's document
+    offset is a window cumulative sum over SPAN-grain rows (one row
+    per doc per block it touches — ~docs + crossings, never token
+    grain) ordered by (shard, block, start); prompt lengths join at
+    that grain (broadcast by default — |SFT docs| rows; pass False
+    for a full-corpus prompt frame and the optimizer co-keys it); the
+    per-token flags are built in-expression (`transform`/`sequence`)
+    and regrouped to block grain by one fine-keyed groupBy + one
+    co-keyed join back onto the blocks. No token-grain shuffle, no
+    Python."""
+    span = (blocks.select(
+        "shard", "block_id", F.explode(spans_col).alias("__sp"))
+        .select("shard", "block_id",
+                F.col("__sp.start").alias("__start"),
+                F.col("__sp.len").alias("__len"),
+                F.col("__sp.doc_id").alias("__did")))
+    w = (Window.partitionBy("__did")
+         .orderBy("shard", "block_id", "__start")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    off = span.withColumn(
+        "__doff", F.coalesce(F.sum("__len").over(w),
+                             F.lit(0).cast("long")))
+    pr = prompts.select(F.col(id_col).alias("__did"),
+                        F.col(prompt_col).cast("long").alias("__plen"))
+    if broadcast_prompts:
+        pr = F.broadcast(pr)
+    j = off.join(pr, "__did", "left")
+    plen = F.coalesce(F.col("__plen"), F.lit(0).cast("long"))
+    flags = F.transform(
+        F.sequence(F.lit(1), F.col("__len")),
+        lambda k: ((F.col("__doff") + k - 1) >= plen).cast("int"))
+    parts = (j.select("shard", "block_id",
+                      F.struct(F.col("__start").alias("start"),
+                               flags.alias("m")).alias("__p"),
+                      F.col("__len"))
+             .groupBy("shard", "block_id")
+             .agg(F.array_sort(F.collect_list("__p")).alias("__parts"),
+                  F.sum("__len").cast("int").alias("__cov")))
+    mask = F.concat(
+        F.flatten(F.transform("__parts", lambda p: p["m"])),
+        F.array_repeat(F.lit(0).cast("int"),
+                       F.size(ids_col) - F.col("__cov")))
+    return (blocks.join(parts, ["shard", "block_id"])
+            .withColumn(out_col, mask)
+            .drop("__parts", "__cov"))
 
 
 def _packed_dirs(spark, state_path: str) -> list[tuple[int, bool, bool]]:

@@ -1488,3 +1488,75 @@ def test_reshuffle_blocks_laws(spark):
     assert set(s2) == ids and s2 != again
     with pytest.raises(ValueError, match="num_shards"):
         reshuffle_blocks(blk, num_shards=0)
+
+
+def test_block_loss_mask_hand_checked(spark):
+    """r12 SFT companion: a doc's within-stream offset gates the flag
+    — prompt tokens 0, completion tokens (EOS included) 1, pad tail 0,
+    a doc CROSSING a block boundary keeps counting its offset, a
+    prompt longer than the doc masks it entirely, and a NULL/missing
+    prompt row trains everywhere."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        block_loss_mask,
+    )
+    spans_t = "array<struct<start:int,len:int,doc_id:long>>"
+    rows = [
+        # block 0: doc 7 tokens 0-3 (prompt_len 2), doc 8 token 0
+        (0, 0, [10, 11, 12, 13, 20],
+         [{"start": 0, "len": 4, "doc_id": 7},
+          {"start": 4, "len": 1, "doc_id": 8}]),
+        # block 1: doc 8 continues (offsets 1-2; prompt_len 2 -> token
+        # at offset 2 trains), doc 9 fully masked (prompt 99 > len),
+        # doc 10 has no prompt row -> all train; 1 pad position
+        (0, 1, [21, 22, 30, 40, 0],
+         [{"start": 0, "len": 2, "doc_id": 8},
+          {"start": 2, "len": 1, "doc_id": 9},
+          {"start": 3, "len": 1, "doc_id": 10}]),
+    ]
+    blocks = spark.createDataFrame(
+        rows, f"shard int, block_id long, ids array<int>, "
+              f"doc_spans {spans_t}")
+    prompts = spark.createDataFrame(
+        [(7, 2), (8, 2), (9, 99), (11, None)],
+        "doc_id long, prompt_len int")
+    got = {r.block_id: r.loss_mask
+           for r in block_loss_mask(blocks, prompts, "doc_id",
+                                    "prompt_len").collect()}
+    assert got[0] == [0, 0, 1, 1, 0]
+    assert got[1] == [0, 1, 0, 1, 0]
+
+
+def test_block_loss_mask_composes_with_pack(spark):
+    """Over real pack_token_blocks output: the mask tiles every block,
+    and rebuilding each doc's flag stream through the spans matches
+    the per-doc closed form (offset >= prompt_len, EOS trainable when
+    the prompt is shorter than the stream)."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        block_loss_mask, pack_token_blocks,
+    )
+    docs = spark.createDataFrame(
+        [(i, list(range(100, 100 + (i % 7) + 1))) for i in range(30)],
+        "doc_id long, token_ids array<int>")
+    prompts = docs.selectExpr(
+        "doc_id", "CASE WHEN doc_id % 3 != 0 THEN doc_id % 7 END"
+        " AS prompt_len")
+    blk = pack_token_blocks(docs, "doc_id", "token_ids", block_len=5,
+                            eos_id=999, n_shards=2, drop_last=False)
+    out = block_loss_mask(blk, prompts, "doc_id", "prompt_len")
+    seen = {}
+    for r in out.collect():
+        assert len(r.loss_mask) == len(r.ids)
+        covered = 0
+        for s in sorted(r.doc_spans, key=lambda s: s.start):
+            seen.setdefault(s.doc_id, {})[
+                (r.shard, r.block_id, s.start)] = \
+                r.loss_mask[s.start:s.start + s.len]
+            covered += s.len
+        assert all(v == 0 for v in r.loss_mask[covered:])
+    for i in range(30):
+        n = (i % 7) + 1 + 1                      # ids + EOS
+        plen = i % 7 if i % 3 != 0 else 0
+        stream = []
+        for k in sorted(seen[i]):
+            stream.extend(seen[i][k])
+        assert stream == [1 if off >= plen else 0 for off in range(n)]
