@@ -133,8 +133,8 @@ def test_q10_dimension_broadcasts_and_pushdown(spark):
 
 def test_corpus_utils_plan_shape(spark):
     """x8 suite: the vocabulary arm keeps map-side partial counts and the
-    O(top_n) heap (no global sort); across all twenty-four arms exactly
-    twenty-six hash exchanges exist (the r10 rtok/atok and r11 btok
+    O(top_n) heap (no global sort); across all twenty-five arms exactly
+    twenty-nine hash exchanges exist (the r10 rtok/atok and r11 btok
     arms — raw-mode and byte-level encode + decode + round-trip
     compare — are deliberately NARROW end-to-end: one
     pandas-UDF projection plus foldable-map lookups each, zero
@@ -176,7 +176,12 @@ def test_corpus_utils_plan_shape(spark):
     corpus text — + the r11 eshuf arm's single train_shard position
     window (reshuffle_blocks' ONE exchange over block rows; the pos
     arm adds ZERO — position/sequence ids are in-expression span
-    arithmetic over the same checkpointed pack))
+    arithmetic over the same checkpointed pack) + the r12 lmask arm's
+    THREE: the span-grain doc-offset window (keyed on the doc id over
+    one row per doc per block touched), the flag regroup back to
+    (shard, block) grain, and the mask join back onto the blocks —
+    span/block-grain rows only, the prompt frame joins via broadcast,
+    never a token-grain or text-bearing shuffle)
     and three SinglePartition exchanges (the tmix and wmix all-rows
     totals windows over their |groups|-row sizes frames and jac's
     final one-row set-size aggregate — all tiny by construction; the
@@ -188,16 +193,22 @@ def test_corpus_utils_plan_shape(spark):
     plan = _plan(spark, "x8_corpus_utils")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") == 26
+    assert plan.count("Exchange hashpartitioning") == 29
     assert plan.count("Exchange SinglePartition") == 3
-    # exactly ONE SortMergeJoin is allowed AND it must be the diff
-    # arm's FULL OUTER itself (full outers cannot broadcast; SMJ is the
-    # correct physical op there) — pinning the join TYPE on the SMJ
-    # line keeps the original guard: a dim broadcast degrading to an
-    # inner/left SMJ still fails even while the full outer exists
+    # exactly TWO SortMergeJoins are allowed and both are pinned by
+    # type/keys: the diff arm's FULL OUTER (full outers cannot
+    # broadcast; SMJ is the correct physical op there) and the r12
+    # lmask arm's block-grain mask join back onto the packed blocks —
+    # keyed on (shard, block_id), where the flag-regroup side is
+    # ALREADY partitioned on exactly those keys (its exchange is
+    # counted above) and the frame is block-grain, deliberately NOT
+    # broadcast (at 100 TB it is the block count). A dim broadcast
+    # degrading to any OTHER SMJ still fails the count.
     import re as _re
-    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("SortMergeJoin") == 2
     assert _re.search(r"SortMergeJoin.*FullOuter", plan)
+    assert _re.search(
+        r"SortMergeJoin \[shard#\d+, block_id#\d+L\]", plan)
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
