@@ -1793,8 +1793,12 @@ def _q_x6_multimodal(spark, sf):
     from serverless_data_pipeline_spark.operators.multimodal import (
         extract_video_features, synthesize_y4m_payload,
     )
+    # checkpoint: the synthesized payloads feed TWO demux lineages
+    # (features + frame sampling) — without this the synthesis UDF,
+    # the arm's dominant cost, would run twice
     y4m = synthesize_y4m_payload(
-        _t(spark, sf, "documents").select("doc_id"), "doc_id")
+        _t(spark, sf, "documents").select("doc_id"), "doc_id") \
+        .localCheckpoint(eager=False)
     fsum = (frame_sample(y4m, decode_stub=False)
             .groupBy("media_id")
             .agg(F.sum((F.col("frame_idx") + 1) * F.col("y_sum"))
@@ -2405,7 +2409,8 @@ def _x6_flavour_vid(spark, sf):
         extract_video_features, frame_sample, synthesize_y4m_payload,
     )
     y4m = synthesize_y4m_payload(
-        _t(spark, sf, "documents").select("doc_id"), "doc_id")
+        _t(spark, sf, "documents").select("doc_id"), "doc_id") \
+        .localCheckpoint(eager=False)
     return extract_video_features(y4m).join(
         frame_sample(y4m, decode_stub=False)
         .groupBy("media_id")

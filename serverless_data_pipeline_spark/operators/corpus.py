@@ -1108,28 +1108,37 @@ def _claim_stream_marker(spark, state_path: str, stream_id: str) -> None:
     from serverless_data_pipeline_spark.operators.util import hadoop_fs
 
     fs, jp = hadoop_fs(spark, f"{state_path}/_STREAM")
-    if fs.exists(jp):
-        ins = fs.open(jp)
+    if not fs.exists(jp):
+        # ATOMIC claim: write a temp file then rename — a crash
+        # mid-write must never leave a truncated marker that would
+        # permanently lock out the rightful stream on restart
+        # (Hadoop/local rename is atomic and refuses an existing
+        # destination, so a concurrent claimant falls through to the
+        # compare below instead of clobbering)
+        _fs2, tmp = hadoop_fs(spark, f"{state_path}/_STREAM.claim")
+        out = fs.create(tmp, True)
         try:
-            existing = spark._jvm.org.apache.commons.io.IOUtils.toString(
-                ins, "UTF-8")
+            out.write(bytearray(stream_id.encode("utf-8")))
         finally:
-            ins.close()
-        if existing != stream_id:
-            raise ValueError(
-                f"packed state at {state_path} is owned by stream "
-                f"{existing!r} but this commit carries stream_id "
-                f"{stream_id!r} — tick ids from a different stream/"
-                "checkpoint would collide with committed versions and "
-                "be dropped as replays; use a fresh state root (or "
-                "delete the _STREAM marker to transfer ownership "
-                "deliberately)")
-        return
-    out = fs.create(jp, True)
+            out.close()
+        if fs.rename(tmp, jp):
+            return
+        fs.delete(tmp, False)          # lost the race — verify below
+    ins = fs.open(jp)
     try:
-        out.write(bytearray(stream_id.encode("utf-8")))
+        existing = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            ins, "UTF-8")
     finally:
-        out.close()
+        ins.close()
+    if existing != stream_id:
+        raise ValueError(
+            f"packed state at {state_path} is owned by stream "
+            f"{existing!r} but this commit carries stream_id "
+            f"{stream_id!r} — tick ids from a different stream/"
+            "checkpoint would collide with committed versions and "
+            "be dropped as replays; use a fresh state root (or "
+            "delete the _STREAM marker to transfer ownership "
+            "deliberately)")
 
 
 def commit_packed_batch(spark, batch: DataFrame, state_path: str,
@@ -1311,6 +1320,15 @@ def packing_stream(spark, landing_path: str, schema, state_path: str,
         scheduled_batch_query,
     )
 
+    from serverless_data_pipeline_spark.operators.util import hadoop_fs
+
+    # ownership identity = the FULLY-QUALIFIED checkpoint URI, not the
+    # caller's spelling — restarting the same stream with a relative /
+    # absolute / trailing-slash / file:-scheme variant of the same
+    # checkpoint must keep owning the state root
+    ck_fs, ck_path = hadoop_fs(spark, str(checkpoint))
+    stream_id = ck_fs.makeQualified(ck_path).toString()
+
     def _tick(batch_df, tick_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -1319,7 +1337,7 @@ def packing_stream(spark, landing_path: str, schema, state_path: str,
             id_col=id_col, ids_col=ids_col, block_len=block_len,
             eos_id=eos_id, n_shards=n_shards, order_by=order_by,
             shard_col=shard_col, compact_every=compact_every,
-            stream_id=str(checkpoint))
+            stream_id=stream_id)
 
     return scheduled_batch_query(
         spark, landing_path, schema, _tick, checkpoint,

@@ -695,31 +695,37 @@ def test_committed_pq_artifact_shape_and_margin_floors(spark):
     assert all(len(c) == 64 for c in IVF_COMMITTED_CENTROIDS)
     assert PQ_ORACLE_QUERY == [((i * 37) % 29 - 14) / 10.0
                                for i in range(64)]
-    X = np.array([r.embedding for r in spark.read.parquet(
-        "/root/testdata/sf0.001/embeddings.parquet").collect()],
-        dtype=np.float64)
     cbs = [np.asarray(cb) for cb in PQ_COMMITTED_CODEBOOKS]
-    for j, cb in enumerate(cbs):
-        d = (np.einsum("kd,kd->k", cb, cb)
-             - 2.0 * (X[:, j * 8:(j + 1) * 8] @ cb.T))
-        s = np.sort(d, axis=1)
-        assert (s[:, 1] - s[:, 0]).min() > 1e-9
     cents = np.asarray(IVF_COMMITTED_CENTROIDS)
-    sc = (X @ cents.T) / np.linalg.norm(cents, axis=1)
-    ss = np.sort(sc, axis=1)
-    assert (ss[:, -1] - ss[:, -2]).min() > 1e-9
     q = np.asarray(PQ_ORACLE_QUERY).reshape(8, 8)
-    codes = np.stack([
-        np.argmin(np.einsum("kd,kd->k", cbs[j], cbs[j])
-                  - 2.0 * (X[:, j * 8:(j + 1) * 8] @ cbs[j].T), axis=1)
-        for j in range(8)], axis=1)
-    ip = sum(cbs[j][codes[:, j]] @ q[j] for j in range(8))
-    en = sum(np.einsum("kd,kd->k", cbs[j], cbs[j])[codes[:, j]]
-             for j in range(8))
-    adc = ip / (np.sqrt(en) * np.linalg.norm(q))
-    gaps = np.diff(np.sort(adc))
-    assert gaps[gaps > 0].min() > 1e-12
-    assert np.abs(adc * 1e6 - np.floor(adc * 1e6) - 0.5).min() > 1e-6
+    # pin the floors on EVERY fixture the oracle comparison can run
+    # against — sf0.01 is the driver's correctness gate, sf0.1 the
+    # bench/sweep tier (the docstring quotes those measured margins)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        X = np.array([r.embedding for r in spark.read.parquet(
+            f"/root/testdata/{sf}/embeddings.parquet").collect()],
+            dtype=np.float64)
+        for j, cb in enumerate(cbs):
+            d = (np.einsum("kd,kd->k", cb, cb)
+                 - 2.0 * (X[:, j * 8:(j + 1) * 8] @ cb.T))
+            s = np.sort(d, axis=1)
+            assert (s[:, 1] - s[:, 0]).min() > 1e-9, sf
+        sc = (X @ cents.T) / np.linalg.norm(cents, axis=1)
+        ss = np.sort(sc, axis=1)
+        assert (ss[:, -1] - ss[:, -2]).min() > 1e-9, sf
+        codes = np.stack([
+            np.argmin(np.einsum("kd,kd->k", cbs[j], cbs[j])
+                      - 2.0 * (X[:, j * 8:(j + 1) * 8] @ cbs[j].T),
+                      axis=1)
+            for j in range(8)], axis=1)
+        ip = sum(cbs[j][codes[:, j]] @ q[j] for j in range(8))
+        en = sum(np.einsum("kd,kd->k", cbs[j], cbs[j])[codes[:, j]]
+                 for j in range(8))
+        adc = ip / (np.sqrt(en) * np.linalg.norm(q))
+        gaps = np.diff(np.sort(adc))
+        assert gaps[gaps > 0].min() > 1e-12, sf
+        assert np.abs(adc * 1e6 - np.floor(adc * 1e6)
+                      - 0.5).min() > 1e-6, sf
 
 
 def test_pq_topk_committed_books_match_numpy_replay(spark):

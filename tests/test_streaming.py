@@ -920,8 +920,11 @@ def test_packing_stream_end_to_end(spark, tmp_path):
             "doc_id", "token_ids", drop_last=False, **kw).collect())
 
 def test_packing_stream_pins_state_root_ownership(spark, tmp_path):
-    """r11 ADVICE: the stream writes a _STREAM ownership marker; the
-    end-to-end run leaves it in the state root."""
+    """r11 ADVICE: the stream writes a _STREAM ownership marker — the
+    FULLY-QUALIFIED checkpoint URI, so restarting the same stream with
+    a differently-SPELLED path to the same checkpoint (trailing slash,
+    file: scheme) keeps owning the root instead of locking itself
+    out."""
     import json
     import os
     from serverless_data_pipeline_spark.operators.corpus import (
@@ -939,7 +942,21 @@ def test_packing_stream_pins_state_root_ownership(spark, tmp_path):
     q.awaitTermination(120)
     assert os.path.exists(f"{sp}/_STREAM")
     with open(f"{sp}/_STREAM") as fh:
-        assert fh.read() == str(tmp_path / "ck")
+        got = fh.read()
+    assert got.startswith("file:")
+    assert got.endswith(str(tmp_path / "ck"))
+    # same checkpoint, different spellings: still the rightful owner
+    for spelling in (str(tmp_path / "ck") + "/",
+                     "file://" + str(tmp_path / "ck")):
+        with open(land / f"b_{len(spelling)}.jsonl", "w") as fh:
+            fh.write(json.dumps(
+                {"doc_id": 2 + len(spelling), "token_ids": [4, 5]})
+                + "\n")
+        q = packing_stream(
+            spark, str(land), "doc_id long, token_ids array<int>",
+            sp, spelling, available_now=True,
+            block_len=5, eos_id=99, n_shards=2)
+        q.awaitTermination(120)   # raises through the stream if denied
 
 
 def test_commit_packed_batch_tail_manifest_makes_tick_state_free(
