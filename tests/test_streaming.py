@@ -1147,3 +1147,43 @@ def test_commit_packed_batch_random_tick_stream_equals_repack(
             pack_token_blocks(mk(all_rows), "doc_id", "token_ids",
                               drop_last=False, block_len=7, eos_id=99,
                               n_shards=3).collect())
+
+
+def test_commit_packed_batch_manifest_with_custom_shard_and_order(
+        spark, tmp_path):
+    """The tail-manifest path composes with training-order packing
+    (shard_col/order_by — the global_shuffle discipline): ticks resume
+    from the manifest under custom sharding and the merged state still
+    equals the one-shot repack with the same layout."""
+    from serverless_data_pipeline_spark.operators.corpus import (
+        commit_packed_batch, latest_packed_state, pack_token_blocks,
+    )
+    kw = dict(block_len=5, eos_id=99, n_shards=2, order_by="pos",
+              shard_col="tshard")
+    schema = ("doc_id long, token_ids array<int>, tshard int, "
+              "pos long")
+
+    def rows(lo, hi):
+        # custom shard = doc_id % 3, order = reversed within shard
+        # (ordering must still be append-only ACROSS batches per the
+        # resume contract: later batches carry larger pos)
+        return [(i, list(range(i % 4 + 1)), i % 3, lo + hi - i)
+                for i in range(lo, hi)]
+
+    def key(rws):
+        return {(r.shard, r.block_id, tuple(r.ids),
+                 tuple((s.start, s.len, s.doc_id)
+                       for s in r.doc_spans)) for r in rws}
+
+    mk = lambda r: spark.createDataFrame(r, schema)  # noqa: E731
+    sp = str(tmp_path / "state")
+    a, b = rows(0, 9), rows(100, 108)
+    assert commit_packed_batch(spark, mk(a), sp, 0,
+                               compact_every=100, **kw)
+    assert commit_packed_batch(spark, mk(b), sp, 1,
+                               compact_every=100, **kw)
+    assert key(latest_packed_state(spark, sp).collect()) == key(
+        pack_token_blocks(mk(a + b), "doc_id", "token_ids",
+                          drop_last=False, block_len=5, eos_id=99,
+                          n_shards=2, order_by="pos",
+                          shard_col="tshard").collect())
