@@ -4512,33 +4512,34 @@ def _x4_pq_sql() -> str:
                          sqrt(list_sum(list_transform(e.emb,
                              x -> x * x))) AS nrm
                   FROM e, qv)),
-        -- IVF coarse cells: argmax of (x.c)/||c|| (norm 0 -> 1), ties
-        -- to the LOWEST cell like np.argmax; all-zero vectors score
-        -- 0 everywhere and land in cell 0
+        -- centroid norms once (norm 0 -> 1, argmax_cell_udf's guard)
+        centn AS (
+            SELECT ci, cv, CASE WHEN n0 = 0 THEN 1 ELSE n0 END AS cn
+            FROM (SELECT ci, cv,
+                         sqrt(list_sum(list_transform(
+                             cv, x -> x * x))) AS n0
+                  FROM cent)),
+        -- IVF coarse cells: argmax of (x.c)/||c||, ties to the LOWEST
+        -- cell like np.argmax; all-zero vectors score 0 everywhere
+        -- and land in cell 0
         cells AS (
             SELECT vec_id,
                    (list(ci ORDER BY score DESC, ci))[1] AS cell
-            FROM (SELECT e.vec_id, cent.ci,
+            FROM (SELECT e.vec_id, centn.ci,
                          list_sum(list_transform(range(1, 65),
-                             i -> e.emb[i] * cent.cv[i]))
-                         / (CASE WHEN sqrt(list_sum(list_transform(
-                                cent.cv, x -> x * x))) = 0 THEN 1
-                            ELSE sqrt(list_sum(list_transform(
-                                cent.cv, x -> x * x))) END) AS score
-                  FROM e, cent)
+                             i -> e.emb[i] * centn.cv[i]))
+                         / centn.cn AS score
+                  FROM e, centn)
             GROUP BY vec_id),
         -- the query's n_probe=4 nearest cells by cosine (sim DESC,
         -- cell ASC — _probe_cells' order)
         probe AS (
             SELECT ci FROM (
-                SELECT cent.ci,
+                SELECT centn.ci,
                        list_sum(list_transform(range(1, 65),
-                           i -> q[i] * cent.cv[i]))
-                       / ((CASE WHEN sqrt(list_sum(list_transform(
-                              cent.cv, x -> x * x))) = 0 THEN 1
-                           ELSE sqrt(list_sum(list_transform(
-                              cent.cv, x -> x * x))) END) * qn) AS sim
-                FROM cent, qv)
+                           i -> q[i] * centn.cv[i]))
+                       / (centn.cn * qn) AS sim
+                FROM centn, qv)
             ORDER BY sim DESC, ci LIMIT 4),
         short AS (
             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY a DESC, vec_id)

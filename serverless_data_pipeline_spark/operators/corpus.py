@@ -1042,7 +1042,8 @@ def latest_packed_state(spark, state_path: str) -> DataFrame:
 
 
 def _write_tail_manifest(spark, vdir: str, out_col: str = "ids",
-                         spans_col: str = "doc_spans") -> None:
+                         spans_col: str = "doc_spans",
+                         frame: DataFrame | None = None) -> None:
     """The |shards|-row tail-manifest sidecar (r12, the last per-tick
     scale cliff in the packing loop): each version directory carries
     ``_tails/`` — one row per shard holding that shard's NEW tail
@@ -1060,8 +1061,13 @@ def _write_tail_manifest(spark, vdir: str, out_col: str = "ids",
     readers (Hadoop hides ``_``/``.`` paths), and it is written AFTER
     the version's parquet commit — a crash in between leaves a
     committed version without a manifest, which the read path treats
-    as "fall back to the one-pass state scan"."""
-    just = spark.read.parquet(vdir)
+    as "fall back to the one-pass state scan".
+
+    ``frame`` (compaction ticks): aggregate this O(batch) frame —
+    which by the invariant above carries every shard's new tail, the
+    resume output — instead of reading back the ENTIRE just-written
+    full directory only to discard all but |shards| rows."""
+    just = frame if frame is not None else spark.read.parquet(vdir)
     (just.groupBy("shard")
          .agg(F.max("block_id").alias("block_id"),
               F.max_by(F.col(out_col), F.col("block_id")).alias(out_col),
@@ -1275,7 +1281,7 @@ def commit_packed_batch(spark, batch: DataFrame, state_path: str,
                 .filter(F.col("block_id") < F.col("__tb"))
                 .drop("__tb"))
         keep.unionByName(out).write.mode("overwrite").parquet(vdir)
-        _write_tail_manifest(spark, vdir)
+        _write_tail_manifest(spark, vdir, frame=out)
         fs.create(jpath(vdir + "/_FULL"), True).close()
         for v, _ok, _f in dirs:
             if v < tick_id:
