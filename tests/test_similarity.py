@@ -761,3 +761,25 @@ def test_pq_topk_committed_books_match_numpy_replay(spark):
                    codebooks=PQ_COMMITTED_CODEBOOKS, refine=0)
            .collect()]
     assert got == want
+
+
+def test_committed_pq_codebooks_match_documented_provenance(spark):
+    """The artifact IS its provenance (the bpe_artifact discipline):
+    re-running the exact documented training call over the sf0.01
+    fixture and rounding to 6 decimals reproduces
+    PQ_COMMITTED_CODEBOOKS bit-for-bit — the committed literal cannot
+    silently drift from the code that claims to have produced it.
+    (Pure numpy Lloyd over a deterministic ORDER BY vec_id sample —
+    no partitioning sensitivity.)"""
+    from serverless_data_pipeline_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+    from serverless_data_pipeline_spark.operators.similarity_artifact import (
+        PQ_COMMITTED_CODEBOOKS,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = train_pq_codebooks(e, "embedding", dim=64, m=8, ksub=16,
+                               seed=42, sample_n=2048, id_col="vec_id")
+    got = [[[round(float(v), 6) for v in c] for c in cb]
+           for cb in books]
+    assert got == PQ_COMMITTED_CODEBOOKS
