@@ -470,8 +470,9 @@ def main() -> None:
         # The batched loop does 32 rounds of 128 disjoint merges, each
         # round ONE pair-count aggregation + ONE guarded in-expression
         # rewrite, words localCheckpoint'ed every round so no rewrite
-        # is ever evaluated twice (the r12-tuned defaults: the old
-        # every-4 cadence re-ran up to 3 rewrites per round — 259 s vs
+        # is ever evaluated twice (the r12-tuned defaults: a sparser
+        # every-4 cadence — the pre-r12 default was 8 — re-ran up to 3
+        # rewrites per round when measured: 259 s vs
         # 144 s for 512 merges at 1x). Wall should track the word-
         # frame size (~linear in corpus), never the merge count
         # quadratically.

@@ -97,8 +97,9 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     the next round's pair count, so every rewrite is EVALUATED
     EXACTLY ONCE — with a sparser cadence, each round's eager pair
     collect re-runs all rewrites since the last checkpoint (512
-    merges on the vocabulary-rich scale fixture: 259 s at the old
-    every-4 default vs 144 s at 1, merges_per_round=64). Raise it
+    merges on the vocabulary-rich scale fixture: 259 s measured at a
+    sparser every-4 cadence — the pre-r12 default was 8, costlier
+    still — vs 144 s at 1, merges_per_round=64). Raise it
     only when checkpoint write I/O, not recompute, dominates.
 
     ``merges_per_round`` > 1 is the batched variant for when the

@@ -9,6 +9,8 @@ unchanged against a 100 TB `documents` table.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1093,7 +1095,23 @@ def _read_tail_manifest(spark, vdir: str, L: int,
         return None
     mf = spark.read.parquet(md)
     tails = []
+    seen_shards: set[int] = set()
     for r in mf.collect():
+        if int(r["shard"]) in seen_shards:
+            # mirror the scan path's corrupt-state raise (r12 ADVICE):
+            # the writer groupBys on shard so it can't emit two rows
+            # for one shard, but a hand-edited/corrupt sidecar with a
+            # duplicate shard would otherwise feed conflicting prior
+            # offsets into _resume_from_tails and silently mis-offset
+            # that shard — the manifest fast path must be no weaker
+            # than the scan fallback it replaces
+            raise ValueError(
+                f"corrupt tail manifest at {md}: shard {r['shard']} "
+                "appears more than once — a resume from an arbitrary "
+                "survivor would silently mis-offset the shard; delete "
+                "the _tails sidecar to force the one-pass state scan, "
+                "or rebuild the state")
+        seen_shards.add(int(r["shard"]))
         _validate_packed_tail(r["shard"], r["block_id"], r[out_col],
                               r[spans_col], L)
         tails.append((int(r["shard"]), int(r["block_id"]),
@@ -1115,21 +1133,28 @@ def _claim_stream_marker(spark, state_path: str, stream_id: str) -> None:
 
     fs, jp = hadoop_fs(spark, f"{state_path}/_STREAM")
     if not fs.exists(jp):
-        # ATOMIC claim: write a temp file then rename — a crash
-        # mid-write must never leave a truncated marker that would
-        # permanently lock out the rightful stream on restart
-        # (Hadoop/local rename is atomic and refuses an existing
-        # destination, so a concurrent claimant falls through to the
-        # compare below instead of clobbering)
-        _fs2, tmp = hadoop_fs(spark, f"{state_path}/_STREAM.claim")
+        # Claim: write a temp file then rename, then VERIFY by
+        # re-reading the marker. A crash mid-write must never leave a
+        # truncated marker that would permanently lock out the
+        # rightful stream on restart. The temp name is derived from
+        # the claimant's identity so two racing first-claimants never
+        # clobber each other's temp file, and we do NOT trust
+        # rename()'s return value as proof of winning: on the local
+        # filesystem Hadoop rename maps to POSIX rename(2), which
+        # silently REPLACES an existing destination — both racers can
+        # see True. The compare below is the real arbiter either way
+        # (last writer's id ends up in the marker; the other raises).
+        suffix = hashlib.sha256(stream_id.encode("utf-8")).hexdigest()[:16]
+        _fs2, tmp = hadoop_fs(spark,
+                              f"{state_path}/_STREAM.claim.{suffix}")
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(stream_id.encode("utf-8")))
         finally:
             out.close()
-        if fs.rename(tmp, jp):
-            return
-        fs.delete(tmp, False)          # lost the race — verify below
+        if not fs.rename(tmp, jp):
+            fs.delete(tmp, False)      # lost the race outright
+        # fall through: verify-after-claim — re-read and compare
     ins = fs.open(jp)
     try:
         existing = spark._jvm.org.apache.commons.io.IOUtils.toString(

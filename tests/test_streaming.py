@@ -1187,3 +1187,86 @@ def test_commit_packed_batch_manifest_with_custom_shard_and_order(
                           drop_last=False, block_len=5, eos_id=99,
                           n_shards=2, order_by="pos",
                           shard_col="tshard").collect())
+
+
+def test_read_tail_manifest_raises_on_duplicate_shard_rows(
+        spark, tmp_path):
+    """r12 ADVICE / verdict #3: the manifest fast path must be no
+    weaker than the scan fallback — a corrupt _tails sidecar carrying
+    TWO rows for one shard raises instead of silently feeding
+    conflicting prior offsets into the resume."""
+    import shutil
+
+    import pytest
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        _read_tail_manifest, commit_packed_batch,
+    )
+    kw = dict(block_len=5, eos_id=99, n_shards=2, compact_every=100)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, token_ids array<int>")
+    a = [(i, list(range(i % 4 + 1))) for i in range(8)]
+    sp = str(tmp_path / "state")
+    assert commit_packed_batch(spark, mk(a), sp, 0, **kw)
+    vd = f"{sp}/v000000000000"
+    mf = spark.read.parquet(f"{vd}/_tails")
+    (mf.unionByName(mf.limit(1)).coalesce(1)
+       .write.mode("overwrite").parquet(f"{vd}/_tails_forged"))
+    shutil.rmtree(f"{vd}/_tails")
+    shutil.move(f"{vd}/_tails_forged", f"{vd}/_tails")
+    with pytest.raises(ValueError, match="appears more than once"):
+        _read_tail_manifest(spark, vd, 5)
+    # and the next tick surfaces it instead of committing mis-offsets
+    with pytest.raises(ValueError, match="appears more than once"):
+        commit_packed_batch(spark, mk([(100, [1, 2])]), sp, 1, **kw)
+
+
+def test_claim_stream_marker_verifies_after_claim(
+        spark, tmp_path, monkeypatch):
+    """r12 ADVICE: a winning rename(2) is NOT proof of winning the
+    claim — on local filesystems rename silently REPLACES an existing
+    destination, and a racing claimant can land after ours. The claim
+    re-reads the marker and compares (verify-after-claim): a claimant
+    whose id is no longer in the marker raises instead of proceeding
+    unchecked."""
+    import pytest
+
+    from serverless_data_pipeline_spark.operators import util
+    from serverless_data_pipeline_spark.operators.corpus import (
+        _claim_stream_marker,
+    )
+    real = util.hadoop_fs
+    sp = str(tmp_path / "state")
+
+    class RaceFS:
+        """Delegate to the real JVM fs, but land an interloper's
+        marker immediately after our rename — the lost-race
+        interleaving that rename()'s return value cannot see."""
+
+        def __init__(self, fs, marker):
+            self._fs, self._marker = fs, marker
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+        def rename(self, src, dst):
+            ok = self._fs.rename(src, dst)
+            out = self._fs.create(self._marker, True)
+            out.write(bytearray(b"ck-INTERLOPER"))
+            out.close()
+            return ok
+
+    def patched(s, path):
+        fs, jp = real(s, path)
+        if path.endswith("/_STREAM"):
+            return RaceFS(fs, jp), jp
+        return fs, jp
+
+    monkeypatch.setattr(util, "hadoop_fs", patched)
+    with pytest.raises(ValueError, match="owned by stream"):
+        _claim_stream_marker(spark, sp, "ck-A")
+    monkeypatch.undo()
+    # the marker holds the actual winner; the rightful owner proceeds
+    _claim_stream_marker(spark, sp, "ck-INTERLOPER")
+    with pytest.raises(ValueError, match="owned by stream"):
+        _claim_stream_marker(spark, sp, "ck-A")
