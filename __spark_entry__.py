@@ -1814,8 +1814,32 @@ def _q_x6_multimodal(spark, sf):
                                F.col("height").cast("string"),
                                F.col("n_frames").cast("string"))
                    .alias("h")))
+    # vid420 arm (r13, r12 verdict #2): the SAME demux contract over
+    # Y4M's own header-default colorspace — C420 chroma planes are
+    # (w/2)x(h/2), so a demuxer that assumed full-size planes reads
+    # into the next frame and fails the marker check; wsum weights
+    # each plane by ITS OWN grid, which the oracle replays with a
+    # separate luma/chroma closed-form expansion.
+    y4m420 = synthesize_y4m_payload(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id",
+        cspace="420").localCheckpoint(eager=False)
+    fsum420 = (frame_sample(y4m420, decode_stub=False)
+               .groupBy("media_id")
+               .agg(F.sum((F.col("frame_idx") + 1) * F.col("y_sum"))
+                    .alias("__fy")))
+    vid420 = (extract_video_features(y4m420).join(fsum420, "media_id")
+              .select(F.lit("vid420").alias("kind"),
+                      F.col("media_id").cast("string").alias("key"),
+                      F.col("plane_sum").alias("a"),
+                      F.col("corner_yuv").alias("b"),
+                      F.col("wsum").alias("c"),
+                      F.col("__fy").cast("double").alias("v"),
+                      F.concat_ws("x", F.col("width").cast("string"),
+                                  F.col("height").cast("string"),
+                                  F.col("n_frames").cast("string"))
+                      .alias("h")))
     return (media.unionAll(binary).unionAll(decoded).unionAll(img)
-            .unionAll(vid))
+            .unionAll(vid).unionAll(vid420))
 
 
 def _q_x4_pq_exact(spark, sf):
@@ -6778,7 +6802,69 @@ def oracle_sql() -> dict[str, str]:
                                                  2 + doc_id % 3 AS hh,
                                                  2 + doc_id % 3 AS nf
                                           FROM documents)))))
-            GROUP BY doc_id, w, hh, nf""",
+            GROUP BY doc_id, w, hh, nf
+            UNION ALL
+            -- vid420 half (r13): the same demux contract over Y4M's
+            -- header-default colorspace — C420 chroma planes are
+            -- (w/2)x(h/2) and wsum weights each plane by ITS OWN
+            -- top-down grid, so luma and chroma expand separately.
+            SELECT 'vid420' AS kind, CAST(l.doc_id AS VARCHAR) AS key,
+                   l.ysum + c.csum AS a,
+                   l.ycorner + c.ccorner AS b,
+                   l.ywsum + c.cwsum AS c,
+                   CAST(l.fy AS DOUBLE) AS v,
+                   CAST(l.w AS VARCHAR) || 'x' || CAST(l.hh AS VARCHAR)
+                       || 'x' || CAST(l.nf AS VARCHAR) AS h
+            FROM (SELECT doc_id, w, hh, nf,
+                         CAST(SUM(yv) AS BIGINT) AS ysum,
+                         CAST(SUM(CASE WHEN x = 0 AND y = 0 AND t = 0
+                                  THEN yv * 65536 ELSE 0 END) AS BIGINT)
+                             AS ycorner,
+                         CAST(SUM((x + 10 * y + 100 * t) * yv)
+                              AS BIGINT) AS ywsum,
+                         CAST(SUM((t + 1) * yv) AS BIGINT) AS fy
+                  FROM (SELECT doc_id, w, hh, nf, x, y, t,
+                               (doc_id * 7 + x * 3 + y * 5 + t * 11)
+                                   % 256 AS yv
+                        FROM (SELECT doc_id, w, hh, nf, x, y,
+                                     unnest(range(0, nf)) AS t
+                              FROM (SELECT doc_id, w, hh, nf, x,
+                                           unnest(range(0, hh)) AS y
+                                    FROM (SELECT doc_id, w, hh, nf,
+                                                 unnest(range(0, w))
+                                                     AS x
+                                          FROM (SELECT doc_id,
+                                                       4 + 2 * (doc_id % 3) AS w,
+                                                       2 + 2 * (doc_id % 3) AS hh,
+                                                       2 + doc_id % 3 AS nf
+                                                FROM documents)))))
+                  GROUP BY doc_id, w, hh, nf) l
+            JOIN (SELECT doc_id,
+                         CAST(SUM(uv + vv) AS BIGINT) AS csum,
+                         CAST(SUM(CASE WHEN x = 0 AND y = 0 AND t = 0
+                                  THEN uv * 256 + vv ELSE 0 END)
+                              AS BIGINT) AS ccorner,
+                         CAST(SUM((x + 10 * y + 100 * t) * (uv + vv))
+                              AS BIGINT) AS cwsum
+                  FROM (SELECT doc_id, x, y, t,
+                               (doc_id * 11 + x * 5 + y * 7 + t * 13)
+                                   % 256 AS uv,
+                               (doc_id * 13 + x * 7 + y * 11 + t * 17)
+                                   % 256 AS vv
+                        FROM (SELECT doc_id, cw, chh, nf, x, y,
+                                     unnest(range(0, nf)) AS t
+                              FROM (SELECT doc_id, cw, chh, nf, x,
+                                           unnest(range(0, chh)) AS y
+                                    FROM (SELECT doc_id, cw, chh, nf,
+                                                 unnest(range(0, cw))
+                                                     AS x
+                                          FROM (SELECT doc_id,
+                                                       2 + doc_id % 3 AS cw,
+                                                       1 + doc_id % 3 AS chh,
+                                                       2 + doc_id % 3 AS nf
+                                                FROM documents)))))
+                  GROUP BY doc_id) c
+            ON l.doc_id = c.doc_id""",
         "x10_decontaminate": (
             "WITH s AS (SELECT doc_id, text,"
             "                  CASE WHEN doc_id % 10 < 8 THEN 'train'"
