@@ -2235,6 +2235,10 @@ def bench_subqueries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_corpus_utils.blk": _x8_flavour_blk,
         "x8_corpus_utils.fert": _x8_flavour_fert,
         "x2_dedup_clusters.hquotaq": _x2_flavour_hquotaq,
+        # r13 (r12 verdict #6): the last two unattributed x2 arms —
+        # all 10 now carry per-arm warm bands in the README table
+        "x2_dedup_clusters.url": _x2_flavour_url,
+        "x2_dedup_clusters.hquota": _x2_flavour_hquota,
         # r11: the block trainer companions (pos + eshuf), the real
         # BMP image decode, and the byte-level tokenizer — attribute
         # each
@@ -2457,6 +2461,27 @@ def _x8_flavour_fert(spark, sf):
         "text", COMMITTED_MERGES, build_vocab(), byte_fallback=True)
     return tokenizer_fertility(encd, "text", "token_ids",
                                group_col="lang")
+
+
+def _x2_flavour_url(spark, sf):
+    # times exactly the url arm's plan: the messy-URL derivation +
+    # generated canonicalization (r13: per-arm band attribution —
+    # r12 verdict #6 — so a regression in one x2 arm can't hide
+    # inside the composite row's noise)
+    return _x2_curl(spark, sf)
+
+
+def _x2_flavour_hquota(spark, sf):
+    # times exactly the r9 hquota arm's plan: seeded md5-rank window
+    # sample under per-host caps over the canonical host map
+    from serverless_data_pipeline_spark.operators.urls import (
+        host_quota_sample, url_host_sql,
+    )
+    dochost = _x2_curl(spark, sf).select(
+        "doc_id", F.expr(url_host_sql("cu", "spark")).alias("host"))
+    return host_quota_sample(
+        dochost, {"src0.example.com": 5, "src1.example.com": 12},
+        default_quota=8, seed=7)
 
 
 def _x2_flavour_hquotaq(spark, sf):

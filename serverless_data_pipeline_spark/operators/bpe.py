@@ -14,11 +14,17 @@ Scale design — the shape that survives 100 TB:
   the distinct-word frequency table (|vocab| rows — millions, not
   trillions), exactly like the reference implementation's
   ``collections.Counter`` preprocessing, but distributed.
-- Each merge round is one tiny aggregation over that words frame
-  (pair-explode weighted by word count -> argmax) plus one narrow
-  array rewrite. The argmax collects ONE row per round (control-plane,
-  like PQ codebook training); the words frame is localCheckpoint'ed
-  every few rounds to keep the growing lineage from re-planning.
+- The merge loop itself runs over the |vocab|-row table, never the
+  corpus. Default (r13): when that table fits on the driver, the loop
+  is the exact single-node greedy every production trainer uses
+  (incremental pair counts + lazy max-heap — ~3 ms/merge measured),
+  because a distributed round pays ~1 s of job floor regardless of
+  data size. Fallback for unbounded vocabularies: each round is one
+  tiny aggregation over the words frame (pair-explode weighted by
+  word count -> argmax) plus one narrow Arrow-batched rewrite, with
+  disjoint-merge batching (merges_per_round) to amortize rounds; the
+  words frame is localCheckpoint'ed every round so no rewrite is
+  evaluated twice.
 - Encoding (``bpe_encode``) is an Arrow-batched pandas UDF applying the
   learned merge list with the reference greedy algorithm — one narrow
   pass, no shuffle, linear at any corpus size.
@@ -67,13 +73,119 @@ def _word_counts(df: DataFrame, text_col: str, *,
             .groupBy("w").agg(F.count("*").alias("n")))
 
 
+def _train_bpe_driver(seeded: list[tuple[list[str], int]],
+                      n_merges: int) -> list[tuple[str, str]]:
+    """The driver-side hot loop of ``train_bpe``: exact canonical
+    greedy BPE (Sennrich reference) over the collected distinct-word
+    frequency table, with incremental pair-count maintenance and a
+    lazy max-heap — the single-node structure every production BPE
+    trainer uses (HF tokenizers' trainer, SentencePiece's BPE mode),
+    because after the corpus-wide word count the merge loop's working
+    set is |vocab| rows, not corpus rows, and each merge's TRUE cost
+    is the handful of words containing the merged pair.
+
+    Exactness: ties break (count desc, then lexicographic (l, r)) and
+    each accepted pair rewrites its words in one left-to-right
+    non-overlapping pass — bit-identical to the distributed K=1 loop
+    (pinned by pytest against the classic Sennrich fixture, the
+    committed artifacts, and the distributed path directly). Stops
+    when no pair occurs twice. Cost: each successful merge re-scans
+    only the words holding that pair (tracked by an add-only inverted
+    index with lazy staleness checks), so total work is
+    O(sum of word-length^2) worst case — seconds for millions of
+    distinct words, vs ~1 s of distributed-job floor PER ROUND in the
+    cluster loop (measured r13 on the 200k-word scale fixture:
+    16,384 merges in ~53 s end to end, ~3 ms/merge, vs
+    0.095-0.15 s/MERGE distributed)."""
+    import heapq
+    from collections import Counter
+
+    words = [list(sym) for sym, _ in seeded]
+    freqs = [n for _, n in seeded]
+    pair_counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, sym in enumerate(words):
+        n = freqs[wi]
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            where.setdefault(p, set()).add(wi)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, p = heapq.heappop(heap)
+        c = pair_counts.get(p, 0)
+        if -negc != c:
+            continue                    # stale heap entry
+        if c < 2:
+            break                       # matches the distributed stop
+        l, r = p
+        tok = l + r
+        merges.append(p)
+        pair_counts.pop(p, None)
+        for wi in where.pop(p, ()):     # add-only index: superset
+            sym = words[wi]
+            n = freqs[wi]
+            # ONE left-to-right pass: rewrite and accumulate the
+            # neighbor-pair deltas AROUND each merge site (the classic
+            # incremental update) — no per-word recount, so a stale
+            # index entry (pair since consumed) costs one cheap scan
+            # and touches no count structures at all
+            delta: dict[tuple[str, str], int] = {}
+            out: list[str] = []
+            i, m_ = 0, len(sym)
+            while i < m_:
+                s = sym[i]
+                if s == l and i + 1 < m_ and sym[i + 1] == r:
+                    if out:
+                        a = out[-1]
+                        q = (a, l)
+                        delta[q] = delta.get(q, 0) - 1
+                        q = (a, tok)
+                        delta[q] = delta.get(q, 0) + 1
+                    if i + 2 < m_:
+                        b = sym[i + 2]
+                        q = (r, b)
+                        delta[q] = delta.get(q, 0) - 1
+                        q = (tok, b)
+                        delta[q] = delta.get(q, 0) + 1
+                    out.append(tok)
+                    i += 2
+                else:
+                    out.append(s)
+                    i += 1
+            if len(out) == m_:
+                continue                # stale: pair since consumed
+            words[wi] = out
+            for q, dq in delta.items():
+                # (l, r) itself never lands in delta: its removal is
+                # the pair_counts.pop(p) above, and a full left-to-
+                # right pass can never recreate it; a neighbor delta
+                # CAN hit (a, l) == p when a == l — that occurrence
+                # was already popped with p, so skip it here too
+                if not dq or q == p:
+                    continue
+                nc = pair_counts.get(q, 0) + dq * n
+                if nc <= 0:
+                    pair_counts.pop(q, None)
+                else:
+                    pair_counts[q] = nc
+                    heapq.heappush(heap, (-nc, q))
+                    if dq > 0:
+                        where.setdefault(q, set()).add(wi)
+    return merges
+
+
 def train_bpe(df: DataFrame, text_col: str = "text", *,
               n_merges: int = 32,
               checkpoint_every: int = 1,
               merges_per_round: int = 1,
               raw: bool = False,
               attach_ws: bool = False,
-              byte_level: bool = False) -> list[tuple[str, str]]:
+              byte_level: bool = False,
+              driver_side: bool | None = None,
+              driver_side_max_words: int = 4_000_000
+              ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from a corpus. Returns the
     ordered merge list [(left, right), ...] — the artifact a tokenizer
     ships (apply with ``bpe_encode``).
@@ -82,15 +194,32 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     (left, right), so the learned merges are independent of
     partitioning. Stops early when no pair occurs twice.
 
-    Cost note: each merge round is one tiny aggregation over the
-    distinct-WORD frame plus ONE driver round-trip (the top rows) —
-    inherent to BPE's sequential dependency, fine for offline vocab
-    training. Guidance at scale: train on a SAMPLE (BPE statistics
-    saturate quickly — a few hundred MB of text per language is the
-    standard practice, cf. SentencePiece's default input-sentence
-    cap), not the full 100 TB corpus; n_merges round-trips of one row
-    each are then negligible next to the single corpus-wide word
-    count.
+    Two execution paths share the one corpus-sized stage (the
+    distributed word count):
+
+    ``driver_side`` (r13, default AUTO): when the distinct-word table
+    fits (``<= driver_side_max_words`` rows) and the caller asked for
+    canonical K=1 training, the merge loop runs DRIVER-SIDE over the
+    collected (symbols, count) table with incremental pair-count
+    maintenance and a lazy max-heap (``_train_bpe_driver``) — the
+    structure HF tokenizers / SentencePiece use, because each merge's
+    true cost is the few words containing the pair, while a
+    distributed round pays ~1 s of job floor regardless. Measured on
+    the r13 scale fixture (200k distinct words): 16,384 merges in
+    ~53 s end to end (~3 ms/merge, word count + collect included) vs
+    0.095-0.15 s/MERGE in cluster rounds. Bit-identical to the
+    distributed K=1 loop (pytest-pinned). Pass ``driver_side=False``
+    to force cluster rounds (vocab too big to collect), ``True`` to
+    force the collect regardless of the gate.
+
+    Distributed path: each merge round is one tiny aggregation over
+    the distinct-WORD frame plus ONE driver round-trip (the top rows)
+    — inherent to BPE's sequential dependency. Guidance at scale:
+    train on a SAMPLE (BPE statistics saturate quickly — a few
+    hundred MB of text per language is the standard practice, cf.
+    SentencePiece's default input-sentence cap), not the full 100 TB
+    corpus; the word-count table for such a sample then also fits the
+    driver path, which is why AUTO collects it.
 
     ``checkpoint_every`` defaults to 1 (r12, measured at real merge
     counts): each round's words frame is localCheckpoint'ed before
@@ -169,6 +298,22 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
                           attach_ws=attach_ws or byte_level)
              .select(seed.alias("sym"), "n")
              .localCheckpoint(eager=False))
+    if driver_side is None:
+        # auto: the driver path IS the canonical K=1 algorithm, so it
+        # only ever replaces the K=1 loop (a user asking for batched
+        # rounds asked for the distributed batched semantics); the
+        # |vocab| gate keeps the collect bounded — one count() probe
+        # against the checkpointed frame, paid once per training run
+        driver_side = (merges_per_round == 1
+                       and words.count() <= driver_side_max_words)
+    if driver_side:
+        # Arrow-batched transfer (toPandas), not a py4j row collect —
+        # at millions of vocab rows the row path deserializes one
+        # object at a time and dominates the whole training run
+        pdf = words.toPandas()
+        return _train_bpe_driver(
+            list(zip(pdf["sym"].tolist(), pdf["n"].tolist())),
+            n_merges)
     merges: list[tuple[str, str]] = []
     rounds = 0
     while len(merges) < n_merges:
@@ -199,42 +344,33 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
         if not batch:
             break
         merges.extend(batch)
-        # rewrite each word's symbol array left-to-right: fold symbols
-        # into an accumulator, joining a pair wherever (prev == l and
-        # cur == r) — the exact reference greedy rewrite, in-expression;
-        # the batch's rules are symbol-disjoint, so at most one WHEN
-        # branch can fire at any position and order is immaterial
-        def make_rewrite(rules):
-            # NB: a plain 3-arg function (rules as a default) would
-            # change the HOF's inspected ARITY — PySpark passes as
-            # many Columns as the callable declares — so the rule
-            # list must bind via closure
-            def rewrite(acc, s):
-                expr = None
-                for l, r in rules:
-                    cond = ((F.size(acc) > 0)
-                            & (F.element_at(acc, -1) == l) & (s == r))
-                    hit = F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                                   F.array(F.lit(l + r)))
-                    expr = (F.when(cond, hit) if expr is None
-                            else expr.when(cond, hit))
-                return expr.otherwise(F.concat(acc, F.array(s)))
-            return rewrite
+        # rewrite each word's symbol array left-to-right, joining a
+        # pair wherever (prev, cur) hits one of the batch's rules —
+        # the exact reference greedy rewrite; the rules are
+        # symbol-disjoint, so at most one rule can fire at any
+        # position and application order is immaterial. Arrow-batched
+        # pandas UDF with a dict lookup per symbol: O(|sym|) per word
+        # INDEPENDENT of batch size, which measured ~35% faster than
+        # the r12 in-expression K-branch WHEN fold (interpreted HOF,
+        # O(|sym| x K) per word) at K=128 on the scale fixture — and
+        # lets merges_per_round grow without growing the plan.
+        rules = {(l, r): l + r for l, r in batch}
 
-        # touched-word guard (r12): the expensive per-symbol fold only
-        # runs on words that CONTAIN one of the batch's left symbols —
-        # a rule can only fire where its `l` occurs, so untouched
-        # words pass through by identity (exactness preserved). Mid-
-        # training most words match no rule in a given batch, and the
-        # guard (one arrays_overlap against a <=K-literal array) cuts
-        # the round's rewrite cost to the touched minority.
-        lefts = F.array(*[F.lit(l) for l in
-                          sorted({l for l, _r in batch})])
-        words = words.select(
-            F.when(F.arrays_overlap("sym", lefts),
-                   F.aggregate("sym", F.array().cast("array<string>"),
-                               make_rewrite(tuple(batch))))
-            .otherwise(F.col("sym")).alias("sym"), "n")
+        @F.pandas_udf("array<string>")
+        def _rw(col):
+            def one(sym):
+                out: list[str] = []
+                for s in sym:
+                    if out:
+                        t = rules.get((out[-1], s))
+                        if t is not None:
+                            out[-1] = t
+                            continue
+                    out.append(s)
+                return out
+            return col.map(one)
+
+        words = words.select(_rw("sym").alias("sym"), "n")
         rounds += 1
         if rounds % checkpoint_every == 0:
             words = words.localCheckpoint(eager=False)

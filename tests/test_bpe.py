@@ -1010,3 +1010,47 @@ def test_artifact_mode_self_description(tmp_path):
     load_artifact(legacy)  # fine
     with pytest.raises(ValueError, match="mode"):
         load_artifact(legacy, expect_mode="byte_level")
+
+
+def test_train_bpe_driver_equals_distributed_k1(spark):
+    """r13: the driver-side exact-greedy loop is bit-identical to the
+    distributed K=1 loop on every seeding mode — same ties, same
+    stop, same merges — so AUTO switching between them can never
+    change a learned artifact."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for kw in ({}, {"raw": True}, {"raw": True, "attach_ws": True},
+               {"byte_level": True}):
+        a = train_bpe(docs, "text", n_merges=24, driver_side=True, **kw)
+        b = train_bpe(docs, "text", n_merges=24, driver_side=False, **kw)
+        assert a == b, kw
+    # and on the classic Sennrich fixture, both equal the canon
+    canon = train_bpe(_classic(spark), "text", n_merges=8,
+                      driver_side=False)
+    assert train_bpe(_classic(spark), "text", n_merges=8,
+                     driver_side=True) == canon
+
+
+def test_train_bpe_driver_auto_gate(spark, monkeypatch):
+    """AUTO takes the driver path only for canonical K=1 requests
+    under the vocab cap: batched rounds keep the distributed batched
+    semantics, and a tiny cap forces the cluster loop."""
+    from serverless_data_pipeline_spark.operators import bpe as bpe_mod
+    calls = []
+    real = bpe_mod._train_bpe_driver
+
+    def spy(seeded, n_merges):
+        calls.append(len(seeded))
+        return real(seeded, n_merges)
+
+    monkeypatch.setattr(bpe_mod, "_train_bpe_driver", spy)
+    bpe_mod.train_bpe(_classic(spark), "text", n_merges=4)
+    assert len(calls) == 1              # K=1, small vocab -> driver
+    bpe_mod.train_bpe(_classic(spark), "text", n_merges=4,
+                      merges_per_round=3)
+    assert len(calls) == 1              # batched -> distributed
+    bpe_mod.train_bpe(_classic(spark), "text", n_merges=4,
+                      driver_side_max_words=2)
+    assert len(calls) == 1              # over the cap -> distributed
+    bpe_mod.train_bpe(_classic(spark), "text", n_merges=4,
+                      merges_per_round=3, driver_side=True)
+    assert len(calls) == 2              # explicit True wins the gate

@@ -783,3 +783,50 @@ def test_committed_pq_codebooks_match_documented_provenance(spark):
     got = [[[round(float(v), 6) for v in c] for c in cb]
            for cb in books]
     assert got == PQ_COMMITTED_CODEBOOKS
+
+
+def test_sign_lsh_planner_target_met_on_planted_set(spark):
+    """r12 verdict #5: the planner's predicted recall is ACHIEVED on a
+    planted neighbor set at the cosine the plan assumed. Deterministic
+    end to end (seeded numpy corpus, seeded LSH planes), so this pins
+    the planner model against the actual probe path rather than
+    sampling noise."""
+    import numpy as np
+
+    from serverless_data_pipeline_spark.operators.similarity import (
+        ann_topk, brute_force_topk, sign_lsh_plan,
+    )
+    rng = np.random.default_rng(7)
+    dim, cos_t = 64, 0.9
+    base = rng.standard_normal((500, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    queries = []
+    for qi in range(5):
+        v = base[qi] / np.linalg.norm(base[qi])
+        queries.append([float(x) for x in base[qi]])
+        for j in range(10):
+            w = rng.standard_normal(dim)
+            w -= (w @ v) * v
+            w /= np.linalg.norm(w)
+            u = cos_t * v + np.sqrt(1.0 - cos_t * cos_t) * w
+            rows.append((1000 + qi * 10 + j, [float(x) for x in u]))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    plan = sign_lsh_plan(0.85, cos_t)
+    assert plan["expected_recall"] >= 0.85
+    hit = tot = 0
+    for qv in queries:
+        exact = {r[0] for r in brute_force_topk(
+            df, "vec_id", "embedding", qv, k=10).collect()}
+        got = {r[0] for r in ann_topk(
+            df, "vec_id", "embedding", qv, k=10,
+            n_tables=plan["n_tables"], n_planes=plan["n_planes"],
+            multiprobe=plan["multiprobe"], seed=42).collect()}
+        hit += len(exact & got)
+        tot += len(exact)
+    achieved = hit / tot
+    # 50 planted Bernoulli trials at p = expected_recall: allow one
+    # std of sampling slack below the prediction, but never below the
+    # user's target minus that same slack
+    assert achieved >= plan["expected_recall"] - 0.1, (plan, achieved)
+    assert achieved >= 0.85 - 0.1, (plan, achieved)
