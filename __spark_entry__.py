@@ -343,25 +343,30 @@ def _q_t7_filter_project(spark, sf):
 
 # ============================================================== joins (J)
 
-def _q_j1_inner_join(spark, sf):
-    """J1 — inner equi-join orders ⋈ customer."""
-    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
-    return (o.join(c, o.o_custkey == c.c_custkey, "inner")
-             .groupBy("c_mktsegment")
-             .agg(F.count("*").alias("n_orders"),
-                  _dsum("o_totalprice", "revenue")))
-
-
 def _q_j2_outer_suite(spark, sf):
-    """J2 — left, right AND full outer joins in one tagged union
-    (registry consolidation, r4 verdict). The left/right halves keep all
-    customers from either syntactic side and aggregate identically (the
-    op coverage is the join types; the values cross-check each other);
-    the full-outer half joins per-nation customer/supplier counts with
+    """J1 + J2 — inner, left, right AND full outer joins in one tagged
+    union (registry consolidation, r4 verdict; the standalone
+    j1_inner_join row folded in r13 — verdict #4 — to restore the
+    two-free-slot registry policy). The inner/left/right halves join
+    the same orders ⋈ customer key and aggregate identically, so the
+    join TYPES are what the hash distinguishes: inner drops orderless
+    customers, left/right keep them (n_a = 0, NULL amount) from either
+    syntactic side — left ∖ inner is exactly the null-extension set, a
+    sharper cross-check than the old standalone inner row. The
+    full-outer half joins per-nation customer/supplier counts with
     rows unique to each side. Columns harmonized to (side, key, n_a,
     n_b, amount): outer rows carry (nationkey, n_cust, n_supp, NULL),
-    left/right rows carry (c_custkey, n_orders, NULL, total_spent)."""
+    inner/left/right rows carry (c_custkey, n_orders, NULL,
+    total_spent)."""
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    inner = (o.join(c, o.o_custkey == c.c_custkey, "inner")
+              .groupBy("c_custkey")
+              .agg(F.count("*").alias("n_a"),
+                   _dsum("o_totalprice", "amount"))
+              .select(F.lit("inner").alias("side"),
+                      F.col("c_custkey").cast("long").alias("key"),
+                      "n_a", F.lit(None).cast("long").alias("n_b"),
+                      "amount"))
     left = (c.join(o, c.c_custkey == o.o_custkey, "left")
              .groupBy("c_custkey")
              .agg(F.count("o_orderkey").alias("n_a"),
@@ -385,7 +390,7 @@ def _q_j2_outer_suite(spark, sf):
                     F.coalesce("c_nationkey", "s_nationkey").cast("long")
                      .alias("key"),
                     "n_a", "n_b", F.lit(None).cast("double").alias("amount")))
-    return left.unionAll(right).unionAll(full)
+    return inner.unionAll(left).unionAll(right).unionAll(full)
 
 
 def _q_j3_semi_anti_join(spark, sf):
@@ -4793,12 +4798,14 @@ def oracle_sql() -> dict[str, str]:
                    l_returnflag || '/' || l_linestatus AS flag_status
             FROM lineitem
             WHERE l_quantity >= 48 AND l_returnflag = 'R'""",
-        "j1_inner_join": f"""
-            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   {_DSUM_SQL.format(c='o_totalprice')} AS revenue
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_mktsegment""",
         "j2_outer_suite": f"""
+            SELECT 'inner' AS side, CAST(c_custkey AS BIGINT) AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n_a,
+                   CAST(NULL AS BIGINT) AS n_b,
+                   {_DSUM_SQL.format(c='o_totalprice')} AS amount
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey
+            UNION ALL
             SELECT 'left' AS side, CAST(c_custkey AS BIGINT) AS key,
                    CAST(COUNT(o_orderkey) AS BIGINT) AS n_a,
                    CAST(NULL AS BIGINT) AS n_b,

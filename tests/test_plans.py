@@ -49,9 +49,10 @@ def test_registry_fits_driver_correctness_window():
     instead of triggering another consolidation round. Any new query
     beyond the headroom must merge into an existing suite row. r12
     spent ONE reserve slot on x4_pq_exact (the r11 verdict's explicit
-    sanction: 'fold into an existing row or use one reserve slot'),
-    leaving one free below the window."""
-    assert len(entry_mod.queries()) <= 49
+    sanction: 'fold into an existing row or use one reserve slot');
+    r13 restored the two-slot reserve by folding j1_inner_join into
+    j2_outer_suite as its tagged `inner` arm (r12 verdict #4)."""
+    assert len(entry_mod.queries()) <= 48
 
 
 def test_readme_counts_match_registry():
