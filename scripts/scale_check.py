@@ -552,9 +552,12 @@ def main() -> None:
         # merges over the vocabulary-rich skew corpus. r12's
         # distributed batched loop measured 0.112 s/merge at 4,096
         # merges (460 s at 1x / 960 s at 10x); the driver loop's cost
-        # is the word count + collect (~linear in corpus) plus a
-        # near-constant merge loop, so s/merge collapses by ~2 orders
-        # of magnitude and a 32k-vocab run is minutes, not an hour.
+        # is the word count + collect (~linear in corpus) plus a merge
+        # loop that scales with |vocab| — NOT corpus rows — so s/merge
+        # collapses (r13 measured: 46 s at 1x / 583 s at 10x, i.e.
+        # 2.8->36 ms/merge; the 10x growth is this fixture's
+        # all-singleton vocab growing 10x by construction, the regime
+        # Heaps' law spares real corpora).
         from serverless_data_pipeline_spark.operators.bpe import (
             train_bpe,
         )

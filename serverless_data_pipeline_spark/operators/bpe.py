@@ -17,7 +17,7 @@ Scale design — the shape that survives 100 TB:
 - The merge loop itself runs over the |vocab|-row table, never the
   corpus. Default (r13): when that table fits on the driver, the loop
   is the exact single-node greedy every production trainer uses
-  (incremental pair counts + lazy max-heap — ~3 ms/merge measured),
+  (incremental pair counts + lazy max-heap — 2.8 ms/merge measured),
   because a distributed round pays ~1 s of job floor regardless of
   data size. Fallback for unbounded vocabularies: each round is one
   tiny aggregation over the words frame (pair-explode weighted by
@@ -91,12 +91,16 @@ def _train_bpe_driver(seeded: list[tuple[list[str], int]],
     committed artifacts, and the distributed path directly). Stops
     when no pair occurs twice. Cost: each successful merge re-scans
     only the words holding that pair (tracked by an add-only inverted
-    index with lazy staleness checks), so total work is
-    O(sum of word-length^2) worst case — seconds for millions of
-    distinct words, vs ~1 s of distributed-job floor PER ROUND in the
-    cluster loop (measured r13 on the 200k-word scale fixture:
-    16,384 merges in ~53 s end to end, ~3 ms/merge, vs
-    0.095-0.15 s/MERGE distributed)."""
+    index with lazy staleness checks), so total work scales with the
+    merged pairs' OCCURRENCE mass in the vocab — O(sum of
+    word-length^2) worst case, i.e. with |vocab|, never with corpus
+    rows — vs ~1 s of distributed-job floor PER ROUND in the cluster
+    loop (measured r13, SCALE_r13.json: 16,384 merges in 46 s over
+    the 200k-word scale fixture and 583 s over its 2M-word 10x
+    variant — 2.8-36 ms/merge, vs 0.095-0.15 s/MERGE distributed;
+    the 10x fixture grows the VOCAB 10x by construction — every
+    content word globally unique — where a real corpus's vocab
+    saturates far below corpus growth, Heaps' law)."""
     import heapq
     from collections import Counter
 
@@ -205,8 +209,9 @@ def train_bpe(df: DataFrame, text_col: str = "text", *,
     structure HF tokenizers / SentencePiece use, because each merge's
     true cost is the few words containing the pair, while a
     distributed round pays ~1 s of job floor regardless. Measured on
-    the r13 scale fixture (200k distinct words): 16,384 merges in
-    ~53 s end to end (~3 ms/merge, word count + collect included) vs
+    the r13 scale fixture (SCALE_r13.json): 16,384 merges in 46 s at
+    200k distinct words / 583 s at 2M (word count + collect included;
+    the loop scales with |vocab|, not corpus rows) vs
     0.095-0.15 s/MERGE in cluster rounds. Bit-identical to the
     distributed K=1 loop (pytest-pinned). Pass ``driver_side=False``
     to force cluster rounds (vocab too big to collect), ``True`` to
