@@ -96,7 +96,9 @@ def _train_bpe_driver(seeded: list[tuple[list[str], int]],
     word-length^2) worst case, i.e. with |vocab|, never with corpus
     rows — vs ~1 s of distributed-job floor PER ROUND in the cluster
     loop (measured r13, SCALE_r13.json: 16,384 merges in 46 s over
-    the 200k-word scale fixture and 583 s over its 2M-word 10x
+    the 200k-word scale fixture — and a full production-size 32,768-
+    merge vocab in 39 s end to end on the same fixture; later merges
+    touch ever-fewer words — and 583 s over its 2M-word 10x
     variant — 2.8-36 ms/merge, vs 0.095-0.15 s/MERGE distributed;
     the 10x fixture grows the VOCAB 10x by construction — every
     content word globally unique — where a real corpus's vocab

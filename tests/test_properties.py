@@ -653,3 +653,27 @@ def test_bpe_vocab_via_modes_bit_identical_property(spark, texts,
             (r.doc_id, r.token_ids, r.unk, r.decoded_text)
             for r in dec.collect())
     assert outs["literal"] == outs["broadcast"]
+
+
+@given(words=st.lists(st.text(alphabet="ab", min_size=1, max_size=7),
+                      min_size=1, max_size=8))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_train_bpe_driver_equals_distributed_on_random_corpora(
+        spark, words):
+    """r13: the driver-side exact-greedy trainer (incremental pair
+    counts + lazy heap) is bit-identical to the distributed K=1 loop
+    on ADVERSARIAL random corpora, not just the fixtures — a two-char
+    alphabet forces dense count ties (heap tie-break vs the
+    distributed (count desc, l, r) order) and runs like 'aaaa' force
+    overlapping-pair occurrences, the regime where an incremental
+    neighbor-delta update can silently diverge from the distributed
+    full recount."""
+    from serverless_data_pipeline_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame(
+        [(" ".join(words[i::3]),) for i in range(3) if words[i::3]],
+        "text string")
+    a = train_bpe(df, "text", n_merges=6, driver_side=True)
+    b = train_bpe(df, "text", n_merges=6, driver_side=False)
+    assert a == b
