@@ -65,7 +65,8 @@ from pyspark.sql import types as T
 from serverless_data_pipeline_spark.operators.bpe import _word_counts
 
 __all__ = ["train_unigram", "unigram_encode_ids", "unigram_decode_ids",
-           "build_unigram_vocab", "viterbi_segment"]
+           "build_unigram_vocab", "viterbi_segment",
+           "save_unigram_artifact", "load_unigram_artifact"]
 
 UNK = "<unk>"
 
@@ -400,3 +401,60 @@ def unigram_decode_ids(df: DataFrame, ids_col: str,
             if ids is not None else None)
 
     return df.withColumn(out_col, dec(F.col(ids_col)))
+
+
+def save_unigram_artifact(path: str,
+                          pieces: list[tuple[str, float]], *,
+                          spark=None) -> None:
+    """Write the unigram artifact as one JSON file — the
+    version-and-ship step after ``train_unigram``, mirroring the BPE
+    ``save_artifact`` contract: UTF-8, sorted keys, byte-stable for
+    the same artifact (scores serialize via ``repr`` and round-trip
+    float-exact), so the file itself content-hashes as the tokenizer
+    version id. ``spark`` routes the write through the JVM Hadoop
+    FileSystem for ``file:``/``s3a://``/``hdfs://`` URIs, exactly as
+    the BPE artifact does."""
+    import json
+
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        _fs_write_bytes,
+    )
+    seen = {p for p, _s in pieces}
+    if len(seen) != len(pieces):
+        raise ValueError("duplicate pieces in artifact")
+    payload = json.dumps({"format": "unigram-artifact-v1",
+                          "unk": UNK,
+                          "pieces": [[p, s] for p, s in pieces]},
+                         ensure_ascii=False, sort_keys=True, indent=1)
+    if spark is not None:
+        _fs_write_bytes(spark, path, payload.encode("utf-8"))
+    else:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+
+
+def load_unigram_artifact(path: str, *,
+                          spark=None) -> list[tuple[str, float]]:
+    """Read a ``save_unigram_artifact`` file back, re-validated —
+    feed straight into ``unigram_encode_ids``/``build_unigram_vocab``.
+    Refuses a BPE artifact (or any foreign JSON) by format tag, so a
+    mixed-up tokenizer deploy fails loudly instead of producing wrong
+    ids."""
+    import json
+
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        _fs_read_bytes,
+    )
+    if spark is not None:
+        doc = json.loads(_fs_read_bytes(spark, path).decode("utf-8"))
+    else:
+        with open(path, encoding="utf-8") as fh:
+            doc = json.load(fh)
+    if doc.get("format") != "unigram-artifact-v1":
+        raise ValueError(
+            f"not a unigram artifact: format={doc.get('format')!r}")
+    pieces = [(p, float(s)) for p, s in doc["pieces"]]
+    seen = {p for p, _s in pieces}
+    if len(seen) != len(pieces):
+        raise ValueError("duplicate pieces in artifact")
+    return pieces

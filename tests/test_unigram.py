@@ -186,3 +186,40 @@ def test_artifact_scores_are_normalized_log_probs(spark):
     top = max(scores)
     counted = [s for s in scores if s > top - 9.0]
     assert sum(math.exp(s) for s in counted) <= 1.0 + 1e-9
+
+
+# ------------------------------------------------------------ artifact --
+
+def test_artifact_round_trip_and_byte_stability(tmp_path, spark):
+    from serverless_data_pipeline_spark.operators.unigram import (
+        load_unigram_artifact, save_unigram_artifact,
+    )
+    pieces = train_unigram(_df(spark, ["the cat sat", "the mat"]),
+                           "text", vocab_size=25)
+    p1, p2 = tmp_path / "u1.json", tmp_path / "u2.json"
+    save_unigram_artifact(str(p1), pieces)
+    save_unigram_artifact(str(p2), pieces)
+    assert p1.read_bytes() == p2.read_bytes()   # content-hashable
+    back = load_unigram_artifact(str(p1))
+    assert back == pieces                        # float-exact scores
+    # Hadoop-FS routing writes the identical bytes
+    p3 = tmp_path / "u3.json"
+    save_unigram_artifact(f"file:{p3}", pieces, spark=spark)
+    assert p3.read_bytes() == p1.read_bytes()
+    assert load_unigram_artifact(f"file:{p3}", spark=spark) == pieces
+
+
+def test_artifact_refuses_foreign_files(tmp_path, spark):
+    from serverless_data_pipeline_spark.operators.bpe_artifact import (
+        save_artifact,
+    )
+    from serverless_data_pipeline_spark.operators.unigram import (
+        load_unigram_artifact, save_unigram_artifact,
+    )
+    bpe_path = tmp_path / "bpe.json"
+    save_artifact(str(bpe_path))
+    with pytest.raises(ValueError, match="not a unigram artifact"):
+        load_unigram_artifact(str(bpe_path))
+    with pytest.raises(ValueError, match="duplicate"):
+        save_unigram_artifact(str(tmp_path / "d.json"),
+                              [("a", -1.0), ("a", -2.0)])
