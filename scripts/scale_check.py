@@ -113,14 +113,19 @@ def ann_recall_planted(spark, e, seed: int) -> dict:
     near-uniform random vectors — ANN's adversarial regime where "the"
     top-10 is noise — and the sign-LSH planner's model is conditional
     on the neighbor's cosine, so the fair measurement plants 10
-    neighbors at cos 0.9 per query (numpy: unit-orthogonal mix
-    u = 0.9*v + sqrt(1-0.81)*w) and runs the PLANNER-CHOSEN
-    (n_tables, n_planes, multiprobe) for target 0.9 at cos 0.9 against
-    the base corpus ∪ planted. IVF(n_probe=4) and the composed
-    IVF-PQ(refine) run the registry row's trained parameters over the
-    same set. Exact top-10 is self + the planted neighbors by
-    construction (noise cosines stay < 0.6), so recall reads directly
-    as "fraction of true cos-0.9 neighbors found"."""
+    neighbors at cos 0.9 per SYNTHETIC query vector (numpy:
+    unit-orthogonal mix u = 0.9*v + sqrt(1-0.81)*w) and runs the
+    PLANNER-CHOSEN (n_tables, n_planes, multiprobe) for target 0.9 at
+    cos 0.9 against the base corpus ∪ planted. IVF(n_probe=4) and the
+    composed IVF-PQ(refine) run the registry row's trained parameters
+    over the same set. The queries are fresh seeded vectors that do
+    NOT exist in the corpus (r13 review fix: a corpus query's exact
+    top-10 contains itself — and, at 10x amplification, its nine
+    perturbed cos≈0.9999999 siblings, which would crowd out every
+    planted cos-0.9 neighbor and turn the measurement into trivial
+    near-dup retrieval), so the exact top-10 is the planted set by
+    construction (natural cosines stay < 0.6) and recall reads
+    directly as "fraction of true cos-0.9 neighbors found"."""
     import numpy as np
 
     from serverless_data_pipeline_spark.operators.similarity import (
@@ -130,13 +135,15 @@ def ann_recall_planted(spark, e, seed: int) -> dict:
     )
     rng = np.random.default_rng(seed)
     cos_t = 0.9
-    qrows = e.filter(F.col("vec_id") % 997 == 0).limit(8).collect()
-    planted = []
-    for qi, qr in enumerate(qrows):
-        v = np.asarray(qr.embedding, dtype=np.float64)
+    dim = len(e.select("embedding").orderBy("vec_id")
+              .first()["embedding"])
+    qrows, planted = [], []
+    for qi in range(8):
+        v = rng.standard_normal(dim)
         v = v / np.linalg.norm(v)
+        qrows.append([float(x) for x in v])
         for j in range(10):
-            w = rng.standard_normal(v.shape)
+            w = rng.standard_normal(dim)
             w -= (w @ v) * v
             w /= np.linalg.norm(w)
             u = cos_t * v + np.sqrt(1.0 - cos_t * cos_t) * w
@@ -153,10 +160,12 @@ def ann_recall_planted(spark, e, seed: int) -> dict:
                             centroids=cents, codebooks=books) \
         .localCheckpoint(eager=True)
     hits = {"lsh_planned": 0.0, "ivf_p4": 0.0, "ivfpq_r200": 0.0}
-    for qr in qrows:
-        qv = [float(x) for x in qr.embedding]
+    for qi, qv in enumerate(qrows):
         exact = {r[0] for r in brute_force_topk(
             corpus, "vec_id", "embedding", qv, k=10).collect()}
+        assert exact == {20_000_000 + qi * 100 + j
+                         for j in range(10)}, \
+            "planted set is not the exact top-10 — fixture changed"
         shapes = {
             "lsh_planned": lambda: ann_topk(
                 corpus, "vec_id", "embedding", qv, k=10,

@@ -1133,17 +1133,25 @@ def _claim_stream_marker(spark, state_path: str, stream_id: str) -> None:
 
     fs, jp = hadoop_fs(spark, f"{state_path}/_STREAM")
     if not fs.exists(jp):
-        # Claim: write a temp file then rename, then VERIFY by
-        # re-reading the marker. A crash mid-write must never leave a
-        # truncated marker that would permanently lock out the
-        # rightful stream on restart. The temp name is derived from
-        # the claimant's identity so two racing first-claimants never
-        # clobber each other's temp file, and we do NOT trust
-        # rename()'s return value as proof of winning: on the local
-        # filesystem Hadoop rename maps to POSIX rename(2), which
-        # silently REPLACES an existing destination — both racers can
-        # see True. The compare below is the real arbiter either way
-        # (last writer's id ends up in the marker; the other raises).
+        # Claim: write a temp file (name derived from the claimant's
+        # identity, so racers never clobber each other's temp), then
+        # PUBLISH atomically, then VERIFY by re-reading the marker. A
+        # crash mid-write can never leave a truncated marker that
+        # would lock out the rightful stream on restart. The publish
+        # primitive depends on what the filesystem can guarantee:
+        #
+        # - local file: POSIX rename(2) silently REPLACES an existing
+        #   destination, so rename cannot arbitrate a first-claim
+        #   race — instead the temp is HARD-LINKED to the marker name
+        #   (link(2) fails with EEXIST atomically; exactly one racer
+        #   wins, and nothing ever replaces the marker afterwards).
+        # - HDFS-like schemes: rename refuses an existing destination
+        #   at the namenode — itself an atomic arbiter.
+        # - object stores without atomic metadata ops (s3a): the
+        #   rename fallback narrows but cannot close the window; the
+        #   verify below plus the per-tick re-verify (this function
+        #   runs on EVERY commit) bound a same-instant double-claim
+        #   to at most the loser's first tick before it raises.
         suffix = hashlib.sha256(stream_id.encode("utf-8")).hexdigest()[:16]
         _fs2, tmp = hadoop_fs(spark,
                               f"{state_path}/_STREAM.claim.{suffix}")
@@ -1152,7 +1160,27 @@ def _claim_stream_marker(spark, state_path: str, stream_id: str) -> None:
             out.write(bytearray(stream_id.encode("utf-8")))
         finally:
             out.close()
-        if not fs.rename(tmp, jp):
+        linked = False
+        if jp.toUri().getScheme() in (None, "file"):
+            jnf = spark._jvm.java.nio.file.Paths.get
+            try:
+                spark._jvm.java.nio.file.Files.createLink(
+                    jnf(jp.toUri().getPath()),
+                    jnf(tmp.toUri().getPath()))
+                linked = True                  # atomically won
+            except Exception as e:             # noqa: BLE001
+                name = getattr(getattr(e, "java_exception", None),
+                               "getClass", lambda: None)()
+                name = name.getName() if name is not None else ""
+                if "FileAlreadyExists" in name:
+                    linked = True              # atomically LOST —
+                    # the marker exists with the winner's id; never
+                    # fall through to a replacing rename
+                # any other failure (links unsupported on this
+                # mount): fall back to rename below
+            if linked:
+                fs.delete(tmp, False)
+        if not linked and not fs.rename(tmp, jp):
             fs.delete(tmp, False)      # lost the race outright
         # fall through: verify-after-claim — re-read and compare
     ins = fs.open(jp)

@@ -363,7 +363,12 @@ def _parse_y4m(b: bytes):
         if w % 2:
             raise ValueError(f"C422 needs even width (got W{w})")
         cw, ch = w // 2, h
-    elif cspace.startswith("420"):
+    elif cspace in ("420", "420jpeg", "420paldv", "420mpeg2"):
+        # exact 8-bit C420 family only: a prefix match would also
+        # swallow C420p10/p12/p16 (x264/ffmpeg high-bit-depth tags,
+        # 2-byte samples) and then misread valid files as corrupt
+        # at the next FRAME marker instead of routing them to the
+        # honest NotImplementedError below
         if w % 2 or h % 2:
             raise ValueError(
                 f"C{cspace} needs even dimensions (got W{w} H{h})")

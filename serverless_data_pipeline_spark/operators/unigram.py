@@ -28,10 +28,13 @@ counts. Two consequences we rely on everywhere:
 Scale design — the same shape as ``train_bpe``, which survives 100 TB:
 
 - The ONLY corpus-sized stages are the distinct-word count and (on the
-  distributed path) per-iteration E-steps over the |vocab|-row words
-  frame — narrow Arrow-batched passes with a map-side pre-combine, one
-  |pieces|-row aggregation each (pieces ≤ seed size, driver-bounded by
-  construction). No token-grain shuffle ever.
+  distributed path) the seeding pass and per-iteration E-steps over the
+  |vocab|-row words frame — narrow Arrow-batched passes with a map-side
+  pre-combine. The driver only ever receives bounded rows: seeding
+  selects |chars| + top-``seed_size`` substrings DISTRIBUTED (ordered
+  total-order top-k — the full substring table, 10-100x the words
+  frame, never leaves the cluster), and an E-step emits inventory
+  pieces only. No token-grain shuffle ever.
 - Default AUTO collects the words frame when it fits
   (``driver_side_max_words``) and runs the whole EM driver-side — the
   HF/SentencePiece single-node structure, because after the word count
@@ -211,29 +214,39 @@ def train_unigram(df: DataFrame, text_col: str = "text", *,
         raise ValueError("vocab_size must be >= 1")
     if not 0.0 < prune_fraction <= 1.0:
         raise ValueError("prune_fraction must be in (0, 1]")
+    if n_em_iters < 1:
+        # with zero E-steps the first prune would rank every piece by
+        # count 0 and drop alphabetically — deterministic garbage
+        raise ValueError("n_em_iters must be >= 1")
     words = (_word_counts(df, text_col, raw=True, attach_ws=True)
              .localCheckpoint(eager=False))
     if driver_side is None:
         driver_side = words.count() <= driver_side_max_words
+    if seed_size is None:
+        seed_size = 8 * vocab_size
     if driver_side:
         pdf = words.toPandas()
         rows = list(zip(pdf["w"].tolist(), pdf["n"].tolist()))
 
-        def seed() -> Counter:
-            return _seed_counts_of_words(rows, max_piece_len)
+        def seed_select() -> tuple[list[str], list[str], dict[str, int]]:
+            full = _seed_counts_of_words(rows, max_piece_len)
+            cs = sorted(p for p in full if len(p) == 1)
+            ms = sorted((p for p in full if len(p) > 1),
+                        key=lambda p: (-full[p], p))[:seed_size]
+            return cs, ms, {p: full[p] for p in cs + ms}
 
         def estep(scores: dict[str, float]) -> Counter:
             return _estep_counts_of_words(rows, scores, max_piece_len)
     else:
-        def _agg(kernel) -> Counter:
+        schema = T.StructType([
+            T.StructField("piece", T.StringType()),
+            T.StructField("c", T.LongType())])
+
+        def _mapped(kernel):
             # one narrow Arrow pass over the words frame with an
             # in-batch pre-combine (the Python map-side combiner),
-            # then a |pieces|-row long sum — partition count never
+            # then a piece-keyed long sum — partition count never
             # changes the result because the counts are integers
-            schema = T.StructType([
-                T.StructField("piece", T.StringType()),
-                T.StructField("c", T.LongType())])
-
             def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for b in it:
                     c = kernel(zip(b["w"].tolist(), b["n"].tolist()))
@@ -242,26 +255,42 @@ def train_unigram(df: DataFrame, text_col: str = "text", *,
                             {"piece": list(c.keys()),
                              "c": list(c.values())})
 
-            agg = (words.mapInPandas(run, schema)
-                   .groupBy("piece").agg(F.sum("c").alias("c")))
-            return Counter({r["piece"]: r["c"]
-                            for r in agg.collect()})
+            return (words.mapInPandas(run, schema)
+                    .groupBy("piece").agg(F.sum("c").alias("c")))
 
-        def seed() -> Counter:
-            return _agg(lambda rs: _seed_counts_of_words(
-                rs, max_piece_len))
+        def seed_select() -> tuple[list[str], list[str], dict[str, int]]:
+            # the substring count table is corpus-VOCABULARY-sized
+            # (10-100x the words frame) — exactly what this path must
+            # never collect. Selection happens distributed: ALL single
+            # chars (bounded by the alphabet) plus a deterministic
+            # total-order top-k of the multi-char substrings; only the
+            # |chars| + seed_size winners reach the driver.
+            sub = _mapped(lambda rs: _seed_counts_of_words(
+                rs, max_piece_len)).persist()
+            try:
+                crows = sub.filter(F.length("piece") == 1).collect()
+                mrows = (sub.filter(F.length("piece") > 1)
+                         .orderBy(F.desc("c"), F.asc("piece"))
+                         .limit(seed_size).collect())
+            finally:
+                sub.unpersist()
+            cs = sorted(r["piece"] for r in crows)
+            ms = [r["piece"] for r in mrows]
+            sc = {r["piece"]: r["c"] for r in crows}
+            sc.update((r["piece"], r["c"]) for r in mrows)
+            return cs, ms, sc
 
         def estep(scores: dict[str, float]) -> Counter:
-            return _agg(lambda rs: _estep_counts_of_words(
-                rs, scores, max_piece_len))
+            # the E-step only ever emits inventory pieces, so this
+            # collect is |inventory|-bounded by construction
+            return Counter({r["piece"]: r["c"]
+                            for r in _mapped(
+                                lambda rs: _estep_counts_of_words(
+                                    rs, scores, max_piece_len))
+                            .collect()})
 
-    sc = seed()
-    chars = sorted(p for p in sc if len(p) == 1)
-    multis = sorted((p for p in sc if len(p) > 1),
-                    key=lambda p: (-sc[p], p))
-    if seed_size is None:
-        seed_size = 8 * vocab_size
-    inventory = set(chars) | set(multis[:seed_size])
+    chars, multis, sc = seed_select()
+    inventory = set(chars) | set(multis)
     if vocab_size < len(chars):
         raise ValueError(
             f"vocab_size={vocab_size} below the character inventory "

@@ -256,6 +256,13 @@ def test_y4m_decode_rejects_non_y4m_alpha_odd_dims_and_malformed(spark):
     with pytest.raises(Exception, match="C444/C422/C420"):
         extract_video_features(
             _y4m("YUV4MPEG2 W4 H2 F25:1 Cmono\n")).collect()
+    # high-bit-depth C420 tags (2-byte samples) must route to the
+    # honest ffmpeg boundary, not prefix-match the 8-bit C420 family
+    # and then misreport a valid file as corrupt (r13 review fix)
+    for hb in ("C420p10", "C420p12", "C420p16"):
+        with pytest.raises(Exception, match="C444/C422/C420"):
+            extract_video_features(
+                _y4m(f"YUV4MPEG2 W4 H2 F25:1 {hb}\n")).collect()
     with pytest.raises(Exception, match="even"):
         extract_video_features(
             _y4m("YUV4MPEG2 W5 H2 F25:1 C420\n")).collect()

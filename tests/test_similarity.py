@@ -815,13 +815,16 @@ def test_sign_lsh_planner_target_met_on_planted_set(spark):
     plan = sign_lsh_plan(0.85, cos_t)
     assert plan["expected_recall"] >= 0.85
     hit = tot = 0
-    for qv in queries:
+    for qi, qv in enumerate(queries):
+        # k=11 then drop the query's own row: the query vector IS a
+        # corpus row here, and counting its trivial self-hit in both
+        # sets would inflate achieved recall by ~0.1*(1-r)
         exact = {r[0] for r in brute_force_topk(
-            df, "vec_id", "embedding", qv, k=10).collect()}
+            df, "vec_id", "embedding", qv, k=11).collect()} - {qi}
         got = {r[0] for r in ann_topk(
-            df, "vec_id", "embedding", qv, k=10,
+            df, "vec_id", "embedding", qv, k=11,
             n_tables=plan["n_tables"], n_planes=plan["n_planes"],
-            multiprobe=plan["multiprobe"], seed=42).collect()}
+            multiprobe=plan["multiprobe"], seed=42).collect()} - {qi}
         hit += len(exact & got)
         tot += len(exact)
     achieved = hit / tot

@@ -1221,14 +1221,17 @@ def test_read_tail_manifest_raises_on_duplicate_shard_rows(
         commit_packed_batch(spark, mk([(100, [1, 2])]), sp, 1, **kw)
 
 
-def test_claim_stream_marker_verifies_after_claim(
+def test_claim_stream_marker_atomic_first_claim(
         spark, tmp_path, monkeypatch):
-    """r12 ADVICE: a winning rename(2) is NOT proof of winning the
-    claim — on local filesystems rename silently REPLACES an existing
-    destination, and a racing claimant can land after ours. The claim
-    re-reads the marker and compares (verify-after-claim): a claimant
-    whose id is no longer in the marker raises instead of proceeding
-    unchecked."""
+    """r12 ADVICE, r13 hardening: on local filesystems the first
+    claim publishes by HARD LINK (link(2) fails with EEXIST
+    atomically), so two racing first-claimants resolve to exactly one
+    winner even when both passed the exists() probe — rename(2) could
+    not arbitrate this because it silently replaces the destination.
+    The interloper here lands atomically in the worst window (after
+    our exists() probe and temp write, before our publish); our
+    createLink must lose, and verify-after-claim raises with the
+    winner's id instead of proceeding unchecked."""
     import pytest
 
     from serverless_data_pipeline_spark.operators import util
@@ -1240,8 +1243,8 @@ def test_claim_stream_marker_verifies_after_claim(
 
     class RaceFS:
         """Delegate to the real JVM fs, but land an interloper's
-        marker immediately after our rename — the lost-race
-        interleaving that rename()'s return value cannot see."""
+        marker between the claimant's temp write and its atomic
+        publish — the widest race window that remains."""
 
         def __init__(self, fs, marker):
             self._fs, self._marker = fs, marker
@@ -1249,12 +1252,13 @@ def test_claim_stream_marker_verifies_after_claim(
         def __getattr__(self, name):
             return getattr(self._fs, name)
 
-        def rename(self, src, dst):
-            ok = self._fs.rename(src, dst)
-            out = self._fs.create(self._marker, True)
-            out.write(bytearray(b"ck-INTERLOPER"))
-            out.close()
-            return ok
+        def create(self, path, overwrite):
+            out = self._fs.create(path, overwrite)
+            if ".claim." in path.toString():
+                w = self._fs.create(self._marker, True)
+                w.write(bytearray(b"ck-INTERLOPER"))
+                w.close()
+            return out
 
     def patched(s, path):
         fs, jp = real(s, path)
@@ -1270,3 +1274,30 @@ def test_claim_stream_marker_verifies_after_claim(
     _claim_stream_marker(spark, sp, "ck-INTERLOPER")
     with pytest.raises(ValueError, match="owned by stream"):
         _claim_stream_marker(spark, sp, "ck-A")
+    # the loser's temp never lingers (leaked temps would shadow a
+    # later claim attempt's own temp writes)
+    leftovers = [p for p in (tmp_path / "state").iterdir()
+                 if ".claim." in p.name]
+    assert leftovers == []
+
+
+def test_claim_stream_marker_clean_claim_and_link_content(
+        spark, tmp_path):
+    """The unraced path: first claim wins atomically, marker carries
+    the claimant's exact id, the temp is removed, and a second
+    claimant with a different id raises."""
+    import pytest
+
+    from serverless_data_pipeline_spark.operators.corpus import (
+        _claim_stream_marker,
+    )
+    sp = str(tmp_path / "state2")
+    (tmp_path / "state2").mkdir()
+    _claim_stream_marker(spark, sp, "ck-OWNER")
+    marker = tmp_path / "state2" / "_STREAM"
+    assert marker.read_text() == "ck-OWNER"
+    assert [p for p in (tmp_path / "state2").iterdir()
+            if ".claim." in p.name] == []
+    _claim_stream_marker(spark, sp, "ck-OWNER")   # idempotent
+    with pytest.raises(ValueError, match="owned by stream"):
+        _claim_stream_marker(spark, sp, "ck-B")

@@ -111,6 +111,9 @@ def test_vocab_size_respected_chars_never_pruned(spark):
     assert set(chars) <= inv              # coverage guarantee
     with pytest.raises(ValueError, match="character inventory"):
         train_unigram(_df(spark, texts), "text", vocab_size=3)
+    with pytest.raises(ValueError, match="n_em_iters"):
+        train_unigram(_df(spark, texts), "text", vocab_size=30,
+                      n_em_iters=0)
 
 
 # ----------------------------------------------------- encode/decode --
