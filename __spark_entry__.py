@@ -2013,9 +2013,24 @@ def _q_x_approx_suite(spark, sf):
                    F.col("lang").alias("key"), *ids,
                    F.col("n_distinct_est").cast("double").alias("metric")))
     nkey = F.lit(None).cast("string").alias("key")
-    lsh = _lsh_flavours(spark, sf).select(
-        "method", nkey, "id_a", "id_b", "metric")
-    ann = _ann_flavours(spark, sf).select(
+    # r13 (optimization round, guide §2.6): the flavour chains perform
+    # independent EAGER construction work — the minhash signature
+    # checkpoint, the SemDeDup k-means fit, the IVF k-means fit and the
+    # PQ sample collect (7.1 s build / 61 jobs of the row's 11.6 s
+    # profile at sf0.1, sequential). Build them concurrently; frames
+    # and rows are unchanged.
+    from serverless_data_pipeline_spark.operators.util import (
+        build_concurrently,
+    )
+    mh_f, sh_f, em_f, se_f, ann_f = build_concurrently(
+        lambda: _lsh_flavour_minhash(spark, sf),
+        lambda: _lsh_flavour_simhash(spark, sf),
+        lambda: _lsh_flavour_embedding(spark, sf),
+        lambda: _lsh_flavour_semantic(spark, sf),
+        lambda: _ann_flavours(spark, sf))
+    lsh = (mh_f.unionAll(sh_f).unionAll(em_f).unionAll(se_f)
+           .select("method", nkey, "id_a", "id_b", "metric"))
+    ann = ann_f.select(
         "method", nkey,
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
@@ -2089,8 +2104,20 @@ def _ann_flavours(spark, sf):
     batch = tag(ann_topk_join(queries_df, e, "q_id", "qvec",
                               "vec_id", "embedding", dim=64, k=10,
                               n_tables=2, n_planes=8), "lsh_join")
-    cents = train_ivf_centroids(e, "embedding", n_cells=8, seed=42,
-                                max_iter=5)
+    # r13 (guide §2.6): the two offline trainings — the MLlib IVF
+    # k-means fit and the PQ codebook sample-collect + driver Lloyd —
+    # are independent; run them concurrently instead of back to back.
+    from serverless_data_pipeline_spark.operators.similarity import (
+        train_pq_codebooks,
+    )
+    from serverless_data_pipeline_spark.operators.util import (
+        build_concurrently,
+    )
+    cents, books = build_concurrently(
+        lambda: train_ivf_centroids(e, "embedding", n_cells=8, seed=42,
+                                    max_iter=5),
+        lambda: train_pq_codebooks(e, "embedding", dim=64, m=8, ksub=16,
+                                   seed=42, sample_n=2048))
     ivf = tag(ivf_topk(e, "vec_id", "embedding", q, k=10, n_probe=4,
                        centroids=cents), "ivf", -3)
     from serverless_data_pipeline_spark.operators.similarity import (
@@ -2101,10 +2128,8 @@ def _ann_flavours(spark, sf):
         "vec_id", "embedding", q, k=10, n_probe=4, centroids=cents),
         "ivf_indexed", -5)
     from serverless_data_pipeline_spark.operators.similarity import (
-        pq_topk, train_pq_codebooks,
+        pq_topk,
     )
-    books = train_pq_codebooks(e, "embedding", dim=64, m=8, ksub=16,
-                               seed=42, sample_n=2048)
     pq = tag(pq_topk(e, "vec_id", "embedding", q, k=10, codebooks=books,
                      refine=50), "pq_refined", -4)
     from serverless_data_pipeline_spark.operators.similarity import (
@@ -2774,28 +2799,88 @@ def _q_x2_dedup_clusters(spark, sf):
     discipline): src0 capped at 5 docs, src1 at 12, all other hosts
     at the default 8, picked by a seeded deterministic md5 rank;
     every kept (doc, within-host rank) pair value-checked against
-    the identical window replayed in the oracle."""
-    pairs = _capped_pairs(spark, sf).localCheckpoint(eager=True)
+    the identical window replayed in the oracle.
+
+    r13 (optimization round, guide §2.6): construction-time EAGER work
+    — the pair-gen checkpoint, the label-prop CC rounds + probes, the
+    star CC contraction rounds, and the host-arm percentile/quota
+    probes — used to run as ONE sequential driver chain (~220 tiny
+    jobs, 12.3 s of the row's 13.3 s profile at sf0.1). The chains are
+    independent given the checkpointed pair list, so they now build
+    through `build_concurrently`: the host/url chain overlaps pair-gen,
+    and the two CC algorithms overlap each other the moment the pair
+    leaf lands. Same frames, same rows — only the schedule changes."""
+    from serverless_data_pipeline_spark.operators.util import (
+        build_concurrently,
+    )
+
+    def _chain_hosts():
+        from serverless_data_pipeline_spark.operators.urls import (
+            host_quota_sample, url_host_sql,
+        )
+        curl = _x2_curl(spark, sf)
+        dochost = curl.select(
+            "doc_id", F.expr(url_host_sql("cu", "spark")).alias("host"))
+        hq_df = host_quota_sample(dochost,
+                                  {"src0.example.com": 5,
+                                   "src1.example.com": 12},
+                                  default_quota=8, seed=7)
+        hqq_df = host_quota_sample(
+            dochost.withColumn(
+                "q", F.pmod(F.col("doc_id") * 37, F.lit(101))),
+            {"src0.example.com": 5, "src1.example.com": 12},
+            default_quota=8, seed=7, order_col="q",
+            rank_via="bucketed", n_score_buckets=16)
+        return curl, dochost, hq_df, hqq_df
+
+    # Stage 1: the pair-gen checkpoint and the host/url chain (its
+    # quota-guard collect + bucketed percentile probes) are independent.
+    pairs, (curl, dochost, hq_df, hqq_df) = build_concurrently(
+        lambda: _capped_pairs(spark, sf).localCheckpoint(eager=True),
+        _chain_hosts)
+
+    # Stage 2, all over the checkpointed pair leaf: the two CC chains
+    # (driver-round-latency-bound: tiny checkpoint + probe jobs per
+    # round) and the three PageRank-kernel BUILDS. The latter are
+    # driver-side Catalyst planning, not jobs — each per-iteration
+    # lazy localCheckpoint plans that round's query via toRdd (~2.5-3 s
+    # per kernel warm at sf0.1, measured) — so they parallelize cleanly
+    # against the CC jobs in JVM threads. The two CC algorithms stay
+    # SEQUENTIAL in one chain: concurrent label/star measured SLOWER
+    # than back-to-back (9.9 s vs 7.5 s entry build — their interleaved
+    # rounds queue on the driver event loop instead of overlapping).
+    from serverless_data_pipeline_spark.operators.graph import pagerank
+    from serverless_data_pipeline_spark.operators.urls import host_rank
+
+    def _chain_cc():
+        # the label-prop component map feeds BOTH the label arm and the
+        # csize histogram — checkpoint it so the CC rounds run once
+        labmap = (neardup_components(pairs, algorithm="label_prop")
+                  .localCheckpoint(eager=True))
+        starmap = neardup_components(pairs, algorithm="star")
+        return labmap, starmap
+
+    ((labmap, starmap), pr_ranks, hrank_ranks, hrankd_ranks) = \
+        build_concurrently(
+            _chain_cc,
+            lambda: pagerank(pairs.select(F.col("id_a").alias("src"),
+                                          F.col("id_b").alias("dst")),
+                             undirected=True, iters=5),
+            lambda: host_rank(pairs, dochost, iters=3),
+            lambda: host_rank(pairs, dochost, iters=3, directed=True))
     nmetric = F.lit(None).cast("double").alias("metric")
     nh = F.lit(None).cast("string").alias("h")
     pair_rows = pairs.select(F.lit("pairs").alias("algo"), "id_a", "id_b",
                              F.col("jaccard").alias("metric"), nh)
-    # the label-prop component map feeds BOTH the label arm and the
-    # csize histogram — checkpoint it so the CC rounds run once
-    labmap = (neardup_components(pairs, algorithm="label_prop")
-              .localCheckpoint(eager=True))
     label = labmap.select(F.lit("label").alias("algo"),
                           F.col("id").alias("id_a"),
                           F.col("component_id").alias("id_b"), nmetric,
                           nh)
-    star = (neardup_components(pairs, algorithm="star")
+    star = (starmap
             .select(F.lit("star").alias("algo"),
                     F.col("id").alias("id_a"),
                     F.col("component_id").alias("id_b"), nmetric, nh))
-    from serverless_data_pipeline_spark.operators.graph import pagerank
-    pr = (pagerank(pairs.select(F.col("id_a").alias("src"),
-                                F.col("id_b").alias("dst")),
-                   undirected=True, iters=5)
+    pr = (pr_ranks
           .select(F.lit("pagerank").alias("algo"),
                   F.col("id").alias("id_a"),
                   F.lit(None).cast("long").alias("id_b"),
@@ -2811,19 +2896,15 @@ def _q_x2_dedup_clusters(spark, sf):
                      F.col("__sz").cast("long").alias("id_a"),
                      F.col("__n").cast("long").alias("id_b"), nmetric,
                      nh))
-    # url + hostrank arms (r8) — see docstring
-    from serverless_data_pipeline_spark.operators.urls import (
-        host_rank, url_host_sql,
-    )
+    # url + hostrank arms (r8) — see docstring; curl/dochost, the two
+    # quota frames and the three rank kernels were built by the
+    # concurrent chains above
     nulll = F.lit(None).cast("long")
-    curl = _x2_curl(spark, sf)
     url_rows = curl.select(F.lit("url").alias("algo"),
                            F.col("doc_id").alias("id_a"),
                            nulll.alias("id_b"), nmetric,
                            F.col("cu").alias("h"))
-    dochost = curl.select(
-        "doc_id", F.expr(url_host_sql("cu", "spark")).alias("host"))
-    hrank = (host_rank(pairs, dochost, iters=3)
+    hrank = (hrank_ranks
              .select(F.lit("hostrank").alias("algo"),
                      nulll.alias("id_a"), nulll.alias("id_b"),
                      F.col("rank").alias("metric"),
@@ -2833,7 +2914,7 @@ def _q_x2_dedup_clusters(spark, sf):
     # TO id_b), so edge direction survives the host lift and the
     # kernel's dangling-mass correction is live; all 3 iterations run
     # through the directed unrolled-CTE oracle (prefix 'hd')
-    hrankd = (host_rank(pairs, dochost, iters=3, directed=True)
+    hrankd = (hrankd_ranks
               .select(F.lit("hostrankd").alias("algo"),
                       nulll.alias("id_a"), nulll.alias("id_b"),
                       F.col("rank").alias("metric"),
@@ -2843,13 +2924,7 @@ def _q_x2_dedup_clusters(spark, sf):
     # host at the default 8) picked by the seeded md5 rank, every
     # kept (doc, rank) value-checked; the oracle replays the identical
     # window over the same dhost map
-    from serverless_data_pipeline_spark.operators.urls import (
-        host_quota_sample,
-    )
-    hq = (host_quota_sample(dochost,
-                            {"src0.example.com": 5,
-                             "src1.example.com": 12},
-                            default_quota=8, seed=7)
+    hq = (hq_df
           .select(F.lit("hquota").alias("algo"),
                   F.col("doc_id").alias("id_a"),
                   F.col("host_rank_pos").cast("long").alias("id_b"),
@@ -2864,12 +2939,7 @@ def _q_x2_dedup_clusters(spark, sf):
     # and 101 distinct values over the corpus guarantee heavy ties so
     # the md5 tiebreak is genuinely value-checked; the oracle replays
     # the identical (score DESC, md5, id) window
-    hqq = (host_quota_sample(
-               dochost.withColumn(
-                   "q", F.pmod(F.col("doc_id") * 37, F.lit(101))),
-               {"src0.example.com": 5, "src1.example.com": 12},
-               default_quota=8, seed=7, order_col="q",
-               rank_via="bucketed", n_score_buckets=16)
+    hqq = (hqq_df
            .select(F.lit("hquotaq").alias("algo"),
                    F.col("doc_id").alias("id_a"),
                    F.col("host_rank_pos").cast("long").alias("id_b"),
@@ -2907,8 +2977,22 @@ def _q_x7_corpus_exact(spark, sf):
     Every stage of both arms is SQL-expressible, so the whole
     composition is value-checked against one DuckDB statement (the
     MinHash probe/variant stays pytest-pinned because LSH sketches
-    aren't)."""
-    return _x7_flavour_full(spark, sf).unionAll(_x7_flavour_incr(spark, sf))
+    aren't).
+
+    r13 (optimization round, guide §2.6): the two arms are fully
+    independent chains of eager construction work — full: exact-dedup
+    checkpoint → shingle-index checkpoint → CC rounds; incr: bootstrap
+    parquet write → index probe → commit write — that used to run
+    sequentially (10.1 s build / 104 jobs of the row's 16.3 s profile
+    at sf0.1). They now build concurrently so each chain's barrier
+    tails back-fill the other's idle cores. Same frames, same rows."""
+    from serverless_data_pipeline_spark.operators.util import (
+        build_concurrently,
+    )
+    full, incr = build_concurrently(
+        lambda: _x7_flavour_full(spark, sf),
+        lambda: _x7_flavour_incr(spark, sf))
+    return full.unionAll(incr)
 
 
 def _x7_flavour_full(spark, sf):

@@ -12,8 +12,9 @@ template/boilerplate hub).
 Scale design: each iteration is ONE hash join (ranks x edges on src)
 plus ONE map-side-combinable groupBy (inflow on dst) plus two scalar
 aggregates broadcast back — the Pregel shape, never materializing
-anything wider than (node, long). Ranks are lazily localCheckpoint'ed
-per iteration so the plan stays O(1) deep instead of O(iters).
+anything wider than (node, long). Rank lineage is lazily truncated
+every ``checkpoint_every`` iterations so the plan stays O(1) deep
+instead of O(iters) while build-time planning passes stay few.
 
 Determinism (the cross-engine and cross-partition-order contract):
 ranks live in integer MICRO-UNITS (bigint, 1.0 == 1_000_000). Every
@@ -33,7 +34,8 @@ _SCALE = 1000000.0
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
              iters: int = 5, damping: float = 0.85,
-             undirected: bool = False) -> DataFrame:
+             undirected: bool = False,
+             checkpoint_every: int = 6) -> DataFrame:
     """Fixed-iteration PageRank over an edge list. Returns one row per
     node appearing in any edge: (id, rank), with Σ rank ≈ 1.
 
@@ -56,9 +58,27 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
     100 TB shape: the edge list is checkpointed once; each of the
     ``iters`` rounds shuffles (node, long) pairs only — on a cluster,
     pre-bucket edges by src so the per-iteration join is co-located
-    and only the inflow groupBy shuffles."""
+    and only the inflow groupBy shuffles.
+
+    ``checkpoint_every`` (r13, optimization round): lineage-truncation
+    CADENCE. Truncating EVERY round kept the plan O(1) deep but paid
+    one full Catalyst plan + whole-stage-codegen compile per round at
+    BUILD time (Dataset.localCheckpoint(eager=False) plans via toRdd
+    immediately — measured ~0.5-1 s/round of driver time at sf0.1,
+    ~3 s per 5-iteration kernel). Planning a k-round window once
+    costs less than planning one round k times (shared analysis, and
+    the repeated edge/outdeg exchanges inside a window dedupe via
+    ReuseExchange), so the default truncates every 6th round — the
+    3-5 iteration kernels the registry runs build with ZERO mid-loop
+    planning passes (measured at sf0.1: x2 entry min-of-4 total
+    8.2-10.4 s at cadence 1-per-round-equivalent vs 7.3 s at this
+    default), and any larger ``iters`` still keeps the plan
+    O(checkpoint_every) ≡ O(1) deep. Values are unchanged (truncation
+    never changes arithmetic)."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
+    if checkpoint_every < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
         e = e.unionAll(e.select(F.col("dst").alias("src"),
@@ -75,7 +95,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
                      .cast("long").alias("__r")))
     base = (F.lit(1.0 - damping) * F.lit(_SCALE)
             / F.col("__n").cast("double"))
-    for _ in range(iters):
+    for rnd in range(iters):
         contrib = (e.join(ranks.withColumnRenamed("id", "src"), "src")
                    .join(outdeg, "src")
                    .select(F.col("dst").alias("id"),
@@ -96,11 +116,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
                          .alias("__d")))
             it = it.crossJoin(F.broadcast(dang))
             share = F.round(F.col("__d") / F.col("__n")).cast("long")
-        ranks = (it.select("id", F.round(
-                     base + F.lit(damping)
-                     * (F.coalesce(F.col("__in"), F.lit(0).cast("long"))
-                        + share).cast("double"))
-                     .cast("long").alias("__r"))
-                 .localCheckpoint(eager=False))
+        ranks = it.select("id", F.round(
+                    base + F.lit(damping)
+                    * (F.coalesce(F.col("__in"), F.lit(0).cast("long"))
+                       + share).cast("double"))
+                    .cast("long").alias("__r"))
+        if (rnd + 1) % checkpoint_every == 0 and rnd + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "id", (F.col("__r").cast("double") / F.lit(_SCALE)).alias("rank"))

@@ -208,7 +208,17 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
 
     ref_bg = bigrams(ref)
     c12 = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
-    c1 = ref_bg.groupBy("w1").agg(F.count("*").alias("__c1"))
+    # r13 (optimization round, guide §2.3 "shuffle fewer bytes"): the
+    # unigram context count is the w2-marginal of the bigram table —
+    # Σ_w2 c12(w1, w2) ≡ count of bigram occurrences led by w1 — so
+    # derive it from c12 instead of re-exploding the whole ref corpus
+    # into a second full-volume groupBy(w1) shuffle. The second
+    # aggregation runs over DISTINCT bigrams (bounded by vocab², in
+    # practice a small fraction of corpus bigram occurrences), and the
+    # two identical c12 exchanges in the plan collapse into one
+    # ReusedExchange — one fewer corpus-scale explode+shuffle per
+    # lm_score build at every scale. Exact-integer equivalent.
+    c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     vocab = (ref.select(F.explode(tokens(text_col)).alias("__w"))
              .agg(F.countDistinct("__w").alias("__v")))
 
