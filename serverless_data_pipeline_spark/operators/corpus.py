@@ -1866,13 +1866,20 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
     broadcast, the train shingle scan is map-side semi-joined, so train
     never shuffles; every aggregation after the join keys only on the
     CONTAMINATED subset (a tiny fraction of a 100 TB corpus). n_total
-    is a narrow per-row projection (no shuffle), joined onto the hit
-    set only."""
-    t_tok = train.select(
+    RIDES the shingle explode (r13 optimization round, guide §2.3/§2.4:
+    one narrow long per exploded row, paid only on the rows that
+    survive the broadcast semi-join) and comes out of the same per-doc
+    aggregate as n_overlap — the operator scans train ONCE, where it
+    previously ran a second full tokenize+shingle pass for a totals
+    projection and joined it back (2 FileScan+explode subtrees -> 1,
+    one join removed; exact same output — the ridden size is
+    F.size of the identical distinct-shingle array)."""
+    t_sh = train.select(
         F.col(id_col),
         F.array_distinct(
-            shingles_from_tokens(tokens(text_col), n)).alias("__shs"))
-    t_sh = t_tok.select(id_col, F.explode("__shs").alias("__sh"))
+            shingles_from_tokens(tokens(text_col), n)).alias("__shs")
+    ).select(id_col, F.size("__shs").alias("__nt"),
+             F.explode("__shs").alias("__sh"))
     e_sh = eval_df.select(
         F.col(id_col).alias("__eval_id"),
         F.explode(F.array_distinct(
@@ -1881,7 +1888,8 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
         e_sh = F.broadcast(e_sh)
     joined = t_sh.join(e_sh, "__sh")
     per_doc = (joined.groupBy(id_col)
-               .agg(F.countDistinct("__sh").alias("n_overlap")))
+               .agg(F.countDistinct("__sh").alias("n_overlap"),
+                    F.first("__nt").alias("n_total")))
     per_pair = (joined.groupBy(id_col, "__eval_id")
                 .agg(F.count("*").alias("top_eval_overlap")))
     w = Window.partitionBy(id_col).orderBy(
@@ -1890,20 +1898,13 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
            .filter(F.col("__rn") == 1)
            .select(id_col, F.col("__eval_id").alias("top_eval_id"),
                    "top_eval_overlap"))
-    totals = t_tok.select(id_col, F.size("__shs").alias("n_total"))
-    # tiny ⋈ tiny first, then broadcast the contaminated set INTO the
-    # train-sized totals projection — train stays map-side on every
-    # join in this operator (the x10 never-shuffle-train contract; a
-    # plain 3-way join on id would sort-merge-shuffle totals). The
-    # hints follow broadcast_eval: with a huge eval set the
+    # tiny ⋈ tiny: both sides aggregate the CONTAMINATED subset only.
+    # The hint follows broadcast_eval: with a huge eval set the
     # contaminated set is unbounded too, and a forced broadcast of it
     # would be the driver-OOM variant of the same mistake — there the
-    # plan degrades to shuffled joins gracefully, like decontaminate.
-    rep = per_doc.join(F.broadcast(top) if broadcast_eval else top,
-                       id_col)
-    if broadcast_eval:
-        rep = F.broadcast(rep)
-    return (totals.join(rep, id_col)
+    # plan degrades to a shuffled join gracefully, like decontaminate.
+    return (per_doc.join(F.broadcast(top) if broadcast_eval else top,
+                         id_col)
             .select(id_col,
                     F.col("n_overlap").cast("long"),
                     F.col("n_total").cast("long"),

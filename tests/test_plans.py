@@ -82,10 +82,22 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_no_cartesian_in_dedup(spark):
-    for name in ("x_approx_suite", "x2_dedup_clusters"):
-        plan = _plan(spark, name)
-        assert "CartesianProduct" not in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+    """No quadratic joins in the dedup rows. x_approx must have NO
+    nested-loop join at all. x2 carries exactly the PageRank-family
+    kernels' deliberate ONE-ROW scalar attaches (crossJoin of the
+    broadcast |nodes|-count / dangling-mass aggregates — O(n) work,
+    1-row build side): r13's checkpoint-cadence change stopped
+    truncating kernel lineage every round, so those attaches are now
+    VISIBLE in the plan instead of hidden behind per-round checkpoint
+    RDD leaves (they always executed). Pinning the exact count keeps
+    the original protection: any ACCIDENTAL nested-loop join added to
+    the row changes the number."""
+    plan = _plan(spark, "x_approx_suite")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan = _plan(spark, "x2_dedup_clusters")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 32
 
 
 def test_q5_star_join_all_broadcast(spark):
@@ -230,9 +242,13 @@ def test_no_cartesian_product_in_any_registry_plan(spark):
     # one corpus pass — the intended scale plan for an exact baseline),
     # x13 (1-row vocab-size scalar broadcast onto every bigram),
     # x5 (top_tfidf_terms' 1-row corpus-count scalar broadcast onto the
-    # |vocab|-row document-frequency aggregate).
+    # |vocab|-row document-frequency aggregate),
+    # x2 (r13: the PageRank-family kernels' 1-row |nodes|-count /
+    # dangling-mass scalar attaches, visible since the checkpoint
+    # cadence stopped truncating kernel lineage every round; the exact
+    # node count is pinned in test_no_cartesian_in_dedup).
     bnlj_ok = {"j56_cross_range", "x3_topk_similarity", "x13_lm_score",
-               "x5_text_signals"}
+               "x5_text_signals", "x2_dedup_clusters"}
     for name in entry_mod.queries():
         if name in skip:
             continue
@@ -271,17 +287,21 @@ def test_decontaminate_broadcasts_eval_never_shuffles_train(spark):
     """X10 (all three arms of the tagged union): the exact arm's eval
     shingle set arrives via broadcast (probe + hits join), the bloom
     arm's bitmap probes are k_hashes=4 chained broadcast joins plus its
-    hits join, and the report arm (r7) broadcasts the eval shingle+id
-    frame for its probe and then the tiny contaminated set (per-doc ⋈
-    top-attribution) INTO the train-sized n_total projection — so every
-    join in the row is a broadcast and the only hash exchanges key on
-    tiny derived frames (eval-distinct, bitmap words, per-doc hit
-    counts, per-pair attribution) — never a repartition of the train
-    corpus scan itself."""
+    hits join, and the report arm broadcasts the eval shingle+id frame
+    for its probe and then the tiny top-attribution frame into the
+    per-doc aggregate (r13 optimization round: n_total now RIDES the
+    shingle explode and comes out of the same per-doc aggregate as
+    n_overlap, so the second train tokenize pass and its totals join
+    are GONE — one fewer BroadcastHashJoin and one fewer train-side
+    FileScan than r12) — so every join in the row is a broadcast and
+    the only hash exchanges key on tiny derived frames (eval-distinct,
+    bitmap words, per-doc hit counts, per-pair attribution) — never a
+    repartition of the train corpus scan itself."""
     plan = _plan(spark, "x10_decontaminate")
     # exact: shingle probe + hits join; bloom: 4 bitmap probes + hits;
-    # report: eval-id probe + per-pair top join + totals join + final.
-    assert plan.count("BroadcastHashJoin") == 11
+    # report: eval-id probe + per-pair top join + final (totals join
+    # removed r13).
+    assert plan.count("BroadcastHashJoin") == 10
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
 
