@@ -3007,7 +3007,15 @@ def _x7_flavour_full(spark, sf):
     # sides, the final keep-join); checkpointing it collapses those to
     # one fingerprint-dedup pass. Measured sf0.1: cold 19.8s -> 5.7s,
     # warm 7.4s -> 5.3s together with the materialized shingle index.
-    exact = docs.join(keep, "doc_id").localCheckpoint(eager=True)
+    # r13: spread_checkpoint — AQE coalesced this join output to ONE
+    # partition at sf0.1, serializing every downstream narrow gate
+    # (language-id regexes, quality, repetition shingles, decontaminate
+    # explode) onto one core; the scale-adaptive respread keeps the
+    # leaf at session parallelism when (and only when) it is small.
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_checkpoint,
+    )
+    exact = spread_checkpoint(docs.join(keep, "doc_id"))
     pairs = ngram_jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.4,
                                 materialize_index=True)
     nd = dedupe_by_components(exact, pairs, "doc_id")

@@ -1427,6 +1427,12 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     join of hits back onto train. If the eval set is itself huge, pass
     ``broadcast_eval=False`` and the same plan degrades gracefully to a
     shuffled hash join on the shingle key."""
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_small_input,
+    )
+    # r13: spread the train side before the shingle explode (the row's
+    # heaviest map stage); no-op at real scale.
+    train = spread_small_input(train)
     t_sh = train.select(
         F.col(id_col),
         F.explode(F.array_distinct(
@@ -1498,6 +1504,10 @@ def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
     data at all (same never-shuffle-train property as the exact path,
     plan-asserted in tests). The only shuffles key on ``id_col`` for
     the per-doc overlap count, exactly as in ``decontaminate``."""
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_small_input,
+    )
+    train = spread_small_input(train)  # r13: see decontaminate
     bloom = shingle_bloom(eval_df, text_col, n=n, m_bits=m_bits,
                           k_hashes=k_hashes)
     t_sh = train.select(
@@ -1563,7 +1573,14 @@ def segment_dedup(df: DataFrame, id_col: str, text_col: str,
     task instead of serializing a million rows into one un-splittable
     window sort. The shuffle also shrinks to one row per DISTINCT
     segment."""
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_small_input,
+    )
+    # r13 (optimization round): a small single-file corpus scans as ONE
+    # partition, single-coring the per-segment md5 map stage; no-op at
+    # real scale (inputs then have many row groups).
+    toks = (spread_small_input(df)
+            .select(F.col(id_col), tokens(text_col).alias("__t")))
     # n_segments rides through the explode (and through the min struct —
     # it belongs to the winning row's doc) — joining it back from a
     # second tokenize pass would rescan and re-tokenize the whole corpus.
@@ -1612,8 +1629,15 @@ def _passage_windows(df: DataFrame, id_col: str, text_col: str,
         raise ValueError(f"fingerprint must be one of "
                          f"{sorted(fp_templates)}, got {fingerprint!r}")
     fp_sql = fp_templates[fingerprint].format(k=k)
-    toks = (df.select(F.col(id_col), tokens(text_col).alias("__t"))
-              .filter(F.size("__t") > 0))
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_small_input,
+    )
+    # r13: spread before the stride-1 window fingerprint stream — one
+    # md5 PER TOKEN is the row's heaviest map stage and a single-file
+    # corpus would otherwise compute it on one core.
+    toks = (spread_small_input(df)
+            .select(F.col(id_col), tokens(text_col).alias("__t"))
+            .filter(F.size("__t") > 0))
     wins = (toks.filter(F.size("__t") >= k)
             .select(F.col(id_col),
                     F.posexplode(F.expr(
@@ -1874,6 +1898,10 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
     projection and joined it back (2 FileScan+explode subtrees -> 1,
     one join removed; exact same output — the ridden size is
     F.size of the identical distinct-shingle array)."""
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_small_input,
+    )
+    train = spread_small_input(train)  # r13: see decontaminate
     t_sh = train.select(
         F.col(id_col),
         F.array_distinct(

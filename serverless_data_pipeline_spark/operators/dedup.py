@@ -376,7 +376,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.expr("transform(__arr, s -> s.__sh)").alias("__set"),
                     F.size("__arr").alias("sz")))
     if materialize_index:
-        sets = sets.localCheckpoint(eager=True)
+        # r13: spread_checkpoint — the groupBy output AQE-coalesces to
+        # 1-2 partitions at small scale, which would single-core the
+        # prefix explode feeding the candidate self-join's map side.
+        from serverless_data_pipeline_spark.operators.util import (
+            spread_checkpoint,
+        )
+        sets = spread_checkpoint(sets)
     # c=2 prefix scheme (the PPJoin-family c-prefix lemma): with prefixes
     # ONE longer than the minimal sz - ceil(t*sz) + 1, any pair with
     # overlap >= alpha must share >= 2 prefix shingles whenever alpha >= 2

@@ -194,6 +194,11 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
     rounded to 6dp and accumulated with exact integer arithmetic (the _msum
     discipline), so the mean is reproducible across engines and partition
     orders."""
+    # r13 (optimization round): spread_small_input on docs/ref was
+    # A/B-measured and REJECTED here — x13 instantiates this subtree
+    # ~8x across its arms, so the added repartition exchanges cost more
+    # than the parallelized explode saves (interleaved min-of-3 at
+    # sf0.1: 5.7 s without vs 6.3 s with).
     ref = docs if ref is None else ref
 
     def bigrams(df: DataFrame) -> DataFrame:

@@ -65,6 +65,34 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint whose LEAF keeps enough partitions to use
+    the session's cores (r13 optimization round, guide §2.5/§2.6 small-
+    input corollary of ``spread_small_input``).
+
+    AQE rightly coalesces a small join/aggregate output to one or two
+    post-shuffle partitions — but checkpointing that output FREEZES the
+    coalesced layout, and ``spread_small_input`` cannot help downstream
+    consumers because a checkpoint leaf has no input files to probe. At
+    sf0.1 the x7 post-dedup frame checkpointed as ONE partition, so the
+    entire downstream gate chain (language-id regexes, quality scoring,
+    repetition shingles, decontamination explode) ran single-core on a
+    32-core session.
+
+    Scale-adaptive by construction: the partition count is probed on
+    the MATERIALIZED RDD (free — the eager checkpoint just built it),
+    and the respread runs only when AQE produced fewer than half the
+    session's parallelism, which under size-based coalescing means the
+    frame is small — so the extra repartition+re-checkpoint moves a
+    small frame once. Big frames (many post-AQE partitions) return the
+    first checkpoint untouched, with zero extra work."""
+    ckpt = df.localCheckpoint(eager=True)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if ckpt.rdd.getNumPartitions() < max(2, target // 2):
+        ckpt = ckpt.repartition(target).localCheckpoint(eager=True)
+    return ckpt
+
+
 def hadoop_fs(spark, path: str):
     """Resolve ``path`` through the JVM Hadoop FileSystem API: returns
     (fs, jpath). ONE home for the ``spark._jvm``/``spark._jsc`` py4j
