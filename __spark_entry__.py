@@ -1554,7 +1554,7 @@ def _q_x3_topk_similarity(spark, sf):
     from serverless_data_pipeline_spark.operators.similarity import (
         cluster_balanced_sample, hard_negatives, random_projection,
     )
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings")  # r13: spread rejected, see ann
     # hardneg arm (r7 s6): hard-negative mining — top-10 most-similar
     # corpus vectors per query EXCLUDING the query and its two listed
     # positives (q+1, q+2); ranked on the round-6 cosine in BOTH
@@ -2077,6 +2077,11 @@ def _ann_flavours(spark, sf):
         add_sign_lsh_buckets, ann_topk_indexed, ann_topk_join,
         train_ivf_centroids,
     )
+    # r13: spreading the 2000-row embeddings scan was A/B-measured and
+    # REJECTED (interleaved min-of-3 at sf0.1: x_approx 5.5 s one-
+    # partition vs 8.4 s spread) — the repartition instantiates per
+    # consumer subtree and 62-row Arrow batches pay more per-task
+    # overhead than the parallelism returns on a 2000x64 table.
     e = _t(spark, sf, "embeddings")
     q = [0.1] * 64
 

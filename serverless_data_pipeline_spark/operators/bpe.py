@@ -567,6 +567,13 @@ def bpe_encode(df: DataFrame, text_col: str,
         raise ValueError("attach_ws applies to raw mode only")
     if byte_level and (raw or attach_ws):
         raise ValueError("byte_level is a standalone mode")
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_small_input,
+    )
+    # r13 (optimization round): a small single-file corpus scans as
+    # ONE partition, which would hand the ENTIRE merge loop to one
+    # Python worker; no-op at real scale (many row groups).
+    df = spread_small_input(df)
     symbolize = _symbolizer(merges, raw=raw, attach_ws=attach_ws,
                             byte_level=byte_level)
 
@@ -746,6 +753,10 @@ def _encode_ids_broadcast(df: DataFrame, text_col: str,
     unk-rate division/rounding stays JVM-side on the returned integer
     counts, the EXACT expression of the literal path, so the two
     modes are bit-identical (pytest-pinned)."""
+    from serverless_data_pipeline_spark.operators.util import (
+        spread_small_input,
+    )
+    df = spread_small_input(df)  # r13: see bpe_encode
     symbolize = _symbolizer(merges, raw=raw, attach_ws=attach_ws,
                             byte_level=byte_level)
     bv = df.sparkSession.sparkContext.broadcast(dict(vocab))

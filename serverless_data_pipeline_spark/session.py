@@ -51,6 +51,15 @@ def get_spark(app_name: str = "serverless_data_pipeline_spark",
         # (bench.py must emit exactly one JSON line).
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r13 (optimization round, guide §3.1/§9): let the planner pick
+        # shuffled-hash over sort-merge when its size conditions are
+        # met — skips both sort passes; A/B at sf0.1 (interleaved
+        # min-of-3): x7 8.3->7.5 s, x5 3.3->2.9 s, x8.lmask 3.2->3.1 s,
+        # no regressions. Scale-safe: the flag only ALLOWS the choice
+        # where the per-partition build side fits (the planner's size
+        # gate), sort-merge remains available, and AQE can still
+        # rewrite at runtime.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     # Respect a master/memory already configured by spark-submit — builder
     # conf would override submit-time settings, pinning the engine to local

@@ -208,20 +208,24 @@ def test_corpus_utils_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 29
     assert plan.count("Exchange SinglePartition") == 3
-    # exactly TWO SortMergeJoins are allowed and both are pinned by
+    # exactly TWO shuffle joins are allowed and both are pinned by
     # type/keys: the diff arm's FULL OUTER (full outers cannot
-    # broadcast; SMJ is the correct physical op there) and the r12
-    # lmask arm's block-grain mask join back onto the packed blocks —
-    # keyed on (shard, block_id), where the flag-regroup side is
-    # ALREADY partitioned on exactly those keys (its exchange is
+    # broadcast; SMJ is the physical op the planner picks for it) and
+    # the r12 lmask arm's block-grain mask join back onto the packed
+    # blocks — keyed on (shard, block_id), where the flag-regroup side
+    # is ALREADY partitioned on exactly those keys (its exchange is
     # counted above) and the frame is block-grain, deliberately NOT
-    # broadcast (at 100 TB it is the block count). A dim broadcast
-    # degrading to any OTHER SMJ still fails the count.
+    # broadcast (at 100 TB it is the block count). r13: with
+    # preferSortMergeJoin=false (session.py) the planner now takes the
+    # mask join as ShuffledHashJoin on the SAME keys — no sort passes,
+    # same exchange budget. A dim broadcast degrading to any OTHER
+    # shuffle join still fails the counts.
     import re as _re
-    assert plan.count("SortMergeJoin") == 2
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("ShuffledHashJoin") == 1
     assert _re.search(r"SortMergeJoin.*FullOuter", plan)
     assert _re.search(
-        r"SortMergeJoin \[shard#\d+, block_id#\d+L\]", plan)
+        r"ShuffledHashJoin \[shard#\d+, block_id#\d+L\]", plan)
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
