@@ -131,8 +131,12 @@ def main() -> None:
         .format("noop").save()
 
     def run(name: str) -> float:
+        # guide §1.5: label jobs so the UI/event-log attribution is
+        # readable; no effect on timing or output.
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         t0 = time.time()
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        spark.sparkContext.setJobDescription(None)
         return round(time.time() - t0, 3)
 
     # Committed clean band (r9, r8 verdict #5): per-query/subquery times
