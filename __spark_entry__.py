@@ -3055,14 +3055,21 @@ def _x7_flavour_full(spark, sf):
     gated = (en.withColumn("q_score", F.round(quality_score_expr("text"), 6))
              .filter(F.col("q_score") >= 0.5))
     # Repetition gate inline (same expressions as repetition_signals —
-    # narrow, no join back on doc_id).
-    sh = shingles_from_tokens(tokens("text"), 3)
+    # narrow, no join back on doc_id). r14 (guide §2.3/§4.2): the token
+    # and shingle arrays are materialized once — the inline form
+    # re-evaluated the whole shingle chain in each of dnr's three
+    # references, and the split inside each of the chain's ~9 internal
+    # references (~27 splits per row; fresh lambda ids defeat CSE).
+    sh = F.col("__sh3")
     dnr = F.round(
         F.when(F.size(sh) > 0,
                1.0 - F.size(F.array_distinct(sh)).cast("double")
                / F.size(sh).cast("double"))
          .otherwise(F.lit(0.0)), 6)
-    repg = gated.withColumn("__dnr", dnr).filter(F.col("__dnr") <= 0.5)
+    repg = (gated.withColumn("__t3", tokens("text"))
+            .withColumn("__sh3", shingles_from_tokens("__t3", 3))
+            .withColumn("__dnr", dnr).filter(F.col("__dnr") <= 0.5)
+            .drop("__t3", "__sh3"))
     # train feeds TWO consumers inside decontaminate (the shingle probe
     # and the final flag join) and is deliberately NOT checkpointed:
     # its lineage below the gates is already checkpoint leaves (the
@@ -3774,7 +3781,9 @@ def _x11_page_recipes(docs):
         c4_clean, gopher_rules,
     )
     from serverless_data_pipeline_spark.functions.text import tokens
-    toks = tokens("text")
+    # r14: split once into a column — the page template references the
+    # token array four times (each inline reference re-ran the split).
+    toks = F.col("__t")
     page = F.concat_ws(
         "\n",
         F.concat(F.array_join(F.slice(toks, 1, 8), " "), F.lit(".")),
@@ -3787,7 +3796,8 @@ def _x11_page_recipes(docs):
                F.lit("lorem ipsum dolor sit amet.")),
         F.when(F.col("doc_id") % 11 == 0,
                F.lit("var f = function() { return 1; }")))
-    pages = docs.select("doc_id", page.alias("text"))
+    pages = (docs.select("doc_id", tokens("text").alias("__t"))
+             .select("doc_id", page.alias("text")))
     c4 = c4_clean(pages, min_words_per_line=4).select(
         "doc_id",
         F.col("n_lines").alias("c4_n_lines"),

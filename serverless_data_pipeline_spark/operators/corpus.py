@@ -1421,26 +1421,33 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     Scale shape: the eval side is tiny relative to a 100 TB train corpus
     (thousands vs billions of docs), so its DISTINCT shingle set is
     broadcast (``broadcast_eval=True``) and the probe is a map-side
-    semi-join on the train shingle scan — no shuffle of train data at
-    all. The only shuffles key on ``id_col``: counting overlaps per
-    contaminated doc (a tiny fraction of the corpus) and the final left
-    join of hits back onto train. If the eval set is itself huge, pass
-    ``broadcast_eval=False`` and the same plan degrades gracefully to a
-    shuffled hash join on the shingle key."""
+    semi-join on the train shingle scan — no KEYED shuffle of train
+    data at all (one exemption: ``spread_small_input`` round-robins a
+    few-files-small train scan across the cores before the shingle
+    explode; at real scale the probe sees many row groups and inserts
+    nothing). The only keyed shuffles are on ``id_col``: counting
+    overlaps per contaminated doc (a tiny fraction of the corpus) and
+    the final left join of hits back onto train. If the eval set is
+    itself huge, pass ``broadcast_eval=False`` and the same plan
+    degrades gracefully to a shuffled join on the shingle key."""
     from serverless_data_pipeline_spark.operators.util import (
         spread_small_input,
     )
     # r13: spread the train side before the shingle explode (the row's
     # heaviest map stage); no-op at real scale.
     train = spread_small_input(train)
-    t_sh = train.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(
-            shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
-    e_sh = (eval_df.select(
-        F.explode(F.array_distinct(
-            shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
-        .distinct())
+    # r14 (guide §2.3/§4.2): tokenize into a column first — passing the
+    # raw `tokens()` expression into `shingles_from_tokens` re-ran the
+    # split inside every slice/size reference of the shingle chain
+    # (~9 splits per row; fresh lambda ids defeat runtime CSE).
+    t_sh = (train.select(F.col(id_col), tokens(text_col).alias("__t"))
+            .select(F.col(id_col),
+                    F.explode(F.array_distinct(
+                        shingles_from_tokens("__t", n))).alias("__sh")))
+    e_sh = (eval_df.select(tokens(text_col).alias("__t"))
+            .select(F.explode(F.array_distinct(
+                shingles_from_tokens("__t", n))).alias("__sh"))
+            .distinct())
     if broadcast_eval:
         e_sh = F.broadcast(e_sh)
     hits = (t_sh.join(e_sh, "__sh")
@@ -1466,8 +1473,9 @@ def shingle_bloom(df: DataFrame, text_col: str, n: int = 5,
                          "make every membership test vacuously true)")
     if m_bits < 64:
         raise ValueError("m_bits must be >= 64 (one packed word)")
-    sh = df.select(F.explode(F.array_distinct(
-        shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+    sh = (df.select(tokens(text_col).alias("__t"))  # r14: split once
+          .select(F.explode(F.array_distinct(
+              shingles_from_tokens("__t", n))).alias("__sh")))
     pos = sh.select(F.explode(F.array(
         *[F.pmod(F.xxhash64("__sh", F.lit(i)), F.lit(m_bits))
           for i in range(k_hashes)])).alias("__pos"))
@@ -1510,10 +1518,11 @@ def bloom_decontaminate(train: DataFrame, eval_df: DataFrame,
     train = spread_small_input(train)  # r13: see decontaminate
     bloom = shingle_bloom(eval_df, text_col, n=n, m_bits=m_bits,
                           k_hashes=k_hashes)
-    t_sh = train.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(
-            shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+    # r14: split once (see decontaminate)
+    t_sh = (train.select(F.col(id_col), tokens(text_col).alias("__t"))
+            .select(F.col(id_col),
+                    F.explode(F.array_distinct(
+                        shingles_from_tokens("__t", n))).alias("__sh")))
     probe = t_sh
     hit = F.lit(True)
     for i in range(k_hashes):
@@ -1902,16 +1911,18 @@ def contamination_report(train: DataFrame, eval_df: DataFrame,
         spread_small_input,
     )
     train = spread_small_input(train)  # r13: see decontaminate
-    t_sh = train.select(
-        F.col(id_col),
-        F.array_distinct(
-            shingles_from_tokens(tokens(text_col), n)).alias("__shs")
-    ).select(id_col, F.size("__shs").alias("__nt"),
-             F.explode("__shs").alias("__sh"))
-    e_sh = eval_df.select(
-        F.col(id_col).alias("__eval_id"),
-        F.explode(F.array_distinct(
-            shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+    # r14: split once (see decontaminate)
+    t_sh = (train.select(F.col(id_col), tokens(text_col).alias("__t"))
+            .select(F.col(id_col),
+                    F.array_distinct(shingles_from_tokens("__t", n))
+                    .alias("__shs"))
+            .select(id_col, F.size("__shs").alias("__nt"),
+                    F.explode("__shs").alias("__sh")))
+    e_sh = (eval_df.select(F.col(id_col).alias("__eval_id"),
+                           tokens(text_col).alias("__t"))
+            .select("__eval_id",
+                    F.explode(F.array_distinct(
+                        shingles_from_tokens("__t", n))).alias("__sh")))
     if broadcast_eval:
         e_sh = F.broadcast(e_sh)
     joined = t_sh.join(e_sh, "__sh")

@@ -1049,10 +1049,14 @@ def duplicate_ngram_fraction(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("max_doc_freq must be >= 1")
     if emit_exact and max_doc_freq is None:
         raise ValueError("emit_exact requires max_doc_freq")
-    sh = (df.select(
+    # r14 (guide §2.3/§4.2): tokenize into a column first — the inline
+    # `tokens()` expression re-ran the split inside every slice/size
+    # reference of the shingle chain (~9 splits per row).
+    sh = (df.select(F.col(id_col), tokens(text_col).alias("__t"))
+          .select(
             F.col(id_col),
             F.explode(F.array_distinct(
-                shingles_from_tokens(tokens(text_col), n))).alias("__sh"))
+                shingles_from_tokens("__t", n))).alias("__sh"))
           .select(F.col(id_col), F.xxhash64("__sh").alias("__h")))
     dc = (sh.groupBy("__h").agg(F.count("*").alias("__dc"))
           .filter(F.col("__dc") >= 2))

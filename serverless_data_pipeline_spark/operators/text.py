@@ -13,8 +13,9 @@ from pyspark.sql import functions as F
 
 from serverless_data_pipeline_spark.operators.util import spread_small_input
 from serverless_data_pipeline_spark.functions.text import (
-    bpe_ish_tokens, fingerprint, punct_ratio, quality_score_expr,
-    shingles_from_tokens, stopword_ratio, token_count, tokens,
+    STOPWORDS, bpe_ish_tokens, fingerprint, punct_ratio,
+    quality_score_expr, shingles_from_tokens, stopword_ratio,
+    token_count, tokens,
 )
 
 # Marker function words per language (public, standard vocabulary lists).
@@ -36,13 +37,37 @@ def marker_score(text_col: Column | str, lang: str) -> Column:
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword-heuristic language ID: argmax marker-hit count,
     CJK codepoints short-circuit to 'zh', no hits -> 'und'. Ties break by
-    language code order (deterministic). Adds `predicted_lang`."""
+    language code order (deterministic). Adds `predicted_lang`.
+
+    r14 (optimization round, guide §2.3/§4.2): tokenize ONCE. The
+    single-expression form inlined `tokens(lower(text))` into every
+    marker score, and the argmax when-chain fold doubles each score
+    subtree per language — the planned projection carried ~46
+    structurally-distinct copies of the split+filter (each `tokens()`
+    call mints fresh lambda-variable ids, so not even runtime
+    common-subexpression elimination can merge them). Materializing the
+    token array and then the four scores in nested Projects leaves ONE
+    split per row; the when-chain then folds over cheap attribute
+    references. Same scores, same tie-break, same output column."""
     df = spread_small_input(df)
-    scores = {lang: marker_score(text_col, lang) for lang in sorted(LANG_MARKERS)}
+    langs = sorted(LANG_MARKERS)
+    score_of = {lang: f"__lid_{lang}" for lang in langs}
+    toked = df.select(
+        "*", tokens(F.lower(F.col(text_col))).alias("__lid_toks"))
+
+    # arity-1 closure per language: a 2-arg lambda (`lambda t, _l=lang`)
+    # would make F.filter pass the ELEMENT INDEX as the second argument
+    # (the bm25_topk footgun).
+    def _is_marker(lang: str):
+        return lambda t: t.isin(*LANG_MARKERS[lang])
+
+    scored = toked.select("*", *[
+        F.size(F.filter(F.col("__lid_toks"), _is_marker(lang)))
+        .alias(score_of[lang]) for lang in langs])
     best = None
     best_score = None
-    for lang in sorted(LANG_MARKERS):
-        s = scores[lang]
+    for lang in langs:
+        s = F.col(score_of[lang])
         if best is None:
             best, best_score = F.lit(lang), s
         else:
@@ -52,21 +77,61 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = (F.when(F.col(text_col).rlike(r"[一-鿿]"), F.lit("zh"))
              .when(best_score > 0, best)
              .otherwise(F.lit("und")))
-    return df.withColumn("predicted_lang", pred)
+    return (scored.withColumn("predicted_lang", pred)
+            .drop("__lid_toks", *score_of.values()))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality signals + composite score (the X5 analogue of
-    the reference's quality stage py:273-284, but per-row)."""
+    the reference's quality stage py:273-284, but per-row).
+
+    r14 (optimization round, guide §2.3/§4.2): the signal expressions
+    share three heavy subtrees — `tokens(text)` (q_tokens + the
+    structure signal), `tokens(lower(text))` (stopword ratio, twice),
+    and the two punct/nonspace regexp_replace lengths (q_punct_ratio +
+    the low-punct signal). Inlined per signal they evaluated ~6 splits
+    + 4 regexp_replace per row (fresh lambda ids defeat runtime CSE);
+    materialized once in a nested Project it is 2 splits + 2
+    regexp_replace. The derived expressions are the same formulas over
+    the shared columns, so every output value is unchanged (the x5
+    oracle hash pins this)."""
     df = spread_small_input(df)
-    return df.select(
+    c = F.col(text_col)
+    toked = df.select(
         "*",
-        F.length(text_col).alias("q_chars"),
-        token_count(text_col).alias("q_tokens"),
-        F.round(punct_ratio(text_col), 6).alias("q_punct_ratio"),
-        F.round(stopword_ratio(text_col), 6).alias("q_stopword_ratio"),
-        F.round(quality_score_expr(text_col), 6).alias("q_score"),
-    )
+        tokens(c).alias("__qf_toks"),
+        tokens(F.lower(c)).alias("__qf_ltoks"),
+        F.length(F.regexp_replace(c, r"\s", "")).alias("__qf_nsp"),
+        F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+        .alias("__qf_pn"))
+    ntok = F.size("__qf_toks")
+    pr = F.when(F.col("__qf_nsp") > 0,
+                F.col("__qf_pn").cast("double")
+                / F.col("__qf_nsp").cast("double")).otherwise(F.lit(0.0))
+    nl = F.size("__qf_ltoks")
+    sw = F.size(F.filter(F.col("__qf_ltoks"),
+                         lambda t: t.isin(*STOPWORDS)))
+    swr = F.when(nl > 0, sw.cast("double") / nl.cast("double")) \
+        .otherwise(F.lit(0.0))
+    # quality_signal_count's three signals over the shared columns —
+    # same thresholds, same when-shapes (len-in-range, punct_ratio
+    # <= 0.3, >= 5 unlowered tokens), accumulated as the same exact
+    # integer count before the /3 mean.
+    len_ok = F.when((F.length(c) >= 20) & (F.length(c) <= 100_000), 1) \
+        .otherwise(0)
+    punct_ok = F.when(pr <= 0.3, 1).otherwise(0)
+    struct_ok = F.when(ntok >= 5, 1).otherwise(0)
+    q_score = F.round(
+        (len_ok + punct_ok + struct_ok).cast("long").cast("double")
+        / F.lit(3.0), 6)
+    return (toked.select(
+        "*",
+        F.length(c).alias("q_chars"),
+        ntok.cast("long").alias("q_tokens"),
+        F.round(pr, 6).alias("q_punct_ratio"),
+        F.round(swr, 6).alias("q_stopword_ratio"),
+        q_score.alias("q_score"))
+        .drop("__qf_toks", "__qf_ltoks", "__qf_nsp", "__qf_pn"))
 
 
 def token_stats(df: DataFrame, text_col: str = "text",
@@ -74,12 +139,14 @@ def token_stats(df: DataFrame, text_col: str = "text",
     """Corpus token statistics per group: docs, whitespace-token counts,
     BPE-ish subword counts, avg tokens/doc, distinct vocabulary size."""
     df = spread_small_input(df)
-    per_doc = df.select(
+    # r14: one split per row — n_tok derives from the same materialized
+    # token array the vocab explode reads (was a second inline split).
+    per_doc = (df.select(
         F.col(group_col),
-        token_count(text_col).alias("n_tok"),
         F.size(bpe_ish_tokens(text_col)).cast("long").alias("n_bpe"),
-        tokens(text_col).alias("toks"),
-    )
+        tokens(text_col).alias("toks"))
+        .select(group_col, F.size("toks").cast("long").alias("n_tok"),
+                "n_bpe", "toks"))
     return (per_doc
             .select(group_col, "n_tok", "n_bpe", F.explode("toks").alias("tok"))
             .groupBy(group_col)
@@ -131,14 +198,20 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     composes with the quality gate (plans/pipeline.py) as one more
     columnar signal."""
     df = spread_small_input(df)
-    toks = tokens(text_col)
-    sh = shingles_from_tokens(toks, ngram_n)
+    # r14 (guide §2.3/§4.2): materialize the token and shingle arrays
+    # once — inlined, the split re-ran inside every size/array_distinct
+    # reference (~10 splits + 2 shingle-chain builds per row; fresh
+    # lambda ids defeat runtime CSE). Same measured values.
+    base = (df.select("*", tokens(text_col).alias("__rs_toks"))
+            .select("*", shingles_from_tokens("__rs_toks", ngram_n)
+                    .alias("__rs_sh")))
+    toks, sh = F.col("__rs_toks"), F.col("__rs_sh")
     tt, td = F.size(toks), F.size(F.array_distinct(toks))
     nt, nd = F.size(sh), F.size(F.array_distinct(sh))
     ratio = lambda tot, dis: F.round(
         F.when(tot > 0, 1.0 - dis.cast("double") / tot.cast("double"))
          .otherwise(F.lit(0.0)), 6)
-    return df.select(
+    return base.select(
         F.col(id_col),
         tt.cast("long").alias("tok_total"),
         td.cast("long").alias("tok_distinct"),
@@ -350,19 +423,25 @@ def classifier_quality_score(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("weights must be non-empty")
     w_int = F.array(*[F.lit(int(round(float(x) * 1e6))).cast("long")
                       for x in weights])
-    toks = tokens(text_col)
-    tw = F.transform(toks, lambda t: F.element_at(
+    # r14: tokenize once — `n` is referenced four times downstream and
+    # each inline reference re-ran the split (fresh lambda ids defeat
+    # runtime CSE). The md5 bucket transform itself always ran once.
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__cq_toks"))
+    tw = F.transform(F.col("__cq_toks"), lambda t: F.element_at(
         w_int, (F.pmod(
             F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
             F.lit(b)) + 1).cast("int")))
     s = F.aggregate(tw, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    n = F.size(toks)
+    sized = toked.select(F.col(id_col),
+                         F.size("__cq_toks").alias("__cq_n"),
+                         s.alias("__cq_s"))
+    n = F.col("__cq_n")
     z = (F.lit(float(bias))
-         + F.when(n > 0, s / (n.cast("double") * F.lit(1e6)))
+         + F.when(n > 0, F.col("__cq_s") / (n.cast("double") * F.lit(1e6)))
             .otherwise(F.lit(0.0)))
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return df.select(F.col(id_col), n.cast("long").alias("n_tokens"),
-                     F.round(prob, 6).alias(out_col))
+    return sized.select(F.col(id_col), n.cast("long").alias("n_tokens"),
+                        F.round(prob, 6).alias(out_col))
 
 
 def bm25_topk(df: DataFrame, id_col: str, text_col: str, query: str, *,
@@ -512,8 +591,6 @@ def c4_clean(df: DataFrame, id_col: str = "doc_id",
     the line array — no explode, no shuffle, no Python; runs at scan
     speed on a 100 TB corpus and composes with the quality gate."""
     df = spread_small_input(df)
-    lines = F.filter(F.split(F.col(text_col), r"\n"),
-                     lambda l: F.trim(l) != "")
 
     def _line_kept(l: Column) -> Column:
         t = F.trim(l)
@@ -526,12 +603,22 @@ def c4_clean(df: DataFrame, id_col: str = "doc_id",
             keep = keep & ~F.contains(F.lower(t), F.lit(tok.lower()))
         return keep
 
-    kept = F.filter(lines, _line_kept)
     doc_dropped = F.lit(False)
     for ph in policy_phrases:
         doc_dropped = doc_dropped | F.contains(F.lower(F.col(text_col)),
                                                F.lit(ph.lower()))
-    return df.select(
+    # r14 (guide §2.3/§4.2): materialize the line array and the kept
+    # subset once — inlined, every size/array_join reference re-split
+    # the page and re-ran the per-line keep predicate (~6 evaluations
+    # per row; fresh lambda ids defeat runtime CSE). Same signals.
+    base = (df.select(
+        F.col(id_col), F.col(text_col),
+        F.filter(F.split(F.col(text_col), r"\n"),
+                 lambda l: F.trim(l) != "").alias("__c4_lines"))
+        .select(F.col(id_col), F.col(text_col), "__c4_lines",
+                F.filter("__c4_lines", _line_kept).alias("__c4_kept")))
+    lines, kept = F.col("__c4_lines"), F.col("__c4_kept")
+    return base.select(
         F.col(id_col),
         F.size(lines).cast("long").alias("n_lines"),
         F.when(doc_dropped, F.lit(0)).otherwise(F.size(kept))
@@ -587,35 +674,53 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
     in-expression, no explode, no shuffle, no Python; scan-speed at
     100 TB."""
     df = spread_small_input(df)
-    toks = tokens(text_col)
-    n_words = F.size(toks)
+    # r14 (guide §2.3/§4.2): two-level materialization — first the
+    # three heavy arrays (tokens, non-blank lines, distinct lowered
+    # tokens), then every count/signal as a column. Inlined, the rule
+    # expressions and the AND-of-rules keep decision re-evaluated the
+    # splits and per-line/token filters dozens of times per row (fresh
+    # lambda ids defeat runtime CSE); materialized, each runs once and
+    # the ratios/keep fold over cheap attribute references. Identical
+    # signal values (x11's oracle hash pins them).
+    arrs = df.select(
+        F.col(id_col), F.col(text_col),
+        tokens(text_col).alias("__g_toks"),
+        F.filter(F.split(F.col(text_col), r"\n"),
+                 lambda l: F.trim(l) != "").alias("__g_lines"),
+        F.array_distinct(tokens(F.lower(F.col(text_col))))
+        .alias("__g_ltoks"))
+    toks, lines = F.col("__g_toks"), F.col("__g_lines")
+    counts = arrs.select(
+        F.col(id_col),
+        F.size(toks).alias("__g_nw"),
+        F.aggregate(toks, F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t)).alias("__g_len"),
+        (F.regexp_count(F.col(text_col), F.lit("#"))
+         + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")))
+        .alias("__g_nsym"),
+        F.size(lines).alias("__g_nl"),
+        F.size(F.filter(lines, lambda l: F.trim(l).startswith("- ")
+                        | F.trim(l).startswith("* "))).alias("__g_bul"),
+        F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+        .alias("__g_ell"),
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .alias("__g_alpha"),
+        F.size(F.filter(F.col("__g_ltoks"),
+                        lambda t: t.isin(*stopwords))).alias("__g_stop"))
+    n_words = F.col("__g_nw")
     mean_len = F.when(n_words > 0,
-                      F.aggregate(toks, F.lit(0).cast("long"),
-                                  lambda acc, t: acc + F.length(t))
-                      .cast("double") / n_words.cast("double")
-                      ).otherwise(F.lit(0.0))
-    n_sym = (F.regexp_count(F.col(text_col), F.lit("#"))
-             + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")))
+                      F.col("__g_len").cast("double")
+                      / n_words.cast("double")).otherwise(F.lit(0.0))
     symbol_ratio = F.when(n_words > 0,
-                          n_sym.cast("double") / n_words.cast("double")
-                          ).otherwise(F.lit(0.0))
-    lines = F.filter(F.split(F.col(text_col), r"\n"),
-                     lambda l: F.trim(l) != "")
-    n_lines = F.size(lines)
-    bullets = F.size(F.filter(
-        lines, lambda l: F.trim(l).startswith("- ")
-        | F.trim(l).startswith("* ")))
-    ellipses = F.size(F.filter(
-        lines, lambda l: F.trim(l).endswith("...")))
+                          F.col("__g_nsym").cast("double")
+                          / n_words.cast("double")).otherwise(F.lit(0.0))
     frac = lambda num, den: F.when(
         den > 0, num.cast("double") / den.cast("double")
         ).otherwise(F.lit(0.0))
-    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
-    alpha_frac = frac(alpha_words, n_words)
-    low_toks = F.array_distinct(tokens(F.lower(F.col(text_col))))
-    stop_hits = F.size(F.filter(low_toks, lambda t: t.isin(*stopwords)))
-    bullet_frac = frac(bullets, n_lines)
-    ellipsis_frac = frac(ellipses, n_lines)
+    alpha_frac = frac(F.col("__g_alpha"), n_words)
+    stop_hits = F.col("__g_stop")
+    bullet_frac = frac(F.col("__g_bul"), F.col("__g_nl"))
+    ellipsis_frac = frac(F.col("__g_ell"), F.col("__g_nl"))
     keep = ((n_words >= min_words) & (n_words <= max_words)
             & (mean_len >= min_mean_word_len)
             & (mean_len <= max_mean_word_len)
@@ -624,7 +729,7 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
             & (ellipsis_frac <= max_ellipsis_frac)
             & (alpha_frac >= min_alpha_frac)
             & (stop_hits >= min_stop_hits))
-    return df.select(
+    return counts.select(
         F.col(id_col),
         n_words.cast("long").alias("g_n_words"),
         F.round(mean_len, 6).alias("g_mean_word_len"),
