@@ -79,6 +79,20 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst", *,
         raise ValueError("iters must be >= 1")
     if checkpoint_every < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    # r14 (ADVICE): in DIRECTED mode each round references the previous
+    # `ranks` TWICE (contrib path + dangling-mass aggregate), so the
+    # visible plan doubles per round between truncations — a k-round
+    # window embeds up to 2^k copies of the window-base subtree, and
+    # the r13 "plan a k-round window once" argument (measured on the
+    # single-reference undirected kernels) turns exponential-in-cadence
+    # for directed callers with larger `iters`. Cap the directed window
+    # at 3 rounds (<= 8 subtree copies, the analysis cost actually
+    # measured fine at the registry's iters=3): registry kernels plan
+    # identically (3 rounds never hit a mid-loop truncation either
+    # way); a directed iters=20 caller now stays O(2^3) per window
+    # instead of O(2^6).
+    if not undirected:
+        checkpoint_every = min(checkpoint_every, 3)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
         e = e.unionAll(e.select(F.col("dst").alias("src"),

@@ -89,7 +89,20 @@ def spread_checkpoint(df: DataFrame) -> DataFrame:
     ckpt = df.localCheckpoint(eager=True)
     target = df.sparkSession.sparkContext.defaultParallelism
     if ckpt.rdd.getNumPartitions() < max(2, target // 2):
-        ckpt = ckpt.repartition(target).localCheckpoint(eager=True)
+        respread = ckpt.repartition(target).localCheckpoint(eager=True)
+        # r14 (ADVICE): free the abandoned first checkpoint's storage
+        # blocks NOW — they otherwise stay persisted until the py4j/JVM
+        # refs are GC'd, a silent storage leak in a shared helper. The
+        # python-side `ckpt.rdd` is a fresh deserializing wrapper whose
+        # unpersist() never reaches the checkpoint blocks (verified);
+        # the block holder is the LogicalRDD leaf's internal RDD, so go
+        # through the plan (private internals, same caveat as
+        # `hadoop_fs` — best-effort, the leak is only local storage).
+        try:
+            ckpt._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
+        return respread
     return ckpt
 
 

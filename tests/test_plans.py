@@ -97,7 +97,33 @@ def test_no_cartesian_in_dedup(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     plan = _plan(spark, "x2_dedup_clusters")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 32
+    # r14 (ADVICE): the count is DERIVED from the kernels' parameters
+    # instead of a magic 32, so a benign iters/cadence change moves the
+    # expectation with it while an accidental nested-loop join still
+    # fails. Mirror of pagerank's loop: init attaches one broadcast
+    # 1-row count; each round adds one (undirected) or two (directed:
+    # + dangling mass) attaches; directed rounds also re-reference the
+    # previous ranks twice (contrib + dang), doubling the visible
+    # subtree; a mid-loop lineage truncation resets visibility.
+    from serverless_data_pipeline_spark.operators.graph import (
+        pagerank as _pr,
+    )
+    default_cadence = _pr.__kwdefaults__["checkpoint_every"]
+
+    def kernel_bnlj(iters: int, undirected: bool) -> int:
+        cadence = default_cadence if undirected else min(
+            default_cadence, 3)
+        n = 1  # init ranks: nodes x broadcast(count)
+        for rnd in range(iters):
+            n = (n + 1) if undirected else (2 * n + 2)
+            if (rnd + 1) % cadence == 0 and rnd + 1 < iters:
+                n = 0
+        return n
+
+    expected = (kernel_bnlj(5, True)      # pagerank arm
+                + kernel_bnlj(3, True)    # hostrank arm
+                + kernel_bnlj(3, False))  # hostrankd arm
+    assert plan.count("BroadcastNestedLoopJoin") == expected
 
 
 def test_q5_star_join_all_broadcast(spark):
