@@ -292,10 +292,19 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
     # derive it from c12 instead of re-exploding the whole ref corpus
     # into a second full-volume groupBy(w1) shuffle. The second
     # aggregation runs over DISTINCT bigrams (bounded by vocab², in
-    # practice a small fraction of corpus bigram occurrences), and the
-    # two identical c12 exchanges in the plan collapse into one
-    # ReusedExchange — one fewer corpus-scale explode+shuffle per
-    # lm_score build at every scale. Exact-integer equivalent.
+    # practice a small fraction of corpus bigram occurrences).
+    # r14 adjudication (verdict #5): the executed AQE plan shows the
+    # duplicated c12 subtree does NOT dedupe at runtime
+    # (plans/r14/x13_lm_score_executed.txt: ReusedExchange = 0 — the
+    # r13 claim of a ReuseExchange collapse was wrong), yet the form
+    # still wins where it matters: interleaved A/B at 10x corpus,
+    # 8.5-9.0 s vs 9.3 s two-pass (and a wash at sf0.1) — the
+    # distinct-bigram re-aggregation is cheaper than a second corpus
+    # explode+shuffle, and the gap grows with corpus size. An eager
+    # c12 checkpoint (run-once + leaf) was ALSO measured and rejected
+    # at both scales (1.9/10.1 s vs 1.7/9.0 s): the blocking
+    # materialization costs more than the duplicated narrow recompute,
+    # the same verdict as every previous checkpoint A/B here.
     c1 = c12.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     vocab = (ref.select(F.explode(tokens(text_col)).alias("__w"))
              .agg(F.countDistinct("__w").alias("__v")))

@@ -134,6 +134,34 @@ def test_spread_checkpoint_frees_abandoned_first_checkpoint(spark):
     out._jdf.queryExecution().analyzed().rdd().unpersist(False)
 
 
+def test_label_prop_converges_in_one_round_on_shallow_graph(spark):
+    """r14 folded the convergence probe into each round's materializing
+    action, so convergence is known every round and a depth-1 graph
+    stops after ONE propagation round (the r13 schedule always ran
+    three). Pin via the driver job count: one edge checkpoint + one
+    init + one fused propagate+probe job, plus small constant overhead
+    — well under the r13 floor of ~7 jobs for the same graph."""
+    from serverless_data_pipeline_spark.operators.dedup import (
+        neardup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (10, 11)], "id_a long, id_b long")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    out = neardup_components(pairs, algorithm="label_prop")
+    got = {r["id"]: r["component_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 10: 10, 11: 10}
+    jobs = len(tracker.getJobIdsForGroup(None)) - before
+    # AQE materializes each shuffle stage as its own job, so the
+    # absolute count is higher than the action count. Measured on this
+    # graph: 11 jobs with the fused probe + round-0 exit vs 29 for the
+    # r13 schedule (rounds 0-2 always ran, separate probe joins). The
+    # bound sits between the two so a reintroduced probe/extra-round
+    # schedule fails while AQE stage-count jitter does not.
+    assert jobs <= 18, jobs
+
+
 def test_bench_default_json_line_fits_tail_window():
     """r13 PERF lost its entire round-over-round table because the
     bench's one-line JSON (with ~47 subquery entries) outgrew the
