@@ -1558,7 +1558,14 @@ def _q_x3_topk_similarity(spark, sf):
     from serverless_data_pipeline_spark.operators.util import (
         build_concurrently,
     )
-    e = _t(spark, sf, "embeddings")  # r13: spread rejected, see ann
+    # r13: per-subtree spread rejected (see _ann_flavours). r14
+    # (verdict #9): ONE shared spread_checkpoint leaf feeding all
+    # x3/x_approx arms re-tried and REJECTED harder — x3 2.43->3.15 s,
+    # x_approx 4.80->9.83 s (alternated min-of-3): the eager checkpoint
+    # barrier serializes ahead of every concurrent arm build and the
+    # 2000-row table spread to 32 partitions hands 62-row batches to
+    # every Arrow stage.
+    e = _t(spark, sf, "embeddings")
     docs = _t(spark, sf, "documents")
 
     # r13 (optimization round, guide §2.6): the five arms are lazy but

@@ -51,15 +51,19 @@ def get_spark(app_name: str = "serverless_data_pipeline_spark",
         # (bench.py must emit exactly one JSON line).
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # r13 (optimization round, guide §3.1/§9): let the planner pick
-        # shuffled-hash over sort-merge when its size conditions are
-        # met — skips both sort passes; A/B at sf0.1 (interleaved
-        # min-of-3): x7 8.3->7.5 s, x5 3.3->2.9 s, x8.lmask 3.2->3.1 s,
-        # no regressions. Scale-safe: the flag only ALLOWS the choice
-        # where the per-partition build side fits (the planner's size
-        # gate), sort-merge remains available, and AQE can still
-        # rewrite at runtime.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # r14 adjudication (r13 verdict #1): r13 set
+        # spark.sql.join.preferSortMergeJoin=false on contended-host
+        # A/Bs; the quiet-host interleaved re-run (4 rounds each, calib
+        # flat 71.8-72.8 ms) shows the shuffled-hash preference is a
+        # small consistent LOSS on the affected joins (x7 6.54 vs
+        # 6.78 s, x8.lmask 2.14 vs 2.26 s — sort-merge ahead in every
+        # round) and a wash on x5 (2.58 vs 2.49 s). Reverted to the
+        # default: sort-merge also SPILLS where shuffled-hash OOMs, and
+        # the SHJ size gate (estimated build side < 64 MB broadcast
+        # threshold x shuffle partitions) rides post-explode size
+        # estimates that are unreliable at 100 TB — the r13 advisory's
+        # exact concern. SHJ remains available per-join via the
+        # SHUFFLE_HASH hint where a future measurement justifies it.
     )
     # Respect a master/memory already configured by spark-submit — builder
     # conf would override submit-time settings, pinning the engine to local

@@ -241,17 +241,17 @@ def test_corpus_utils_plan_shape(spark):
     # blocks — keyed on (shard, block_id), where the flag-regroup side
     # is ALREADY partitioned on exactly those keys (its exchange is
     # counted above) and the frame is block-grain, deliberately NOT
-    # broadcast (at 100 TB it is the block count). r13: with
-    # preferSortMergeJoin=false (session.py) the planner now takes the
-    # mask join as ShuffledHashJoin on the SAME keys — no sort passes,
-    # same exchange budget. A dim broadcast degrading to any OTHER
-    # shuffle join still fails the counts.
+    # broadcast (at 100 TB it is the block count). r14: the r13 global
+    # preferSortMergeJoin=false flag was adjudicated on a quiet host
+    # and REVERTED (session.py), so the mask join is sort-merge again
+    # on the same keys. A dim broadcast degrading to any OTHER shuffle
+    # join still fails the counts.
     import re as _re
-    assert plan.count("SortMergeJoin") == 1
-    assert plan.count("ShuffledHashJoin") == 1
+    assert plan.count("SortMergeJoin") == 2
+    assert plan.count("ShuffledHashJoin") == 0
     assert _re.search(r"SortMergeJoin.*FullOuter", plan)
     assert _re.search(
-        r"ShuffledHashJoin \[shard#\d+, block_id#\d+L\]", plan)
+        r"SortMergeJoin \[shard#\d+, block_id#\d+L\]", plan)
 
 
 def test_no_cartesian_product_in_any_registry_plan(spark):
