@@ -402,6 +402,17 @@ def main() -> None:
             lambda: duplicate_ngram_fraction(d, "doc_id", "text", n=5,
                                              max_doc_freq=8)
             .agg(F.max("dup_ngram_frac")).first())
+        # r14 (r13 verdict #5): lm_score's bigram pass at 1x/10x — the
+        # c1-from-c12 marginal derivation saves one corpus-scale
+        # explode+shuffle per build, and the saving must GROW with
+        # corpus size (the duplicated distinct-bigram aggregation it
+        # pays instead is bounded by vocab², not corpus size).
+        from serverless_data_pipeline_spark.operators.text import (
+            lm_score,
+        )
+        r["lm_score_self"] = timed(
+            lambda: lm_score(d, "doc_id", "text")
+            .agg(F.max("lm_logp")).first())
         # r9 (r8 verdict #4): the SAME metric on a realistic-skew
         # corpus — singleton-majority shingles + a tiny hot boilerplate
         # set. Evidence rows: the df>=2 prefilter's build-side cut
